@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine (Spark ↔ DuckDB) determinism helpers.
+  *
+  * The driver hash-compares each Spark result against DuckDB running the
+  * declared oracle SQL on the same parquet (BASELINE.md). Plain `sum(double)`
+  * is NOT reproducible across engines (summation order differs at the last
+  * ulp), so every floating aggregate in the catalog goes through one of
+  * these exact forms:
+  *
+  *  - money sums: values are fixed-point (2–6 decimals) stored as doubles;
+  *    `round(x * 10^s)` is integer-exact in both engines (the scaled value
+  *    is within ~1e-5 of an integer, far from any .5 boundary), the LONG
+  *    sum is exact, and the final single division is one deterministic
+  *    IEEE op — bit-identical everywhere;
+  *  - vector dot products: sequential left-folds (`aggregate` in Spark,
+  *    `list_reduce` in DuckDB) add in identical order — bit-identical;
+  *  - trig (haversine): Java `Math` and libm may differ by ~1 ulp, so
+  *    results are rounded to a granularity (0.1 m) ~1e7× coarser than the
+  *    discrepancy.
+  *
+  * Every query orders its output by a full non-null key and casts integer
+  * outputs to BIGINT on both sides (DuckDB `sum(BIGINT)` is HUGEINT,
+  * Spark `hour()` is INT — both would otherwise drift in dtype).
+  */
+object Portable {
+  /** Whole-second timestamp rendering — the portable output form for every
+    * judged timestamp column (Spark reads events at micros, DuckDB at nanos;
+    * both floor to the same second). */
+  def tsSec(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** DuckDB twin of [[tsSec]]. */
+  def tsSecSql(x: String): String = s"strftime($x, '%Y-%m-%d %H:%M:%S')"
+
+  /** Seconds since epoch as BIGINT (floor), portable across engines.
+    * Spark: unix_timestamp. DuckDB: date_diff from epoch. */
+  def epochSecSql(x: String): String =
+    s"date_diff('second', TIMESTAMP '1970-01-01 00:00:00', CAST($x AS TIMESTAMP))"
+
+  /** Exact sum of a fixed-point-in-double column, at 10^-s granularity. */
+  def moneySum(c: Column, scale: Int = 100): Column =
+    sum(round(c * scale).cast("long")) / lit(scale.toDouble)
+
+  /** DuckDB twin of [[moneySum]]. */
+  def moneySumSql(x: String, scale: Int = 100): String =
+    s"CAST(sum(CAST(round(($x) * $scale, 0) AS BIGINT)) AS BIGINT) / $scale.0"
+
+  /** Portable 60-bit string hash: fold the first 15 hex chars of md5(s)
+    * base-16. Identical in Spark and DuckDB (md5 is md5); used as the base
+    * hash for minhash / simhash / fingerprinting where the two engines'
+    * native hash functions differ. */
+  def portableHash(c: Column): Column = {
+    val m = md5(c.cast("binary"))
+    aggregate(
+      transform(sequence(lit(1), lit(15)), i => {
+        val ch = ascii(substr(m, i, lit(1)))
+        when(ch >= 97, ch - 87).otherwise(ch - 48).cast("long")
+      }),
+      lit(0L),
+      (acc, d) => acc * 16 + d)
+  }
+
+  /** DuckDB twin of [[portableHash]] ("$X" = any varchar expression). */
+  def portableHashSql(x: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, 15), i -> CAST(CASE WHEN ascii(substring(md5($x), CAST(i AS INT), 1)) >= 97 THEN ascii(substring(md5($x), CAST(i AS INT), 1)) - 87 ELSE ascii(substring(md5($x), CAST(i AS INT), 1)) - 48 END AS BIGINT))), (acc, d) -> acc * 16 + d)"""
+
+  /** Sequential-fold dot product of two equal-length numeric arrays,
+    * accumulated in double in index order — bit-identical across engines. */
+  def dotFold(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** DuckDB twin of [[dotFold]] (arrays are 1-indexed in both engines). */
+  def dotFoldSql(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, $dim), i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE))), (acc, x) -> acc + x)"
+
+  /** Deterministic pseudo-coordinates derived from an integer key — gives
+    * the TPC-H-ish testdata a (lat, lon) so the reference's geo operators
+    * (geohash, haversine, region assignment) are exercisable on it. */
+  def latFromKey(k: Column): Column = pmod(k * 37, lit(1700)).cast("double") / 10.0 - 85.0
+  def lonFromKey(k: Column): Column = pmod(k * 13, lit(3500)).cast("double") / 10.0 - 175.0
+  def latFromKeySql(k: String): String = s"CAST(($k * 37) % 1700 AS DOUBLE) / 10.0 - 85.0"
+  def lonFromKeySql(k: String): String = s"CAST(($k * 13) % 3500 AS DOUBLE) / 10.0 - 175.0"
+
+  /** Haversine meters in DuckDB SQL — the 1:1 twin of
+    * `GeoFunctions.haversineCol` (same op order, same R). */
+  def haversineSql(lat1: String, lon1: String, lat2: String, lon2: String): String = {
+    val dLat = s"radians(($lat2) - ($lat1))"
+    val dLon = s"radians(($lon2) - ($lon1))"
+    val a = s"sin($dLat / 2) * sin($dLat / 2) + cos(radians($lat1)) * cos(radians($lat2)) * sin($dLon / 2) * sin($dLon / 2)"
+    s"2 * 6372800.0 * atan2(sqrt($a), sqrt(1 - ($a)))"
+  }
+
+  /** Geohash encode in DuckDB SQL via the integer-scaling formulation —
+    * the 1:1 twin of `GeoFunctions.geohashEncode` (identical double ops →
+    * identical cells). Generates the per-character assembly inline. */
+  def geohashSql(lat: String, lon: String, precision: Int): String = {
+    val lb = (5 * precision + 1) / 2
+    val tb = (5 * precision) / 2
+    val base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    val xi = s"CAST(least(greatest(floor((($lon) + 180.0) / 360.0 * ${1L << lb}), 0), ${(1L << lb) - 1}) AS BIGINT)"
+    val yi = s"CAST(least(greatest(floor((($lat) + 90.0) / 180.0 * ${1L << tb}), 0), ${(1L << tb) - 1}) AS BIGINT)"
+    val chars = (0 until precision).map { k =>
+      val digit = (0 until 5).map { j =>
+        val g = 5 * k + j
+        val bit =
+          if (g % 2 == 0) s"(($xi >> ${lb - 1 - g / 2}) & 1)"
+          else s"(($yi >> ${tb - 1 - (g - 1) / 2}) & 1)"
+        s"$bit * ${1 << (4 - j)}"
+      }.mkString(" + ")
+      s"substring('$base32', CAST($digit AS INT) + 1, 1)"
+    }
+    chars.mkString("concat(", ", ", ")")
+  }
+}

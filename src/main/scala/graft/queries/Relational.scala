@@ -1,0 +1,599 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import Portable._
+
+/** Relational operator catalog over the TPC-H-ish testdata — one judged
+  * query per operator family of SURVEY.md §2 (scans S1–S13, projections/
+  * filters P1–P15, joins J1–J5, aggregations A1–A10, windows W1–W4, top-k
+  * O1, set ops U1–U2, scalar functions F1–F13).
+  *
+  * Determinism contract (SURVEY.md §7.4): every query orders by a full
+  * key, renders timestamps at whole-second precision, casts integer
+  * outputs to LONG/BIGINT on both engines, and runs floating sums through
+  * [[Portable.moneySum]] so the DuckDB hash-compare is exact.
+  *
+  * Scale posture (graded — SURVEY.md §4.2): dims are `broadcast()`, facts
+  * aggregate with partial (map-side) aggregation, no driver-side loops, no
+  * `collect()`; filters sit directly on scans so Catalyst pushes them into
+  * the parquet reader.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** (name, spark query, duckdb oracle) triples. */
+  val catalog: Seq[(String, Q, String)] = Seq(
+
+    // ── S3/S4: SQL-over-path scan with pushed filter + pruned columns ──
+    // Reference behavior: spark.sql over parquet.`path` (cal_user_trace.py:21).
+    ("s03_sql_over_path",
+      (s: SparkSession, dir: String) => {
+        val df = s.sql(
+          s"""SELECT l_orderkey, l_linenumber, CAST(round(l_quantity) AS LONG) AS qty
+             |FROM parquet.`$dir/lineitem.parquet`
+             |WHERE l_quantity >= 49
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+        df
+      },
+      """SELECT l_orderkey, l_linenumber, CAST(round(l_quantity, 0) AS BIGINT) AS qty
+        |FROM lineitem WHERE l_quantity >= 49
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // ── S11: temp view + SQL text entry (community.py:14-16) ──
+    ("s11_temp_view_sql",
+      (s: SparkSession, dir: String) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT event_type, CAST(count(DISTINCT user_id) AS LONG) AS n_users
+                |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // ── S1/S8/S12: CSV sink → CSV scan round-trip with explicit schema ──
+    // (ppl_days.py:14 reads TSV; cal_mobility_matrix.py:92-93 writes CSV.)
+    ("s01_csv_roundtrip",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val tmp = s"/root/repo/target/tmp/csv_roundtrip"
+        Tables.events(s, dir)
+          .select($"event_id", $"user_id", $"event_type")
+          .write.mode("overwrite").option("header", "true")
+          .option("delimiter", "\t").csv(tmp)
+        s.read.option("header", "true").option("delimiter", "\t")
+          .schema("event_id LONG, user_id LONG, event_type STRING")
+          .csv(tmp)
+          .groupBy($"event_type")
+          .agg(count("*").as("n"), sum($"user_id").as("sum_uid"))
+          .orderBy($"event_type")
+      },
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(user_id) AS BIGINT) AS sum_uid
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // ── P5/F4: equality filter + hour() (cal_user_trace.py:33,131) ──
+    ("p05_filter_eq",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .where($"event_type" === "purchase" && hour($"ts") === 12)
+          .select($"event_id", $"user_id", tsSec($"ts").as("ts_s"))
+          .orderBy($"event_id")
+      },
+      s"""SELECT event_id, user_id, ${tsSecSql("ts")} AS ts_s
+         |FROM events WHERE event_type = 'purchase' AND hour(ts) = 12
+         |ORDER BY event_id""".stripMargin),
+
+    // ── P6: night-window range/or predicate (cal_user_trace.py:57,132) ──
+    ("p06_range_or",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .where((hour($"ts") >= 19 || hour($"ts") <= 8) &&
+                 $"value".between(10, 90))
+          .groupBy($"event_type").agg(count("*").as("n"))
+          .orderBy($"event_type")
+      },
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events
+        |WHERE (hour(ts) >= 19 OR hour(ts) <= 8) AND value BETWEEN 10 AND 90
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // ── P7/J5: left join + isNull/isNotNull matched-vs-unmatched split ──
+    // (the cascading-join building block, cal_orig_area.py:31-42)
+    ("p07_null_split",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+        val cust = Tables(s, dir, "customer")
+          .select($"c_custkey", $"c_mktsegment")
+        ev.join(broadcast(cust), ev("user_id") === cust("c_custkey"), "left")
+          .withColumn("matched", $"c_mktsegment".isNotNull)
+          .groupBy($"matched").agg(count("*").as("n"),
+            countDistinct($"user_id").as("n_users"))
+          .orderBy($"matched")
+      },
+      """SELECT c.c_mktsegment IS NOT NULL AS matched,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ── P8/P9: isin + when/otherwise chain (cal_subarea_portion.py:131-139) ──
+    ("p08_when_isin",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .withColumn("category",
+            when($"event_type".isin("click", "view"), "browse")
+              .when($"event_type" === "purchase", "buy")
+              .otherwise("other"))
+          .groupBy($"category").agg(count("*").as("n"))
+          .orderBy($"category")
+      },
+      """SELECT CASE WHEN event_type IN ('click','view') THEN 'browse'
+        |            WHEN event_type = 'purchase' THEN 'buy'
+        |            ELSE 'other' END AS category,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ── P11: na.fill sentinel (cal_mobility_matrix.py:51,80) ──
+    ("p11_na_fill",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .withColumn("t", nullif($"event_type", lit("error")))
+          .na.fill(Map("t" -> "unknown"))
+          .groupBy($"t").agg(count("*").as("n"))
+          .orderBy($"t")
+      },
+      """SELECT coalesce(nullif(event_type, 'error'), 'unknown') AS t,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ── P12: distinct projection (cal_user_trace.py:29,54) ──
+    ("p12_distinct",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .select($"event_type", hour($"ts").cast("long").as("h"))
+          .distinct()
+          .orderBy($"event_type", $"h")
+      },
+      """SELECT DISTINCT event_type, CAST(hour(ts) AS BIGINT) AS h
+        |FROM events ORDER BY event_type, h""".stripMargin),
+
+    // ── P13: dropDuplicates by key subset (cal_mobility_matrix.py:46) ──
+    ("p13_dropdup",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .select($"user_id", $"event_type")
+          .dropDuplicates(Seq("user_id", "event_type"))
+          .orderBy($"user_id", $"event_type")
+      },
+      """SELECT DISTINCT user_id, event_type
+        |FROM events ORDER BY user_id, event_type""".stripMargin),
+
+    // ── F1/A1: hourly presence — date_trunc + grouped distinct count ──
+    // (the reference's core query, cal_user_trace.py:22,35)
+    ("f01_hourly_presence",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .withColumn("hour", date_trunc("hour", $"ts"))
+          .groupBy($"hour", $"event_type")
+          .agg(countDistinct($"user_id").as("n_users"))
+          .select(tsSec($"hour").as("hour"), $"event_type", $"n_users")
+          .orderBy($"hour", $"event_type")
+      },
+      s"""SELECT ${tsSecSql("date_trunc('hour', ts)")} AS hour, event_type,
+         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // ── F3/W3: lag + unix_timestamp hour gap histogram ──
+    // (cal_mobility_matrix.py:49-56)
+    ("f03_gap_histogram",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        Tables.events(s, dir)
+          .withColumn("pre_ts", lag($"ts", 1).over(w))
+          .where($"pre_ts".isNotNull)
+          .withColumn("gap_h",
+            round((unix_timestamp($"ts") - unix_timestamp($"pre_ts")) / 3600.0)
+              .cast("long"))
+          .groupBy($"gap_h").agg(count("*").as("n"))
+          .orderBy($"gap_h")
+      },
+      s"""WITH lagged AS (
+         |  SELECT ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pre_ts
+         |  FROM events)
+         |SELECT CAST(round((${epochSecSql("ts")} - ${epochSecSql("pre_ts")}) / 3600.0, 0) AS BIGINT) AS gap_h,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM lagged WHERE pre_ts IS NOT NULL
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ── F5/F12: population extrapolation arithmetic (cal_user_trace.py:134-138) ──
+    ("f05_extrapolate",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .groupBy($"event_type")
+          .agg(countDistinct($"user_id").as("n_sample"))
+          .withColumn("n_extrapolated",
+            round($"n_sample" * lit(7.232)).cast("long"))
+          .orderBy($"event_type")
+      },
+      """SELECT event_type,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_sample,
+        |       CAST(round(count(DISTINCT user_id) * 7.232, 0) AS BIGINT) AS n_extrapolated
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // ── F6: date/time part extraction via built-ins, not UDFs ──
+    // (ppl_days.py:16-19 does this with a Python UDF — SURVEY §4.2 item 1)
+    ("f06_date_part",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .withColumn("date", date_format($"ts", "yyyy-MM-dd"))
+          .groupBy($"date").agg(count("*").as("n"))
+          .orderBy($"date")
+      },
+      """SELECT strftime(ts, '%Y-%m-%d') AS date, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ── F7: composite key via concat_ws (cal_mobility_matrix.py:96,100) ──
+    ("f07_concat_key",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .withColumn("key", concat_ws(";", $"user_id", $"event_type"))
+          .groupBy($"key").agg(count("*").as("n"))
+          .orderBy($"key")
+      },
+      """SELECT concat(CAST(user_id AS VARCHAR), ';', event_type) AS key,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ── F13: JSON prop extraction (engine extension; events.props) ──
+    ("f13_json_extract",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+          .withColumn("bucket", ($"k" - pmod($"k", lit(10))).cast("long"))
+          .groupBy($"bucket").agg(count("*").as("n"))
+          .orderBy($"bucket")
+      },
+      """SELECT CAST(k - (k % 10) AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ── J1: broadcast dim joins (cal_orig_area.py:30,40) ──
+    ("j01_broadcast_join",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val sup = Tables(s, dir, "supplier")
+        val nat = Tables(s, dir, "nation")
+        val reg = Tables(s, dir, "region")
+        sup.join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+          .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+          .groupBy($"r_name")
+          .agg(count("*").as("n_suppliers"), moneySum($"s_acctbal").as("sum_bal"))
+          .orderBy($"r_name")
+      },
+      s"""SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+         |       ${moneySumSql("s.s_acctbal")} AS sum_bal
+         |FROM supplier s
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin),
+
+    // ── J2: left join + grouped count incl. empty groups ──
+    // (cal_user_trace.py:62 iterated left joins → here one join + agg)
+    ("j02_left_join_agg",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val cust = Tables(s, dir, "customer")
+        val ord = Tables(s, dir, "orders")
+        cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left")
+          .groupBy($"c_custkey")
+          .agg(count($"o_orderkey").as("n_orders"))
+          .groupBy($"n_orders").agg(count("*").as("n_customers"))
+          .orderBy($"n_orders")
+      },
+      """WITH per_cust AS (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey)
+        |SELECT CAST(n_orders AS BIGINT) AS n_orders,
+        |       CAST(count(*) AS BIGINT) AS n_customers
+        |FROM per_cust GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ── J3: inner shuffle join fact⋈fact (cal_user_trace.py:130) ──
+    ("j03_inner_join",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val ord = Tables(s, dir, "orders")
+        val cust = Tables(s, dir, "customer")
+        ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+          .groupBy($"c_mktsegment")
+          .agg(count("*").as("n_orders"), moneySum($"o_totalprice").as("sum_price"))
+          .orderBy($"c_mktsegment")
+      },
+      s"""SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${moneySumSql("o.o_totalprice")} AS sum_price
+         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ── J5: left-semi / left-anti (the isNull-split as first-class joins) ──
+    ("j05_semi_join",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val cust = Tables(s, dir, "customer")
+        val ord = Tables(s, dir, "orders").where($"o_orderstatus" === "F")
+        cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+          .select($"c_custkey").orderBy($"c_custkey")
+      },
+      """SELECT c_custkey FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin),
+
+    ("j05_anti_join",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val cust = Tables(s, dir, "customer")
+        val urgent = Tables(s, dir, "orders").where($"o_orderpriority" === "1-URGENT")
+        cust.join(urgent, cust("c_custkey") === urgent("o_custkey"), "left_anti")
+          .select($"c_custkey", $"c_name").orderBy($"c_custkey")
+      },
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin),
+
+    // ── A1 at scale: approx_count_distinct variant is non-judged (no
+    //    DuckDB parity); exact judged form is f01. A2: global distincts. ──
+    ("a02_global_distinct",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .agg(countDistinct($"user_id").as("n_users"),
+            countDistinct($"event_type").as("n_types"),
+            count("*").as("n_events"))
+      },
+      """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM events""".stripMargin),
+
+    // ── A3: first + countDistinct having-filter (cal_user_trace.py:122) ──
+    ("a03_first_having",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .groupBy($"user_id")
+          .agg(min($"ts").as("first_seen"), countDistinct($"event_type").as("nt"))
+          .where($"nt" >= 4)
+          .select($"user_id", tsSec($"first_seen").as("first_seen"), $"nt")
+          .orderBy($"user_id")
+      },
+      s"""SELECT user_id, ${tsSecSql("min(ts)")} AS first_seen,
+         |       CAST(count(DISTINCT event_type) AS BIGINT) AS nt
+         |FROM events GROUP BY user_id
+         |HAVING count(DISTINCT event_type) >= 4
+         |ORDER BY user_id""".stripMargin),
+
+    // ── A4: count-by-key word-count (cal_mobility_matrix.py:153,167 — RDD
+    //    reduceByKey → one hash aggregation with map-side partials) ──
+    ("a04_count_by_key",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Tables(s, dir, "lineitem")
+          .groupBy($"l_orderkey").agg(count("*").as("n_lines"))
+          .groupBy($"n_lines").agg(count("*").as("n_orders"))
+          .orderBy($"n_lines")
+      },
+      """WITH per_order AS (
+        |  SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY 1)
+        |SELECT CAST(n_lines AS BIGINT) AS n_lines,
+        |       CAST(count(*) AS BIGINT) AS n_orders
+        |FROM per_order GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ── A5: group-to-list (combineByKey → collect_set, deterministic) ──
+    ("a05_collect_list",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .groupBy($"user_id")
+          .agg(array_join(array_sort(collect_set($"event_type")), ",").as("types"))
+          .orderBy($"user_id")
+      },
+      """SELECT user_id, string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    // ── A6: mode with deterministic tie-break (cal_user_trace.py:71-84) ──
+    ("a06_mode",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val counts = Tables.events(s, dir)
+          .groupBy($"user_id", $"event_type").agg(count("*").as("cnt"))
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"cnt".desc, $"event_type".asc)
+        counts.withColumn("rn", row_number().over(w))
+          .where($"rn" === 1)
+          .select($"user_id", $"event_type".as("modal_type"), $"cnt")
+          .orderBy($"user_id")
+      },
+      """WITH counts AS (
+        |  SELECT user_id, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |            ORDER BY cnt DESC, event_type ASC) AS rn
+        |  FROM counts)
+        |SELECT user_id, event_type AS modal_type, CAST(cnt AS BIGINT) AS cnt
+        |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin),
+
+    // ── A7: pivot long→wide in one pass (replaces the reference's 744
+    //    sequential per-hour pandas merges, cal_user_trace.py:30-43) ──
+    ("a07_pivot",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .groupBy($"user_id")
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy($"user_id")
+      },
+      """SELECT user_id,
+        |  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+        |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS "view"
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    // ── A9: normalized fraction (cal_mobility_matrix.py:188-197) — long
+    //    counts divided once; stays relational, no NumPy ──
+    ("a09_value_share",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val g = Tables.events(s, dir)
+          .groupBy($"event_type")
+          .agg(sum(round($"value" * 100).cast("long")).as("sv"))
+        g.withColumn("total", sum($"sv").over(Window.partitionBy()))
+          .select($"event_type",
+            ($"sv" / lit(100.0)).as("sum_value"),
+            ($"sv".cast("double") / $"total").as("share"))
+          .orderBy($"event_type")
+      },
+      """WITH g AS (
+        |  SELECT event_type,
+        |         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sv
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, sv / 100.0 AS sum_value,
+        |       CAST(sv AS DOUBLE) / CAST(sum(sv) OVER () AS DOUBLE) AS share
+        |FROM g ORDER BY event_type""".stripMargin),
+
+    // ── W1/O1: last-fix-per-user + top-k per group (row_number, desc ts,
+    //    full tie-break — cal_mobility_matrix.py:38-39) ──
+    ("w01_last_per_user",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+        Tables.events(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .where($"rn" === 1)
+          .select($"user_id", $"event_id", $"event_type", tsSec($"ts").as("ts_s"))
+          .orderBy($"user_id")
+      },
+      s"""WITH ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id
+         |            ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events)
+         |SELECT user_id, event_id, event_type, ${tsSecSql("ts")} AS ts_s
+         |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin),
+
+    ("o01_topk_per_group",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        Tables(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .where($"rn" <= 2)
+          .select($"o_custkey", $"rn".cast("long").as("rn"), $"o_orderkey", $"o_totalprice")
+          .orderBy($"o_custkey", $"rn")
+      },
+      """WITH ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
+        |FROM ranked WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin),
+
+    // ── W2: max over whole partition (cal_user_trace.py:59-60) ──
+    ("w02_window_max",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id")
+        Tables.events(s, dir)
+          .withColumn("max_ts", max($"ts").over(w))
+          .where($"ts" === $"max_ts")
+          .select($"user_id", tsSec($"ts").as("last_seen"))
+          .distinct()
+          .orderBy($"user_id")
+      },
+      s"""SELECT DISTINCT user_id, ${tsSecSql("ts")} AS last_seen
+         |FROM (SELECT user_id, ts, max(ts) OVER (PARTITION BY user_id) AS max_ts
+         |      FROM events)
+         |WHERE ts = max_ts ORDER BY user_id""".stripMargin),
+
+    // ── W4: dense_rank ID minting (region.py:51-52; small dim only —
+    //    the single-partition hazard is documented in SURVEY §4.2) ──
+    ("w04_dense_rank",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Tables(s, dir, "nation")
+          .select($"n_name", $"n_regionkey".cast("long").as("rk"))
+          .withColumn("nation_id",
+            dense_rank().over(Window.orderBy($"n_name")).cast("long"))
+          .orderBy($"nation_id")
+      },
+      """SELECT n_name, CAST(n_regionkey AS BIGINT) AS rk,
+        |       CAST(dense_rank() OVER (ORDER BY n_name) AS BIGINT) AS nation_id
+        |FROM nation ORDER BY nation_id""".stripMargin),
+
+    // ── U1: union-all then aggregate (cal_mobility_matrix.py:40,44) ──
+    ("u01_union",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+        val a = ev.where($"event_type" === "purchase")
+          .select($"user_id", $"event_type")
+        val b = ev.where($"event_type" === "signup")
+          .select($"user_id", $"event_type")
+        a.unionByName(b)
+          .groupBy($"user_id").agg(count("*").as("n"))
+          .orderBy($"user_id")
+      },
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT user_id, event_type FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, event_type FROM events WHERE event_type = 'signup')
+        |GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    // ── TPC-H Q1-shaped pricing summary: the headline agg benchmark ──
+    ("q01_pricing_summary",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val l = Tables(s, dir, "lineitem")
+        l.where($"l_quantity" <= 45)
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            moneySum($"l_quantity").as("sum_qty"),
+            moneySum($"l_extendedprice").as("sum_base_price"),
+            moneySum($"l_extendedprice" * (lit(1) - $"l_discount"), 10000).as("sum_disc_price"),
+            count("*").as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${moneySumSql("l_quantity")} AS sum_qty,
+         |  ${moneySumSql("l_extendedprice")} AS sum_base_price,
+         |  ${moneySumSql("l_extendedprice * (1 - l_discount)", 10000)} AS sum_disc_price,
+         |  CAST(count(*) AS BIGINT) AS count_order
+         |FROM lineitem WHERE l_quantity <= 45
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  )
+
+  def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap
+  def oracle: Map[String, String] = catalog.map { case (n, _, o) => n -> o }.toMap
+}
