@@ -25,7 +25,8 @@ object SparkEntry {
 
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (graft.queries.Relational.queries, graft.queries.Relational.oracle)
+      (graft.queries.Relational.queries, graft.queries.Relational.oracle),
+      (graft.queries.GeoQueries.queries, graft.queries.GeoQueries.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

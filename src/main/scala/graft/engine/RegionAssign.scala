@@ -1,0 +1,46 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GeoFunctions
+
+/** Cascading fallback join, coalesce form (SURVEY.md §2.3 J4).
+  *
+  * The reference assigns each fix to a region by trying geohash matches at
+  * decreasing precision: join at the finest level, split matched/unmatched
+  * on `type IS NULL`, re-join the unmatched at the next level, union the
+  * pieces (`cal_orig_area.py:24-43`, 8-way at
+  * `cal_subarea_portion.py:34-76`). That is one shuffle + union per level.
+  *
+  * Here each level is ONE broadcast left join against a per-level deduped
+  * dictionary and the priority is a single `coalesce(agent_p1, agent_p2,
+  * …, sentinel)` — no splits, no unions, no shuffle of the fact side at
+  * all (dims broadcast). At 100 TB the fact table streams through k
+  * broadcast hash joins inside one whole-stage-codegen span.
+  */
+object RegionAssign {
+
+  /** Dictionary deduped per geohash cell at `p`: smallest agent_id wins
+    * (deterministic — the reference's `dropDuplicates(['geohash6'])` keeps
+    * an arbitrary row, which a judged query cannot).  */
+  def dictAt(dict: DataFrame, lat: Column, lon: Column, agent: Column, p: Int): DataFrame =
+    dict.groupBy(GeoFunctions.geohashCol(lat, lon, p).as(s"gh$p"))
+      .agg(min(agent).as(s"agent_$p"))
+
+  /** Left-join `points` against each precision level (finest first) and
+    * coalesce. `sentinel` is the no-match region (reference uses '0',
+    * `cal_orig_area.py:88-89`). */
+  def assign(points: DataFrame, lat: Column, lon: Column,
+             dict: DataFrame, dictLat: Column, dictLon: Column, dictAgent: Column,
+             precisions: Seq[Int], sentinel: Long): DataFrame = {
+    val joined = precisions.foldLeft(points) { (acc, p) =>
+      acc.join(broadcast(dictAt(dict, dictLat, dictLon, dictAgent, p)),
+        GeoFunctions.geohashCol(lat, lon, p) === col(s"gh$p"), "left")
+        .drop(s"gh$p")
+    }
+    val agent = coalesce(
+      precisions.map(p => col(s"agent_$p")) :+ lit(sentinel): _*)
+    joined.withColumn("agent_id", agent.cast("long"))
+      .drop(precisions.map(p => s"agent_$p"): _*)
+  }
+}

@@ -1,0 +1,256 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.{RegionAssign, Tables, Trajectory}
+import graft.functions.GeoFunctions
+import Portable._
+
+/** Geo/domain pipeline catalog — the reference's actual workload
+  * re-expressed Spark-first (SURVEY.md §0 dataflow): geohash encoding and
+  * neighbor expansion, haversine, cascading region assignment, hourly
+  * presence, home-region inference, trajectory completion and the
+  * mobility (OD) matrices.
+  *
+  * The testdata has no coordinates, so fixes get deterministic
+  * pseudo-coordinates ([[Portable.fixKey]] daily circuits) — integer
+  * arithmetic, bit-identical in DuckDB, which lets every geo query keep a
+  * full SQL oracle (geohash has no DuckDB built-in; the oracle re-derives
+  * cells from the same integer-scaling formula — Portable.geohashSql).
+  */
+object GeoQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Distinct fix points (user_id, k, lat, lon) — a user's daily circuit. */
+  private def points(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), fixKey(col("user_id"), col("ts")).as("k"))
+      .distinct()
+      .withColumn("lat", latFromKey(col("k")))
+      .withColumn("lon", lonFromKey(col("k")))
+
+  private def pointsSql: String =
+    s"""pts AS (
+       |  SELECT user_id, k, ${latFromKeySql("k")} AS lat, ${lonFromKeySql("k")} AS lon
+       |  FROM (SELECT DISTINCT user_id, ${fixKeySql("user_id", "ts")} AS k FROM events))""".stripMargin
+
+  val catalog: Seq[(String, Q, String)] = Seq(
+
+    // ── F10/D1: geohash encode at precisions 5..8 (region.py:34-40) ──
+    ("g01_geohash_encode",
+      (s: SparkSession, dir: String) => {
+        points(s, dir)
+          .select(col("user_id"), col("k"),
+            GeoFunctions.geohashCol(col("lat"), col("lon"), 5).as("gh5"),
+            GeoFunctions.geohashCol(col("lat"), col("lon"), 6).as("gh6"),
+            GeoFunctions.geohashCol(col("lat"), col("lon"), 7).as("gh7"),
+            GeoFunctions.geohashCol(col("lat"), col("lon"), 8).as("gh8"))
+          .orderBy(col("user_id"), col("k"))
+      },
+      s"""WITH $pointsSql
+         |SELECT user_id, k,
+         |       ${geohashSql("lat", "lon", 5)} AS gh5,
+         |       ${geohashSql("lat", "lon", 6)} AS gh6,
+         |       ${geohashSql("lat", "lon", 7)} AS gh7,
+         |       ${geohashSql("lat", "lon", 8)} AS gh8
+         |FROM pts ORDER BY user_id, k""".stripMargin),
+
+    // ── F11: geohash neighbor expansion (cal_orig_area.py:62-72) ──
+    ("g02_geohash_neighbors",
+      (s: SparkSession, dir: String) => {
+        points(s, dir)
+          .select(GeoFunctions.geohashCol(col("lat"), col("lon"), 5).as("gh5"))
+          .distinct()
+          .select(col("gh5"),
+            explode(GeoFunctions.geohashNeighborsUdf(col("gh5"))).as("neighbor"))
+          .orderBy(col("gh5"), col("neighbor"))
+      },
+      {
+        val p = 5
+        val nLon = 1L << ((5 * p + 1) / 2)
+        val nLat = 1L << ((5 * p) / 2)
+        s"""WITH $pointsSql,
+           |cells AS (
+           |  SELECT DISTINCT ${lonIndexSql("lon", p)} AS xi, ${latIndexSql("lat", p)} AS yi
+           |  FROM pts),
+           |offs AS (SELECT unnest([-1, 0, 1]) AS d),
+           |nb AS (
+           |  SELECT ${geohashFromIndicesSql("c.xi", "c.yi", p)} AS gh5,
+           |         ${geohashFromIndicesSql(s"((c.xi + dx.d) % $nLon + $nLon) % $nLon", "c.yi + dy.d", p)} AS neighbor
+           |  FROM cells c, offs dx, offs dy
+           |  WHERE c.yi + dy.d >= 0 AND c.yi + dy.d < $nLat)
+           |SELECT DISTINCT gh5, neighbor FROM nb ORDER BY gh5, neighbor""".stripMargin
+      }),
+
+    // ── F9: haversine distance to a fixed point (cal_subarea_portion.py:83-92) ──
+    ("g03_haversine",
+      (s: SparkSession, dir: String) => {
+        points(s, dir)
+          .select(col("user_id"), col("k"),
+            round(GeoFunctions.haversineCol(col("lat"), col("lon"),
+              lit(31.2304), lit(121.4737)), 1).as("dist_m"))
+          .orderBy(col("user_id"), col("k"))
+      },
+      s"""WITH $pointsSql
+         |SELECT user_id, k,
+         |       round(${haversineSql("lat", "lon", "31.2304", "121.4737")}, 1) AS dist_m
+         |FROM pts ORDER BY user_id, k""".stripMargin),
+
+    // ── J4: cascading fallback region assignment, coalesce form
+    //    (cal_orig_area.py:24-43; customer table as the POI dictionary) ──
+    ("g04_region_assign",
+      (s: SparkSession, dir: String) => {
+        val cust = Tables(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+          .withColumn("lat", latFromKey(col("c_custkey")))
+          .withColumn("lon", lonFromKey(col("c_custkey")))
+        RegionAssign.assign(points(s, dir), col("lat"), col("lon"),
+            cust, col("lat"), col("lon"), col("c_nationkey"),
+            precisions = Seq(4, 3), sentinel = -1L)
+          .select(col("user_id"), col("k"), col("agent_id"))
+          .orderBy(col("user_id"), col("k"))
+      },
+      s"""WITH $pointsSql,
+         |dict AS (
+         |  SELECT c_custkey, c_nationkey,
+         |         ${latFromKeySql("c_custkey")} AS lat, ${lonFromKeySql("c_custkey")} AS lon
+         |  FROM customer),
+         |d4 AS (
+         |  SELECT ${geohashSql("lat", "lon", 4)} AS gh4, min(c_nationkey) AS agent_4
+         |  FROM dict GROUP BY 1),
+         |d3 AS (
+         |  SELECT ${geohashSql("lat", "lon", 3)} AS gh3, min(c_nationkey) AS agent_3
+         |  FROM dict GROUP BY 1)
+         |SELECT p.user_id, p.k,
+         |       CAST(coalesce(d4.agent_4, d3.agent_3, -1) AS BIGINT) AS agent_id
+         |FROM pts p
+         |LEFT JOIN d4 ON ${geohashSql("p.lat", "p.lon", 4)} = d4.gh4
+         |LEFT JOIN d3 ON ${geohashSql("p.lat", "p.lon", 3)} = d3.gh3
+         |ORDER BY p.user_id, p.k""".stripMargin),
+
+    // ── A1 over regions: hourly presence per region (cal_user_trace.py:22,35)
+    //    computed over the COMPLETED trajectory (population vectors,
+    //    cal_mobility_matrix.py:153-165 — long form, never a driver matrix) ──
+    ("g05_presence_by_region",
+      (s: SparkSession, dir: String) => {
+        Trajectory.complete(Tables.events(s, dir))
+          .groupBy(col("hour"), col("region"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .select(tsSec(col("hour")).as("hour"), col("region"), col("n_users"))
+          .orderBy(col("hour"), col("region"))
+      },
+      s"""${Trajectory.trajSqlPrelude}
+         |SELECT ${tsSecSql("hour")} AS hour, region,
+         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM traj GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // ── A6/W2: home-("start")-region inference over night windows
+    //    (cal_user_trace.py:50-82): mode of the user's night-time region,
+    //    ties broken by region string — one aggregation, not 29 joins ──
+    ("g06_home_region",
+      (s: SparkSession, dir: String) => {
+        val night = Trajectory.complete(Tables.events(s, dir))
+          .where(hour(col("hour")) >= 19 || hour(col("hour")) <= 8)
+        val counts = night.groupBy(col("user_id"), col("region"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("cnt").desc, col("region").asc)
+        counts.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("region").as("home_region"), col("cnt"))
+          .orderBy(col("user_id"))
+      },
+      s"""${Trajectory.trajSqlPrelude},
+         |night AS (
+         |  SELECT user_id, region, count(*) AS cnt FROM traj
+         |  WHERE hour(hour) >= 19 OR hour(hour) <= 8
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id
+         |            ORDER BY cnt DESC, region ASC) AS rn
+         |  FROM night)
+         |SELECT user_id, region AS home_region, CAST(cnt AS BIGINT) AS cnt
+         |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin),
+
+    // ── D6: trajectory completion, Catalyst explode(sequence) form ──
+    ("g07_trajectory_gapfill",
+      (s: SparkSession, dir: String) => {
+        Trajectory.complete(Tables.events(s, dir))
+          .select(col("user_id"), tsSec(col("hour")).as("hour"), col("region"))
+          .orderBy(col("user_id"), col("hour"))
+      },
+      s"""${Trajectory.trajSqlPrelude}
+         |SELECT user_id, ${tsSecSql("hour")} AS hour, region
+         |FROM traj ORDER BY user_id, hour""".stripMargin),
+
+    // ── D6 typed twin: Dataset.flatMap mirror of the reference generator —
+    //    same oracle as g07 (the two implementations must agree) ──
+    ("g08_trajectory_flatmap",
+      (s: SparkSession, dir: String) => {
+        Trajectory.gapFillTyped(
+            Trajectory.hourlyState(Tables.events(s, dir)), s)
+          .select(col("user_id"), tsSec(col("hour")).as("hour"), col("region"))
+          .orderBy(col("user_id"), col("hour"))
+      },
+      s"""${Trajectory.trajSqlPrelude}
+         |SELECT user_id, ${tsSecSql("hour")} AS hour, region
+         |FROM traj ORDER BY user_id, hour""".stripMargin),
+
+    // ── A4/A8: OD mobility transitions, long form
+    //    (cal_mobility_matrix.py:167-185 — '(pre;cur;hour)' reduceByKey →
+    //    one hash aggregation; matrices stay relational) ──
+    ("g09_mobility_od",
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+        Trajectory.complete(Tables.events(s, dir))
+          .withColumn("src", lag(col("region"), 1).over(w))
+          .where(col("src").isNotNull)
+          .groupBy(col("hour"), col("src"), col("region").as("dst"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(tsSec(col("hour")).as("hour"), col("src"), col("dst"), col("cnt"))
+          .orderBy(col("hour"), col("src"), col("dst"))
+      },
+      s"""${Trajectory.trajSqlPrelude},
+         |seq AS (
+         |  SELECT user_id, hour, region,
+         |         lag(region) OVER (PARTITION BY user_id ORDER BY hour) AS src
+         |  FROM traj)
+         |SELECT ${tsSecSql("hour")} AS hour, src, region AS dst,
+         |       CAST(count(*) AS BIGINT) AS cnt
+         |FROM seq WHERE src IS NOT NULL
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+
+    // ── A9: row-normalized transition fractions
+    //    (cal_mobility_matrix.py:188-197 — NumPy repmat division → one
+    //    window sum + one exact division; NaN-free by construction) ──
+    ("g10_mobility_frac",
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+        val od = Trajectory.complete(Tables.events(s, dir))
+          .withColumn("src", lag(col("region"), 1).over(w))
+          .where(col("src").isNotNull)
+          .groupBy(col("hour"), col("src"), col("region").as("dst"))
+          .agg(count(lit(1)).as("cnt"))
+        od.withColumn("tot",
+            sum(col("cnt")).over(Window.partitionBy(col("hour"), col("src"))))
+          .select(tsSec(col("hour")).as("hour"), col("src"), col("dst"), col("cnt"),
+            (col("cnt").cast("double") / col("tot").cast("double")).as("frac"))
+          .orderBy(col("hour"), col("src"), col("dst"))
+      },
+      s"""${Trajectory.trajSqlPrelude},
+         |seq AS (
+         |  SELECT user_id, hour, region,
+         |         lag(region) OVER (PARTITION BY user_id ORDER BY hour) AS src
+         |  FROM traj),
+         |od AS (
+         |  SELECT hour, src, region AS dst, count(*) AS cnt
+         |  FROM seq WHERE src IS NOT NULL GROUP BY 1, 2, 3)
+         |SELECT ${tsSecSql("hour")} AS hour, src, dst, CAST(cnt AS BIGINT) AS cnt,
+         |       CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY hour, src) AS DOUBLE) AS frac
+         |FROM od ORDER BY hour, src, dst""".stripMargin)
+  )
+
+  def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap
+  def oracle: Map[String, String] = catalog.map { case (n, _, o) => n -> o }.toMap
+}

@@ -94,25 +94,47 @@ object Portable {
     s"2 * 6372800.0 * atan2(sqrt($a), sqrt(1 - ($a)))"
   }
 
-  /** Geohash encode in DuckDB SQL via the integer-scaling formulation —
-    * the 1:1 twin of `GeoFunctions.geohashEncode` (identical double ops →
-    * identical cells). Generates the per-character assembly inline. */
-  def geohashSql(lat: String, lon: String, precision: Int): String = {
+  /** DuckDB: integer cell index along each axis (twin of
+    * `GeoFunctions.lonIndex`/`latIndex` — identical double ops). */
+  def lonIndexSql(lon: String, precision: Int): String = {
+    val lb = (5 * precision + 1) / 2
+    s"CAST(least(greatest(floor((($lon) + 180.0) / 360.0 * ${1L << lb}), 0), ${(1L << lb) - 1}) AS BIGINT)"
+  }
+  def latIndexSql(lat: String, precision: Int): String = {
+    val tb = (5 * precision) / 2
+    s"CAST(least(greatest(floor((($lat) + 90.0) / 180.0 * ${1L << tb}), 0), ${(1L << tb) - 1}) AS BIGINT)"
+  }
+
+  /** DuckDB: base-32 geohash string from integer cell indices — twin of
+    * `GeoFunctions.encodeIndices`. `xi`/`yi` must be BIGINT expressions. */
+  def geohashFromIndicesSql(xi: String, yi: String, precision: Int): String = {
     val lb = (5 * precision + 1) / 2
     val tb = (5 * precision) / 2
     val base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
-    val xi = s"CAST(least(greatest(floor((($lon) + 180.0) / 360.0 * ${1L << lb}), 0), ${(1L << lb) - 1}) AS BIGINT)"
-    val yi = s"CAST(least(greatest(floor((($lat) + 90.0) / 180.0 * ${1L << tb}), 0), ${(1L << tb) - 1}) AS BIGINT)"
     val chars = (0 until precision).map { k =>
       val digit = (0 until 5).map { j =>
         val g = 5 * k + j
         val bit =
-          if (g % 2 == 0) s"(($xi >> ${lb - 1 - g / 2}) & 1)"
-          else s"(($yi >> ${tb - 1 - (g - 1) / 2}) & 1)"
+          if (g % 2 == 0) s"((($xi) >> ${lb - 1 - g / 2}) & 1)"
+          else s"((($yi) >> ${tb - 1 - (g - 1) / 2}) & 1)"
         s"$bit * ${1 << (4 - j)}"
       }.mkString(" + ")
       s"substring('$base32', CAST($digit AS INT) + 1, 1)"
     }
     chars.mkString("concat(", ", ", ")")
   }
+
+  /** Geohash encode in DuckDB SQL via the integer-scaling formulation —
+    * the 1:1 twin of `GeoFunctions.geohashEncode` (identical double ops →
+    * identical cells). */
+  def geohashSql(lat: String, lon: String, precision: Int): String =
+    geohashFromIndicesSql(lonIndexSql(lon, precision), latIndexSql(lat, precision), precision)
+
+  /** Per-event "fix" coordinates: the user moves across a deterministic
+    * 24-cell daily circuit (key = user_id * 31 + hour-of-day). Gives the
+    * TPC-H-ish events table real trajectories so the reference's presence /
+    * home-region / gap-fill / OD-matrix operators have non-degenerate
+    * inputs. Integer arithmetic → bit-identical in both engines. */
+  def fixKey(userId: Column, ts: Column): Column = userId * 31 + hour(ts)
+  def fixKeySql(userId: String, ts: String): String = s"($userId * 31 + hour($ts))"
 }
