@@ -26,7 +26,10 @@ object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (graft.queries.Relational.queries, graft.queries.Relational.oracle),
-      (graft.queries.GeoQueries.queries, graft.queries.GeoQueries.oracle)
+      (graft.queries.GeoQueries.queries, graft.queries.GeoQueries.oracle),
+      (graft.queries.TextQueries.queries, graft.queries.TextQueries.oracle),
+      (graft.queries.VectorQueries.queries, graft.queries.VectorQueries.oracle),
+      (graft.queries.MultimodalQueries.queries, graft.queries.MultimodalQueries.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

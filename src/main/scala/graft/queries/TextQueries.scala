@@ -1,0 +1,323 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import Portable._
+
+/** Text-analysis + deduplication catalog over `documents` — the
+  * training-data-pipeline operators (north star in BASELINE.json):
+  * language ID, quality scoring, token counting, fingerprinting, exact
+  * dedup, MinHash-LSH near-dedup, SimHash near-dedup, blocked n-gram
+  * Jaccard.
+  *
+  * All hashing goes through [[Portable.portableHash]] (md5-derived 60-bit
+  * fold) so every query keeps an exact DuckDB oracle. Shingling, MinHash
+  * signatures and SimHash planes are per-row array expressions (no UDFs,
+  * no shuffles until the candidate-pair join); the pair joins are
+  * LSH-bucket equi-joins, never O(n²) cross joins — the 100 TB shape.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ── shared building blocks ──────────────────────────────────────────
+
+  /** Distinct 3-word shingles of a space-tokenized text column. Short
+    * texts (<3 words) degrade to padded shingles — the padding uses
+    * explicit coalesce-to-empty so Spark and DuckDB render identically. */
+  private def shinglesCol(words: Column): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(words) - 2, lit(1))),
+      i => concat(
+        element_at(words, i), lit(" "),
+        coalesce(element_at(words, i + 1), lit("")), lit(" "),
+        coalesce(element_at(words, i + 2), lit("")))))
+
+  private val shinglesSqlDef =
+    """WITH sh AS (
+      |  SELECT doc_id, source, list_distinct(list_transform(
+      |           generate_series(1, greatest(len(w) - 2, 1)),
+      |           i -> w[CAST(i AS INT)] || ' ' || coalesce(w[CAST(i AS INT)+1], '') || ' ' || coalesce(w[CAST(i AS INT)+2], ''))) AS s
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents))""".stripMargin
+
+  /** MinHash signature element j: min over shingles of the salted
+    * portable hash, mod a prime. */
+  private def minhashCol(shingles: Column, j: Int): Column =
+    array_min(transform(shingles,
+      s => pmod(portableHash(concat(lit(s"$j|"), s)), lit(1000003L))))
+
+  private def minhashSql(j: Int): String =
+    s"list_min(list_transform(s, x -> ${portableHashSql(s"'$j|' || x")} % 1000003))"
+
+  private val NPerms = 8
+  private val RowsPerBand = 2 // 4 bands × 2 rows
+
+  /** 3-shingle Jaccard between two shingle-array columns, rounded. */
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    round(inter.cast("double") / (size(a) + size(b) - inter).cast("double"), 6)
+  }
+  private def jaccardSql(a: String, b: String): String = {
+    val inter = s"len(list_intersect($a, $b))"
+    s"round(CAST($inter AS DOUBLE) / CAST(len($a) + len($b) - $inter AS DOUBLE), 6)"
+  }
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("batch", "stream", "window"),
+    "en" -> Seq("the", "a", "order"),
+    "es" -> Seq("data", "query", "table"),
+    "fr" -> Seq("join", "merge", "group"),
+    "zh" -> Seq("spark", "vector", "hash"))
+
+  val catalog: Seq[(String, Q, String)] = Seq(
+
+    // ── language ID: n-gram/stopword marker heuristic, argmax with
+    //    deterministic tie-break ──
+    ("t01_lang_id",
+      (s: SparkSession, dir: String) => {
+        val docs = Tables(s, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+        val scored = docs.select(col("doc_id"), explode(array(
+          langMarkers.map { case (lang, ms) =>
+            struct(lit(lang).as("lang"),
+              size(filter(col("w"),
+                x => ms.map(m => x === lit(m)).reduce(_ || _))).cast("long").as("score"))
+          }: _*)).as("e"))
+          .select(col("doc_id"), col("e.lang"), col("e.score"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("lang").asc)
+        scored.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("doc_id"),
+            when(col("score") > 0, col("lang")).otherwise("und").as("pred_lang"),
+            col("score"))
+          .orderBy(col("doc_id"))
+      },
+      {
+        val branches = langMarkers.map { case (lang, ms) =>
+          val inList = ms.map(m => s"'$m'").mkString(", ")
+          s"SELECT doc_id, '$lang' AS lang, CAST(len(list_filter(w, x -> x IN ($inList))) AS BIGINT) AS score FROM docs"
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |scored AS (
+           |  $branches),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY doc_id
+           |            ORDER BY score DESC, lang ASC) AS rn
+           |  FROM scored)
+           |SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS pred_lang, score
+           |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
+      }),
+
+    // ── quality scoring: length / type-token / stopword-ratio composite ──
+    ("t02_quality_score",
+      (s: SparkSession, dir: String) => {
+        Tables(s, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .withColumn("n_words", size(col("w")).cast("long"))
+          .withColumn("n_uniq", size(array_distinct(col("w"))).cast("long"))
+          .withColumn("n_stop", size(filter(col("w"),
+            x => x === "a" || x === "the")).cast("long"))
+          .withColumn("ttr",
+            round(col("n_uniq").cast("double") / col("n_words").cast("double"), 6))
+          .withColumn("stop_ratio",
+            round(col("n_stop").cast("double") / col("n_words").cast("double"), 6))
+          .select(col("doc_id"), col("n_words"), col("n_uniq"),
+            col("ttr"), col("stop_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_words,
+        |  CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+        |  round(CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE), 6) AS ttr,
+        |  round(CAST(len(list_filter(w, x -> x = 'a' OR x = 'the')) AS DOUBLE)
+        |        / CAST(len(w) AS DOUBLE), 6) AS stop_ratio
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |ORDER BY doc_id""".stripMargin),
+
+    // ── token counting: whitespace + BPE-ish regex ──
+    ("t03_token_count",
+      (s: SparkSession, dir: String) => {
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+            size(regexp_extract_all(col("text"),
+              lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("re_tokens"),
+            length(col("text")).cast("long").as("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ── document fingerprint: rolling polynomial hash over the word
+    //    sequence (order-sensitive, unlike a set hash) ──
+    ("t04_fingerprint",
+      (s: SparkSession, dir: String) => {
+        val words = split(col("text"), " ")
+        val wordHashes = transform(words, w => pmod(portableHash(w), lit(1000L)))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            aggregate(wordHashes, lit(0L),
+              (acc, h) => pmod(acc * 31 + h, lit(2147483647L))).as("fp"))
+          .orderBy(col("doc_id"))
+      },
+      s"""SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(text, ' '),
+         |                     w -> ${portableHashSql("w")} % 1000)),
+         |    (acc, h) -> (acc * 31 + h) % 2147483647) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ── exact dedup: hash-groupBy on content digest ──
+    ("t05_dedup_exact",
+      (s: SparkSession, dir: String) => {
+        Tables(s, dir, "documents")
+          .groupBy(md5(col("text").cast("binary")).as("digest"))
+          .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_copies"))
+          .orderBy(col("rep_id"))
+      },
+      """SELECT md5(text) AS digest, min(doc_id) AS rep_id,
+        |       CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY rep_id""".stripMargin),
+
+    // ── MinHash + LSH near-dedup: shingle → 8-perm signature → 4 bands
+    //    × 2 rows → bucket equi-join → exact-Jaccard confirm ≥ 0.3 ──
+    ("t06_dedup_minhash",
+      (s: SparkSession, dir: String) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), shinglesCol(split(col("text"), " ")).as("s"))
+        val withSig = docs.select(
+          Seq(col("doc_id"), col("s")) ++
+            (0 until NPerms).map(j => minhashCol(col("s"), j).as(s"m$j")): _*)
+        val bands = withSig.select(col("doc_id"), col("s"), explode(array(
+          (0 until NPerms / RowsPerBand).map { b =>
+            val key = concat_ws(":",
+              (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*)
+            struct(lit(b).as("band"), key.as("key"))
+          }: _*)).as("e"))
+          .select(col("doc_id"), col("s"), col("e.band"), col("e.key"))
+        val a = bands.as("a")
+        val b = bands.as("b")
+        a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
+            && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            jaccard(col("a.s"), col("b.s")).as("jac"))
+          .distinct()
+          .where(col("jac") >= 0.3)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      {
+        val sigs = (0 until NPerms).map(j => s"${minhashSql(j)} AS m$j").mkString(",\n         ")
+        val bandRows = (0 until NPerms / RowsPerBand).map { b =>
+          val key = (0 until RowsPerBand).map(r => s"CAST(m${b * RowsPerBand + r} AS VARCHAR)")
+            .mkString(" || ':' || ")
+          s"SELECT doc_id, s, $b AS band, $key AS key FROM sig"
+        }.mkString("\n  UNION ALL\n  ")
+        s"""$shinglesSqlDef,
+           |sig AS (
+           |  SELECT doc_id, s,
+           |         $sigs
+           |  FROM sh),
+           |bands AS (
+           |  $bandRows),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |         ${jaccardSql("a.s", "b.s")} AS jac
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, jac FROM pairs
+           |WHERE jac >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
+    // ── SimHash near-dedup: 32-bit signed-bit-sum sketch over word
+    //    multiset, byte-band LSH join, Hamming ≤ 10 ──
+    ("t07_dedup_simhash",
+      (s: SparkSession, dir: String) => {
+        val wordCounts = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+          .withColumn("h", pmod(portableHash(col("word")), lit(4294967296L)))
+        val bitSums = wordCounts
+          .select(col("doc_id"), col("cnt"), col("h"),
+            explode(sequence(lit(0), lit(31))).as("b"))
+          .withColumn("contrib",
+            col("cnt") * (expr("shiftright(h, CAST(b AS INT)) % 2") * 2 - 1))
+          .groupBy(col("doc_id"), col("b"))
+          .agg(sum(col("contrib")).as("sm"))
+        val sim = bitSums
+          .groupBy(col("doc_id"))
+          .agg(sum(when(col("sm") > 0,
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
+            .otherwise(0L)).as("simhash"))
+        val bands = sim.select(col("doc_id"), col("simhash"),
+          explode(array((0 until 4).map { i =>
+            struct(lit(i).as("band"),
+              (shiftright(col("simhash"), i * 8) % 256).as("key"))
+          }: _*)).as("e"))
+          .select(col("doc_id"), col("simhash"), col("e.band"), col("e.key"))
+        bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key")
+              && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+          .distinct()
+          .where(col("hamming") <= 10)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      s"""WITH wc AS (
+         |  SELECT doc_id, word, count(*) AS cnt,
+         |         ${portableHashSql("word")} % 4294967296 AS h
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |  GROUP BY doc_id, word),
+         |bits AS (
+         |  SELECT doc_id, b,
+         |         sum(cnt * (((h >> CAST(b AS INT)) % 2) * 2 - 1)) AS sm
+         |  FROM wc, (SELECT unnest(generate_series(0, 31)) AS b)
+         |  GROUP BY doc_id, b),
+         |sim AS (
+         |  SELECT doc_id,
+         |         sum(CASE WHEN sm > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS simhash
+         |  FROM bits GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, simhash, band, (simhash >> (band * 8)) % 256 AS key
+         |  FROM sim, (SELECT unnest(generate_series(0, 3)) AS band)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM pairs
+         |WHERE hamming <= 10 ORDER BY doc_a, doc_b""".stripMargin),
+
+    // ── blocked exact n-gram Jaccard (the non-approximate baseline the
+    //    MinHash path is judged against; blocking bounds the pair count) ──
+    ("t08_ngram_jaccard",
+      (s: SparkSession, dir: String) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            shinglesCol(split(col("text"), " ")).as("s"))
+        docs.as("a").join(docs.as("b"),
+            col("a.source") === col("b.source")
+              && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            jaccard(col("a.s"), col("b.s")).as("jac"))
+          .where(col("jac") >= 0.2)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      s"""$shinglesSqlDef
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       ${jaccardSql("a.s", "b.s")} AS jac
+         |FROM sh a JOIN sh b
+         |  ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE ${jaccardSql("a.s", "b.s")} >= 0.2
+         |ORDER BY doc_a, doc_b""".stripMargin)
+  )
+
+  def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap
+  def oracle: Map[String, String] = catalog.map { case (n, _, o) => n -> o }.toMap
+}

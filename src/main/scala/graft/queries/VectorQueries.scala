@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import Portable._
+
+/** Similarity search over `embeddings` (64-dim float vectors) — the
+  * ANN operators of a training-data pipeline.
+  *
+  * - [[v01]] brute-force cosine top-k: the exact baseline. Query set ×
+  *   corpus equi-free join — at 100 TB the corpus side stays partitioned
+  *   and the (small) query set broadcasts; per-row work is a sequential
+  *   fold inside codegen, no UDF.
+  * - [[v02]] LSH-bucketed ANN: deterministic random-hyperplane signature
+  *   → bucket equi-join. The scale path: candidates per query shrink by
+  *   ~2^planes, and the join is a hash join on the bucket key, not a
+  *   cross join.
+  * - [[v03]] per-label centroids: array analytics via posexplode +
+  *   scaled-long exact mean.
+  *
+  * All dot products are sequential index-order folds ([[Portable.dotFold]])
+  * so DuckDB (`list_reduce`) reproduces them bit-for-bit.
+  */
+object VectorQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Dim = 64
+  private val NPlanes = 4
+
+  private def cosine(a: Column, b: Column): Column =
+    round(dotFold(a, b) / (sqrt(dotFold(a, a)) * sqrt(dotFold(b, b))), 6)
+
+  private def cosineSql(a: String, b: String): String =
+    s"round(${dotFoldSql(a, b, Dim)} / (sqrt(${dotFoldSql(a, a, Dim)}) * sqrt(${dotFoldSql(b, b, Dim)})), 6)"
+
+  /** Deterministic pseudo-random hyperplane component: plane j, index i
+    * (1-based) → integer in [-48, 48]. Exact in both engines. */
+  private def planeDot(emb: Column, j: Int): Column =
+    aggregate(
+      transform(sequence(lit(1), lit(Dim)),
+        i => element_at(emb, i).cast("double") * ((lit(j) * 37 + i * 101) % 97 - 48).cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def planeDotSql(emb: String, j: Int): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, $Dim), i -> CAST($emb[CAST(i AS INT)] AS DOUBLE) * CAST(($j * 37 + i * 101) % 97 - 48 AS DOUBLE))), (acc, x) -> acc + x)"
+
+  private def bucketCol(emb: Column): Column =
+    (0 until NPlanes).map { j =>
+      when(planeDot(emb, j) >= 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+
+  private def bucketSql(emb: String): String =
+    (0 until NPlanes).map { j =>
+      s"(CASE WHEN ${planeDotSql(emb, j)} >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  val catalog: Seq[(String, Q, String)] = Seq(
+
+    // ── brute-force cosine top-k (exact ANN baseline) ──
+    ("v01_cosine_topk",
+      (s: SparkSession, dir: String) => {
+        val emb = Tables(s, dir, "embeddings")
+        val queries = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val cand = emb.select(col("vec_id"), col("embedding"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        broadcast(queries).crossJoin(cand)
+          .where(col("vec_id") =!= col("q_id"))
+          .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 5)
+          .select(col("q_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("cos"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id, ${cosineSql("q.q_emb", "e.embedding")} AS cos
+         |  FROM q, embeddings e WHERE e.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |            ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM scored)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
+         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+
+    // ── LSH-bucketed ANN: hyperplane signature → bucket hash join ──
+    ("v02_ann_lsh",
+      (s: SparkSession, dir: String) => {
+        val emb = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), bucketCol(col("embedding")).as("bucket"))
+        val queries = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        broadcast(queries)
+          .join(emb, Seq("bucket"))
+          .where(col("vec_id") =!= col("q_id"))
+          .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 3)
+          .select(col("q_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("cos"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+         |q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM b WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id, ${cosineSql("q.q_emb", "e.embedding")} AS cos
+         |  FROM q JOIN b e ON q.bucket = e.bucket AND e.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |            ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM scored)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
+         |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin),
+
+    // ── per-label centroids: exact elementwise mean via scaled longs ──
+    ("v03_label_centroid",
+      (s: SparkSession, dir: String) => {
+        Tables(s, dir, "embeddings")
+          .select(col("label").cast("long").as("label"),
+            posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("label"), (col("pos") + 1).cast("long").as("pos"))
+          .agg(sum(round(col("v") * 1000000).cast("long")).as("sv"),
+            count(lit(1)).as("n"))
+          .select(col("label"), col("pos"),
+            ((col("sv").cast("double") / 1000000.0) / col("n").cast("double")).as("mean_v"))
+          .orderBy(col("label"), col("pos"))
+      },
+      s"""SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS pos,
+         |  (CAST(sum(CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000.0)
+         |    / CAST(count(*) AS DOUBLE) AS mean_v
+         |FROM embeddings, (SELECT unnest(generate_series(1, $Dim)) AS i)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  )
+
+  def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap
+  def oracle: Map[String, String] = catalog.map { case (n, _, o) => n -> o }.toMap
+}
