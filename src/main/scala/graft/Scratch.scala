@@ -14,7 +14,6 @@ object Scratch {
     spark.sparkContext.setLogLevel("ERROR")
     val e = SparkEntry.entry(spark)
     println("ENTRY ROWS=" + e.count())
-    e.show(3, false)
     spark.stop()
   }
 }

