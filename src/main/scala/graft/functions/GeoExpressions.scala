@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, QuaternaryExpression, TernaryExpression}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the geo scalar functions — the
+  * SURVEY.md §4.3 upgrade path over the UDF form (reference behavior:
+  * per-precision Python UDFs, `region.py:37-40`, `cal_orig_area.py:49-52`).
+  *
+  * Unlike a Scala UDF (an opaque black box that breaks whole-stage
+  * codegen into an invoke boundary and forces null-checking wrappers),
+  * these generate a direct static call inside the produced Java, keep
+  * null short-circuiting in codegen, and report precise input types so
+  * Catalyst can fold constants and push predicates across them.
+  */
+case class GeohashEncode(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "geohash_encode"
+
+  override protected def nullSafeEval(lat: Any, lon: Any, p: Any): Any =
+    UTF8String.fromString(GeoFunctions.geohashEncode(
+      lat.asInstanceOf[Double], lon.asInstanceOf[Double], p.asInstanceOf[Int]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (la, lo, p) =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.GeoFunctions.geohashEncode($la, $lo, $p))")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Great-circle distance in meters (haversine, R=6372800 — the
+  * reference's radius, `cal_subarea_portion.py:83-92`). */
+case class HaversineMeters(first: Expression, second: Expression,
+                           third: Expression, fourth: Expression)
+  extends QuaternaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "haversine_meters"
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    GeoFunctions.haversineMeters(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.functions.GeoFunctions.haversineMeters($a, $b, $c, $d)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
+/** Session extension registering the native expressions as SQL functions
+  * (`spark.builder.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("geohash_encode"),
+      new ExpressionInfo(classOf[GeohashEncode].getName, "geohash_encode"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "geohash_encode(lat, lon, precision)")
+        // explicit casts in place of ImplicitCastInputTypes (private[sql]):
+        // SQL numeric literals arrive as decimals
+        GeohashEncode(Cast(children(0), DoubleType), Cast(children(1), DoubleType),
+          Cast(children(2), IntegerType))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("haversine_meters"),
+      new ExpressionInfo(classOf[HaversineMeters].getName, "haversine_meters"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4, "haversine_meters(lat1, lon1, lat2, lon2)")
+        HaversineMeters(Cast(children(0), DoubleType), Cast(children(1), DoubleType),
+          Cast(children(2), DoubleType), Cast(children(3), DoubleType))
+      }))
+  }
+}

@@ -197,6 +197,25 @@ object GeoQueries {
          |SELECT user_id, ${tsSecSql("hour")} AS hour, region
          |FROM traj ORDER BY user_id, hour""".stripMargin),
 
+    // ── F10/F9 native form: the custom Catalyst expressions (codegen'd
+    //    GeohashEncode / HaversineMeters, registered by GraftExtensions)
+    //    — must produce byte-identical results to the built-in-composed
+    //    forms of g01/g03; same oracle shape proves it ──
+    ("g11_native_exprs",
+      (s: SparkSession, dir: String) => {
+        points(s, dir)
+          .select(col("user_id"), col("k"),
+            call_function("geohash_encode", col("lat"), col("lon"), lit(5)).as("gh5"),
+            round(call_function("haversine_meters", col("lat"), col("lon"),
+              lit(31.2304), lit(121.4737)), 1).as("dist_m"))
+          .orderBy(col("user_id"), col("k"))
+      },
+      s"""WITH $pointsSql
+         |SELECT user_id, k,
+         |       ${geohashSql("lat", "lon", 5)} AS gh5,
+         |       round(${haversineSql("lat", "lon", "31.2304", "121.4737")}, 1) AS dist_m
+         |FROM pts ORDER BY user_id, k""".stripMargin),
+
     // ── A4/A8: OD mobility transitions, long form
     //    (cal_mobility_matrix.py:167-185 — '(pre;cur;hour)' reduceByKey →
     //    one hash aggregation; matrices stay relational) ──
