@@ -73,7 +73,32 @@ object MultimodalQueries {
         |  CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
         |  CAST(octet_length(encode(text)) % 16 AS BIGINT) AS n_frames,
         |  CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ── frame sampling: explode the decoded frame range, keep every 4th
+    //    frame (the video-pipeline pattern: metadata drives a generator,
+    //    the heavy per-frame decode happens downstream per sampled row) ──
+    ("m03_frame_sample",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[MediaBlob]
+          .mapPartitions(_.map(StubDecoder.decode))
+          .toDF()
+          .where(col("n_frames") > 0)
+          .select(col("doc_id"), col("n_frames"),
+            explode(sequence(lit(0), col("n_frames") - 1)).as("frame_no"))
+          .where(pmod(col("frame_no"), lit(4)) === 0)
+          .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"))
+          .orderBy(col("doc_id"), col("frame_no"))
+      },
+      """SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no FROM (
+        |  SELECT doc_id,
+        |         unnest(generate_series(0, CAST(octet_length(encode(text)) % 16 AS BIGINT) - 1)) AS frame_no
+        |  FROM documents WHERE octet_length(encode(text)) % 16 > 0)
+        |WHERE frame_no % 4 = 0
+        |ORDER BY doc_id, frame_no""".stripMargin)
   )
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap

@@ -73,6 +73,30 @@ object Relational {
         |       CAST(sum(user_id) AS BIGINT) AS sum_uid
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
+    // ── S6/S4: hive-partitioned parquet sink → partition-pruned scan
+    //    (ppl_days.py:23 writes partitionBy(date); cal_mobility_matrix.py:
+    //    27-29 reads back WHERE date=... — pruning must reach the scan) ──
+    ("s06_partitioned_sink",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val tmp = "/root/repo/target/tmp/events_by_date"
+        Tables.events(s, dir)
+          .withColumn("date", date_format($"ts", "yyyy-MM-dd"))
+          .write.partitionBy("date").mode("overwrite").parquet(tmp)
+        s.read.parquet(tmp)
+          .where($"date" >= "2024-01-10" && $"date" <= "2024-01-12")
+          .groupBy($"date", $"event_type")
+          .agg(count("*").as("n"), countDistinct($"user_id").as("n_users"))
+          .select($"date".cast("string").as("date"), $"event_type", $"n", $"n_users")
+          .orderBy($"date", $"event_type")
+      },
+      """SELECT strftime(ts, '%Y-%m-%d') AS date, event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-12'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
     // ── P5/F4: equality filter + hour() (cal_user_trace.py:33,131) ──
     ("p05_filter_eq",
       (s: SparkSession, dir: String) => {
