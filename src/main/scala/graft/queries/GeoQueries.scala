@@ -216,6 +216,51 @@ object GeoQueries {
          |       round(${haversineSql("lat", "lon", "31.2304", "121.4737")}, 1) AS dist_m
          |FROM pts ORDER BY user_id, k""".stripMargin),
 
+    // ── D4: nearest-POI type assignment (cal_subarea_portion.py:142-149
+    //    — per-row Python UDF over a broadcast dict of per-region POI
+    //    arrays). Relational form: geohash-block the candidate join,
+    //    haversine-rank inside the block, keep the top-1 — a distributed
+    //    spatial NN join instead of a driver-closure UDF ──
+    ("g12_nearest_poi",
+      (s: SparkSession, dir: String) => {
+        val poi = Tables(s, dir, "customer")
+          .select(col("c_custkey").as("poi_id"),
+            latFromKey(col("c_custkey")).as("plat"),
+            lonFromKey(col("c_custkey")).as("plon"),
+            pmod(col("c_custkey"), lit(7)).cast("long").as("poi_type"))
+        val w = Window.partitionBy(col("user_id"), col("k"))
+          .orderBy(col("dist").asc, col("poi_id").asc)
+        points(s, dir)
+          .join(broadcast(poi),
+            GeoFunctions.geohashCol(col("lat"), col("lon"), 2) ===
+              GeoFunctions.geohashCol(col("plat"), col("plon"), 2))
+          .withColumn("dist",
+            GeoFunctions.haversineCol(col("lat"), col("lon"), col("plat"), col("plon")))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("k"), col("poi_id"), col("poi_type"),
+            round(col("dist"), 1).as("dist_m"))
+          .orderBy(col("user_id"), col("k"))
+      },
+      s"""WITH $pointsSql,
+         |poi AS (
+         |  SELECT c_custkey AS poi_id,
+         |         ${latFromKeySql("c_custkey")} AS plat,
+         |         ${lonFromKeySql("c_custkey")} AS plon,
+         |         CAST(c_custkey % 7 AS BIGINT) AS poi_type
+         |  FROM customer),
+         |blocked AS (
+         |  SELECT p.user_id, p.k, poi.poi_id, poi.poi_type,
+         |         ${haversineSql("p.lat", "p.lon", "poi.plat", "poi.plon")} AS dist
+         |  FROM pts p JOIN poi
+         |    ON ${geohashSql("p.lat", "p.lon", 2)} = ${geohashSql("poi.plat", "poi.plon", 2)}),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id, k
+         |            ORDER BY dist ASC, poi_id ASC) AS rn
+         |  FROM blocked)
+         |SELECT user_id, k, poi_id, poi_type, round(dist, 1) AS dist_m
+         |FROM ranked WHERE rn = 1 ORDER BY user_id, k""".stripMargin),
+
     // ── A4/A8: OD mobility transitions, long form
     //    (cal_mobility_matrix.py:167-185 — '(pre;cur;hour)' reduceByKey →
     //    one hash aggregation; matrices stay relational) ──
