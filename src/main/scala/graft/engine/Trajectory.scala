@@ -45,15 +45,19 @@ object Trajectory {
       .withColumn("hour", date_trunc("hour", col("ts")))
   }
 
-  /** Last fix per (user, hour) — W1 — then lag/lead neighbours. */
+  /** Last fix per (user, hour) — W1 — then lag/lead neighbours.
+    *
+    * The top-1-per-group is a `max_by` hash aggregation, not a
+    * `row_number` window: aggregation gets map-side partial combine (each
+    * input partition shrinks to its distinct user-hours before the
+    * shuffle), where a window must shuffle and sort EVERY raw event. Same
+    * result — `max_by` on the (ts, event_id) struct is the last fix with
+    * the window's exact tie-break. */
   def hourlyState(events: DataFrame): DataFrame = {
-    val wLast = Window.partitionBy(col("user_id"), col("hour"))
-      .orderBy(col("ts").desc, col("event_id").desc)
     val wSeq = Window.partitionBy(col("user_id")).orderBy(col("hour"))
     fixes(events)
-      .withColumn("rn", row_number().over(wLast))
-      .where(col("rn") === 1)
-      .select(col("user_id"), col("hour"), col("region"))
+      .groupBy(col("user_id"), col("hour"))
+      .agg(max_by(col("region"), struct(col("ts"), col("event_id"))).as("region"))
       .withColumn("pre_hour", lag(col("hour"), 1).over(wSeq))
       .withColumn("pre_region", lag(col("region"), 1).over(wSeq))
       .withColumn("is_last", lead(col("hour"), 1).over(wSeq).isNull)
