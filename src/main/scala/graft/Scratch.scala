@@ -10,10 +10,15 @@ object Scratch {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val e = SparkEntry.entry(spark)
-    println("ENTRY ROWS=" + e.count())
+    val dir = "/root/testdata/sf0.01"
+    for (name <- Seq("s03_sql_over_path", "j01_broadcast_join", "g04_region_assign", "f01_hourly_presence")) {
+      println(s"\n===== $name =====")
+      println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode))
+    }
     spark.stop()
   }
 }

@@ -261,6 +261,61 @@ object GeoQueries {
          |SELECT user_id, k, poi_id, poi_type, round(dist, 1) AS dist_m
          |FROM ranked WHERE rn = 1 ORDER BY user_id, k""".stripMargin),
 
+    // ── J4/A8 end product: land-use type-portion matrix
+    //    (cal_subarea_portion.py:34-76,285-302 — 8-level cascading
+    //    type-priority join, then per (region, type, hour) counts; long
+    //    form, never a driver matrix). Type dictionary = POIs with a
+    //    deterministic class; per-fix type resolves through the same
+    //    cascading-precision fallback as region assignment, sentinel 8 =
+    //    "no type matched" (reference's fillna('8')) ──
+    ("g13_type_portion",
+      (s: SparkSession, dir: String) => {
+        val poiDict = Tables(s, dir, "customer")
+          .select(col("c_custkey"),
+            latFromKey(col("c_custkey")).as("plat"),
+            lonFromKey(col("c_custkey")).as("plon"),
+            (pmod(col("c_custkey"), lit(7)) + 1).cast("long").as("poi_type"))
+        val fixes = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"),
+            fixKey(col("user_id"), col("ts")).as("k"))
+          .withColumn("lat", latFromKey(col("k")))
+          .withColumn("lon", lonFromKey(col("k")))
+          .withColumn("hour", date_trunc("hour", col("ts")))
+          .withColumn("region", GeoFunctions.geohashCol(col("lat"), col("lon"), 3))
+        RegionAssign.assign(fixes, col("lat"), col("lon"),
+            poiDict, col("plat"), col("plon"), col("poi_type"),
+            precisions = Seq(4, 3), sentinel = 8L)
+          .groupBy(col("hour"), col("region"), col("agent_id").as("type"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(tsSec(col("hour")).as("hour"), col("region"), col("type"), col("cnt"))
+          .orderBy(col("hour"), col("region"), col("type"))
+      },
+      s"""WITH dict AS (
+         |  SELECT c_custkey, ${latFromKeySql("c_custkey")} AS plat,
+         |         ${lonFromKeySql("c_custkey")} AS plon,
+         |         CAST(c_custkey % 7 + 1 AS BIGINT) AS poi_type
+         |  FROM customer),
+         |d4 AS (
+         |  SELECT ${geohashSql("plat", "plon", 4)} AS gh4, min(poi_type) AS t4
+         |  FROM dict GROUP BY 1),
+         |d3 AS (
+         |  SELECT ${geohashSql("plat", "plon", 3)} AS gh3, min(poi_type) AS t3
+         |  FROM dict GROUP BY 1),
+         |fx AS (
+         |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+         |         ${latFromKeySql(s"(${fixKeySql("user_id", "ts")})")} AS lat,
+         |         ${lonFromKeySql(s"(${fixKeySql("user_id", "ts")})")} AS lon
+         |  FROM events),
+         |typed AS (
+         |  SELECT fx.hour, ${geohashSql("fx.lat", "fx.lon", 3)} AS region,
+         |         CAST(coalesce(d4.t4, d3.t3, 8) AS BIGINT) AS type
+         |  FROM fx
+         |  LEFT JOIN d4 ON ${geohashSql("fx.lat", "fx.lon", 4)} = d4.gh4
+         |  LEFT JOIN d3 ON ${geohashSql("fx.lat", "fx.lon", 3)} = d3.gh3)
+         |SELECT ${tsSecSql("hour")} AS hour, region, type,
+         |       CAST(count(*) AS BIGINT) AS cnt
+         |FROM typed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+
     // ── A4/A8: OD mobility transitions, long form
     //    (cal_mobility_matrix.py:167-185 — '(pre;cur;hour)' reduceByKey →
     //    one hash aggregation; matrices stay relational) ──
