@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.execution.SimpleMode
+
+/** Plan-shape regression guards: the scale-posture properties the README
+  * promises must stay visible in the physical plans (a refactor that
+  * silently drops a broadcast or un-pushes a filter should fail CI, not
+  * surface at 100 TB). */
+class PlanQualitySpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.explainString(SimpleMode)
+
+  test("s03: quantity filter is pushed into the parquet scan") {
+    val p = plan("s03_sql_over_path")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,49.0)]"), p)
+  }
+
+  test("s03: scan reads only the three projected columns") {
+    val p = plan("s03_sql_over_path")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"), p)
+  }
+
+  test("j01: dimension joins are broadcast hash joins") {
+    val p = plan("j01_broadcast_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("g04: cascading region assignment never shuffles the fact side") {
+    val p = plan("g04_region_assign")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("f01: aggregation has a map-side partial before the exchange") {
+    val p = plan("f01_hourly_presence")
+    assert(p.contains("partial_count(distinct"), p)
+  }
+
+  test("q01: whole-stage codegen covers the agg pipeline") {
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, dir)
+    val codegen = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.CodegenMode)
+    assert(codegen.contains("WholeStageCodegen"), codegen.take(500))
+  }
+
+  test("v01: query side broadcasts, corpus side stays partitioned") {
+    val p = plan("v01_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+}
