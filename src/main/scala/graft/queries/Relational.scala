@@ -97,6 +97,46 @@ object Relational {
         |WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-12'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
+    // ── Bucketing: co-located join without a shuffle. Both sides are
+    //    written bucketed+sorted on the join key; the merge-hinted join
+    //    then runs with NO exchange on either side (PlanQualitySpec pins
+    //    this). At 100 TB this is the pre-partitioning story: pay the
+    //    shuffle once at ingest, never again per query. ──
+    ("s07_bucketed_join",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // a fresh session's in-memory catalog can orphan the managed
+        // location from a previous run — clear both catalog and dir
+        Seq("graft_buck_orders", "graft_buck_cust").foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val loc = new java.io.File(s"spark-warehouse/$t")
+          if (loc.exists()) {
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+            }
+            rm(loc)
+          }
+        }
+        Tables(s, dir, "orders")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .saveAsTable("graft_buck_orders")
+        Tables(s, dir, "customer")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .saveAsTable("graft_buck_cust")
+        val o = s.table("graft_buck_orders")
+        val c = s.table("graft_buck_cust")
+        o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy($"c_mktsegment")
+          .agg(count("*").as("n_orders"), moneySum($"o_totalprice").as("sum_price"))
+          .orderBy($"c_mktsegment")
+      },
+      s"""SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${moneySumSql("o.o_totalprice")} AS sum_price
+         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ── P5/F4: equality filter + hour() (cal_user_trace.py:33,131) ──
     ("p05_filter_eq",
       (s: SparkSession, dir: String) => {

@@ -47,6 +47,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(codegen.contains("WholeStageCodegen"), codegen.take(500))
   }
 
+  test("s07: bucketed join runs without shuffling either side") {
+    val df = SparkEntry.queries("s07_bucketed_join")(spark, dir)
+    val p = df.queryExecution.explainString(SimpleMode)
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("hashpartitioning(o_custkey") &&
+      !p.contains("hashpartitioning(c_custkey"), p)
+  }
+
   test("v01: query side broadcasts, corpus side stays partitioned") {
     val p = plan("v01_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
