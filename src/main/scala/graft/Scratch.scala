@@ -13,12 +13,8 @@ object Scratch {
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
-    for (name <- Seq("s03_sql_over_path", "j01_broadcast_join", "g04_region_assign", "f01_hourly_presence")) {
-      println(s"\n===== $name =====")
-      println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
-        org.apache.spark.sql.execution.SimpleMode))
-    }
+    val e = SparkEntry.entry(spark)
+    println("ENTRY ROWS=" + e.count())
     spark.stop()
   }
 }

@@ -394,6 +394,31 @@ object Relational {
          |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
          |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ── Skew salting: hot fact keys spread over N salt buckets, the dim
+    //    side replicated N× — every salted partition gets 1/N of a hot
+    //    key's rows. Same output as the plain join (oracle proves it);
+    //    AQE's skew-join split handles moderate skew automatically, this
+    //    is the explicit form for pathological keys. ──
+    ("j06_salted_join",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val Salts = 4
+        val fact = Tables.events(s, dir)
+          .withColumn("salt", pmod($"event_id", lit(Salts)).cast("int"))
+        val dim = Tables(s, dir, "customer")
+          .select($"c_custkey", $"c_mktsegment")
+          .withColumn("salt", explode(sequence(lit(0), lit(Salts - 1))))
+        fact.join(dim,
+            fact("user_id") === dim("c_custkey") && fact("salt") === dim("salt"))
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"))
+          .orderBy($"c_mktsegment")
+      },
+      """SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ── J5: left-semi / left-anti (the isNull-split as first-class joins) ──
     ("j05_semi_join",
       (s: SparkSession, dir: String) => {
