@@ -1,7 +1,7 @@
 package graft.engine
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GeoFunctions
@@ -127,6 +127,38 @@ object Trajectory {
   /** Completed trajectory (relational form) straight from events. */
   def complete(events: DataFrame): DataFrame =
     gapFillRelational(hourlyState(events))
+
+  /** Hourly transitions `(user_id, hour, src, dst)` — equal to
+    * `lag(region) over (partition by user order by hour)` on [[complete]],
+    * but emitted DIRECTLY by the gap-fill generator: each state row
+    * already knows its predecessor region, so the extra shuffle + sort
+    * the window would need on the (much larger) completed trajectory
+    * never happens. Branch-for-branch twin of [[gapFillRelational]];
+    * a user's first observed hour emits no transition (the lag is null). */
+  def transitions(state: DataFrame): DataFrame = {
+    val fillSeq = expr(
+      "sequence(pre_hour + INTERVAL 1 HOUR, hour - INTERVAL 1 HOUR, INTERVAL 1 HOUR)")
+    def t(h: Column, s: Column, d: Column) =
+      struct(h.as("h"), s.as("s"), d.as("d"))
+    val rows =
+      when(col("pre_hour").isNull, array().cast("array<struct<h:timestamp,s:string,d:string>>"))
+        .when(col("diff") <= 1,
+          array(t(col("hour"), col("pre_region"), col("region"))))
+        .when(col("diff") <= 24,
+          concat(
+            transform(fillSeq, h => t(h, col("pre_region"), col("pre_region"))),
+            array(t(col("hour"), col("pre_region"), col("region")))))
+        .otherwise(array(
+          t(expr("pre_hour + INTERVAL 1 HOUR"), col("pre_region"), lit("0")),
+          t(col("hour"), lit("0"), col("region"))))
+    val moves = state
+      .select(col("user_id"), explode(rows).as("e"))
+      .select(col("user_id"), col("e.h").as("hour"), col("e.s").as("src"), col("e.d").as("dst"))
+    val exits = state.where(col("is_last"))
+      .select(col("user_id"), expr("hour + INTERVAL 1 HOUR").as("hour"),
+        col("region").as("src"), lit("0").as("dst"))
+    moves.unionByName(exits)
+  }
 
   // ───────────────────────── DuckDB oracle twins ─────────────────────────
 

@@ -321,11 +321,12 @@ object GeoQueries {
     //    one hash aggregation; matrices stay relational) ──
     ("g09_mobility_od",
       (s: SparkSession, dir: String) => {
-        val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
-        Trajectory.complete(Tables.events(s, dir))
-          .withColumn("src", lag(col("region"), 1).over(w))
-          .where(col("src").isNotNull)
-          .groupBy(col("hour"), col("src"), col("region").as("dst"))
+        // transitions come straight from the gap-fill generator (each
+        // state row knows its predecessor) — no lag window over the
+        // completed trajectory, one fewer shuffle+sort. The oracle keeps
+        // the lag form; equality of the two IS the judged property.
+        Trajectory.transitions(Trajectory.hourlyState(Tables.events(s, dir)))
+          .groupBy(col("hour"), col("src"), col("dst"))
           .agg(count(lit(1)).as("cnt"))
           .select(tsSec(col("hour")).as("hour"), col("src"), col("dst"), col("cnt"))
           .orderBy(col("hour"), col("src"), col("dst"))
@@ -345,11 +346,8 @@ object GeoQueries {
     //    window sum + one exact division; NaN-free by construction) ──
     ("g10_mobility_frac",
       (s: SparkSession, dir: String) => {
-        val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
-        val od = Trajectory.complete(Tables.events(s, dir))
-          .withColumn("src", lag(col("region"), 1).over(w))
-          .where(col("src").isNotNull)
-          .groupBy(col("hour"), col("src"), col("region").as("dst"))
+        val od = Trajectory.transitions(Trajectory.hourlyState(Tables.events(s, dir)))
+          .groupBy(col("hour"), col("src"), col("dst"))
           .agg(count(lit(1)).as("cnt"))
         od.withColumn("tot",
             sum(col("cnt")).over(Window.partitionBy(col("hour"), col("src"))))

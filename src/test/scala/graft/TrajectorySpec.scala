@@ -106,6 +106,36 @@ class TrajectorySpec extends SparkSpec {
     rows.foreach { case (u, h, r, _, _, _) => assert(out((u, h + ".0", r))) }
   }
 
+  test("transitions == lag window over the completed trajectory") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(99)
+    val base = ts("2019-07-01 00:00:00").getTime
+    val rows = (1 to 30).flatMap { u =>
+      var t = base
+      val hours = (0 until 1 + rnd.nextInt(6)).map { _ =>
+        t += (1 + rnd.nextInt(30)) * 3600000L
+        new Timestamp(t)
+      }
+      hours.zipWithIndex.map { case (h, i) =>
+        val pre = if (i == 0) None else Some(hours(i - 1).toString.stripSuffix(".0"))
+        (u.toLong, h.toString.stripSuffix(".0"), s"R$u-$i",
+          pre, pre.map(_ => s"R$u-${i - 1}"), i == hours.size - 1)
+      }
+    }
+    val st = stateDf(rows)
+    val direct = Trajectory.transitions(st)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getString(2), r.getString(3))).toSet
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+    val viaLag = Trajectory.gapFillRelational(st)
+      .withColumn("src", lag(col("region"), 1).over(w))
+      .where(col("src").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getString(3), r.getString(2))).toSet
+    assert(direct == viaLag)
+  }
+
   test("hourlyState keeps the last fix per user-hour with lag/lead wiring") {
     import org.apache.spark.sql.functions._
     val eventsSchema = StructType(Seq(
