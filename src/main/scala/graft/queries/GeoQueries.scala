@@ -134,9 +134,14 @@ object GeoQueries {
     //    cal_mobility_matrix.py:153-165 — long form, never a driver matrix) ──
     ("g05_presence_by_region",
       (s: SparkSession, dir: String) => {
+        // the completed trajectory has EXACTLY one row per (user, hour)
+        // (state rows are deduped, fills lie strictly between consecutive
+        // observed hours), so count(*) == countDistinct(user_id) without
+        // the per-group distinct-set state. The oracle keeps
+        // count(DISTINCT) — the hash-match re-proves the invariant.
         Trajectory.complete(Tables.events(s, dir))
           .groupBy(col("hour"), col("region"))
-          .agg(countDistinct(col("user_id")).as("n_users"))
+          .agg(count(lit(1)).as("n_users"))
           .select(tsSec(col("hour")).as("hour"), col("region"), col("n_users"))
           .orderBy(col("hour"), col("region"))
       },

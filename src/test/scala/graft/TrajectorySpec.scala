@@ -136,6 +136,27 @@ class TrajectorySpec extends SparkSpec {
     assert(direct == viaLag)
   }
 
+  test("fraction matrix rows sum to ~1 and are NaN-free (nan_to_num contract)") {
+    import org.apache.spark.sql.functions._
+    val frac = SparkEntry.queries("g10_mobility_frac")(spark, "/root/testdata/sf0.001")
+    val bad = frac.where(isnan(col("frac")) || col("frac").isNull ||
+      col("frac") < 0 || col("frac") > 1).count()
+    assert(bad == 0)
+    val rowSums = frac.groupBy(col("hour"), col("src"))
+      .agg(sum(col("frac")).as("s"))
+      .where(abs(col("s") - 1.0) > 1e-9).count()
+    assert(rowSums == 0)
+  }
+
+  test("completed trajectory has exactly one row per (user, hour)") {
+    import org.apache.spark.sql.functions._
+    val traj = Trajectory.complete(
+      graft.engine.Tables.events(spark, "/root/testdata/sf0.001"))
+    val dups = traj.groupBy(col("user_id"), col("hour")).count()
+      .where(col("count") > 1).count()
+    assert(dups == 0)
+  }
+
   test("hourlyState keeps the last fix per user-hour with lag/lead wiring") {
     import org.apache.spark.sql.functions._
     val eventsSchema = StructType(Seq(
