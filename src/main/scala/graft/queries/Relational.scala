@@ -693,6 +693,29 @@ object Relational {
         |  SELECT user_id, event_type FROM events WHERE event_type = 'signup')
         |GROUP BY user_id ORDER BY user_id""".stripMargin),
 
+    // ── Deterministic train/val/test split: hash-of-key bucketing (the
+    //    training-pipeline split must be reproducible across runs and
+    //    engines — md5-derived, never rand()) ──
+    ("q02_hash_split",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val bucket = pmod(Portable.portableHash($"user_id".cast("string")), lit(100))
+        Tables.events(s, dir)
+          .withColumn("split",
+            when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+          .groupBy($"split")
+          .agg(countDistinct($"user_id").as("n_users"), count(lit(1)).as("n_events"))
+          .orderBy($"split")
+      },
+      s"""SELECT split, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         |       CAST(count(*) AS BIGINT) AS n_events
+         |FROM (SELECT user_id,
+         |        CASE WHEN ${Portable.portableHashSql("CAST(user_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+         |             WHEN ${Portable.portableHashSql("CAST(user_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+         |             ELSE 'test' END AS split
+         |      FROM events)
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ── TPC-H Q1-shaped pricing summary: the headline agg benchmark ──
     ("q01_pricing_summary",
       (s: SparkSession, dir: String) => {

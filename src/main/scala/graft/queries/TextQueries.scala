@@ -355,6 +355,46 @@ object TextQueries {
          |SELECT doc_a, doc_b, hamming FROM pairs
          |WHERE hamming <= 2 ORDER BY doc_a, doc_b""".stripMargin),
 
+    // ── TF-IDF: top-3 terms per doc. All from ONE (doc, word, tf)
+    //    relation: df re-aggregates it per word, N is a broadcast scalar;
+    //    idf = ln((N+1)/(df+1)), score rounded past the ~1-ulp libm/JVM
+    //    log divergence ──
+    ("t09_tfidf",
+      (s: SparkSession, dir: String) => {
+        val tf = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+          .persist()
+        val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+        val n = Tables(s, dir, "documents").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("word").asc)
+        tf.join(df, "word").crossJoin(broadcast(n))
+          .withColumn("score", round(col("tf") *
+            log((col("n") + 1).cast("double") / (col("df") + 1).cast("double")), 6))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1 || col("rn") === 2 || col("rn") === 3)
+          .select(col("doc_id"), col("rn").cast("long").as("rn"),
+            col("word"), col("score"))
+          .orderBy(col("doc_id"), col("rn"))
+      },
+      """WITH tf AS (
+        |  SELECT doc_id, word, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY 1, 2),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.word,
+        |         round(tf.tf * ln(CAST(n.n + 1 AS DOUBLE) / CAST(df.df + 1 AS DOUBLE)), 6) AS score
+        |  FROM tf JOIN df USING (word), n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY score DESC, word ASC) AS rn
+        |  FROM scored)
+        |SELECT doc_id, CAST(rn AS BIGINT) AS rn, word, score
+        |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin),
+
     // ── blocked exact n-gram Jaccard (the non-approximate baseline the
     //    MinHash path is judged against; blocking bounds the pair count) ──
     ("t08_ngram_jaccard",
