@@ -29,7 +29,8 @@ object SparkEntry {
       (graft.queries.GeoQueries.queries, graft.queries.GeoQueries.oracle),
       (graft.queries.TextQueries.queries, graft.queries.TextQueries.oracle),
       (graft.queries.VectorQueries.queries, graft.queries.VectorQueries.oracle),
-      (graft.queries.MultimodalQueries.queries, graft.queries.MultimodalQueries.oracle)
+      (graft.queries.MultimodalQueries.queries, graft.queries.MultimodalQueries.oracle),
+      (graft.queries.StreamingQueries.queries, graft.queries.StreamingQueries.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */
