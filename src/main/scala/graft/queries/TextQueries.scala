@@ -23,37 +23,19 @@ object TextQueries {
 
   // ── shared building blocks ──────────────────────────────────────────
 
-  /** Distinct 3-word shingles of a space-tokenized text column. Short
-    * texts (<3 words) degrade to padded shingles — the padding uses
-    * explicit coalesce-to-empty so Spark and DuckDB render identically. */
-  private def shinglesCol(words: Column): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(words) - 2, lit(1))),
-      i => concat(
-        element_at(words, i), lit(" "),
-        coalesce(element_at(words, i + 1), lit("")), lit(" "),
-        coalesce(element_at(words, i + 2), lit("")))))
-
   private val HashMod = 1000003L // prime > any band key cardinality we need
 
-  /** Distinct shingles hashed once to longs. All downstream similarity
-    * work (MinHash perms, Jaccard intersects) runs on hashed longs — one
-    * md5 per shingle total, and integer equality instead of string
-    * comparisons in the pair joins (the sf0.1 hot path). The 60-bit hash
-    * makes collisions negligible, and the oracle applies the identical
-    * hash, so the judged values agree exactly either way. */
-  private def hashedShinglesCol(words: Column): Column =
-    array_distinct(transform(shinglesCol(words),
-      x => pmod(portableHash(x), lit(HashMod))))
-
   /** Long-form hashed shingle relation `(doc_id, source, h)` — one row
-    * per distinct shingle hash per doc. Spark's array higher-order
-    * functions (`transform`/`aggregate`) run interpreted, so the
-    * array-per-row form pays ~µs-per-element expression overhead; this
-    * relational form keeps shingle construction (posexplode + window
-    * leads + concat + md5) fully inside whole-stage codegen. Produces the
-    * exact hash set of [[hashedShinglesCol]] (the oracle keeps the array
-    * form — list ops are cheap at sf0.01 oracle scale). */
+    * per distinct 3-word-shingle hash per doc (short texts <3 words
+    * degrade to one padded shingle, coalesce-to-empty so Spark and
+    * DuckDB render identically). Spark's array higher-order functions
+    * (`transform`/`aggregate`) run interpreted, so an array-per-row form
+    * would pay ~µs-per-element expression overhead; this relational form
+    * keeps shingle construction (posexplode + window leads + concat +
+    * md5, one md5 per shingle) fully inside whole-stage codegen, and the
+    * pair joins compare hashed longs, not strings. The oracle applies
+    * the identical hash over the list form — judged values agree
+    * exactly. */
   private def shingleIndex(s: SparkSession, dir: String): DataFrame = {
     val wDoc = Window.partitionBy(col("doc_id"))
     val wPos = wDoc.orderBy(col("pos"))
@@ -89,8 +71,6 @@ object TextQueries {
     * DuckDB. */
   private def permA(j: Int): Long = 37L * j + 7
   private def permB(j: Int): Long = 101L * j + 3
-  private def minhashCol(hs: Column, j: Int): Column =
-    array_min(transform(hs, h => (h * permA(j) + permB(j)) % HashMod))
 
   private def minhashSql(j: Int): String =
     s"list_min(list_transform(s, h -> (h * ${permA(j)} + ${permB(j)}) % $HashMod))"
@@ -98,11 +78,8 @@ object TextQueries {
   private val NPerms = 8
   private val RowsPerBand = 2 // 4 bands × 2 rows
 
-  /** Jaccard between two hashed-shingle long arrays, rounded. */
-  private def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b))
-    round(inter.cast("double") / (size(a) + size(b) - inter).cast("double"), 6)
-  }
+  /** Jaccard between two hashed-shingle lists (oracle side; the Spark
+    * side derives the same value from inverted-index match counts). */
   private def jaccardSql(a: String, b: String): String = {
     val inter = s"len(list_intersect($a, $b))"
     s"round(CAST($inter AS DOUBLE) / CAST(len($a) + len($b) - $inter AS DOUBLE), 6)"
