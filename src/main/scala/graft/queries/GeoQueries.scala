@@ -202,6 +202,32 @@ object GeoQueries {
          |SELECT user_id, ${tsSecSql("hour")} AS hour, region
          |FROM traj ORDER BY user_id, hour""".stripMargin),
 
+    // ── A7 over the trajectory: the reference's WIDE hourly-presence
+    //    matrix (cal_user_trace.py:30-43 builds one count column per hour
+    //    via 744 sequential pandas merges) — one pivot pass, hour-of-day
+    //    granularity, region rows × 24 count columns ──
+    ("g14_presence_pivot",
+      (s: SparkSession, dir: String) => {
+        val hods = (0 until 24).toList
+        Trajectory.complete(Tables.events(s, dir))
+          .withColumn("hod", hour(col("hour")))
+          .groupBy(col("region"))
+          .pivot("hod", hods)
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .select(col("region") +: hods.map(i => col(i.toString).as(s"h$i")): _*)
+          .orderBy(col("region"))
+      },
+      {
+        val cols = (0 until 24).map(i =>
+          s"CAST(count(*) FILTER (WHERE hour(hour) = $i) AS BIGINT) AS h$i")
+          .mkString(",\n  ")
+        s"""${Trajectory.trajSqlPrelude}
+           |SELECT region,
+           |  $cols
+           |FROM traj GROUP BY region ORDER BY region""".stripMargin
+      }),
+
     // ── F10/F9 native form: the custom Catalyst expressions (codegen'd
     //    GeohashEncode / HaversineMeters, registered by GraftExtensions)
     //    — must produce byte-identical results to the built-in-composed

@@ -13,10 +13,10 @@ import Portable._
   * Jaccard.
   *
   * All hashing goes through [[Portable.portableHash]] (md5-derived 60-bit
-  * fold) so every query keeps an exact DuckDB oracle. Shingling, MinHash
-  * signatures and SimHash planes are per-row array expressions (no UDFs,
-  * no shuffles until the candidate-pair join); the pair joins are
-  * LSH-bucket equi-joins, never O(n²) cross joins — the 100 TB shape.
+  * value) so every query keeps an exact DuckDB oracle. Shingles live in a
+  * long-form hashed relation built inside whole-stage codegen (no UDFs,
+  * no interpreted array lambdas); the pair joins are LSH-band /
+  * inverted-index equi-joins, never O(n²) cross joins — the 100 TB shape.
   */
 object TextQueries {
   type Q = (SparkSession, String) => DataFrame
