@@ -10,17 +10,18 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Hourly presence — the reference's core aggregation
-    * (cal_user_trace.py:22,35): distinct users per hour per type.
-    */
+  /** Flagship pipeline on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The reference's signature dataflow end-to-end: fixes →
+    * geohash region cells → last-fix-per-hour state → gap-filled
+    * trajectory → hourly per-region presence (SURVEY.md §0; the
+    * cal_user_trace/cal_mobility_matrix core). */
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    graft.engine.Tables.events(spark, "/root/testdata/sf0.001")
-      .withColumn("hour", date_trunc("hour", $"ts"))
-      .groupBy($"hour", $"event_type")
-      .agg(countDistinct($"user_id").as("n_users"))
-      .orderBy($"hour", $"event_type")
+    graft.engine.Trajectory
+      .complete(graft.engine.Tables.events(spark, "/root/testdata/sf0.001"))
+      .groupBy($"hour", $"region")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"hour", $"region")
   }
 
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =

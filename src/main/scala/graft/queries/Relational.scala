@@ -605,6 +605,22 @@ object Relational {
         |       CAST(sv AS DOUBLE) / CAST(sum(sv) OVER () AS DOUBLE) AS share
         |FROM g ORDER BY event_type""".stripMargin),
 
+    // ── Rollup subtotals (beyond the reference: hierarchical totals in
+    //    one pass; DuckDB ROLLUP mirrors, with NULLS FIRST pinned since
+    //    the engines' default null ordering differs) ──
+    ("a10_rollup",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Tables(s, dir, "lineitem")
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(count("*").as("n"), moneySum($"l_quantity").as("sum_qty"))
+          .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+      },
+      s"""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+         |       ${moneySumSql("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
+
     // ── W1/O1: last-fix-per-user + top-k per group (row_number, desc ts,
     //    full tie-break — cal_mobility_matrix.py:38-39) ──
     ("w01_last_per_user",
