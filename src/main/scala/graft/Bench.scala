@@ -23,7 +23,11 @@ object Bench {
       // (count() would let Catalyst prune unevaluated projections).
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop this query's persisted frames so later timings don't pay
+      // GC pressure for earlier queries' caches
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
