@@ -563,6 +563,28 @@ object Relational {
         |SELECT user_id, event_type AS modal_type, CAST(cnt AS BIGINT) AS cnt
         |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin),
 
+    // ── A6 as a custom typed Aggregator (UDAF): same deterministic mode,
+    //    but as mergeable partial state (per-group count map) — combines
+    //    map-side, no window sort. Must hash-match a06's oracle. ──
+    ("a06_mode_udaf",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val modeOf = udaf(new graft.functions.ModeAggregator)
+        Tables.events(s, dir)
+          .groupBy($"user_id")
+          .agg(modeOf($"event_type").as("modal_type"))
+          .orderBy($"user_id")
+      },
+      """WITH counts AS (
+        |  SELECT user_id, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |            ORDER BY cnt DESC, event_type ASC) AS rn
+        |  FROM counts)
+        |SELECT user_id, event_type AS modal_type
+        |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin),
+
     // ── A7: pivot long→wide in one pass (replaces the reference's 744
     //    sequential per-hour pandas merges, cal_user_trace.py:30-43) ──
     ("a07_pivot",
