@@ -627,6 +627,26 @@ object Relational {
         |       CAST(sv AS DOUBLE) / CAST(sum(sv) OVER () AS DOUBLE) AS share
         |FROM g ORDER BY event_type""".stripMargin),
 
+    // ── Exact percentiles (beyond the reference: distribution stats a
+    //    data-quality pipeline needs; both engines use linear
+    //    interpolation, rounded past any last-ulp divergence) ──
+    ("a11_percentile",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Tables(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+            count(lit(1)).as("n"))
+          .orderBy($"l_returnflag")
+      },
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ── Rollup subtotals (beyond the reference: hierarchical totals in
     //    one pass; DuckDB ROLLUP mirrors, with NULLS FIRST pinned since
     //    the engines' default null ordering differs) ──
