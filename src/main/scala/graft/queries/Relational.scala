@@ -717,6 +717,28 @@ object Relational {
          |      FROM events)
          |WHERE ts = max_ts ORDER BY user_id""".stripMargin),
 
+    // ── Explicit window frame (beyond the reference's default frames):
+    //    per-customer running order total, scaled-long exact cumsum ──
+    ("w05_running_sum",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate", $"o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, dir, "orders")
+          .withColumn("run_cents",
+            sum(round($"o_totalprice" * 100).cast("long")).over(w))
+          .select($"o_custkey", $"o_orderkey",
+            ($"run_cents" / 100.0).as("running_total"))
+          .orderBy($"o_custkey", $"o_orderkey")
+      },
+      """SELECT o_custkey, o_orderkey,
+        |       sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
+        |         AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
+
     // ── W4: dense_rank ID minting (region.py:51-52; small dim only —
     //    the single-partition hazard is documented in SURVEY §4.2) ──
     ("w04_dense_rank",
