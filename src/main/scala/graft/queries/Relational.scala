@@ -796,6 +796,33 @@ object Relational {
          |      FROM events)
          |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ── intersect / except (beyond the reference, which emulated the
+    //    anti role with isNull splits): cohort algebra over user sets ──
+    ("u02_intersect_except",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+        def users(t: String) = ev.where($"event_type" === t).select($"user_id")
+        val both = users("purchase").intersect(users("signup"))
+          .withColumn("cohort", lit("purchase_and_signup"))
+        val only = users("purchase").except(users("error"))
+          .withColumn("cohort", lit("purchase_no_error"))
+        both.unionByName(only)
+          .orderBy($"cohort", $"user_id")
+          .select($"cohort", $"user_id")
+      },
+      """SELECT cohort, user_id FROM (
+        |  SELECT 'purchase_and_signup' AS cohort, user_id FROM (
+        |    SELECT user_id FROM events WHERE event_type = 'purchase'
+        |    INTERSECT
+        |    SELECT user_id FROM events WHERE event_type = 'signup')
+        |  UNION ALL
+        |  SELECT 'purchase_no_error' AS cohort, user_id FROM (
+        |    SELECT user_id FROM events WHERE event_type = 'purchase'
+        |    EXCEPT
+        |    SELECT user_id FROM events WHERE event_type = 'error'))
+        |ORDER BY cohort, user_id""".stripMargin),
+
     // ── TPC-H Q1-shaped pricing summary: the headline agg benchmark ──
     ("q01_pricing_summary",
       (s: SparkSession, dir: String) => {
