@@ -292,7 +292,8 @@ object TextQueries {
           (0 until 32).map(b =>
             when(col(s"sm$b") > 0, lit(1L << b)).otherwise(0L))
             .reduce(_ + _).as("simhash"))
-        val bands = sim.select(col("doc_id"), col("simhash"),
+        val bands = sim.persist() // self-joined below: one sketch pass
+          .select(col("doc_id"), col("simhash"),
           explode(array((0 until 4).map { i =>
             struct(lit(i).as("band"),
               (shiftright(col("simhash"), i * 8) % 256).as("key"))

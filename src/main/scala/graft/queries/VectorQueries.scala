@@ -153,6 +153,7 @@ object VectorQueries {
           .select(col("vec_id"), col("embedding"),
             bucketCol(col("embedding"), 8).as("bucket"),
             normCol(col("embedding")).as("nrm"))
+          .persist() // self-joined: 8 plane signatures + norm computed once
         emb.as("a").join(emb.as("b"),
             col("a.bucket") === col("b.bucket")
               && col("a.vec_id") < col("b.vec_id"))
