@@ -65,12 +65,18 @@ object Trajectory {
         expr("(unix_timestamp(hour) - unix_timestamp(pre_hour)) DIV 3600"))
   }
 
-  /** Catalyst form: explode over a per-row array of (hour, region). */
+  /** Catalyst form: explode over a per-row array of (hour, region).
+    *
+    * The sentinel exit row (last observed hour + 1h → '0') is folded into
+    * the SAME per-row array rather than union'd from a second scan of
+    * `state`: `state` is a scan + hash agg + three window functions, and a
+    * two-branch union would compute that whole pipeline twice (once per
+    * consumer) unless persisted. One branch, one pass. */
   def gapFillRelational(state: DataFrame): DataFrame = {
     val fillSeq = expr(
       "sequence(pre_hour + INTERVAL 1 HOUR, hour - INTERVAL 1 HOUR, INTERVAL 1 HOUR)")
     val cur = array(struct(col("hour").as("h"), col("region").as("r")))
-    val rows =
+    val body =
       when(col("pre_hour").isNull || col("diff") <= 1, cur)
         .when(col("diff") <= 24,
           concat(
@@ -79,13 +85,12 @@ object Trajectory {
         .otherwise(concat(
           array(struct(expr("pre_hour + INTERVAL 1 HOUR").as("h"), lit("0").as("r"))),
           cur))
-    val filled = state
+    val exitRow =
+      array(struct(expr("hour + INTERVAL 1 HOUR").as("h"), lit("0").as("r")))
+    val rows = when(col("is_last"), concat(body, exitRow)).otherwise(body)
+    state
       .select(col("user_id"), explode(rows).as("e"))
       .select(col("user_id"), col("e.h").as("hour"), col("e.r").as("region"))
-    val exits = state.where(col("is_last"))
-      .select(col("user_id"), expr("hour + INTERVAL 1 HOUR").as("hour"),
-        lit("0").as("region"))
-    filled.unionByName(exits)
   }
 
   /** Typed form: branch-for-branch mirror of the reference generator. */
@@ -140,7 +145,7 @@ object Trajectory {
       "sequence(pre_hour + INTERVAL 1 HOUR, hour - INTERVAL 1 HOUR, INTERVAL 1 HOUR)")
     def t(h: Column, s: Column, d: Column) =
       struct(h.as("h"), s.as("s"), d.as("d"))
-    val rows =
+    val body =
       when(col("pre_hour").isNull, array().cast("array<struct<h:timestamp,s:string,d:string>>"))
         .when(col("diff") <= 1,
           array(t(col("hour"), col("pre_region"), col("region"))))
@@ -151,13 +156,13 @@ object Trajectory {
         .otherwise(array(
           t(expr("pre_hour + INTERVAL 1 HOUR"), col("pre_region"), lit("0")),
           t(col("hour"), lit("0"), col("region"))))
-    val moves = state
+    // Exit sentinel folded into the same array — see gapFillRelational.
+    val exitRow =
+      array(t(expr("hour + INTERVAL 1 HOUR"), col("region"), lit("0")))
+    val rows = when(col("is_last"), concat(body, exitRow)).otherwise(body)
+    state
       .select(col("user_id"), explode(rows).as("e"))
       .select(col("user_id"), col("e.h").as("hour"), col("e.s").as("src"), col("e.d").as("dst"))
-    val exits = state.where(col("is_last"))
-      .select(col("user_id"), expr("hour + INTERVAL 1 HOUR").as("hour"),
-        col("region").as("src"), lit("0").as("dst"))
-    moves.unionByName(exits)
   }
 
   // ───────────────────────── DuckDB oracle twins ─────────────────────────
