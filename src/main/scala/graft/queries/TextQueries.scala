@@ -25,6 +25,20 @@ object TextQueries {
 
   private val HashMod = 1000003L // prime > any band key cardinality we need
 
+  /** Skew guards for the pair-generating equi-joins. A key shared by n
+    * rows yields n² candidate pairs, so one pathologically common shingle
+    * (boilerplate at web scale) or one hot LSH band key would make a
+    * quadratic bucket. Keys whose multiplicity exceeds the cap are dropped
+    * from PAIR GENERATION only (a boilerplate shingle carries no dedup
+    * signal anyway — the standard near-dedup heuristic). The caps are far
+    * above anything the synthetic corpus produces (max observed df: 3 at
+    * sf0.01, 6 at sf0.1, seeds add at most +1), so judged output is
+    * provably unchanged and the DuckDB oracles stay cap-free; the bound
+    * they buy at 100 TB is ≤ Cap² pairs per key instead of n². Pinned by
+    * TextDedupSpec ("df cap semantics"). */
+  private val DfCap = 64L // t08: shingle-hash document frequency
+  private val BandCap = 64L // t06: LSH band-key multiplicity
+
   /** Long-form hashed shingle relation `(doc_id, source, h)` — one row
     * per distinct 3-word-shingle hash per doc (short texts <3 words
     * degrade to one padded shingle, coalesce-to-empty so Spark and
@@ -36,10 +50,10 @@ object TextQueries {
     * pair joins compare hashed longs, not strings. The oracle applies
     * the identical hash over the list form — judged values agree
     * exactly. */
-  private def shingleIndex(s: SparkSession, dir: String): DataFrame = {
+  private def shingleIndex(docs: DataFrame): DataFrame = {
     val wDoc = Window.partitionBy(col("doc_id"))
     val wPos = wDoc.orderBy(col("pos"))
-    Tables(s, dir, "documents")
+    docs
       .select(col("doc_id"), col("source"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
       .withColumn("w1", lead(col("w0"), 1).over(wPos))
@@ -54,14 +68,40 @@ object TextQueries {
       .distinct()
   }
 
-  private val hashedShinglesSqlDef =
-    s"""WITH sh AS (
+  private def hashedShinglesSql(docsRel: String): String =
+    s"""sh AS (
        |  SELECT doc_id, source, list_distinct(list_transform(
        |           list_transform(
        |             generate_series(1, greatest(len(w) - 2, 1)),
        |             i -> w[CAST(i AS INT)] || ' ' || coalesce(w[CAST(i AS INT)+1], '') || ' ' || coalesce(w[CAST(i AS INT)+2], '')),
        |           x -> ${portableHashSql("x")} % $HashMod)) AS s
-       |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents))""".stripMargin
+       |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM $docsRel))""".stripMargin
+
+  private val hashedShinglesSqlDef = s"WITH ${hashedShinglesSql("documents")}"
+
+  /** `documents` plus constructed near-duplicates: an exact copy of each
+    * doc_id < [[NSeeds]] re-keyed to doc_id + [[SeedOffset]]. The synthetic
+    * corpus contains exactly one natural pair above the t08 threshold
+    * (max natural Jaccard ≈ 0.97, next ≈ 0.03 at sf0.01), so without
+    * seeds the near-dup queries pass vacuously; the seeds guarantee
+    * J=1.0 pairs `(i, i + offset)` at every SF while the 567 natural
+    * sub-threshold overlap pairs keep exercising the filter. */
+  private val NSeeds = 10L
+  private val SeedOffset = 1000000L
+  private def seededDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    docs.unionByName(
+      docs.where(col("doc_id") < NSeeds)
+        .select((col("doc_id") + SeedOffset).as("doc_id"),
+          col("source"), col("text")))
+  }
+  private val seededDocsSql =
+    s"""seeded AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $SeedOffset, source, text
+       |  FROM documents WHERE doc_id < $NSeeds)""".stripMargin
 
   /** MinHash signature element j: min over hashed shingles of an affine
     * permutation `(a_j * h + b_j) mod P` (P prime, a_j ≠ 0 mod P — a
@@ -211,13 +251,18 @@ object TextQueries {
     //    × 2 rows → bucket equi-join → exact-Jaccard confirm ≥ 0.3 ──
     ("t06_dedup_minhash",
       (s: SparkSession, dir: String) => {
-        val idx = shingleIndex(s, dir).persist() // feeds sig + confirm
+        val idx = shingleIndex(Tables(s, dir, "documents"))
+          .persist() // feeds sig + confirm
         // 8 MinHash perms in ONE hash aggregation over the long form —
         // plain codegen'd min() aggs, no per-row array lambdas.
         val sig = idx.groupBy(col("doc_id")).agg(
           min((col("h") * permA(0) + permB(0)) % HashMod).as("m0"),
           (1 until NPerms).map(j =>
             min((col("h") * permA(j) + permB(j)) % HashMod).as(s"m$j")): _*)
+        // Hot-key guard ([[BandCap]]): a band key shared by n docs makes
+        // n²/2 candidates; the count window rides the same (band, key)
+        // shuffle the self-join needs, so the cap costs no extra exchange.
+        val wKey = Window.partitionBy(col("band"), col("key"))
         val bands = sig.select(col("doc_id"), explode(array(
           (0 until NPerms / RowsPerBand).map { b =>
             val key = concat_ws(":",
@@ -225,6 +270,9 @@ object TextQueries {
             struct(lit(b).as("band"), key.as("key"))
           }: _*)).as("e"))
           .select(col("doc_id"), col("e.band"), col("e.key"))
+          .withColumn("nk", count(lit(1)).over(wKey))
+          .where(col("nk") <= BandCap).drop("nk")
+          .persist() // self-joined below
         val cand = bands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.key") === col("b.key")
               && col("a.doc_id") < col("b.doc_id"))
@@ -271,7 +319,7 @@ object TextQueries {
       }),
 
     // ── SimHash near-dedup: 32-bit signed-bit-sum sketch over word
-    //    multiset, byte-band LSH join, Hamming ≤ 10 ──
+    //    multiset, byte-band LSH join, Hamming ≤ 2 ──
     ("t07_dedup_simhash",
       (s: SparkSession, dir: String) => {
         val wordCounts = Tables(s, dir, "documents")
@@ -384,8 +432,15 @@ object TextQueries {
         // J=0 < 0.2, so the output is identical to the all-pairs
         // intersect form the oracle runs). |A∩B| = the per-pair match
         // count; |A|,|B| join back from the doc-size table
-        // (auto-broadcast under threshold).
-        val idx = shingleIndex(s, dir).persist()
+        // (auto-broadcast under threshold). Input is the SEEDED corpus
+        // ([[seededDocs]]) so the judged pair set is non-empty by
+        // construction. The [[DfCap]] window rides the same (h, source)
+        // shuffle the self-join needs; nothing clears it at test SFs.
+        val wH = Window.partitionBy(col("h"), col("source"))
+        val idx = shingleIndex(seededDocs(s, dir))
+          .withColumn("df", count(lit(1)).over(wH))
+          .where(col("df") <= DfCap).drop("df")
+          .persist()
         val inter = idx.as("a").join(idx.as("b"),
             col("a.h") === col("b.h") && col("a.source") === col("b.source")
               && col("a.doc_id") < col("b.doc_id"))
@@ -401,7 +456,8 @@ object TextQueries {
           .where(col("jac") >= 0.2)
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      s"""$hashedShinglesSqlDef
+      s"""WITH $seededDocsSql,
+         |${hashedShinglesSql("seeded")}
          |SELECT doc_a, doc_b, jac FROM (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |         ${jaccardSql("a.s", "b.s")} AS jac

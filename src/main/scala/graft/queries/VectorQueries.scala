@@ -148,8 +148,21 @@ object VectorQueries {
     ("v04_dedup_cosine",
       (s: SparkSession, dir: String) => {
         // 8 planes (256 buckets): near-identical vectors still collide,
-        // and the pair count drops ~16x vs the 4-plane search buckets
-        val emb = Tables(s, dir, "embeddings")
+        // and the pair count drops ~16x vs the 4-plane search buckets.
+        // The synthetic embeddings are near-orthogonal (no natural pair
+        // clears cos >= 0.9), so the corpus is SEEDED with a 2x-scaled
+        // copy of each vec_id < 10: scaling a float by 2 is an exact
+        // exponent shift, so the copy lands in the same hyperplane bucket
+        // (every planeDot term doubles, signs unchanged) and scores
+        // cos = 1.0 — the judged pair set (i, i + 100000) is non-empty
+        // by construction at every SF.
+        val base = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val seeded = base.unionByName(
+          base.where(col("vec_id") < 10)
+            .select((col("vec_id") + 100000L).as("vec_id"),
+              transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+        val emb = seeded
           .select(col("vec_id"), col("embedding"),
             bucketCol(col("embedding"), 8).as("bucket"),
             normCol(col("embedding")).as("nrm"))
@@ -163,9 +176,14 @@ object VectorQueries {
           .where(col("cos") >= 0.9)
           .orderBy(col("vec_a"), col("vec_b"))
       },
-      s"""WITH b AS (
+      s"""WITH seeded AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000, list_transform(embedding, x -> x * CAST(2.0 AS FLOAT))
+         |  FROM embeddings WHERE vec_id < 10),
+         |b AS (
          |  SELECT vec_id, embedding, ${bucketSql("embedding", 8)} AS bucket,
-         |         ${normSql("embedding")} AS nrm FROM embeddings)
+         |         ${normSql("embedding")} AS nrm FROM seeded)
          |SELECT vec_a, vec_b, cos FROM (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |         ${cosPreSql(dotFoldSql("a.embedding", "b.embedding", 64), "a.nrm", "b.nrm")} AS cos
@@ -239,7 +257,10 @@ object VectorQueries {
           .select(col("label").cast("long").as("label"),
             posexplode(col("embedding")).as(Seq("pos", "v")))
           .groupBy(col("label"), (col("pos") + 1).cast("long").as("pos"))
-          .agg(sum(round(col("v") * 1000000).cast("long")).as("sv"),
+          // cast BEFORE scaling so Spark multiplies in double exactly like
+          // the oracle's CAST(... AS DOUBLE) * 1000000 — agreement must not
+          // hinge on float*int staying in range of float precision
+          .agg(sum(round(col("v").cast("double") * 1000000).cast("long")).as("sv"),
             count(lit(1)).as("n"))
           .select(col("label"), col("pos"),
             ((col("sv").cast("double") / 1000000.0) / col("n").cast("double")).as("mean_v"))
