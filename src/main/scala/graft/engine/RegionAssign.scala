@@ -29,18 +29,31 @@ object RegionAssign {
 
   /** Left-join `points` against each precision level (finest first) and
     * coalesce. `sentinel` is the no-match region (reference uses '0',
-    * `cal_orig_area.py:88-89`). */
+    * `cal_orig_area.py:88-89`).
+    *
+    * The fact side encodes ONCE at the finest precision and every level
+    * joins on a `substring` of that one geohash — valid because the
+    * cell-index encode has the standard geohash prefix property
+    * (`floor(x·2^a) >> (a-b) = floor(x·2^b)`, and the first 5p
+    * interleaved bits ARE the precision-p string, clamping included).
+    * Re-encoding per level would put k full ~40-bit encodes in the
+    * per-row hot path — at 7 reference levels that dominated the whole
+    * query; substrings are ~free. */
   def assign(points: DataFrame, lat: Column, lon: Column,
              dict: DataFrame, dictLat: Column, dictLon: Column, dictAgent: Column,
              precisions: Seq[Int], sentinel: Long): DataFrame = {
-    val joined = precisions.foldLeft(points) { (acc, p) =>
+    val pMax = precisions.max
+    val withGh = points.withColumn("__gh_max",
+      GeoFunctions.geohashCol(lat, lon, pMax))
+    val joined = precisions.foldLeft(withGh) { (acc, p) =>
       acc.join(broadcast(dictAt(dict, dictLat, dictLon, dictAgent, p)),
-        GeoFunctions.geohashCol(lat, lon, p) === col(s"gh$p"), "left")
+        substring(col("__gh_max"), 1, p) === col(s"gh$p"), "left")
         .drop(s"gh$p")
     }
     val agent = coalesce(
       precisions.map(p => col(s"agent_$p")) :+ lit(sentinel): _*)
     joined.withColumn("agent_id", agent.cast("long"))
+      .drop("__gh_max")
       .drop(precisions.map(p => s"agent_$p"): _*)
   }
 }

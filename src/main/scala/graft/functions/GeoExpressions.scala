@@ -84,5 +84,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         HaversineMeters(Cast(children(0), DoubleType), Cast(children(1), DoubleType),
           Cast(children(2), DoubleType), Cast(children(3), DoubleType))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("dot_fold"),
+      new ExpressionInfo(classOf[DotFold].getName, "dot_fold"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "dot_fold(array<float>, array<float>)")
+        DotFold(children(0), children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("plane_dot"),
+      new ExpressionInfo(classOf[PlaneDot].getName, "plane_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "plane_dot(array<float>, plane_index)")
+        PlaneDot(children(0), Cast(children(1), IntegerType))
+      }))
   }
 }

@@ -35,6 +35,10 @@ object GeoQueries {
        |  SELECT user_id, k, ${latFromKeySql("k")} AS lat, ${lonFromKeySql("k")} AS lon
        |  FROM (SELECT DISTINCT user_id, ${fixKeySql("user_id", "ts")} AS k FROM events))""".stripMargin
 
+  /** The reference's cascade depth: 7 geohash precisions, finest first,
+    * before the sentinel default (cal_subarea_portion.py:34-76). */
+  private val CascadePrecisions = Seq(8, 7, 6, 5, 4, 3, 2)
+
   val catalog: Seq[(String, Q, String)] = Seq(
 
     // ── F10/D1: geohash encode at precisions 5..8 (region.py:34-40) ──
@@ -396,7 +400,175 @@ object GeoQueries {
          |  FROM seq WHERE src IS NOT NULL GROUP BY 1, 2, 3)
          |SELECT ${tsSecSql("hour")} AS hour, src, dst, CAST(cnt AS BIGINT) AS cnt,
          |       CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY hour, src) AS DOUBLE) AS frac
-         |FROM od ORDER BY hour, src, dst""".stripMargin)
+         |FROM od ORDER BY hour, src, dst""".stripMargin),
+
+    // ── A9 reference-faithful form: the paper's mobility fraction matrix
+    //    (cal_mobility_matrix.py:188-197). In the dense matrix M[dst][src]:
+    //    fill_diagonal(M, diag(M) + M['0', :]) folds each region's exits
+    //    (src → sentinel '0') onto its self-loop — WITHOUT zeroing the '0'
+    //    row, so the exit mass appears both on the diagonal and in the
+    //    retained dst='0' cells (reproduced exactly); then every column is
+    //    divided by the (hour, region) presence population of the SRC
+    //    region (repmat(region_ppl)). The reference's np.nan_to_num maps
+    //    0-pop cells to 0; a transition out of a region with zero presence
+    //    at the SAME hour (possible: presence was at hour-1) would hit
+    //    x/0 = inf, which we also guard to 0 instead of numpy's
+    //    1.8e308 artifact. Long form throughout — the matrix never
+    //    materializes on the driver. ──
+    ("g10b_mobility_frac_ref",
+      (s: SparkSession, dir: String) => {
+        // one persisted pass over the windowed hourly state feeds both the
+        // transition counts and the presence (population) vector
+        val st = Trajectory.hourlyState(Tables.events(s, dir)).persist()
+        val od = Trajectory.transitions(st)
+          .groupBy(col("hour"), col("src"), col("dst"))
+          .agg(count(lit(1)).as("cnt"))
+          .persist() // read twice: re-key branch + retained '0' row branch
+        val ppl = Trajectory.gapFillRelational(st)
+          .groupBy(col("hour"), col("region")).agg(count(lit(1)).as("pop"))
+        val rekeyed = od.select(col("hour"), col("src"),
+            when(col("dst") === "0", col("src")).otherwise(col("dst")).as("dst"),
+            col("cnt"))
+          .unionByName(od.where(col("dst") === "0"))
+        val adj = rekeyed.groupBy(col("hour"), col("src"), col("dst"))
+          .agg(sum(col("cnt")).as("cnt"))
+        adj.join(ppl,
+            adj("hour") === ppl("hour") && adj("src") === ppl("region"), "left")
+          .select(tsSec(adj("hour")).as("hour"), col("src"), col("dst"), col("cnt"),
+            when(col("pop").isNull || col("pop") === 0, lit(0.0))
+              .otherwise(col("cnt").cast("double") / col("pop").cast("double"))
+              .as("frac"))
+          .orderBy(col("hour"), col("src"), col("dst"))
+      },
+      s"""${Trajectory.trajSqlPrelude},
+         |seq AS (
+         |  SELECT user_id, hour, region,
+         |         lag(region) OVER (PARTITION BY user_id ORDER BY hour) AS src
+         |  FROM traj),
+         |od AS (
+         |  SELECT hour, src, region AS dst, count(*) AS cnt
+         |  FROM seq WHERE src IS NOT NULL GROUP BY 1, 2, 3),
+         |ppl AS (
+         |  SELECT hour, region, count(*) AS pop FROM traj GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT hour, src, CASE WHEN dst = '0' THEN src ELSE dst END AS dst, cnt
+         |  FROM od
+         |  UNION ALL
+         |  SELECT hour, src, dst, cnt FROM od WHERE dst = '0'),
+         |adj AS (
+         |  SELECT hour, src, dst, sum(cnt) AS cnt FROM rk GROUP BY 1, 2, 3)
+         |SELECT ${tsSecSql("adj.hour")} AS hour, src, dst,
+         |       CAST(adj.cnt AS BIGINT) AS cnt,
+         |       CASE WHEN ppl.pop IS NULL OR ppl.pop = 0 THEN 0.0
+         |            ELSE CAST(adj.cnt AS DOUBLE) / CAST(ppl.pop AS DOUBLE) END AS frac
+         |FROM adj LEFT JOIN ppl ON adj.hour = ppl.hour AND adj.src = ppl.region
+         |ORDER BY hour, src, dst""".stripMargin),
+
+    // ── A3/W2 composed into the reference's FULL home-region predicate
+    //    (cal_user_trace.py:50-82 + _count_only_one_ts:122): a night
+    //    window runs [d 19:00, d+1 07:00]; a night counts toward a user's
+    //    home mode only if their LATEST fix in the window is ≤ d+1 01:00
+    //    ("settled by 1am" — windowed max) AND they visited exactly ONE
+    //    region that night (countDistinct == 1). Mode over qualifying
+    //    nights, ties broken by region string; users with no qualifying
+    //    night are absent (the reference leaves them ''). One aggregation
+    //    per gate — not the reference's 29 sequential per-night joins. ──
+    ("g06b_home_region_gated",
+      (s: SparkSession, dir: String) => {
+        val night = Trajectory.complete(Tables.events(s, dir))
+          .where(hour(col("hour")) >= 19 || hour(col("hour")) <= 7)
+          // night id = calendar date of the window's 19:00 start
+          .withColumn("nd", to_date(col("hour") - expr("INTERVAL 8 HOURS")))
+        val gated = night.groupBy(col("user_id"), col("nd"))
+          .agg(max(col("hour")).as("mx"),
+            countDistinct(col("region")).as("nr"),
+            min(col("region")).as("region"))
+          .where(col("mx") <= col("nd").cast("timestamp") + expr("INTERVAL 25 HOURS")
+            && col("nr") === 1)
+        val counts = gated.groupBy(col("user_id"), col("region"))
+          .agg(count(lit(1)).as("n_nights"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("n_nights").desc, col("region").asc)
+        counts.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("region").as("home_region"), col("n_nights"))
+          .orderBy(col("user_id"))
+      },
+      s"""${Trajectory.trajSqlPrelude},
+         |night AS (
+         |  SELECT user_id, CAST(hour - INTERVAL 8 HOUR AS DATE) AS nd, hour, region
+         |  FROM traj WHERE hour(hour) >= 19 OR hour(hour) <= 7),
+         |gated AS (
+         |  SELECT user_id, nd, min(region) AS region
+         |  FROM night GROUP BY 1, 2
+         |  HAVING max(hour) <= CAST(nd AS TIMESTAMP) + INTERVAL 25 HOUR
+         |     AND count(DISTINCT region) = 1),
+         |counts AS (
+         |  SELECT user_id, region, count(*) AS n_nights FROM gated GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id
+         |            ORDER BY n_nights DESC, region ASC) AS rn
+         |  FROM counts)
+         |SELECT user_id, region AS home_region, CAST(n_nights AS BIGINT) AS n_nights
+         |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin),
+
+    // ── J4 at reference depth: the 8-level type-priority cascade of
+    //    cal_subarea_portion.py:34-76 — SEVEN precision levels plus the
+    //    sentinel default (the reference's fillna('8')). Same RegionAssign
+    //    code path as g13, exercised at full depth: the fact side streams
+    //    through 7 broadcast hash joins with no shuffle until the final
+    //    count aggregation (pinned by PlanQualitySpec). ──
+    ("g13b_type_portion_deep",
+      (s: SparkSession, dir: String) => {
+        val poiDict = Tables(s, dir, "customer")
+          .select(col("c_custkey"),
+            latFromKey(col("c_custkey")).as("plat"),
+            lonFromKey(col("c_custkey")).as("plon"),
+            (pmod(col("c_custkey"), lit(7)) + 1).cast("long").as("poi_type"))
+        val fixes = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"),
+            fixKey(col("user_id"), col("ts")).as("k"))
+          .withColumn("lat", latFromKey(col("k")))
+          .withColumn("lon", lonFromKey(col("k")))
+          .withColumn("hour", date_trunc("hour", col("ts")))
+          .withColumn("region", GeoFunctions.geohashCol(col("lat"), col("lon"), 3))
+        RegionAssign.assign(fixes, col("lat"), col("lon"),
+            poiDict, col("plat"), col("plon"), col("poi_type"),
+            precisions = CascadePrecisions, sentinel = 8L)
+          .groupBy(col("hour"), col("region"), col("agent_id").as("type"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(tsSec(col("hour")).as("hour"), col("region"), col("type"), col("cnt"))
+          .orderBy(col("hour"), col("region"), col("type"))
+      },
+      {
+        val dicts = CascadePrecisions.map(p =>
+          s"""d$p AS (
+             |  SELECT ${geohashSql("plat", "plon", p)} AS gh$p, min(poi_type) AS t$p
+             |  FROM dict GROUP BY 1)""".stripMargin).mkString(",\n")
+        val joins = CascadePrecisions.map(p =>
+          s"  LEFT JOIN d$p ON ${geohashSql("fx.lat", "fx.lon", p)} = d$p.gh$p")
+          .mkString("\n")
+        val coal = CascadePrecisions.map(p => s"d$p.t$p").mkString(", ")
+        s"""WITH dict AS (
+           |  SELECT c_custkey, ${latFromKeySql("c_custkey")} AS plat,
+           |         ${lonFromKeySql("c_custkey")} AS plon,
+           |         CAST(c_custkey % 7 + 1 AS BIGINT) AS poi_type
+           |  FROM customer),
+           |$dicts,
+           |fx AS (
+           |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+           |         ${latFromKeySql(s"(${fixKeySql("user_id", "ts")})")} AS lat,
+           |         ${lonFromKeySql(s"(${fixKeySql("user_id", "ts")})")} AS lon
+           |  FROM events),
+           |typed AS (
+           |  SELECT fx.hour, ${geohashSql("fx.lat", "fx.lon", 3)} AS region,
+           |         CAST(coalesce($coal, 8) AS BIGINT) AS type
+           |  FROM fx
+           |$joins)
+           |SELECT ${tsSecSql("hour")} AS hour, region, type,
+           |       CAST(count(*) AS BIGINT) AS cnt
+           |FROM typed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+      })
   )
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap

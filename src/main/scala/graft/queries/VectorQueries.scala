@@ -29,8 +29,17 @@ object VectorQueries {
   private val Dim = 64
   private val NPlanes = 4
 
+  /** Per-pair dot product through the native codegen'd expression
+    * (`graft.functions.DotFold` — a tight JVM loop inside whole-stage
+    * codegen) instead of the interpreted `aggregate(zip_with(...))` HOF
+    * (~µs/element of expression-tree walking, the dominant per-candidate
+    * cost at 100 TB). Same IEEE ops in the same index order — v06 judges
+    * the native form against the composed-form oracle. */
+  private def dotNative(a: Column, b: Column): Column =
+    call_function("dot_fold", a, b)
+
   private def cosine(a: Column, b: Column): Column =
-    round(dotFold(a, b) / (sqrt(dotFold(a, a)) * sqrt(dotFold(b, b))), 6)
+    round(dotNative(a, b) / (sqrt(dotNative(a, a)) * sqrt(dotNative(b, b))), 6)
 
   private def cosineSql(a: String, b: String): String =
     s"round(${dotFoldSql(a, b, Dim)} / (sqrt(${dotFoldSql(a, a, Dim)}) * sqrt(${dotFoldSql(b, b, Dim)})), 6)"
@@ -38,7 +47,7 @@ object VectorQueries {
   /** Norm precomputed once per vector: the pair loop then costs ONE fold
     * instead of three (dot(a,a)/dot(b,b) re-derived per pair). Same double
     * ops in the same order as [[cosine]] — judged values are identical. */
-  private def normCol(e: Column): Column = sqrt(dotFold(e, e))
+  private def normCol(e: Column): Column = sqrt(dotNative(e, e))
   private def normSql(e: String): String = s"sqrt(${dotFoldSql(e, e, Dim)})"
   private def cosPre(dot: Column, na: Column, nb: Column): Column =
     round(dot / (na * nb), 6)
@@ -46,8 +55,13 @@ object VectorQueries {
     s"round($dot / ($na * $nb), 6)"
 
   /** Deterministic pseudo-random hyperplane component: plane j, index i
-    * (1-based) → integer in [-48, 48]. Exact in both engines. */
+    * (1-based) → integer in [-48, 48]. Exact in both engines. Native
+    * codegen'd expression (`graft.functions.PlaneDot`); [[planeDotHof]]
+    * keeps the interpreted composed form for the v06 parity proof. */
   private def planeDot(emb: Column, j: Int): Column =
+    call_function("plane_dot", emb, lit(j))
+
+  private def planeDotHof(emb: Column, j: Int): Column =
     aggregate(
       transform(sequence(lit(1), lit(Dim)),
         i => element_at(emb, i).cast("double") * ((lit(j) * 37 + i * 101) % 97 - 48).cast("double")),
@@ -80,7 +94,7 @@ object VectorQueries {
           .orderBy(col("cos").desc, col("vec_id").asc)
         broadcast(queries).crossJoin(emb)
           .where(col("vec_id") =!= col("q_id"))
-          .withColumn("cos", cosPre(dotFold(col("q_emb"), col("embedding")),
+          .withColumn("cos", cosPre(dotNative(col("q_emb"), col("embedding")),
             col("q_nrm"), col("nrm")))
           .withColumn("rank", row_number().over(w))
           .where(col("rank") <= 5)
@@ -117,7 +131,7 @@ object VectorQueries {
         broadcast(queries)
           .join(emb, Seq("bucket"))
           .where(col("vec_id") =!= col("q_id"))
-          .withColumn("cos", cosPre(dotFold(col("q_emb"), col("embedding")),
+          .withColumn("cos", cosPre(dotNative(col("q_emb"), col("embedding")),
             col("q_nrm"), col("nrm")))
           .withColumn("rank", row_number().over(w))
           .where(col("rank") <= 3)
@@ -171,7 +185,7 @@ object VectorQueries {
             col("a.bucket") === col("b.bucket")
               && col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-            cosPre(dotFold(col("a.embedding"), col("b.embedding")),
+            cosPre(dotNative(col("a.embedding"), col("b.embedding")),
               col("a.nrm"), col("b.nrm")).as("cos"))
           .where(col("cos") >= 0.9)
           .orderBy(col("vec_a"), col("vec_b"))
@@ -217,7 +231,7 @@ object VectorQueries {
           .orderBy(col("cos").desc, col("vec_id").asc)
         queries.join(assigned, Seq("cell")) // probe the query's cell only
           .where(col("vec_id") =!= col("q_id"))
-          .withColumn("cos", cosPre(dotFold(col("q_emb"), col("embedding")),
+          .withColumn("cos", cosPre(dotNative(col("q_emb"), col("embedding")),
             col("q_nrm"), col("nrm")))
           .withColumn("rank", row_number().over(wRank))
           .where(col("rank") <= 3)
@@ -270,7 +284,36 @@ object VectorQueries {
          |  (CAST(sum(CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000.0)
          |    / CAST(count(*) AS DOUBLE) AS mean_v
          |FROM embeddings, (SELECT unnest(generate_series(1, $Dim)) AS i)
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // ── parity proof for the native vector kernels (the g11 pattern):
+    //    `dot_fold` / `plane_dot` (codegen'd JVM loops, GraftExtensions)
+    //    against the interpreted composed HOF forms they replace, both
+    //    judged by ONE DuckDB oracle. A hash-green run pins that the
+    //    native loops do the same IEEE double ops in the same index order
+    //    as `Portable.dotFold` / `planeDotHof` — the license to use the
+    //    native forms in every v-family hot loop. ──
+    ("v06_native_dot_parity",
+      (s: SparkSession, dir: String) => {
+        Tables(s, dir, "embeddings")
+          .where(col("vec_id") < 200)
+          .select(col("vec_id"),
+            round(dotNative(col("embedding"), col("embedding")), 6).as("dot_native"),
+            round(Portable.dotFold(col("embedding"), col("embedding")), 6).as("dot_hof"),
+            round(planeDot(col("embedding"), 1), 6).as("pd1_native"),
+            round(planeDotHof(col("embedding"), 1), 6).as("pd1_hof"),
+            round(planeDot(col("embedding"), 3), 6).as("pd3_native"),
+            round(planeDotHof(col("embedding"), 3), 6).as("pd3_hof"))
+          .orderBy(col("vec_id"))
+      },
+      s"""SELECT vec_id,
+         |  round(${dotFoldSql("embedding", "embedding", Dim)}, 6) AS dot_native,
+         |  round(${dotFoldSql("embedding", "embedding", Dim)}, 6) AS dot_hof,
+         |  round(${planeDotSql("embedding", 1)}, 6) AS pd1_native,
+         |  round(${planeDotSql("embedding", 1)}, 6) AS pd1_hof,
+         |  round(${planeDotSql("embedding", 3)}, 6) AS pd3_native,
+         |  round(${planeDotSql("embedding", 3)}, 6) AS pd3_hof
+         |FROM embeddings WHERE vec_id < 200 ORDER BY vec_id""".stripMargin)
   )
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap
