@@ -24,6 +24,13 @@ object Tables {
     * microsecond timestamp with exact integer division (`DIV`, no double
     * rounding). DuckDB keeps nanos; all judged outputs truncate to whole
     * seconds so the two precisions agree.
+    *
+    * SESSION-WIDE CONTRACT: `spark.sql.legacy.parquet.nanosAsLong` stays
+    * set for the session's lifetime — Spark consults it again when the
+    * scan executes, so a set/restore scoped to this call would make the
+    * read fail lazily. Any graft session therefore reads EVERY
+    * nanos-timestamp parquet column as a raw long; convert such columns
+    * explicitly (as here) rather than expecting automatic timestamps.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

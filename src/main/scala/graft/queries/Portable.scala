@@ -70,6 +70,16 @@ object Portable {
   def dotFoldSql(a: String, b: String, dim: Int): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, $dim), i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE))), (acc, x) -> acc + x)"
 
+  /** Run-unique root for the sink queries' scratch output (s01/s06/st01):
+    * a fixed shared path would make two concurrent runs race on the same
+    * files and would tie the queries to one container layout. One temp
+    * dir per JVM — the round-trip queries write and re-read within the
+    * same run, so per-run uniqueness is exactly the right scope. */
+  lazy val scratchRoot: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-sinks-")
+  def scratchPath(name: String): String =
+    scratchRoot.resolve(name).toString
+
   /** Deterministic pseudo-coordinates derived from an integer key — gives
     * the TPC-H-ish testdata a (lat, lon) so the reference's geo operators
     * (geohash, haversine, region assignment) are exercisable on it. */

@@ -52,12 +52,29 @@ object Relational {
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
+    // ── S11/P14: the catalog cache API itself — cacheTable over a temp
+    //    view, then SQL against the cached name (subarea_matrix.py:29-30
+    //    caches its matrix table before fan-out reads). The lazily-cached
+    //    view materializes on first action; the harness's clearCache /
+    //    session teardown releases it. ──
+    ("s11b_cache_table",
+      (s: SparkSession, dir: String) => {
+        Tables.registerAll(s, dir)
+        s.catalog.cacheTable("events")
+        s.sql("""SELECT event_type, CAST(count(*) AS LONG) AS n,
+                |       CAST(sum(user_id) AS LONG) AS sum_uid
+                |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(user_id) AS BIGINT) AS sum_uid
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
     // ── S1/S8/S12: CSV sink → CSV scan round-trip with explicit schema ──
     // (ppl_days.py:14 reads TSV; cal_mobility_matrix.py:92-93 writes CSV.)
     ("s01_csv_roundtrip",
       (s: SparkSession, dir: String) => {
         import s.implicits._
-        val tmp = s"/root/repo/target/tmp/csv_roundtrip"
+        val tmp = scratchPath("csv_roundtrip")
         Tables.events(s, dir)
           .select($"event_id", $"user_id", $"event_type")
           .write.mode("overwrite").option("header", "true")
@@ -79,7 +96,7 @@ object Relational {
     ("s06_partitioned_sink",
       (s: SparkSession, dir: String) => {
         import s.implicits._
-        val tmp = "/root/repo/target/tmp/events_by_date"
+        val tmp = scratchPath("events_by_date")
         Tables.events(s, dir)
           .withColumn("date", date_format($"ts", "yyyy-MM-dd"))
           .write.partitionBy("date").mode("overwrite").parquet(tmp)
@@ -801,7 +818,13 @@ object Relational {
     ("u02_intersect_except",
       (s: SparkSession, dir: String) => {
         import s.implicits._
+        // one narrow projection feeds all four set-op legs: persisted so
+        // the events scan runs once, not four times (the isin filter and
+        // two-column pruning still reach that single scan)
         val ev = Tables.events(s, dir)
+          .where($"event_type".isin("purchase", "signup", "error"))
+          .select($"event_type", $"user_id")
+          .persist()
         def users(t: String) = ev.where($"event_type" === t).select($"user_id")
         val both = users("purchase").intersect(users("signup"))
           .withColumn("cohort", lit("purchase_and_signup"))

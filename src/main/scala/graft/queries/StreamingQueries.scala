@@ -25,7 +25,7 @@ object StreamingQueries {
         // the file stream source requires a DIRECTORY; stage the single
         // parquet file into one (at scale the source would already be a
         // date-partitioned directory tree — S6)
-        val stage = java.nio.file.Paths.get("target/tmp/stream_events")
+        val stage = java.nio.file.Paths.get(Portable.scratchPath("stream_events"))
         java.nio.file.Files.createDirectories(stage)
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(s"$dir/events.parquet"),

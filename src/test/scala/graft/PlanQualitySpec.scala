@@ -35,6 +35,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("g13b: 7-level cascade is 7 broadcast joins, fact side unshuffled") {
+    val p = plan("g13b_type_portion_deep")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 7, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // exactly 7 exchanges sit on the (tiny) dict side — the per-level
+    // dedup aggs feeding each broadcast — and the ONLY other exchange is
+    // the final count agg: none of the joins repartitions the events scan
+    assert("Exchange hashpartitioning\\(_groupingexpression".r.findAllIn(p).size == 7, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 8, p)
+    // the fact side encodes one geohash and derives every level by
+    // substring — a per-level re-encode would show 7 more encode Projects
+    assert("substring\\(__gh_max".r.findAllIn(p).size == 7, p)
+  }
+
   test("f01: aggregation has a map-side partial before the exchange") {
     val p = plan("f01_hourly_presence")
     assert(p.contains("partial_count(distinct"), p)
