@@ -436,6 +436,85 @@ object Relational {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ── J7 (beyond reference): AS-OF join, the canonical distributed
+    //    form — union the two sides tagged, ONE shuffle+sort per user,
+    //    `last(..., ignoreNulls)` over rows-to-current carries the most
+    //    recent left row forward. Each purchase gets the same user's
+    //    latest click at-or-before its timestamp (ties: click sorts
+    //    before the purchase at equal ts; max event_id among equal-ts
+    //    clicks). No per-row lookup, no range explosion — at 100 TB this
+    //    is a sort-merge pass, the plan an as-of join should have. ──
+    ("j07_asof_join",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+        val clicks = ev.where($"event_type" === "click")
+          .select($"user_id", $"ts", lit(0).as("side"), $"event_id".as("seq"),
+            $"event_id".as("click_id"), $"value".as("click_value"))
+        val buys = ev.where($"event_type" === "purchase")
+          .select($"user_id", $"ts", lit(1).as("side"), $"event_id".as("seq"),
+            lit(null).cast("long").as("click_id"),
+            lit(null).cast("double").as("click_value"))
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"ts", $"side", $"seq")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        clicks.unionByName(buys)
+          .withColumn("asof_click", last($"click_id", ignoreNulls = true).over(w))
+          .withColumn("asof_value", last($"click_value", ignoreNulls = true).over(w))
+          .where($"side" === 1)
+          .select($"user_id", $"seq".as("event_id"), tsSec($"ts").as("ts"),
+            $"asof_click", $"asof_value")
+          .orderBy($"user_id", $"event_id")
+      },
+      s"""SELECT e.user_id, e.event_id, ${tsSecSql("e.ts")} AS ts,
+         |       c.click_id AS asof_click, c.click_value AS asof_value
+         |FROM events e LEFT JOIN LATERAL (
+         |  SELECT event_id AS click_id, value AS click_value FROM events c
+         |  WHERE c.user_id = e.user_id AND c.event_type = 'click'
+         |    AND c.ts <= e.ts
+         |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) c ON true
+         |WHERE e.event_type = 'purchase'
+         |ORDER BY user_id, event_id""".stripMargin),
+
+    // ── J8 (beyond reference): interval/range join by date bucketing —
+    //    overlapping 7-day promo windows, each exploded into its covered
+    //    dates; the fact side equi-joins on the event's date (broadcast)
+    //    and the exact `ts ∈ [start, end)` predicate filters inside the
+    //    bucket. At 100 TB the equi-join bounds candidates to rows
+    //    sharing a day with an interval — never the naive theta-join
+    //    cross product that a BETWEEN-only condition would force. ──
+    ("j08_range_join",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+        val promos = ev.select(to_date($"ts").as("d")).distinct()
+          .where(dayofmonth($"d") % 5 === 2)
+          .select(dayofmonth($"d").cast("long").as("promo_id"),
+            (to_timestamp($"d") + expr("INTERVAL 6 HOURS")).as("p_start"))
+          .withColumn("p_end", $"p_start" + expr("INTERVAL 7 DAYS"))
+        val buckets = promos.withColumn("bd",
+          explode(expr("sequence(to_date(p_start), to_date(p_end), interval 1 day)")))
+        ev.withColumn("bd", to_date($"ts"))
+          .join(broadcast(buckets), Seq("bd"))
+          .where($"ts" >= $"p_start" && $"ts" < $"p_end")
+          .groupBy($"promo_id")
+          .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"))
+          .orderBy($"promo_id")
+      },
+      """WITH days AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+        |  WHERE day(CAST(ts AS DATE)) % 5 = 2),
+        |promos AS (
+        |  SELECT CAST(day(d) AS BIGINT) AS promo_id,
+        |         CAST(d AS TIMESTAMP) + INTERVAL 6 HOUR AS p_start,
+        |         CAST(d AS TIMESTAMP) + INTERVAL 6 HOUR + INTERVAL 7 DAY AS p_end
+        |  FROM days)
+        |SELECT promo_id, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events e JOIN promos p
+        |  ON e.ts >= p.p_start AND e.ts < p.p_end
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ── J5: left-semi / left-anti (the isNull-split as first-class joins) ──
     ("j05_semi_join",
       (s: SparkSession, dir: String) => {

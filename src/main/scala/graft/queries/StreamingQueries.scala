@@ -72,7 +72,43 @@ object StreamingQueries {
          |SELECT user_id, ${tsSecSql("min(ts)")} AS session_start,
          |       CAST(count(*) AS BIGINT) AS n_events
          |FROM sessions GROUP BY user_id, sid
-         |ORDER BY user_id, session_start""".stripMargin)
+         |ORDER BY user_id, session_start""".stripMargin),
+
+    // ── streaming dedup: watermarked `dropDuplicates` on the event
+    //    stream — the streaming member of the dedup family (t05's exact
+    //    dedup, continuous form). The watermark column is part of the
+    //    dedup key, so state evicts as event time advances instead of
+    //    growing with the stream; output is the distinct (user, hour)
+    //    set, aggregated to hourly presence so the judged result is
+    //    deterministic regardless of which duplicate row survived. ──
+    ("st03_stream_dedup",
+      (s: SparkSession, dir: String) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val stage = java.nio.file.Paths.get(Portable.scratchPath("stream_dedup_events"))
+        java.nio.file.Files.createDirectories(stage)
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          stage.resolve("events.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val deduped = s.readStream.schema(schema).parquet(stage.toString)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .withColumn("hour", date_trunc("hour", col("ts")))
+          .withWatermark("hour", "2 hours")
+          .dropDuplicates("user_id", "hour")
+          .select(col("user_id"), col("hour"))
+        val q = deduped.writeStream.format("memory").queryName("st03_mem")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table("st03_mem")
+          .groupBy(col("hour"))
+          .agg(count(lit(1)).as("n_users"))
+          .select(tsSec(col("hour")).as("hour"), col("n_users"))
+          .orderBy(col("hour"))
+      },
+      s"""SELECT ${tsSecSql("date_trunc('hour', ts)")} AS hour,
+         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap

@@ -118,6 +118,49 @@ object TextQueries {
   private val NPerms = 8
   private val RowsPerBand = 2 // 4 bands × 2 rows
 
+  /** LSH banded keys from a shingle index: the 8 MinHash perms in ONE
+    * hash aggregation (plain codegen'd `min()` aggs, no per-row array
+    * lambdas), exploded to 4 band keys per doc, hot band keys capped at
+    * [[BandCap]] (a key shared by n docs makes n²/2 candidates; the
+    * count window rides the same (band, key) shuffle the self-join
+    * needs, so the cap costs no extra exchange). */
+  private def lshBands(idx: DataFrame): DataFrame = {
+    val sig = idx.groupBy(col("doc_id")).agg(
+      min((col("h") * permA(0) + permB(0)) % HashMod).as("m0"),
+      (1 until NPerms).map(j =>
+        min((col("h") * permA(j) + permB(j)) % HashMod).as(s"m$j")): _*)
+    val wKey = Window.partitionBy(col("band"), col("key"))
+    sig.select(col("doc_id"), explode(array(
+      (0 until NPerms / RowsPerBand).map { b =>
+        val key = concat_ws(":",
+          (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*)
+        struct(lit(b).as("band"), key.as("key"))
+      }: _*)).as("e"))
+      .select(col("doc_id"), col("e.band"), col("e.key"))
+      .withColumn("nk", count(lit(1)).over(wKey))
+      .where(col("nk") <= BandCap).drop("nk")
+  }
+
+  /** Distinct candidate pairs (doc_a < doc_b) sharing any band key —
+    * a hash equi-join on the bucket, never an all-pairs cross join. */
+  private def lshCandidates(bands: DataFrame): DataFrame =
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+  /** Oracle CTE snippets for the MinHash band machinery (`sig`, `bands`
+    * over a shingle CTE `sh`) — shared by t06 and t10. */
+  private def sigSqlCols: String =
+    (0 until NPerms).map(j => s"${minhashSql(j)} AS m$j").mkString(",\n         ")
+  private def bandRowsSql: String =
+    (0 until NPerms / RowsPerBand).map { b =>
+      val key = (0 until RowsPerBand).map(r => s"CAST(m${b * RowsPerBand + r} AS VARCHAR)")
+        .mkString(" || ':' || ")
+      s"SELECT doc_id, s, $b AS band, $key AS key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+
   /** Jaccard between two hashed-shingle lists (oracle side; the Spark
     * side derives the same value from inverted-index match counts). */
   private def jaccardSql(a: String, b: String): String = {
@@ -253,31 +296,8 @@ object TextQueries {
       (s: SparkSession, dir: String) => {
         val idx = shingleIndex(Tables(s, dir, "documents"))
           .persist() // feeds sig + confirm
-        // 8 MinHash perms in ONE hash aggregation over the long form —
-        // plain codegen'd min() aggs, no per-row array lambdas.
-        val sig = idx.groupBy(col("doc_id")).agg(
-          min((col("h") * permA(0) + permB(0)) % HashMod).as("m0"),
-          (1 until NPerms).map(j =>
-            min((col("h") * permA(j) + permB(j)) % HashMod).as(s"m$j")): _*)
-        // Hot-key guard ([[BandCap]]): a band key shared by n docs makes
-        // n²/2 candidates; the count window rides the same (band, key)
-        // shuffle the self-join needs, so the cap costs no extra exchange.
-        val wKey = Window.partitionBy(col("band"), col("key"))
-        val bands = sig.select(col("doc_id"), explode(array(
-          (0 until NPerms / RowsPerBand).map { b =>
-            val key = concat_ws(":",
-              (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*)
-            struct(lit(b).as("band"), key.as("key"))
-          }: _*)).as("e"))
-          .select(col("doc_id"), col("e.band"), col("e.key"))
-          .withColumn("nk", count(lit(1)).over(wKey))
-          .where(col("nk") <= BandCap).drop("nk")
-          .persist() // self-joined below
-        val cand = bands.as("a").join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.key") === col("b.key")
-              && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
+        val bands = lshBands(idx).persist() // self-joined below
+        val cand = lshCandidates(bands)
         // Exact-Jaccard confirm through the inverted index: |A∩B| = count
         // of shared shingle hashes per candidate pair (a zero-overlap
         // candidate drops out — its J=0 could never clear the threshold).
@@ -296,19 +316,13 @@ object TextQueries {
           .orderBy(col("doc_a"), col("doc_b"))
       },
       {
-        val sigs = (0 until NPerms).map(j => s"${minhashSql(j)} AS m$j").mkString(",\n         ")
-        val bandRows = (0 until NPerms / RowsPerBand).map { b =>
-          val key = (0 until RowsPerBand).map(r => s"CAST(m${b * RowsPerBand + r} AS VARCHAR)")
-            .mkString(" || ':' || ")
-          s"SELECT doc_id, s, $b AS band, $key AS key FROM sig"
-        }.mkString("\n  UNION ALL\n  ")
         s"""$hashedShinglesSqlDef,
            |sig AS (
            |  SELECT doc_id, s,
-           |         $sigs
+           |         $sigSqlCols
            |  FROM sh),
            |bands AS (
-           |  $bandRows),
+           |  $bandRowsSql),
            |pairs AS (
            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            |         ${jaccardSql("a.s", "b.s")} AS jac
@@ -464,7 +478,90 @@ object TextQueries {
          |  FROM sh a JOIN sh b
          |    ON a.source = b.source AND a.doc_id < b.doc_id)
          |WHERE jac >= 0.2
-         |ORDER BY doc_a, doc_b""".stripMargin)
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // ── dup-pair CLUSTERING: connected components over the LSH candidate
+    //    graph — the step after pair generation that a dedup pipeline
+    //    actually ships: every doc gets a cluster id (the component's min
+    //    doc_id) and exactly one representative per cluster survives.
+    //    Distributed min-label propagation iterated to fixpoint: each
+    //    round is one join + one agg, labels converge in ≤ diameter
+    //    rounds (band collisions make near-clique components, so a
+    //    handful). The driver loop triggers distributed jobs and moves no
+    //    rows; at 100 TB the same loop runs with the per-round frames
+    //    checkpointed, or graduates to alternating small-star/large-star
+    //    (Kiveris et al.) — same join-agg primitive, fewer rounds. The
+    //    oracle is a recursive-CTE transitive closure over the identical
+    //    edge set. Seeded corpus, so components exist at every SF. ──
+    ("t10_dup_clusters",
+      (s: SparkSession, dir: String) => {
+        val bands = lshBands(
+          shingleIndex(seededDocs(s, dir)).drop("source")).persist()
+        val edges = lshCandidates(bands)
+        // both directions from ONE pass over the pair join (a two-branch
+        // union would run the band self-join twice)
+        val sym = edges.select(explode(array(
+            struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+            struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+          .persist()
+        // Per-round lineage truncation is load-bearing: persist() caches
+        // rows but Catalyst still re-optimizes the whole accumulated plan
+        // every round (it doubles per iteration — round 4 spent 6x round
+        // 1 purely in the optimizer). localCheckpoint(eager) pins the
+        // rows AND cuts the plan; on a real cluster use checkpoint() to
+        // reliable storage for fault tolerance.
+        var labels = sym.select(col("src").as("doc_id")).distinct()
+          .select(col("doc_id"), col("doc_id").as("cluster"))
+          .localCheckpoint(true)
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0 && rounds < 25) {
+          val nmin = sym
+            .join(labels.select(col("doc_id").as("dst"), col("cluster").as("ncl")), "dst")
+            .groupBy(col("src")).agg(min(col("ncl")).as("nmin"))
+          val next = labels
+            .join(nmin.select(col("src").as("doc_id"), col("nmin")), Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+            .localCheckpoint(true)
+          changed = next
+            .join(labels.select(col("doc_id"), col("cluster").as("old")), "doc_id")
+            .where(col("cluster") =!= col("old")).count()
+          labels = next
+          rounds += 1
+        }
+        labels
+          .select(col("doc_id"), col("cluster"),
+            (col("doc_id") === col("cluster")).as("is_rep"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH RECURSIVE $seededDocsSql,
+         |${hashedShinglesSql("seeded")},
+         |sig AS (
+         |  SELECT doc_id, s,
+         |         $sigSqlCols
+         |  FROM sh),
+         |bands AS (
+         |  $bandRowsSql),
+         |edges AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |sym AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM edges
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT r.src, s2.dst FROM reach r JOIN sym s2 ON r.dst = s2.src
+         |  WHERE s2.dst <> r.src),
+         |labels AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster
+         |  FROM reach GROUP BY src)
+         |SELECT doc_id, cluster, doc_id = cluster AS is_rep
+         |FROM labels ORDER BY doc_id""".stripMargin)
   )
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap
