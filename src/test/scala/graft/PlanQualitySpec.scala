@@ -49,6 +49,19 @@ class PlanQualitySpec extends SparkSpec {
     assert("substring\\(__gh_max".r.findAllIn(p).size == 7, p)
   }
 
+  test("j07: as-of join is one partitioned window pass, no join operator") {
+    val p = plan("j07_asof_join")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+  }
+
+  test("j08: range join buckets broadcast, no cartesian product") {
+    val p = plan("j08_range_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("f01: aggregation has a map-side partial before the exchange") {
     val p = plan("f01_hourly_presence")
     assert(p.contains("partial_count(distinct"), p)
