@@ -98,7 +98,72 @@ object MultimodalQueries {
         |         unnest(generate_series(0, CAST(octet_length(encode(text)) % 16 AS BIGINT) - 1)) AS frame_no
         |  FROM documents WHERE octet_length(encode(text)) % 16 > 0)
         |WHERE frame_no % 4 = 0
-        |ORDER BY doc_id, frame_no""".stripMargin)
+        |ORDER BY doc_id, frame_no""".stripMargin),
+
+    // ── resize stub: strided downsample of the payload to ≤64 samples —
+    //    the image-resize slot of the pipeline (a real kernel would do
+    //    area-weighted pixel averaging here; the stride arithmetic, batch
+    //    shape, and output contract are the real plumbing) ──
+    ("m04_resize_stub",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[MediaBlob]
+          .mapPartitions(_.map { b =>
+            // STUB kernel: sample every stride-th byte; a real resize
+            // would interpolate pixels. Deterministic, oracle-mirrored.
+            val n = b.payload.length
+            val stride = math.max(1, n / 64)
+            var i = 0; var cnt = 0L; var sum = 0L
+            while (i < n) { sum += b.payload(i) & 0xff; cnt += 1; i += stride }
+            (b.doc_id, cnt, sum % 2147483647L)
+          })
+          .toDF("doc_id", "out_samples", "checksum")
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id,
+        |  CAST(len(ps) AS BIGINT) AS out_samples,
+        |  CAST(coalesce(list_sum(list_transform(ps,
+        |         p -> ascii(substring(text, CAST(p AS INT), 1)))), 0)
+        |       % 2147483647 AS BIGINT) AS checksum
+        |FROM (
+        |  SELECT doc_id, text,
+        |         generate_series(1, octet_length(encode(text)),
+        |           greatest(1, octet_length(encode(text)) // 64)) AS ps
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin),
+
+    // ── feature-extract stub: fixed-width feature vector per payload
+    //    (4-bucket byte histogram), emitted LONG FORM (doc_id, feature_id,
+    //    value) so downstream similarity/centroid operators consume it
+    //    like any embedding — the feature-extraction slot of the pipeline ──
+    ("m05_feature_stub",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[MediaBlob]
+          .mapPartitions(_.flatMap { b =>
+            // STUB kernel: byte-value histogram; a real extractor would
+            // run a vision/audio model over the decoded tensor.
+            val h = new Array[Long](4)
+            var i = 0
+            while (i < b.payload.length) { h((b.payload(i) & 0xff) % 4) += 1; i += 1 }
+            (0 until 4).map(k => (b.doc_id, k.toLong, h(k)))
+          })
+          .toDF("doc_id", "feature_id", "value")
+          .orderBy(col("doc_id"), col("feature_id"))
+      },
+      """SELECT doc_id, CAST(k AS BIGINT) AS feature_id,
+        |  CAST(len(list_filter(cs, c -> c % 4 = k)) AS BIGINT) AS value
+        |FROM (
+        |  SELECT doc_id, list_transform(
+        |           generate_series(1, octet_length(encode(text))),
+        |           p -> ascii(substring(text, CAST(p AS INT), 1))) AS cs
+        |  FROM documents),
+        |     (SELECT unnest(generate_series(0, 3)) AS k)
+        |ORDER BY doc_id, feature_id""".stripMargin)
   )
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap

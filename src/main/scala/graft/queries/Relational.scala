@@ -835,6 +835,29 @@ object Relational {
         |         AS running_total
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
 
+    // ── W5+: rank-distribution functions (ntile / percent_rank /
+    //    cume_dist) — the analytic trio over one partitioned sort; the
+    //    full (c_acctbal, c_custkey) ordering keeps ties deterministic ──
+    ("w06_rank_distribution",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val w = Window.partitionBy($"c_mktsegment")
+          .orderBy($"c_acctbal", $"c_custkey")
+        Tables(s, dir, "customer")
+          .select($"c_custkey", $"c_mktsegment",
+            ntile(4).over(w).cast("long").as("quartile"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"))
+          .orderBy($"c_custkey")
+      },
+      """SELECT c_custkey, c_mktsegment,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       round(percent_rank() OVER w, 6) AS pr,
+        |       round(cume_dist() OVER w, 6) AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin),
+
     // ── W4: dense_rank ID minting (region.py:51-52; small dim only —
     //    the single-partition hazard is documented in SURVEY §4.2) ──
     ("w04_dense_rank",
