@@ -98,5 +98,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "plane_dot(array<float>, plane_index)")
         PlaneDot(children(0), Cast(children(1), IntegerType))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("fingerprint_words"),
+      new ExpressionInfo(classOf[FingerprintWords].getName, "fingerprint_words"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "fingerprint_words(text)")
+        FingerprintWords(Cast(children(0), StringType))
+      }))
   }
 }

@@ -262,12 +262,11 @@ object TextQueries {
     //    sequence (order-sensitive, unlike a set hash) ──
     ("t04_fingerprint",
       (s: SparkSession, dir: String) => {
-        val words = split(col("text"), " ")
-        val wordHashes = transform(words, w => pmod(portableHash(w), lit(1000L)))
+        // native codegen'd kernel (one JVM pass; t11 pins bit-parity with
+        // the interpreted transform+aggregate HOF form it replaced)
         Tables(s, dir, "documents")
           .select(col("doc_id"),
-            aggregate(wordHashes, lit(0L),
-              (acc, h) => pmod(acc * 31 + h, lit(2147483647L))).as("fp"))
+            call_function("fingerprint_words", col("text")).as("fp"))
           .orderBy(col("doc_id"))
       },
       s"""SELECT doc_id,
@@ -561,7 +560,38 @@ object TextQueries {
          |  SELECT src AS doc_id, least(src, min(dst)) AS cluster
          |  FROM reach GROUP BY src)
          |SELECT doc_id, cluster, doc_id = cluster AS is_rep
-         |FROM labels ORDER BY doc_id""".stripMargin)
+         |FROM labels ORDER BY doc_id""".stripMargin),
+
+    // ── parity proof for the native fingerprint kernel (the v06
+    //    pattern): `fingerprint_words` — one codegen'd JVM pass doing
+    //    split + md5-hash + rolling fold — against the interpreted
+    //    composed HOF form it replaces (t04's expression), both judged by
+    //    ONE DuckDB oracle. Hash-green pins bit-identical arithmetic and
+    //    licenses the native form for the per-document hot loop. ──
+    ("t11_native_fingerprint_parity",
+      (s: SparkSession, dir: String) => {
+        val words = split(col("text"), " ")
+        val composed = aggregate(
+          transform(words, w => pmod(portableHash(w), lit(1000L))),
+          lit(0L), (acc, h) => pmod(acc * 31 + h, lit(2147483647L)))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            call_function("fingerprint_words", col("text")).as("fp_native"),
+            composed.as("fp_hof"))
+          .orderBy(col("doc_id"))
+      },
+      s"""SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(text, ' '),
+         |                     w -> ${portableHashSql("w")} % 1000)),
+         |    (acc, h) -> (acc * 31 + h) % 2147483647) AS fp_native,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(text, ' '),
+         |                     w -> ${portableHashSql("w")} % 1000)),
+         |    (acc, h) -> (acc * 31 + h) % 2147483647) AS fp_hof
+         |FROM documents ORDER BY doc_id""".stripMargin)
   )
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap
