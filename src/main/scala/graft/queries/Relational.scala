@@ -915,6 +915,31 @@ object Relational {
          |      FROM events)
          |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ── deterministic STRATIFIED sampling: a fixed keep-rate per stratum
+    //    via the portable content hash — never rand() (reproducible
+    //    across runs, engines, and retries; the property a training-data
+    //    sample must have). The per-stratum achieved fraction is judged,
+    //    pinning that hash bucketing really does stratify. ──
+    ("q03_stratified_sample",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val keep = pmod(Portable.portableHash($"event_id".cast("string")), lit(100)) < 20
+        Tables.events(s, dir)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(keep, 1L).otherwise(0L)).as("n_kept"))
+          .select($"event_type", $"n_total", $"n_kept",
+            round($"n_kept".cast("double") / $"n_total".cast("double"), 4).as("frac"))
+          .orderBy($"event_type")
+      },
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+         |       CAST(sum(CASE WHEN ${Portable.portableHashSql("CAST(event_id AS VARCHAR)")} % 100 < 20
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       round(CAST(sum(CASE WHEN ${Portable.portableHashSql("CAST(event_id AS VARCHAR)")} % 100 < 20
+         |                          THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE), 4) AS frac
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ── intersect / except (beyond the reference, which emulated the
     //    anti role with isNull splits): cohort algebra over user sets ──
     ("u02_intersect_except",
