@@ -591,7 +591,33 @@ object TextQueries {
          |      list_transform(string_split(text, ' '),
          |                     w -> ${portableHashSql("w")} % 1000)),
          |    (acc, h) -> (acc * 31 + h) % 2147483647) AS fp_hof
-         |FROM documents ORDER BY doc_id""".stripMargin)
+         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ── text cleaning / normalization: lowercase → strip non-alnum →
+    //    collapse whitespace — the standard pre-tokenization pass of a
+    //    training-data pipeline, entirely in codegen'd built-ins; the
+    //    digest judges the exact cleaned string, not just its shape ──
+    ("t12_clean_text",
+      (s: SparkSession, dir: String) => {
+        val cleaned = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            length(cleaned).cast("long").as("clean_len"),
+            size(split(cleaned, " ")).cast("long").as("clean_words"),
+            md5(cleaned.cast("binary")).as("clean_digest"))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id,
+        |  CAST(length(c) AS BIGINT) AS clean_len,
+        |  CAST(len(string_split(c, ' ')) AS BIGINT) AS clean_words,
+        |  md5(c) AS clean_digest
+        |FROM (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(regexp_replace(lower(text),
+        |           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS c
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin)
   )
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap
