@@ -381,7 +381,15 @@ object GeoQueries {
     //    window sum + one exact division; NaN-free by construction) ──
     ("g10_mobility_frac",
       (s: SparkSession, dir: String) => {
+        // ONE shuffle serves both downstream operators: hash-partitioning
+        // on (hour, src) satisfies the count-agg's clustering requirement
+        // (its keys are a superset) AND the frac window's partitioning —
+        // without it the plan exchanges once for the agg on (hour, src,
+        // dst) and AGAIN for the window on (hour, src). Trade-off: the
+        // partial (map-side) combine before the shuffle is lost, which is
+        // cheap here because transitions are nearly unique per OD cell.
         val od = Trajectory.transitions(Trajectory.hourlyState(Tables.events(s, dir)))
+          .repartition(col("hour"), col("src"))
           .groupBy(col("hour"), col("src"), col("dst"))
           .agg(count(lit(1)).as("cnt"))
         od.withColumn("tot",

@@ -62,6 +62,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("g10: one shuffle serves both the OD count-agg and the frac window") {
+    val p = plan("g10_mobility_frac")
+    // state agg (user, hour) + trajectory windows (user) + the shared
+    // (hour, src) repartition — a fourth exchange would mean the agg and
+    // window stopped sharing their partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 3, p)
+  }
+
   test("f01: aggregation has a map-side partial before the exchange") {
     val p = plan("f01_hourly_presence")
     assert(p.contains("partial_count(distinct"), p)
