@@ -796,6 +796,22 @@ object Relational {
         |SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
         |FROM ranked WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin),
 
+    // ── O2+: GLOBAL top-k — orderBy + limit must plan as
+    //    TakeOrderedAndProject (per-partition top-k, merge k·n_partitions
+    //    rows on one node), never a full global sort; at 100 TB the
+    //    difference is a O(k) merge vs a range-exchange of every row.
+    //    Pinned by PlanQualitySpec. ──
+    ("o02_global_topk",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Tables(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+          .limit(20)
+      },
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin),
+
     // ── W2: max over whole partition (cal_user_trace.py:59-60) ──
     ("w02_window_max",
       (s: SparkSession, dir: String) => {

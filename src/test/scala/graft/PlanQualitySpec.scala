@@ -62,6 +62,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("o02: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan("o02_global_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("g10: one shuffle serves both the OD count-agg and the frac window") {
     val p = plan("g10_mobility_frac")
     // state agg (user, hour) + trajectory windows (user) + the shared

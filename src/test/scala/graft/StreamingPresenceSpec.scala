@@ -94,4 +94,38 @@ class StreamingPresenceSpec extends SparkSpec {
       assert(exits.toSeq == Seq((1L, ts("2019-07-01 07:00:00"), "wtw3t")))
     } finally q.stop()
   }
+
+  test("watermarked dedup suppresses duplicates and drops late arrivals") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val df = in.toDF().toDF("user_id", "hour")
+      .withWatermark("hour", "2 hours")
+      .dropDuplicates("user_id", "hour") // the st03 transform
+    val q = df.writeStream.format("memory").queryName("dedup_mem")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, ts("2019-07-01 05:00:00")),
+        (1L, ts("2019-07-01 05:00:00")), // in-batch duplicate: suppressed
+        (2L, ts("2019-07-01 05:00:00")))
+      q.processAllAvailable()
+      in.addData((9L, ts("2019-07-01 23:00:00"))) // watermark → 21:00
+      q.processAllAvailable()
+      in.addData(
+        (1L, ts("2019-07-01 05:00:00")), // late beyond watermark: DROPPED,
+                                         // its state already evicted
+        (1L, ts("2019-07-01 23:00:00"))) // fresh key: emitted
+      q.processAllAvailable()
+      val rows = s.sql("SELECT user_id, hour FROM dedup_mem")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1)))
+      assert(rows.count(_ == (1L, ts("2019-07-01 05:00:00"))) == 1)
+      assert(rows.toSet == Set(
+        (1L, ts("2019-07-01 05:00:00")),
+        (2L, ts("2019-07-01 05:00:00")),
+        (9L, ts("2019-07-01 23:00:00")),
+        (1L, ts("2019-07-01 23:00:00"))))
+    } finally q.stop()
+  }
 }
