@@ -428,18 +428,31 @@ object GeoQueries {
         // one persisted pass over the windowed hourly state feeds both the
         // transition counts and the presence (population) vector
         val st = Trajectory.hourlyState(Tables.events(s, dir)).persist()
+        // ONE (hour, src) shuffle carries the whole left side: it
+        // satisfies the OD count-agg (keys are a superset), survives the
+        // diagonal re-key (explode keeps rows in place, and only dst —
+        // not a partitioning column — changes), satisfies the re-agg,
+        // and co-partitions the population join. The re-key itself is a
+        // single-branch generator: a dst='0' row emits BOTH its
+        // diagonal-folded copy and the retained '0' row (the reference
+        // keeps both, cal_mobility_matrix.py:188-189) — a two-branch
+        // union would destroy the partitioning info AND read od twice.
         val od = Trajectory.transitions(st)
+          .repartition(col("hour"), col("src"))
           .groupBy(col("hour"), col("src"), col("dst"))
           .agg(count(lit(1)).as("cnt"))
-          .persist() // read twice: re-key branch + retained '0' row branch
-        val ppl = Trajectory.gapFillRelational(st)
-          .groupBy(col("hour"), col("region")).agg(count(lit(1)).as("pop"))
         val rekeyed = od.select(col("hour"), col("src"),
-            when(col("dst") === "0", col("src")).otherwise(col("dst")).as("dst"),
-            col("cnt"))
-          .unionByName(od.where(col("dst") === "0"))
+            explode(when(col("dst") === "0",
+              array(struct(col("src").as("dst"), col("cnt")),
+                struct(col("dst"), col("cnt"))))
+              .otherwise(array(struct(col("dst"), col("cnt"))))).as("e"))
+          .select(col("hour"), col("src"), col("e.dst").as("dst"), col("e.cnt").as("cnt"))
         val adj = rekeyed.groupBy(col("hour"), col("src"), col("dst"))
           .agg(sum(col("cnt")).as("cnt"))
+        // ppl's own (hour, region) agg exchange already produces the
+        // partitioning the join needs — no explicit repartition
+        val ppl = Trajectory.gapFillRelational(st)
+          .groupBy(col("hour"), col("region")).agg(count(lit(1)).as("pop"))
         adj.join(ppl,
             adj("hour") === ppl("hour") && adj("src") === ppl("region"), "left")
           .select(tsSec(adj("hour")).as("hour"), col("src"), col("dst"), col("cnt"),
