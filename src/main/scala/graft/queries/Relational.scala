@@ -759,6 +759,28 @@ object Relational {
          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
 
+    // ── A10+: full CUBE with grouping_id — all four aggregation lattices
+    //    in one pass (Spark expands grouping sets inside a single
+    //    shuffle; the id column disambiguates real NULL keys from
+    //    subtotal rows, first cube column = most significant bit in both
+    //    engines) ──
+    ("a12_cube_grouping",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .withColumn("d", date_format($"ts", "yyyy-MM-dd"))
+          .cube($"event_type", $"d")
+          .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"),
+            grouping_id().cast("long").as("gid"))
+          .orderBy($"gid", $"event_type".asc_nulls_first, $"d".asc_nulls_first)
+      },
+      """SELECT event_type, d, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(GROUPING(event_type, d) AS BIGINT) AS gid
+        |FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS d, user_id FROM events)
+        |GROUP BY CUBE (event_type, d)
+        |ORDER BY gid, event_type ASC NULLS FIRST, d ASC NULLS FIRST""".stripMargin),
+
     // ── W1/O1: last-fix-per-user + top-k per group (row_number, desc ts,
     //    full tie-break — cal_mobility_matrix.py:38-39) ──
     ("w01_last_per_user",
