@@ -818,6 +818,31 @@ object Relational {
         |SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
         |FROM ranked WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin),
 
+    // ── O1 as a MERGEABLE AGGREGATE: same result set as o01, different
+    //    physical shape — the custom TopKAggregator keeps a bounded
+    //    k-buffer per group with map-side partial combine (the shuffle
+    //    carries k·n_groups rows, not every raw order), where the window
+    //    form must shuffle + sort everything. Same oracle as o01. ──
+    ("o03_topk_aggregator",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val topk = udaf(new graft.functions.TopKAggregator(2),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[graft.functions.TopKIn]())
+        Tables(s, dir, "orders")
+          .groupBy($"o_custkey")
+          .agg(topk($"o_totalprice", $"o_orderkey").as("top"))
+          .select($"o_custkey", posexplode($"top").as(Seq("i", "t")))
+          .select($"o_custkey", ($"i" + 1).cast("long").as("rn"),
+            $"t.key".as("o_orderkey"), $"t.price".as("o_totalprice"))
+          .orderBy($"o_custkey", $"rn")
+      },
+      """WITH ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
+        |FROM ranked WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin),
+
     // ── O2+: GLOBAL top-k — orderBy + limit must plan as
     //    TakeOrderedAndProject (per-partition top-k, merge k·n_partitions
     //    rows on one node), never a full global sort; at 100 TB the

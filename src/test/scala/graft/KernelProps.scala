@@ -41,6 +41,20 @@ object KernelProps extends Properties("NativeKernels") {
   private val word = Gen.stringOf(Gen.alphaNumChar)
   private val text = Gen.listOf(word).map(_.mkString(" "))
 
+  private val cand = Gen.zip(Gen.chooseNum(-1e6, 1e6), Gen.chooseNum(0L, 50L))
+    .map { case (p, k) => graft.functions.TopKIn(p, k) }
+  private val cands = Gen.listOf(cand)
+  private def ref(xs: List[graft.functions.TopKIn], k: Int) =
+    xs.sortBy(t => (-t.price, t.key)).take(k).toVector
+
+  property("TopKAggregator reduce+merge = sort-take reference") =
+    Prop.forAll(cands, cands, Gen.choose(1, 5)) { (xs, ys, k) =>
+      val agg = new graft.functions.TopKAggregator(k)
+      val a = xs.foldLeft(agg.zero)(agg.reduce)
+      val b = ys.foldLeft(agg.zero)(agg.reduce)
+      agg.merge(a, b) == ref(xs ++ ys, k) && a == ref(xs, k)
+    }
+
   property("fingerprintWords = hex-string portable hash fold") =
     Prop.forAll(text) { t =>
       // independent reference path: md5 HEX STRING -> first 15 digits

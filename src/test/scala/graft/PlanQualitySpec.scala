@@ -62,6 +62,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("o03: aggregator top-k has a map-side partial and no window sort") {
+    val p = plan("o03_topk_aggregator")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_topkaggregator"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("o02: global top-k plans as TakeOrderedAndProject, not a full sort") {
     val p = plan("o02_global_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
