@@ -19,14 +19,19 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextFunctions {
 
+  // one digest instance per task thread: getInstance does a provider
+  // lookup + allocation, far too heavy for a per-row call site (digest()
+  // leaves the instance reset, so reuse is safe)
+  private val localMd = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
   def fingerprintWords(text: UTF8String): Long = {
     // limit -1 matches Spark's split(): trailing empty words are kept
     val words = text.toString.split(" ", -1)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = localMd.get()
     var acc = 0L
     var i = 0
     while (i < words.length) {
-      md.reset()
       val d = md.digest(words(i).getBytes(StandardCharsets.UTF_8))
       // first 15 hex digits of the digest = top 60 bits of bytes 0..7
       var top = 0L

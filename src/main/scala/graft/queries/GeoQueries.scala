@@ -496,8 +496,13 @@ object GeoQueries {
     //    per gate — not the reference's 29 sequential per-night joins. ──
     ("g06b_home_region_gated",
       (s: SparkSession, dir: String) => {
+        // sentinel '0' rows (gap-fill exits/absences) are NOT region
+        // visits: left in, they would disqualify genuine single-region
+        // nights (every user's final night gains a phantom second
+        // "region") or even crown '0' itself as a home region
         val night = Trajectory.complete(Tables.events(s, dir))
-          .where(hour(col("hour")) >= 19 || hour(col("hour")) <= 7)
+          .where((hour(col("hour")) >= 19 || hour(col("hour")) <= 7)
+            && col("region") =!= "0")
           // night id = calendar date of the window's 19:00 start
           .withColumn("nd", to_date(col("hour") - expr("INTERVAL 8 HOURS")))
         val gated = night.groupBy(col("user_id"), col("nd"))
@@ -518,7 +523,7 @@ object GeoQueries {
       s"""${Trajectory.trajSqlPrelude},
          |night AS (
          |  SELECT user_id, CAST(hour - INTERVAL 8 HOUR AS DATE) AS nd, hour, region
-         |  FROM traj WHERE hour(hour) >= 19 OR hour(hour) <= 7),
+         |  FROM traj WHERE (hour(hour) >= 19 OR hour(hour) <= 7) AND region <> '0'),
          |gated AS (
          |  SELECT user_id, nd, min(region) AS region
          |  FROM night GROUP BY 1, 2

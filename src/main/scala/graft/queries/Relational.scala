@@ -448,22 +448,25 @@ object Relational {
       (s: SparkSession, dir: String) => {
         import s.implicits._
         val ev = Tables.events(s, dir)
+        // the carried click travels as ONE nullable struct through ONE
+        // last(ignoreNulls) window — two per-column windows would pick
+        // fields from DIFFERENT click rows whenever the most recent
+        // click's value is NULL (the lateral oracle takes both from one
+        // row)
         val clicks = ev.where($"event_type" === "click")
           .select($"user_id", $"ts", lit(0).as("side"), $"event_id".as("seq"),
-            $"event_id".as("click_id"), $"value".as("click_value"))
+            struct($"event_id".as("click_id"), $"value".as("click_value")).as("c"))
         val buys = ev.where($"event_type" === "purchase")
           .select($"user_id", $"ts", lit(1).as("side"), $"event_id".as("seq"),
-            lit(null).cast("long").as("click_id"),
-            lit(null).cast("double").as("click_value"))
+            lit(null).cast("struct<click_id:bigint,click_value:double>").as("c"))
         val w = Window.partitionBy($"user_id")
           .orderBy($"ts", $"side", $"seq")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         clicks.unionByName(buys)
-          .withColumn("asof_click", last($"click_id", ignoreNulls = true).over(w))
-          .withColumn("asof_value", last($"click_value", ignoreNulls = true).over(w))
+          .withColumn("asof", last($"c", ignoreNulls = true).over(w))
           .where($"side" === 1)
           .select($"user_id", $"seq".as("event_id"), tsSec($"ts").as("ts"),
-            $"asof_click", $"asof_value")
+            $"asof.click_id".as("asof_click"), $"asof.click_value".as("asof_value"))
           .orderBy($"user_id", $"event_id")
       },
       s"""SELECT e.user_id, e.event_id, ${tsSecSql("e.ts")} AS ts,
@@ -489,7 +492,9 @@ object Relational {
         val ev = Tables.events(s, dir)
         val promos = ev.select(to_date($"ts").as("d")).distinct()
           .where(dayofmonth($"d") % 5 === 2)
-          .select(dayofmonth($"d").cast("long").as("promo_id"),
+          // the full DATE keys the promo: a day-of-month id would merge
+          // same-numbered days from different months into one row
+          .select(date_format($"d", "yyyy-MM-dd").as("promo_id"),
             (to_timestamp($"d") + expr("INTERVAL 6 HOURS")).as("p_start"))
           .withColumn("p_end", $"p_start" + expr("INTERVAL 7 DAYS"))
         val buckets = promos.withColumn("bd",
@@ -505,7 +510,7 @@ object Relational {
         |  SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
         |  WHERE day(CAST(ts AS DATE)) % 5 = 2),
         |promos AS (
-        |  SELECT CAST(day(d) AS BIGINT) AS promo_id,
+        |  SELECT strftime(d, '%Y-%m-%d') AS promo_id,
         |         CAST(d AS TIMESTAMP) + INTERVAL 6 HOUR AS p_start,
         |         CAST(d AS TIMESTAMP) + INTERVAL 6 HOUR + INTERVAL 7 DAY AS p_end
         |  FROM days)

@@ -87,7 +87,10 @@ object TextQueries {
     * J=1.0 pairs `(i, i + offset)` at every SF while the 567 natural
     * sub-threshold overlap pairs keep exercising the filter. */
   private val NSeeds = 10L
-  private val SeedOffset = 1000000L
+  // far above any plausible natural doc_id (10^12): at corpus sizes where
+  // ids approach the offset, seeded ids would COLLIDE with natural ones
+  // and silently corrupt the judged pair/cluster sets
+  private val SeedOffset = 1000000000000L
   private def seededDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("text"))
@@ -530,6 +533,10 @@ object TextQueries {
           labels = next
           rounds += 1
         }
+        // a silent round-cap exit would return plausible but WRONG
+        // labels for a component of diameter > the cap — fail loudly
+        require(changed == 0,
+          s"t10 label propagation not converged after $rounds rounds")
         labels
           .select(col("doc_id"), col("cluster"),
             (col("doc_id") === col("cluster")).as("is_rep"))

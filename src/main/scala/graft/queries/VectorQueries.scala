@@ -168,13 +168,15 @@ object VectorQueries {
         // copy of each vec_id < 10: scaling a float by 2 is an exact
         // exponent shift, so the copy lands in the same hyperplane bucket
         // (every planeDot term doubles, signs unchanged) and scores
-        // cos = 1.0 — the judged pair set (i, i + 100000) is non-empty
+        // cos = 1.0 — the judged pair set (i, i + 10^12) is non-empty
+        // (offset far above any plausible natural vec_id, so seeds can
+        // never collide with corpus ids at any scale)
         // by construction at every SF.
         val base = Tables(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"))
         val seeded = base.unionByName(
           base.where(col("vec_id") < 10)
-            .select((col("vec_id") + 100000L).as("vec_id"),
+            .select((col("vec_id") + 1000000000000L).as("vec_id"),
               transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
         val emb = seeded
           .select(col("vec_id"), col("embedding"),
@@ -193,7 +195,7 @@ object VectorQueries {
       s"""WITH seeded AS (
          |  SELECT vec_id, embedding FROM embeddings
          |  UNION ALL
-         |  SELECT vec_id + 100000, list_transform(embedding, x -> x * CAST(2.0 AS FLOAT))
+         |  SELECT vec_id + 1000000000000, list_transform(embedding, x -> x * CAST(2.0 AS FLOAT))
          |  FROM embeddings WHERE vec_id < 10),
          |b AS (
          |  SELECT vec_id, embedding, ${bucketSql("embedding", 8)} AS bucket,

@@ -42,8 +42,8 @@ class Round3OpsSpec extends SparkSpec {
         val t = ts.toLocalDateTime
         !t.isBefore(start) && t.isBefore(end)
       }
-      val row = rows.find(_.getLong(0) == d.getDayOfMonth.toLong)
-      assert(row.isDefined, s"promo ${d.getDayOfMonth} missing")
+      val row = rows.find(_.getString(0) == d.toString)
+      assert(row.isDefined, s"promo $d missing")
       assert(row.get.getLong(1) == in.length.toLong, s"promo $d count")
       assert(row.get.getLong(2) == in.map(_._2).distinct.length.toLong, s"promo $d users")
     }
@@ -65,9 +65,9 @@ class Round3OpsSpec extends SparkSpec {
     assert(rows.map(_._2._1).toSet == reps, "every cluster has exactly one rep")
     // the constructed near-duplicates (doc i ~ doc i+offset) must land in
     // the same cluster — an exact copy collides on every LSH band
-    rows.filter(_._1 >= 1000000L).foreach { case (seed, (cl, _)) =>
-      assert(byDoc.contains(seed - 1000000L), s"seed $seed missing base")
-      assert(byDoc(seed - 1000000L)._1 == cl, s"seed $seed split from base")
+    rows.filter(_._1 >= 1000000000000L).foreach { case (seed, (cl, _)) =>
+      assert(byDoc.contains(seed - 1000000000000L), s"seed $seed missing base")
+      assert(byDoc(seed - 1000000000000L)._1 == cl, s"seed $seed split from base")
     }
   }
 }
