@@ -20,8 +20,9 @@ import Portable._
   * - [[v03]] per-label centroids: array analytics via posexplode +
   *   scaled-long exact mean.
   *
-  * All dot products are sequential index-order folds ([[Portable.dotFold]])
-  * so DuckDB (`list_reduce`) reproduces them bit-for-bit.
+  * All dot products are sequential index-order folds — the native
+  * codegen'd `dot_fold` kernel, bit-parity-proven against the composed
+  * HOF form and DuckDB's `list_reduce` by v06.
   */
 object VectorQueries {
   type Q = (SparkSession, String) => DataFrame
