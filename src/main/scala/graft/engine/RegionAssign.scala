@@ -39,12 +39,17 @@ object RegionAssign {
     * Re-encoding per level would put k full ~40-bit encodes in the
     * per-row hot path — at 7 reference levels that dominated the whole
     * query; substrings are ~free. */
+  /** `preEncoded`: a geohash column of `points` already encoded at a
+    * precision ≥ max(precisions) — callers that derive other columns
+    * from the same encode (e.g. a region id) pass it here so the fact
+    * side pays ONE encode total, not one per consumer. */
   def assign(points: DataFrame, lat: Column, lon: Column,
              dict: DataFrame, dictLat: Column, dictLon: Column, dictAgent: Column,
-             precisions: Seq[Int], sentinel: Long): DataFrame = {
+             precisions: Seq[Int], sentinel: Long,
+             preEncoded: Option[Column] = None): DataFrame = {
     val pMax = precisions.max
     val withGh = points.withColumn("__gh_max",
-      GeoFunctions.geohashCol(lat, lon, pMax))
+      preEncoded.getOrElse(GeoFunctions.geohashCol(lat, lon, pMax)))
     val joined = precisions.foldLeft(withGh) { (acc, p) =>
       acc.join(broadcast(dictAt(dict, dictLat, dictLon, dictAgent, p)),
         substring(col("__gh_max"), 1, p) === col(s"gh$p"), "left")

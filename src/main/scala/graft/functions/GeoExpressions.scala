@@ -84,19 +84,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         HaversineMeters(Cast(children(0), DoubleType), Cast(children(1), DoubleType),
           Cast(children(2), DoubleType), Cast(children(3), DoubleType))
       }))
+    // the kernels read elements with getFloat: without this cast an
+    // array<double> argument would pass analysis and silently return
+    // garbage (4 bytes of each 8-byte slot)
+    val floatArray = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType)
     ext.injectFunction((
       FunctionIdentifier("dot_fold"),
       new ExpressionInfo(classOf[DotFold].getName, "dot_fold"),
       (children: Seq[Expression]) => {
         require(children.size == 2, "dot_fold(array<float>, array<float>)")
-        DotFold(children(0), children(1))
+        DotFold(Cast(children(0), floatArray), Cast(children(1), floatArray))
       }))
     ext.injectFunction((
       FunctionIdentifier("plane_dot"),
       new ExpressionInfo(classOf[PlaneDot].getName, "plane_dot"),
       (children: Seq[Expression]) => {
         require(children.size == 2, "plane_dot(array<float>, plane_index)")
-        PlaneDot(children(0), Cast(children(1), IntegerType))
+        PlaneDot(Cast(children(0), floatArray), Cast(children(1), IntegerType))
       }))
     ext.injectFunction((
       FunctionIdentifier("fingerprint_words"),

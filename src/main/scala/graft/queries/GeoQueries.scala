@@ -310,16 +310,20 @@ object GeoQueries {
             latFromKey(col("c_custkey")).as("plat"),
             lonFromKey(col("c_custkey")).as("plon"),
             (pmod(col("c_custkey"), lit(7)) + 1).cast("long").as("poi_type"))
+        // one encode at the cascade's finest precision serves BOTH the
+        // region id (substring, prefix property) and every join level
         val fixes = Tables.events(s, dir)
           .select(col("user_id"), col("ts"),
             fixKey(col("user_id"), col("ts")).as("k"))
           .withColumn("lat", latFromKey(col("k")))
           .withColumn("lon", lonFromKey(col("k")))
           .withColumn("hour", date_trunc("hour", col("ts")))
-          .withColumn("region", GeoFunctions.geohashCol(col("lat"), col("lon"), 3))
+          .withColumn("gh_fine", GeoFunctions.geohashCol(col("lat"), col("lon"), 4))
+          .withColumn("region", substring(col("gh_fine"), 1, 3))
         RegionAssign.assign(fixes, col("lat"), col("lon"),
             poiDict, col("plat"), col("plon"), col("poi_type"),
-            precisions = Seq(4, 3), sentinel = 8L)
+            precisions = Seq(4, 3), sentinel = 8L,
+            preEncoded = Some(col("gh_fine")))
           .groupBy(col("hour"), col("region"), col("agent_id").as("type"))
           .agg(count(lit(1)).as("cnt"))
           .select(tsSec(col("hour")).as("hour"), col("region"), col("type"), col("cnt"))
@@ -551,16 +555,20 @@ object GeoQueries {
             latFromKey(col("c_custkey")).as("plat"),
             lonFromKey(col("c_custkey")).as("plon"),
             (pmod(col("c_custkey"), lit(7)) + 1).cast("long").as("poi_type"))
+        // one precision-8 encode serves the region id AND all 7 levels
         val fixes = Tables.events(s, dir)
           .select(col("user_id"), col("ts"),
             fixKey(col("user_id"), col("ts")).as("k"))
           .withColumn("lat", latFromKey(col("k")))
           .withColumn("lon", lonFromKey(col("k")))
           .withColumn("hour", date_trunc("hour", col("ts")))
-          .withColumn("region", GeoFunctions.geohashCol(col("lat"), col("lon"), 3))
+          .withColumn("gh_fine",
+            GeoFunctions.geohashCol(col("lat"), col("lon"), CascadePrecisions.max))
+          .withColumn("region", substring(col("gh_fine"), 1, 3))
         RegionAssign.assign(fixes, col("lat"), col("lon"),
             poiDict, col("plat"), col("plon"), col("poi_type"),
-            precisions = CascadePrecisions, sentinel = 8L)
+            precisions = CascadePrecisions, sentinel = 8L,
+            preEncoded = Some(col("gh_fine")))
           .groupBy(col("hour"), col("region"), col("agent_id").as("type"))
           .agg(count(lit(1)).as("cnt"))
           .select(tsSec(col("hour")).as("hour"), col("region"), col("type"), col("cnt"))

@@ -108,16 +108,19 @@ object MultimodalQueries {
       (s: SparkSession, dir: String) => {
         import s.implicits._
         Tables(s, dir, "documents")
-          .select(col("doc_id"), col("text").cast("binary").as("payload"))
-          .as[MediaBlob]
-          .mapPartitions(_.map { b =>
-            // STUB kernel: sample every stride-th byte; a real resize
-            // would interpolate pixels. Deterministic, oracle-mirrored.
-            val n = b.payload.length
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, t) =>
+            // STUB kernel: sample every stride-th code unit; a real
+            // resize would interpolate pixels of the decoded tensor.
+            // CHARACTER semantics (BMP), matching the oracle's
+            // substring/ascii indexing exactly — a byte loop would
+            // silently diverge on the first non-ASCII document.
+            val n = t.length
             val stride = math.max(1, n / 64)
             var i = 0; var cnt = 0L; var sum = 0L
-            while (i < n) { sum += b.payload(i) & 0xff; cnt += 1; i += stride }
-            (b.doc_id, cnt, sum % 2147483647L)
+            while (i < n) { sum += t.charAt(i).toLong; cnt += 1; i += stride }
+            (id, cnt, sum % 2147483647L)
           })
           .toDF("doc_id", "out_samples", "checksum")
           .orderBy(col("doc_id"))
@@ -129,8 +132,8 @@ object MultimodalQueries {
         |       % 2147483647 AS BIGINT) AS checksum
         |FROM (
         |  SELECT doc_id, text,
-        |         generate_series(1, octet_length(encode(text)),
-        |           greatest(1, octet_length(encode(text)) // 64)) AS ps
+        |         generate_series(1, length(text),
+        |           greatest(1, length(text) // 64)) AS ps
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin),
 
@@ -142,15 +145,16 @@ object MultimodalQueries {
       (s: SparkSession, dir: String) => {
         import s.implicits._
         Tables(s, dir, "documents")
-          .select(col("doc_id"), col("text").cast("binary").as("payload"))
-          .as[MediaBlob]
-          .mapPartitions(_.flatMap { b =>
-            // STUB kernel: byte-value histogram; a real extractor would
-            // run a vision/audio model over the decoded tensor.
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.flatMap { case (id, t) =>
+            // STUB kernel: code-unit histogram (character semantics,
+            // BMP — see m04); a real extractor would run a model over
+            // the decoded tensor.
             val h = new Array[Long](4)
             var i = 0
-            while (i < b.payload.length) { h((b.payload(i) & 0xff) % 4) += 1; i += 1 }
-            (0 until 4).map(k => (b.doc_id, k.toLong, h(k)))
+            while (i < t.length) { h(t.charAt(i) % 4) += 1; i += 1 }
+            (0 until 4).map(k => (id, k.toLong, h(k)))
           })
           .toDF("doc_id", "feature_id", "value")
           .orderBy(col("doc_id"), col("feature_id"))
@@ -159,7 +163,7 @@ object MultimodalQueries {
         |  CAST(len(list_filter(cs, c -> c % 4 = k)) AS BIGINT) AS value
         |FROM (
         |  SELECT doc_id, list_transform(
-        |           generate_series(1, octet_length(encode(text))),
+        |           generate_series(1, length(text)),
         |           p -> ascii(substring(text, CAST(p AS INT), 1))) AS cs
         |  FROM documents),
         |     (SELECT unnest(generate_series(0, 3)) AS k)

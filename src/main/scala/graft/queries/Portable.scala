@@ -75,10 +75,34 @@ object Portable {
     * files and would tie the queries to one container layout. One temp
     * dir per JVM — the round-trip queries write and re-read within the
     * same run, so per-run uniqueness is exactly the right scope. */
-  lazy val scratchRoot: java.nio.file.Path =
-    java.nio.file.Files.createTempDirectory("graft-sinks-")
+  lazy val scratchRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft-sinks-")
+    // staged event copies + sink outputs are GBs per run at larger SFs;
+    // without this hook every run leaks its whole scratch tree into /tmp
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(root.toFile)
+    }))
+    root
+  }
   def scratchPath(name: String): String =
     scratchRoot.resolve(name).toString
+
+  /** JSON string escaper shared by the Verify/Bench JSON emitters —
+    * escapes backslash, quote, and ALL control chars (<0x20): a stray
+    * tab or CR in builder-authored SQL or an error message would
+    * otherwise break the driver's json.load. */
+  def jsonEscape(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 
   /** Deterministic pseudo-coordinates derived from an integer key — gives
     * the TPC-H-ish testdata a (lat, lon) so the reference's geo operators

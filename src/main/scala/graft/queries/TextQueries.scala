@@ -164,6 +164,16 @@ object TextQueries {
       s"SELECT doc_id, s, $b AS band, $key AS key FROM sig"
     }.mkString("\n  UNION ALL\n  ")
 
+  /** Oracle twin of the [[BandCap]] hot-key guard — the Spark side caps
+    * band-key multiplicity, so the oracle MUST mirror it: at a scale
+    * where some key exceeds the cap, an uncapped oracle would keep
+    * edges Spark drops and the judged outputs would diverge. */
+  private def cappedBandsSql: String =
+    s"""bands AS (
+       |  SELECT * FROM (
+       |  $bandRowsSql)
+       |  QUALIFY count(*) OVER (PARTITION BY band, key) <= $BandCap)""".stripMargin
+
   /** Jaccard between two hashed-shingle lists (oracle side; the Spark
     * side derives the same value from inverted-index match counts). */
   private def jaccardSql(a: String, b: String): String = {
@@ -323,8 +333,7 @@ object TextQueries {
            |  SELECT doc_id, s,
            |         $sigSqlCols
            |  FROM sh),
-           |bands AS (
-           |  $bandRowsSql),
+           |$cappedBandsSql,
            |pairs AS (
            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            |         ${jaccardSql("a.s", "b.s")} AS jac
@@ -472,13 +481,30 @@ object TextQueries {
           .where(col("jac") >= 0.2)
           .orderBy(col("doc_a"), col("doc_b"))
       },
+      // inverted-index oracle form mirroring the Spark computation
+      // EXACTLY, including the DfCap guard: capped shingles must drop
+      // from the index on BOTH sides (they feed ninter and the doc
+      // sizes), or the two engines diverge at a scale where the cap
+      // binds
       s"""WITH $seededDocsSql,
-         |${hashedShinglesSql("seeded")}
+         |${hashedShinglesSql("seeded")},
+         |ex AS (SELECT doc_id, source, unnest(s) AS h FROM sh),
+         |kept AS (
+         |  SELECT doc_id, source, h FROM ex
+         |  QUALIFY count(*) OVER (PARTITION BY h, source) <= $DfCap),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ninter
+         |  FROM kept a JOIN kept b
+         |    ON a.h = b.h AND a.source = b.source AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, jac FROM (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |         ${jaccardSql("a.s", "b.s")} AS jac
-         |  FROM sh a JOIN sh b
-         |    ON a.source = b.source AND a.doc_id < b.doc_id)
+         |  SELECT doc_a, doc_b,
+         |         round(CAST(ninter AS DOUBLE)
+         |               / CAST(na.n + nb.n - ninter AS DOUBLE), 6) AS jac
+         |  FROM inter
+         |  JOIN sizes na ON inter.doc_a = na.doc_id
+         |  JOIN sizes nb ON inter.doc_b = nb.doc_id)
          |WHERE jac >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin),
 
@@ -548,8 +574,7 @@ object TextQueries {
          |  SELECT doc_id, s,
          |         $sigSqlCols
          |  FROM sh),
-         |bands AS (
-         |  $bandRowsSql),
+         |$cappedBandsSql,
          |edges AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b
