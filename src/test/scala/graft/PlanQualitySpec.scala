@@ -83,6 +83,14 @@ class PlanQualitySpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 3, p)
   }
 
+  test("g10b: no (hour, src, dst) agg exchange — the repartition carries it") {
+    val p = plan("g10b_mobility_frac_ref")
+    // the OD agg and re-agg must ride the explicit (hour, src)
+    // repartition; a three-key exchange means the sharing broke
+    assert(!"hashpartitioning\\(hour#\\d+, src#\\d+, dst".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("REPARTITION_BY_COL"), p)
+  }
+
   test("f01: aggregation has a map-side partial before the exchange") {
     val p = plan("f01_hourly_presence")
     assert(p.contains("partial_count(distinct"), p)
