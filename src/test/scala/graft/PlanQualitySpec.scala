@@ -111,6 +111,18 @@ class PlanQualitySpec extends SparkSpec {
       !p.contains("hashpartitioning(c_custkey"), p)
   }
 
+  test("t06: dedup pair generation joins on band keys, never cross-joins") {
+    val p = plan("t06_dedup_minhash")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("v02: ANN candidates come from a bucket equi-join, never a cross join") {
+    val p = plan("v02_ann_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("v01: query side broadcasts, corpus side stays partitioned") {
     val p = plan("v01_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
