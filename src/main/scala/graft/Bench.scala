@@ -14,6 +14,14 @@ object Bench {
     // one throwaway action absorbs session warmup (codegen, classloading,
     // parquet driver init) so per-query timings measure the query
     spark.range(1000).selectExpr("sum(id)").write.mode("overwrite").format("noop").save()
+    // warm the input tables too (page cache + parquet footers): otherwise
+    // whichever query happens to iterate first absorbs several seconds of
+    // cold IO into its measured time (~5s at sf0.1 in profiling runs)
+    graft.engine.Tables.names.foreach { t =>
+      try graft.engine.Tables(spark, sfDir, t)
+        .write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => () }
+    }
     val selected = // optional name filter for local iteration; driver passes none
       if (args.nonEmpty) SparkEntry.queries.filter(kv => args.contains(kv._1))
       else SparkEntry.queries

@@ -66,6 +66,9 @@ case class HaversineMeters(first: Expression, second: Expression,
   * `spark.sql.extensions=graft.functions.GraftExtensions`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // radius filters over the native haversine gain a sargable
+    // bounding-box pre-filter (pushdown-able when lat/lon are columns)
+    ext.injectOptimizerRule(_ => graft.plans.HaversineBoundingBox)
     ext.injectFunction((
       FunctionIdentifier("geohash_encode"),
       new ExpressionInfo(classOf[GeohashEncode].getName, "geohash_encode"),

@@ -251,6 +251,31 @@ object GeoQueries {
          |       round(${haversineSql("lat", "lon", "31.2304", "121.4737")}, 1) AS dist_m
          |FROM pts ORDER BY user_id, k""".stripMargin),
 
+    // ── Radius search, written the naive way a user would: one haversine
+    //    predicate, no hand-built blocking (the reference's POI-radius
+    //    idiom, cal_subarea_portion.py:83-92,142-149). The
+    //    HaversineBoundingBox optimizer rule (GraftExtensions) conjoins
+    //    the cap's sargable lat/lon box ahead of the trig — pushdown-able
+    //    to parquet when the coordinates are stored columns; a codegen
+    //    short-circuit ahead of sin/cos/atan2 here where they are
+    //    derived. Same results either way (SpatialRewriteSpec pins both
+    //    the plan shape and the rewrite's correctness) ──
+    ("g15_radius_filter",
+      (s: SparkSession, dir: String) => {
+        points(s, dir)
+          .withColumn("dist_m", call_function("haversine_meters",
+            col("lat"), col("lon"), lit(31.2304), lit(121.4737)))
+          .filter(col("dist_m") <= lit(3000000.0))
+          .select(col("user_id"), col("k"), round(col("dist_m"), 1).as("dist_m"))
+          .orderBy(col("user_id"), col("k"))
+      },
+      s"""WITH $pointsSql,
+         |d AS (SELECT user_id, k,
+         |             ${haversineSql("lat", "lon", "31.2304", "121.4737")} AS dist_m
+         |      FROM pts)
+         |SELECT user_id, k, round(dist_m, 1) AS dist_m
+         |FROM d WHERE dist_m <= 3000000.0 ORDER BY user_id, k""".stripMargin),
+
     // ── D4: nearest-POI type assignment (cal_subarea_portion.py:142-149
     //    — per-row Python UDF over a broadcast dict of per-region POI
     //    arrays). Relational form: geohash-block the candidate join,
