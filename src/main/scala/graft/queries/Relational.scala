@@ -558,7 +558,10 @@ object Relational {
         Tables.events(s, dir)
           .withColumn("hour", date_trunc("hour", $"ts"))
           .groupBy($"hour", $"event_type")
-          .agg(approx_count_distinct($"user_id", 0.01).as("n_users_approx"))
+          // rsd 0.02 → HLL precision 12 (~4 KB registers per group);
+          // 0.01 would force p=14 (16 KB/group), 4× the per-group state
+          // shuffled and merged for a 1% accuracy gain nothing needs
+          .agg(approx_count_distinct($"user_id", 0.02).as("n_users_approx"))
           .select(tsSec($"hour").as("hour"), $"event_type", $"n_users_approx")
           .orderBy($"hour", $"event_type")
       },

@@ -649,7 +649,36 @@ object TextQueries {
         |         trim(regexp_replace(regexp_replace(lower(text),
         |           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS c
         |  FROM documents)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin),
+
+    // ── Sequence packing: assign documents to fixed-token-capacity
+    //    training bins (next-fit by start offset: a doc lands in the bin
+    //    its running-sum offset starts in; oversize docs overflow their
+    //    bin, shifting later starts — deterministic given the doc_id
+    //    order). Packs independently inside each (lang, source) group, so
+    //    the window parallelizes across groups; one pathologically large
+    //    group would need the two-pass range-partition + per-partition
+    //    offset form of the same cumsum ──
+    ("t13_pack_sequences",
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
+        Tables(s, dir, "documents")
+          .select(col("lang"), col("source"), col("doc_id"),
+            size(regexp_extract_all(col("text"),
+              lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("n_tok"))
+          .withColumn("bin",
+            floor((sum(col("n_tok")).over(w) - col("n_tok")) / lit(512.0)).cast("long"))
+          .orderBy(col("lang"), col("source"), col("doc_id"))
+      },
+      """SELECT lang, source, doc_id, n_tok,
+        |  CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS bin
+        |FROM (
+        |  SELECT lang, source, doc_id,
+        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tok,
+        |    sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
+        |      OVER (PARTITION BY lang, source ORDER BY doc_id) AS cum
+        |  FROM documents)
+        |ORDER BY lang, source, doc_id""".stripMargin)
   )
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap
