@@ -108,7 +108,59 @@ object StreamingQueries {
       },
       s"""SELECT ${tsSecSql("date_trunc('hour', ts)")} AS hour,
          |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ── stream-stream interval join: purchases matched to the same
+    //    user's clicks in the preceding hour — BOTH sides are unbounded
+    //    streams, so the engine keeps a state store per side and the
+    //    event-time bound (c_ts ∈ [p_ts - 1h, p_ts]) plus the watermarks
+    //    is what lets it EVICT state instead of buffering both streams
+    //    forever. Inner join in append mode emits pairs as they match;
+    //    the judged aggregation runs in batch over the sink (chaining a
+    //    second stateful agg onto the join is a separate concern the
+    //    batch oracle could not distinguish anyway). AvailableNow over
+    //    one staged file = one microbatch, so no pair is watermark-late
+    //    and the result equals DuckDB's batch interval join exactly. ──
+    ("st04_stream_stream_join",
+      (s: SparkSession, dir: String) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val stage = java.nio.file.Paths.get(Portable.scratchPath("stream_join_events"))
+        java.nio.file.Files.createDirectories(stage)
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          stage.resolve("events.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        def src() = s.readStream.schema(schema).parquet(stage.toString)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        val purchases = src().where(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "2 hours")
+        val clicks = src().where(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+          .withWatermark("c_ts", "2 hours")
+        val joined = purchases.join(clicks,
+          col("p_user") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts"))
+        val q = joined.writeStream.format("memory").queryName("st04_mem")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table("st04_mem")
+          .groupBy(date_trunc("hour", col("p_ts")).as("hour"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("p_user")).as("n_users"))
+          .select(tsSec(col("hour")).as("hour"), col("n_pairs"), col("n_users"))
+          .orderBy(col("hour"))
+      },
+      s"""SELECT ${tsSecSql("date_trunc('hour', p.ts)")} AS hour,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users
+         |FROM events p JOIN events c
+         |  ON p.user_id = c.user_id
+         | AND p.event_type = 'purchase' AND c.event_type = 'click'
+         | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap

@@ -128,4 +128,44 @@ class StreamingPresenceSpec extends SparkSpec {
         (1L, ts("2019-07-01 23:00:00"))))
     } finally q.stop()
   }
+
+  test("stream-stream interval join pairs in-window and evicts old state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val p = MemoryStream[(Long, Timestamp)]
+    val c = MemoryStream[(Long, Timestamp)]
+    val purchases = p.toDF().toDF("p_user", "p_ts").withWatermark("p_ts", "1 hour")
+    val clicks = c.toDF().toDF("c_user", "c_ts").withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(clicks, // the st04 transform
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+    val q = joined.writeStream.format("memory").queryName("ssj_mem")
+      .outputMode("append").start()
+    try {
+      // click 30 min before the purchase → inside the interval → pair
+      c.addData((1L, ts("2019-07-01 05:30:00")))
+      p.addData((1L, ts("2019-07-01 06:00:00")))
+      q.processAllAvailable()
+      // purchase 90 min after that click → outside the interval → no pair
+      p.addData((1L, ts("2019-07-01 07:00:00")))
+      q.processAllAvailable()
+      // next day advances the global watermark a day past the old click,
+      // evicting its join state (and pairing with itself in-window)
+      c.addData((99L, ts("2019-07-02 12:00:00")))
+      p.addData((99L, ts("2019-07-02 12:30:00")))
+      q.processAllAvailable()
+      // a late purchase that WOULD have matched the evicted click: the
+      // watermark drops it, nothing is emitted
+      p.addData((1L, ts("2019-07-01 06:10:00")))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT p_user, p_ts, c_user, c_ts FROM ssj_mem")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getTimestamp(3)))
+      assert(rows.toSet == Set(
+        (1L, ts("2019-07-01 06:00:00"), 1L, ts("2019-07-01 05:30:00")),
+        (99L, ts("2019-07-02 12:30:00"), 99L, ts("2019-07-02 12:00:00"))), rows.mkString(";"))
+    } finally q.stop()
+  }
 }
