@@ -75,8 +75,14 @@ object Relational {
       (s: SparkSession, dir: String) => {
         import s.implicits._
         val tmp = scratchPath("csv_roundtrip")
+        // coalesce(1) = the reference's driver-side single-file CSV form
+        // (S8/S9): one output file WITHOUT collecting to the driver. Note
+        // coalesce collapses this whole narrow stage to one task — fine
+        // for a small export like this; a large single-file export would
+        // repartition(1) instead (scan stays parallel, one shuffle)
         Tables.events(s, dir)
           .select($"event_id", $"user_id", $"event_type")
+          .coalesce(1)
           .write.mode("overwrite").option("header", "true")
           .option("delimiter", "\t").csv(tmp)
         s.read.option("header", "true").option("delimiter", "\t")
