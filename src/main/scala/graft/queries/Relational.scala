@@ -554,6 +554,85 @@ object Relational {
         |                    AND o.o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin),
 
+    // ── J9 (beyond reference): dynamic partition pruning — the runtime
+    //    filter that matters most at 100 TB. The fact side is a
+    //    date-partitioned copy of events; the dim side is a tiny derived
+    //    date list behind a selective filter Catalyst cannot push
+    //    statically (it depends on the JOIN result, not the scan).
+    //    Spark's PartitionPruning rule reuses the dim's broadcast as a
+    //    dynamicpruningexpression on the fact scan, so only the ~1/3 of
+    //    partitions with a matching date are read at all — on a
+    //    1000-executor cluster that is the difference between scanning
+    //    100 TB and scanning the 3 TB that can match.
+    //    RuntimeFilterSpec pins the dynamicpruning plan shape + parity
+    //    with the unpartitioned join. ──
+    ("j09_dpp_join",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val tmp = scratchPath("events_dpp")
+        val ev = Tables.events(s, dir)
+        ev.withColumn("date", date_format($"ts", "yyyy-MM-dd"))
+          .write.partitionBy("date").mode("overwrite").parquet(tmp)
+        // ~1/3 of the 30 event dates carry a purchase by user 0 — the
+        // pruning is real, not a filter that keeps every partition.
+        // The dim key is DATE to match the inferred partition-column
+        // type: a type mismatch would wrap the partition attribute in a
+        // cast, and a cast key defeats partition pruning
+        val dim = ev.where($"user_id" === 0 && $"event_type" === "purchase")
+          .select(to_date($"ts").as("d")).distinct()
+        val part = s.read.parquet(tmp)
+        part.join(broadcast(dim), part("date") === dim("d"))
+          .groupBy($"date")
+          .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"))
+          .select($"date".cast("string").as("date"), $"n", $"n_users")
+          .orderBy($"date")
+      },
+      """WITH d AS (
+        |  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS d FROM events
+        |  WHERE user_id = 0 AND event_type = 'purchase')
+        |SELECT strftime(e.ts, '%Y-%m-%d') AS date,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM events e JOIN d ON strftime(e.ts, '%Y-%m-%d') = d.d
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ── J10 (beyond reference): semi-join reduction — the explicit form
+    //    of a runtime filter, applied BEFORE an aggregation shuffle. The
+    //    lineitem fact is pruned by a broadcast left-semi on the urgent
+    //    order keys first, so the per-orderkey aggregation shuffles only
+    //    the ~20% of rows that can survive — aggregating first would
+    //    shuffle the full fact and throw 80% of the groups away at the
+    //    final join. Spark's own InjectRuntimeFilter does this with a
+    //    bloom filter when the dim is too big to broadcast
+    //    (RuntimeFilterSpec pins that native form under cluster-scale
+    //    confs); this is the broadcastable-dim form, oracle-proven
+    //    equal to the filter-after-agg semantics. ──
+    ("j10_semi_reduction",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val li = Tables(s, dir, "lineitem")
+        val urgent = Tables(s, dir, "orders")
+          .where($"o_orderpriority" === "1-URGENT")
+          .select($"o_orderkey")
+        li.join(broadcast(urgent), li("l_orderkey") === urgent("o_orderkey"), "left_semi")
+          .groupBy($"l_orderkey")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(round($"l_quantity")).cast("long").as("sum_qty"))
+          .groupBy($"n_lines")
+          .agg(count(lit(1)).as("n_orders"), sum($"sum_qty").as("total_qty"))
+          .orderBy($"n_lines")
+      },
+      """WITH per_order AS (
+        |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
+        |         CAST(sum(round(l_quantity, 0)) AS BIGINT) AS sum_qty
+        |  FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                       WHERE o_orderpriority = '1-URGENT')
+        |  GROUP BY l_orderkey)
+        |SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(sum_qty) AS BIGINT) AS total_qty
+        |FROM per_order GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ── A1 at scale: approx_count_distinct (HLL++ sketch — mergeable
     //    partial state, the only distinct-count that survives unbounded
     //    key cardinality). No DuckDB oracle (sketch internals differ

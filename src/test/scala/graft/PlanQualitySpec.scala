@@ -62,6 +62,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("j10: semi-join reduction is a broadcast semi join, fact never shuffled by it") {
+    val p = plan("j10_semi_reduction")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("o03: aggregator top-k has a map-side partial and no window sort") {
     val p = plan("o03_topk_aggregator")
     assert(p.contains("ObjectHashAggregate"), p)
