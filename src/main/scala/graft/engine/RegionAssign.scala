@@ -27,6 +27,23 @@ object RegionAssign {
     dict.groupBy(GeoFunctions.geohashCol(lat, lon, p).as(s"gh$p"))
       .agg(min(agent).as(s"agent_$p"))
 
+  /** [[dictAt]] with the reference's neighbor expansion
+    * (`cal_orig_area.py:62-72`, `cal_subarea_portion.py:170-178`): every
+    * dictionary cell claims itself AND its 8 adjacent cells, so a fix
+    * just outside a POI's cell still matches at this level. Dedup runs
+    * TWICE — once per source cell before the 9× explode (shrinks the
+    * generator input to distinct cells) and once per expanded cell after
+    * it (overlapping 3×3 blocks re-collide; min-of-mins == global min, so
+    * the tie-break stays deterministic). The explode runs on the DICT
+    * side only — the fact side still pays one encode + k substrings. */
+  def dictAtNeighbors(dict: DataFrame, lat: Column, lon: Column, agent: Column, p: Int): DataFrame =
+    dict.groupBy(GeoFunctions.geohashCol(lat, lon, p).as("__gh_self"))
+      .agg(min(agent).as("__agent"))
+      .select(explode(GeoFunctions.geohashNeighborsUdf(col("__gh_self"))).as(s"gh$p"),
+        col("__agent"))
+      .groupBy(col(s"gh$p"))
+      .agg(min(col("__agent")).as(s"agent_$p"))
+
   /** Left-join `points` against each precision level (finest first) and
     * coalesce. `sentinel` is the no-match region (reference uses '0',
     * `cal_orig_area.py:88-89`).
@@ -43,15 +60,21 @@ object RegionAssign {
     * precision ≥ max(precisions) — callers that derive other columns
     * from the same encode (e.g. a region id) pass it here so the fact
     * side pays ONE encode total, not one per consumer. */
+  /** `expandNeighbors`: use [[dictAtNeighbors]] per level — the
+    * reference's 3×3 dictionary expansion before the join. */
   def assign(points: DataFrame, lat: Column, lon: Column,
              dict: DataFrame, dictLat: Column, dictLon: Column, dictAgent: Column,
              precisions: Seq[Int], sentinel: Long,
-             preEncoded: Option[Column] = None): DataFrame = {
+             preEncoded: Option[Column] = None,
+             expandNeighbors: Boolean = false): DataFrame = {
     val pMax = precisions.max
     val withGh = points.withColumn("__gh_max",
       preEncoded.getOrElse(GeoFunctions.geohashCol(lat, lon, pMax)))
+    val level: (Int) => DataFrame =
+      if (expandNeighbors) p => dictAtNeighbors(dict, dictLat, dictLon, dictAgent, p)
+      else p => dictAt(dict, dictLat, dictLon, dictAgent, p)
     val joined = precisions.foldLeft(withGh) { (acc, p) =>
-      acc.join(broadcast(dictAt(dict, dictLat, dictLon, dictAgent, p)),
+      acc.join(broadcast(level(p)),
         substring(col("__gh_max"), 1, p) === col(s"gh$p"), "left")
         .drop(s"gh$p")
     }

@@ -627,6 +627,61 @@ object GeoQueries {
            |SELECT ${tsSecSql("hour")} AS hour, region, type,
            |       CAST(count(*) AS BIGINT) AS cnt
            |FROM typed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+      }),
+
+    // ── J4 + F11 composed: the reference's NEIGHBOR-EXPANDED cascade
+    //    (cal_orig_area.py:62-72, cal_subarea_portion.py:170-178) — every
+    //    dictionary cell claims itself + its 8 adjacent cells before the
+    //    join, so a fix one cell away from a POI still matches at that
+    //    precision instead of falling through to a coarser level. Same
+    //    fact-side plan as g04 (one encode, substring keys, broadcast
+    //    dims); only the (small) dict side pays the 9× explode. ──
+    ("g16_region_assign_neighbors",
+      (s: SparkSession, dir: String) => {
+        val cust = Tables(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+          .withColumn("lat", latFromKey(col("c_custkey")))
+          .withColumn("lon", lonFromKey(col("c_custkey")))
+        RegionAssign.assign(points(s, dir), col("lat"), col("lon"),
+            cust, col("lat"), col("lon"), col("c_nationkey"),
+            precisions = Seq(4, 3), sentinel = -1L,
+            expandNeighbors = true)
+          .select(col("user_id"), col("k"), col("agent_id"))
+          .orderBy(col("user_id"), col("k"))
+      },
+      {
+        // dict at precision p expanded to the 3×3 neighbor block via the
+        // same integer-index arithmetic as the g02 oracle: lon wraps mod
+        // 2^lonBits, lat clamps (out-of-range rows dropped); min agent
+        // per SOURCE cell first, then min per EXPANDED cell — min of
+        // mins == global min, exactly the Spark side's double dedup
+        def nbDictSql(p: Int): String = {
+          val nLon = 1L << ((5 * p + 1) / 2)
+          val nLat = 1L << ((5 * p) / 2)
+          s"""d$p AS (
+             |  SELECT gh$p, min(agent) AS agent_$p FROM (
+             |    SELECT ${geohashFromIndicesSql(s"((c.xi + dx.d) % $nLon + $nLon) % $nLon", "c.yi + dy.d", p)} AS gh$p,
+             |           c.agent
+             |    FROM (SELECT ${lonIndexSql("lon", p)} AS xi, ${latIndexSql("lat", p)} AS yi,
+             |                 min(c_nationkey) AS agent
+             |          FROM dict GROUP BY 1, 2) c, offs dx, offs dy
+             |    WHERE c.yi + dy.d >= 0 AND c.yi + dy.d < $nLat)
+             |  GROUP BY 1)""".stripMargin
+        }
+        s"""WITH $pointsSql,
+           |dict AS (
+           |  SELECT c_custkey, c_nationkey,
+           |         ${latFromKeySql("c_custkey")} AS lat, ${lonFromKeySql("c_custkey")} AS lon
+           |  FROM customer),
+           |offs AS (SELECT unnest([-1, 0, 1]) AS d),
+           |${nbDictSql(4)},
+           |${nbDictSql(3)}
+           |SELECT p.user_id, p.k,
+           |       CAST(coalesce(d4.agent_4, d3.agent_3, -1) AS BIGINT) AS agent_id
+           |FROM pts p
+           |LEFT JOIN d4 ON ${geohashSql("p.lat", "p.lon", 4)} = d4.gh4
+           |LEFT JOIN d3 ON ${geohashSql("p.lat", "p.lon", 3)} = d3.gh3
+           |ORDER BY p.user_id, p.k""".stripMargin
       })
   )
 
