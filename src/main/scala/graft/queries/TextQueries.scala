@@ -343,35 +343,49 @@ object TextQueries {
            |WHERE jac >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
       }),
 
-    // ── SimHash near-dedup: 32-bit signed-bit-sum sketch over word
-    //    multiset, byte-band LSH join, Hamming ≤ 2 ──
+    // ── SimHash near-dedup: 60-bit signed-bit-sum sketch over the word
+    //    multiset ([[Portable.portableHash]] is 60-bit, so bits ≥ 60 of
+    //    any word hash are constant zero — a "64-bit" sketch's top nibble
+    //    would carry no signal), 4×15-bit-band LSH join with the
+    //    [[BandCap]] hot-band guard, Hamming ≤ 2. The 15-bit band key
+    //    space (32768 values/band vs the former 256) plus the cap bounds
+    //    the hot bucket at ≤ BandCap² candidate pairs at ANY corpus size;
+    //    the oracle mirrors the cap via QUALIFY so the judged pair sets
+    //    stay identical at a scale where it binds. Seeded corpus
+    //    ([[seededDocs]]: exact copies → Hamming 0) so the judged output
+    //    is non-empty by construction at every SF. ──
     ("t07_dedup_simhash",
       (s: SparkSession, dir: String) => {
-        val wordCounts = Tables(s, dir, "documents")
+        val wordCounts = seededDocs(s, dir)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
           .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
-          .withColumn("h", pmod(portableHash(col("word")), lit(4294967296L)))
-        // 32 columnar signed-bit sums in ONE aggregation (no 32×-row bit
+          .withColumn("h", portableHash(col("word")))
+        // 60 columnar signed-bit sums in ONE aggregation (no 60×-row bit
         // explode, no second shuffle): per (doc, word) the contribution to
-        // bit b is cnt * (±1 by bit b of h); groupBy(doc) sums all 32 at
-        // once, then the signs fold into the final 32-bit sketch.
+        // bit b is cnt * (±1 by bit b of h); groupBy(doc) sums all 60 at
+        // once, then the signs fold into the final 60-bit sketch.
         val bitSums = wordCounts
           .groupBy(col("doc_id"))
           .agg(
             sum(col("cnt") * (shiftright(col("h"), 0) % 2 * 2 - 1)).as("sm0"),
-            (1 until 32).map(b =>
+            (1 until 60).map(b =>
               sum(col("cnt") * (shiftright(col("h"), b) % 2 * 2 - 1)).as(s"sm$b")): _*)
         val sim = bitSums.select(col("doc_id"),
-          (0 until 32).map(b =>
+          (0 until 60).map(b =>
             when(col(s"sm$b") > 0, lit(1L << b)).otherwise(0L))
             .reduce(_ + _).as("simhash"))
+        val wKey = Window.partitionBy(col("band"), col("key"))
         val bands = sim.persist() // self-joined below: one sketch pass
           .select(col("doc_id"), col("simhash"),
           explode(array((0 until 4).map { i =>
             struct(lit(i).as("band"),
-              (shiftright(col("simhash"), i * 8) % 256).as("key"))
+              (shiftright(col("simhash"), i * 15) % 32768).as("key"))
           }: _*)).as("e"))
           .select(col("doc_id"), col("simhash"), col("e.band"), col("e.key"))
+          // hot-band cap rides the same (band, key) shuffle the self-join
+          // needs — the t06 skew-guard pattern, same constant
+          .withColumn("nk", count(lit(1)).over(wKey))
+          .where(col("nk") <= BandCap).drop("nk")
         bands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.key") === col("b.key")
               && col("a.doc_id") < col("b.doc_id"))
@@ -381,23 +395,25 @@ object TextQueries {
           .where(col("hamming") <= 2)
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      s"""WITH wc AS (
+      s"""WITH $seededDocsSql,
+         |wc AS (
          |  SELECT doc_id, word, count(*) AS cnt,
-         |         ${portableHashSql("word")} % 4294967296 AS h
-         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |         ${portableHashSql("word")} AS h
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM seeded)
          |  GROUP BY doc_id, word),
          |bits AS (
          |  SELECT doc_id, b,
          |         sum(cnt * (((h >> CAST(b AS INT)) % 2) * 2 - 1)) AS sm
-         |  FROM wc, (SELECT unnest(generate_series(0, 31)) AS b)
+         |  FROM wc, (SELECT unnest(generate_series(0, 59)) AS b)
          |  GROUP BY doc_id, b),
          |sim AS (
          |  SELECT doc_id,
-         |         sum(CASE WHEN sm > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS simhash
+         |         CAST(sum(CASE WHEN sm > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
          |  FROM bits GROUP BY doc_id),
          |bands AS (
-         |  SELECT doc_id, simhash, band, (simhash >> (band * 8)) % 256 AS key
-         |  FROM sim, (SELECT unnest(generate_series(0, 3)) AS band)),
+         |  SELECT doc_id, simhash, band, (simhash >> (band * 15)) % 32768 AS key
+         |  FROM sim, (SELECT unnest(generate_series(0, 3)) AS band)
+         |  QUALIFY count(*) OVER (PARTITION BY band, key) <= $BandCap),
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming

@@ -54,6 +54,22 @@ class TextDedupSpec extends SparkSpec {
     assert(out.toSet === Set((600L, 601L)), out.mkString(", "))
   }
 
+  test("t07: a simhash band key over the band cap produces no candidates; small buckets pair") {
+    // 70 exact copies: identical 60-bit sketches, so every one of the 4
+    // 15-bit band keys has multiplicity 70 > BandCap = 64 -> zero pairs
+    // from the cluster (2415 without the cap).
+    val cluster = (0 until 70).map { i =>
+      (100L + i, "web", "x1 x2 x3 x4 x5 x6")
+    }
+    // One twin pair outside the cluster: band multiplicity 2, Hamming 0.
+    val twins = Seq(
+      (300L, "web", "q1 q2 q3 q4 q5"),
+      (301L, "web", "q1 q2 q3 q4 q5"))
+    val out = run("t07_dedup_simhash", cluster ++ twins)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet === Set((300L, 301L)), out.mkString(", "))
+  }
+
   test("t06: a band key over the band cap produces no candidates; small buckets pair") {
     // 70 exact copies: identical MinHash signatures, so every one of the
     // 4 band keys has multiplicity 70 > BandCap = 64 -> zero pairs from
