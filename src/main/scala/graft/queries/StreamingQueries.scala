@@ -160,7 +160,48 @@ object StreamingQueries {
          |  ON p.user_id = c.user_id
          | AND p.event_type = 'purchase' AND c.event_type = 'click'
          | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
-         |GROUP BY 1 ORDER BY 1""".stripMargin)
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ── stream-static enrichment join: the most common production
+    //    streaming shape — an unbounded event stream joined to a small
+    //    static dimension (here: customer market segment). The static
+    //    side is broadcast per microbatch (no state store, no watermark
+    //    needed for the join itself: the dimension is bounded), so the
+    //    streaming plan is scan → broadcast-hash-join → windowed agg —
+    //    exactly the batch plan, incrementalized. Judged against
+    //    DuckDB running the equivalent batch join. ──
+    ("st05_stream_static_join",
+      (s: SparkSession, dir: String) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val stage = java.nio.file.Paths.get(Portable.scratchPath("stream_static_events"))
+        java.nio.file.Files.createDirectories(stage)
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          stage.resolve("events.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val src = s.readStream.schema(schema).parquet(stage.toString)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        val dim = s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val enriched = src.join(broadcast(dim),
+          col("user_id") === col("c_custkey"))
+        val agg = enriched
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("sum_value"))
+        val q = agg.writeStream.format("memory").queryName("st05_mem")
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table("st05_mem")
+          .select(tsSec(col("w.start")).as("hour"), col("c_mktsegment"),
+            col("n_events"), col("sum_value"))
+          .orderBy(col("hour"), col("c_mktsegment"))
+      },
+      s"""SELECT ${tsSecSql("date_trunc('hour', ts)")} AS hour, c_mktsegment,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       ${moneySumSql("value")} AS sum_value
+         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   )
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap

@@ -694,7 +694,55 @@ object TextQueries {
         |    sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
         |      OVER (PARTITION BY lang, source ORDER BY doc_id) AS cum
         |  FROM documents)
-        |ORDER BY lang, source, doc_id""".stripMargin)
+        |ORDER BY lang, source, doc_id""".stripMargin),
+
+    // ── Sequence packing, single-giant-group form: the GLOBAL running
+    //    sum t13's per-(lang, source) window cannot express without
+    //    serializing the whole corpus into one task (an unpartitioned
+    //    window is a single-partition sort — the documented t13 scale
+    //    hazard). Two-pass range-partition cumsum instead: (1) range-
+    //    repartition by doc_id and cumsum WITHIN each partition (window
+    //    keyed by spark_partition_id — 32-way parallel, each task sees
+    //    only its slice); (2) per-partition totals (32 rows) get a tiny
+    //    driver-free prefix-sum window and broadcast-join back as
+    //    offsets; local cumsum + partition offset == the global cumsum
+    //    for ANY partition boundaries, so the result is deterministic
+    //    and identical to the oracle's one-window form while every pass
+    //    stays n/32-per-task. At 100 TB the same shape holds: the only
+    //    serial structure is one row per partition. ──
+    ("t13b_pack_global",
+      (s: SparkSession, dir: String) => {
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("text"),
+              lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("n_tok"))
+        val parted = toks.repartitionByRange(32, col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+        val wLocal = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+        val local = parted.withColumn("lcum", sum(col("n_tok")).over(wLocal))
+        // pass 2: one row per partition; the cumsum window over 32 rows
+        // is trivially single-task (that IS the two-pass trick: the
+        // serial part shrinks from n rows to #partitions rows)
+        val wOff = Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = local.groupBy(col("pid")).agg(sum(col("n_tok")).as("psum"))
+          .withColumn("off", coalesce(sum(col("psum")).over(wOff), lit(0L)))
+          .select(col("pid"), col("off"))
+        local.join(broadcast(offsets), "pid")
+          .select(col("doc_id"), col("n_tok"),
+            floor((col("off") + col("lcum") - col("n_tok")) / lit(512.0))
+              .cast("long").as("bin"))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id, n_tok,
+        |  CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS bin
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tok,
+        |    sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
+        |      OVER (ORDER BY doc_id) AS cum
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin)
   )
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap

@@ -284,6 +284,81 @@ object VectorQueries {
          |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
          |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin),
 
+    // ── IVF ANN, scale-parameterized multi-probe form: v05's 8 fixed
+    //    centroids are a demo constant — the real config grows the cell
+    //    count with the corpus (√n cells keeps both the assignment
+    //    cross-score, n·√n, and the per-cell candidate list, ~√n,
+    //    balanced) and probes more than one cell (nprobe=2: the
+    //    query's top-2 cells by centroid cosine — recovers neighbors
+    //    that fall just across a Voronoi boundary, the standard IVF
+    //    recall fix). ncells derives from count(*) as a broadcast
+    //    scalar inside the plan — both engines compute floor(sqrt(n))
+    //    from the same relation, so the oracle stays exact at every SF
+    //    without a hardcoded cell count. Each vector belongs to exactly
+    //    one cell, so the two probed cells yield disjoint candidates —
+    //    no dedup step. ──
+    ("v07_ann_ivf_multiprobe",
+      (s: SparkSession, dir: String) => {
+        val emb = Tables(s, dir, "embeddings")
+        val ncnt = emb.agg(count(lit(1)).as("n"))
+        val cents = emb.crossJoin(broadcast(ncnt))
+          .where(col("vec_id") < floor(sqrt(col("n").cast("double"))))
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("ccos").desc, col("cent_id").asc)
+        val ranked = emb.crossJoin(broadcast(cents))
+          .withColumn("ccos", cosine(col("embedding"), col("cent")))
+          .withColumn("rn", row_number().over(wAssign))
+          .persist() // feeds cell assignment (rn=1) AND the probe set (rn<=2)
+        val assigned = ranked.where(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"),
+            normCol(col("embedding")).as("nrm"))
+        val probes = ranked
+          .where(col("vec_id") >= 10 && col("vec_id") < 20 && col("rn") <= 2)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("cent_id").as("cell"), normCol(col("embedding")).as("q_nrm"))
+        val wRank = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        probes.join(assigned, Seq("cell"))
+          .where(col("vec_id") =!= col("q_id"))
+          .withColumn("cos", cosPre(dotNative(col("q_emb"), col("embedding")),
+            col("q_nrm"), col("nrm")))
+          .withColumn("rank", row_number().over(wRank))
+          .where(col("rank") <= 3)
+          .select(col("q_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("cos"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      s"""WITH nc AS (SELECT count(*) AS n FROM embeddings),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings, nc
+         |  WHERE vec_id < CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)),
+         |scored AS (
+         |  SELECT e.vec_id, e.embedding, c.cent_id,
+         |         ${cosineSql("e.embedding", "c.cent")} AS ccos
+         |  FROM embeddings e, cents c),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |            ORDER BY ccos DESC, cent_id ASC) AS rn
+         |  FROM scored),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cent_id AS cell, ${normSql("embedding")} AS nrm
+         |  FROM ranked WHERE rn = 1),
+         |q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb, cent_id AS cell,
+         |         ${normSql("embedding")} AS q_nrm
+         |  FROM ranked WHERE vec_id >= 10 AND vec_id < 20 AND rn <= 2),
+         |cand AS (
+         |  SELECT q.q_id, e.vec_id,
+         |         ${cosPreSql(dotFoldSql("q.q_emb", "e.embedding", 64), "q.q_nrm", "e.nrm")} AS cos
+         |  FROM q JOIN assigned e ON q.cell = e.cell AND e.vec_id <> q.q_id),
+         |rankd AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |            ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM cand)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
+         |FROM rankd WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin),
+
     // ── per-label centroids: exact elementwise mean via scaled longs ──
     ("v03_label_centroid",
       (s: SparkSession, dir: String) => {

@@ -129,6 +129,31 @@ class StreamingPresenceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches each microbatch against the dimension") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dim = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("custkey", "segment")
+    val in = MemoryStream[(Long, Timestamp)]
+    val joined = in.toDF().toDF("user_id", "ts") // the st05 transform
+      .join(broadcast(dim), col("user_id") === col("custkey"))
+      .select(col("user_id"), col("ts"), col("segment"))
+    val q = joined.writeStream.format("memory").queryName("ssj_dim")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts("2019-07-01 05:00:00")),
+        (3L, ts("2019-07-01 05:10:00"))) // no dim row: inner join drops it
+      q.processAllAvailable()
+      // a later microbatch joins the SAME static snapshot — enrichment
+      // is per-batch, no state store involved
+      in.addData((2L, ts("2019-07-01 06:00:00")))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT user_id, segment FROM ssj_dim")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.toSet == Set((1L, "GOLD"), (2L, "SILVER")), rows.mkString(";"))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs in-window and evicts old state") {
     val s = spark
     import s.implicits._
