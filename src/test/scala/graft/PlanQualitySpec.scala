@@ -133,4 +133,40 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("v01_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
+
+  test("t07: simhash pair generation joins on band keys, never cross-joins") {
+    val p = plan("t07_dedup_simhash")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("v04: cosine-dedup pair generation joins on buckets, never cross-joins") {
+    val p = plan("v04_dedup_cosine")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("v07: multi-probe IVF probes via an equi-join; centroid set broadcasts") {
+    val p = plan("v07_ann_ivf_multiprobe")
+    // the cell-probe join must be a hash/sort join on the cell key, and
+    // the only nested-loop joins are the two broadcast scalar/centroid
+    // attaches (count(*) scalar + centroid set — both tiny by design);
+    // they print twice because the cached `ranked` subtree is expanded
+    // in both the assignment and probe branches of the explain text
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 4, p)
+  }
+
+  test("t13b: no single-task global sort; the offset pass is partition-count-sized") {
+    val p = plan("t13b_pack_global")
+    // pass 1 must sort within range partitions (local cumsum), and the
+    // ONLY single-partition exchange is the 32-row offset cumsum — a
+    // SinglePartition exchange feeding a Window over the full relation
+    // would be the serialized shape t13b exists to avoid
+    assert(p.contains("Exchange rangepartitioning"), p)
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 1, p)
+    // offsets broadcast back — the data-sized side never reshuffles for
+    // the join
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
