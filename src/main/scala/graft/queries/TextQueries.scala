@@ -174,6 +174,38 @@ object TextQueries {
        |  $bandRowsSql)
        |  QUALIFY count(*) OVER (PARTITION BY band, key) <= $BandCap)""".stripMargin
 
+  /** One oracle, two judged engines: the recursive-CTE transitive
+    * closure over the LSH candidate edge set labels every doc with its
+    * component's min doc_id — judged against BOTH t10 (min-label
+    * propagation) and t10b (small-star/large-star), so the two
+    * distributed algorithms are pinned to identical cluster output. */
+  private def dupClustersOracleSql: String =
+    s"""WITH RECURSIVE $seededDocsSql,
+       |${hashedShinglesSql("seeded")},
+       |sig AS (
+       |  SELECT doc_id, s,
+       |         $sigSqlCols
+       |  FROM sh),
+       |$cappedBandsSql,
+       |edges AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM edges
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM sym
+       |  UNION
+       |  SELECT r.src, s2.dst FROM reach r JOIN sym s2 ON r.dst = s2.src
+       |  WHERE s2.dst <> r.src),
+       |labels AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS cluster
+       |  FROM reach GROUP BY src)
+       |SELECT doc_id, cluster, doc_id = cluster AS is_rep
+       |FROM labels ORDER BY doc_id""".stripMargin
+
   /** Jaccard between two hashed-shingle lists (oracle side; the Spark
     * side derives the same value from inverted-index match counts). */
   private def jaccardSql(a: String, b: String): String = {
@@ -584,31 +616,75 @@ object TextQueries {
             (col("doc_id") === col("cluster")).as("is_rep"))
           .orderBy(col("doc_id"))
       },
-      s"""WITH RECURSIVE $seededDocsSql,
-         |${hashedShinglesSql("seeded")},
-         |sig AS (
-         |  SELECT doc_id, s,
-         |         $sigSqlCols
-         |  FROM sh),
-         |$cappedBandsSql,
-         |edges AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-         |sym AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM edges
-         |  UNION ALL
-         |  SELECT doc_b, doc_a FROM edges),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM sym
-         |  UNION
-         |  SELECT r.src, s2.dst FROM reach r JOIN sym s2 ON r.dst = s2.src
-         |  WHERE s2.dst <> r.src),
-         |labels AS (
-         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster
-         |  FROM reach GROUP BY src)
-         |SELECT doc_id, cluster, doc_id = cluster AS is_rep
-         |FROM labels ORDER BY doc_id""".stripMargin),
+      dupClustersOracleSql),
+
+    // ── dup-pair clustering, small-star/large-star form: the documented
+    //    graduation of t10's min-label propagation. Label propagation
+    //    converges in O(diameter) rounds; the alternating star algorithm
+    //    (Kiveris et al., "Connected Components in MapReduce and
+    //    Beyond", SOCC 2014) REWIRES the graph each round — large-star
+    //    hangs every larger neighbor of u onto u's minimum neighbor,
+    //    small-star re-points the smaller neighbors — so components
+    //    collapse toward their minimum in O(log n) rounds regardless of
+    //    diameter. Each half-round is one agg + one join + one distinct
+    //    over the CURRENT edge set (which only shrinks toward stars),
+    //    not over per-node labels; the same recursive-CTE oracle judges
+    //    both forms, pinning that the rewiring is semantics-preserving. ──
+    ("t10b_dup_clusters_star",
+      (s: SparkSession, dir: String) => {
+        val bands = lshBands(
+          shingleIndex(seededDocs(s, dir)).drop("source")).persist()
+        // canonical undirected edges (u, v) with u < v throughout: both
+        // star passes emit (min-of-group, other), so canon holds per round
+        var edges = lshCandidates(bands)
+          .select(col("doc_a").as("u"), col("doc_b").as("v"))
+          .localCheckpoint(true) // same per-round lineage truncation as t10
+        var converged = false
+        var rounds = 0
+        while (!converged && rounds < 25) {
+          // large-star: from each node, all LARGER neighbors re-attach to
+          // its minimum (neighbor or self)
+          val sym = edges.select(explode(array(
+              struct(col("u").as("src"), col("v").as("dst")),
+              struct(col("v").as("src"), col("u").as("dst")))).as("e"))
+            .select(col("e.src"), col("e.dst"))
+          val mL = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+            .select(col("src"), least(col("src"), col("mn")).as("m"))
+          val large = sym.where(col("dst") > col("src"))
+            .join(mL, "src")
+            .select(col("m").as("u"), col("dst").as("v")) // m < src < dst
+            .where(col("u") =!= col("v")).distinct()
+          // small-star over the rewired edges: each node's ≤-neighbors
+          // (and itself) re-attach to the minimum of that set. Viewing
+          // every undirected edge from its LARGER endpoint covers each
+          // edge exactly once.
+          val minor = large.select(col("v").as("src"), col("u").as("dst"))
+          val mS = minor.groupBy(col("src")).agg(min(col("dst")).as("m"))
+          val small = minor.join(mS, "src")
+            .select(col("m").as("u"), col("dst").as("v")) // m ≤ dst < src
+            .where(col("u") =!= col("v"))
+            .unionByName(mS.select(col("m").as("u"), col("src").as("v")))
+            .distinct()
+            .localCheckpoint(true)
+          // fixpoint when the canonical edge set is unchanged (both
+          // counts equal AND no novel edge): the graph is then a forest
+          // of stars rooted at each component's minimum id
+          val nNext = small.count()
+          converged = nNext == edges.count() &&
+            small.exceptAll(edges).isEmpty
+          edges = small
+          rounds += 1
+        }
+        require(converged,
+          s"t10b star algorithm not converged after $rounds rounds")
+        edges.select(col("v").as("doc_id"), col("u").as("cluster"))
+          .unionByName(edges.select(col("u").as("doc_id"), col("u").as("cluster")))
+          .distinct()
+          .select(col("doc_id"), col("cluster"),
+            (col("doc_id") === col("cluster")).as("is_rep"))
+          .orderBy(col("doc_id"))
+      },
+      dupClustersOracleSql),
 
     // ── parity proof for the native fingerprint kernel (the v06
     //    pattern): `fingerprint_words` — one codegen'd JVM pass doing

@@ -54,6 +54,16 @@ class TextDedupSpec extends SparkSpec {
     assert(out.toSet === Set((600L, 601L)), out.mkString(", "))
   }
 
+  test("t10 and t10b label components identically (propagation vs star rewiring)") {
+    val dir = "/root/testdata/sf0.001"
+    def labels(name: String) = TextQueries.queries(name)(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val prop = labels("t10_dup_clusters")
+    val star = labels("t10b_dup_clusters_star")
+    assert(prop.nonEmpty) // seeded corpus guarantees components
+    assert(prop === star)
+  }
+
   test("t07: a simhash band key over the band cap produces no candidates; small buckets pair") {
     // 70 exact copies: identical 60-bit sketches, so every one of the 4
     // 15-bit band keys has multiplicity 70 > BandCap = 64 -> zero pairs
