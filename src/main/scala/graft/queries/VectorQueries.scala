@@ -359,6 +359,73 @@ object VectorQueries {
          |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
          |FROM rankd WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin),
 
+    // ── LSH ANN, scale-parameterized form: v02's NPlanes=4 is a demo
+    //    constant — the plane count must GROW with the corpus to keep
+    //    buckets bounded (target ~64 vectors/bucket → planes =
+    //    ceil(log2(n/64)), clamped [4, 20]). Like v07, the parameter
+    //    derives from count(*) inside the plan, so both engines compute
+    //    the same plane count at every SF with nothing hardcoded. The
+    //    bucket key is the sign STRING over a dynamic-length plane
+    //    sequence (array_join over transform — no dynamic bit-shift
+    //    needed, and the key space still doubles per plane). The
+    //    signature loop calls the native plane_dot kernel per element;
+    //    same IEEE ops as v02's unrolled form. ──
+    ("v08_ann_lsh_scaled",
+      (s: SparkSession, dir: String) => {
+        val emb0 = Tables(s, dir, "embeddings")
+        val ncnt = emb0.agg(count(lit(1)).as("n"))
+        val npl = greatest(lit(4L), least(lit(20L),
+          ceil(log2(col("n").cast("double") / lit(64.0))))).cast("int")
+        val emb = emb0.crossJoin(broadcast(ncnt))
+          .select(col("vec_id"), col("embedding"),
+            array_join(transform(sequence(lit(0), npl - 1),
+              j => when(call_function("plane_dot", col("embedding"), j) >= 0,
+                lit("1")).otherwise(lit("0"))), "").as("bucket"),
+            normCol(col("embedding")).as("nrm"))
+        val queries = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("bucket"), col("nrm").as("q_nrm"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        broadcast(queries)
+          .join(emb, Seq("bucket"))
+          .where(col("vec_id") =!= col("q_id"))
+          .withColumn("cos", cosPre(dotNative(col("q_emb"), col("embedding")),
+            col("q_nrm"), col("nrm")))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 3)
+          .select(col("q_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("cos"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      {
+        val planeDotJ =
+          s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, $Dim), i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE) * CAST((j * 37 + i * 101) % 97 - 48 AS DOUBLE))), (acc, x) -> acc + x)"
+        s"""WITH nc AS (SELECT count(*) AS n FROM embeddings),
+           |np AS (
+           |  SELECT CAST(greatest(4, least(20, ceil(log2(CAST(n AS DOUBLE) / 64.0)))) AS INT) AS p
+           |  FROM nc),
+           |b AS (
+           |  SELECT vec_id, embedding,
+           |         array_to_string(list_transform(generate_series(0, p - 1),
+           |           j -> CASE WHEN $planeDotJ >= 0 THEN '1' ELSE '0' END), '') AS bucket,
+           |         ${normSql("embedding")} AS nrm
+           |  FROM embeddings, np),
+           |q AS (
+           |  SELECT vec_id AS q_id, embedding AS q_emb, bucket, nrm AS q_nrm
+           |  FROM b WHERE vec_id < 10),
+           |scored AS (
+           |  SELECT q.q_id, e.vec_id,
+           |         ${cosPreSql(dotFoldSql("q.q_emb", "e.embedding", 64), "q.q_nrm", "e.nrm")} AS cos
+           |  FROM q JOIN b e ON q.bucket = e.bucket AND e.vec_id <> q.q_id),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id
+           |            ORDER BY cos DESC, vec_id ASC) AS rank
+           |  FROM scored)
+           |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
+           |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+      }),
+
     // ── per-label centroids: exact elementwise mean via scaled longs ──
     ("v03_label_centroid",
       (s: SparkSession, dir: String) => {
