@@ -38,8 +38,11 @@ object Bench {
       // a crashed query records -1, never a plausible-looking elapsed time
       val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       // drop this query's persisted frames so later timings don't pay
-      // GC pressure for earlier queries' caches
+      // GC pressure for earlier queries' caches; localCheckpoint blocks
+      // (t10/t10b rounds) live outside the catalog cache, so sweep the
+      // persistent-RDD registry too
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       name -> dt
     }
     val jstr = graft.queries.Portable.jsonEscape _

@@ -30,8 +30,10 @@ object Verify {
       }
       // release this query's persisted/cached frames (s11b cacheTable,
       // the dedup self-join persists) — nothing reuses them across
-      // queries, and ~95 accumulated caches is real memory at larger SFs
+      // queries, and ~95 accumulated caches is real memory at larger SFs;
+      // localCheckpoint blocks (t10/t10b) are outside the catalog cache
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     val q = graft.queries.Portable.jsonEscape _
     val json = SparkEntry.oracleSql

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
 import graft.engine.Tables
 import Portable._
 
@@ -201,7 +201,60 @@ object StreamingQueries {
          |       CAST(count(*) AS BIGINT) AS n_events,
          |       ${moneySumSql("value")} AS sum_value
          |FROM events e JOIN customer c ON e.user_id = c.c_custkey
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // ── arbitrary stateful processing: KeyValueGroupedDataset
+    //    .mapGroupsWithState — the custom-state operator underneath
+    //    everything session/CDC-shaped that windowed aggs can't express.
+    //    Per-user state = (count, min ts, max ts); every accumulator is
+    //    MONOTONE, so whatever way the AvailableNow run slices the input
+    //    into microbatches, folding the emitted updates with max/min
+    //    reproduces the final state exactly — that fold is what the batch
+    //    oracle judges. State is O(1) per key and watermark-free; at
+    //    100 TB the state store shards by the same user_id hash as the
+    //    shuffle, so no key ever concentrates. ──
+    ("st06_stateful_counts",
+      (s: SparkSession, dir: String) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val stage = java.nio.file.Paths.get(Portable.scratchPath("stream_state_events"))
+        java.nio.file.Files.createDirectories(stage)
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          stage.resolve("events.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        import s.implicits._
+        val src = s.readStream.schema(schema).parquet(stage.toString)
+          .select(col("user_id").cast("long").as("user_id"),
+            expr("ts DIV 1000000000").cast("long").as("es"))
+          .as[(Long, Long)]
+        val updates = src.groupByKey(_._1)
+          .mapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+            GroupStateTimeout.NoTimeout) { (user, rows, state) =>
+            var (n, mn, mx) =
+              if (state.exists) state.get else (0L, Long.MaxValue, Long.MinValue)
+            rows.foreach { case (_, es) =>
+              n += 1
+              if (es < mn) mn = es
+              if (es > mx) mx = es
+            }
+            state.update((n, mn, mx))
+            (user, n, mn, mx)
+          }
+        val q = updates.toDF("user_id", "n", "mn", "mx")
+          .writeStream.format("memory").queryName("st06_mem")
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table("st06_mem")
+          .groupBy(col("user_id"))
+          .agg(max(col("n")).as("n_events"), min(col("mn")).as("first_es"),
+            max(col("mx")).as("last_es"))
+          .orderBy(col("user_id"))
+      },
+      s"""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         |       min(${epochSecSql("ts")}) AS first_es,
+         |       max(${epochSecSql("ts")}) AS last_es
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap

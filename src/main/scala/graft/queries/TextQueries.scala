@@ -818,7 +818,106 @@ object TextQueries {
         |    sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
         |      OVER (ORDER BY doc_id) AS cum
         |  FROM documents)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin),
+
+    // ── Repetition-based quality signals (the Gopher-rule family):
+    //    duplicate-word fraction and top-bigram mass per document. Two
+    //    hash aggregations keyed by doc_id (words, then bigrams via one
+    //    lead over the in-doc position window) joined back on doc_id —
+    //    per-doc work only, no cross-document state, so the operator is
+    //    embarrassingly parallel at any corpus size. ──
+    ("t14_repetition_quality",
+      (s: SparkSession, dir: String) => {
+        val words = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        val wordStats = words.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            countDistinct(col("w")).as("n_distinct"))
+        val wPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val bigramStats = words
+          .withColumn("w1", lead(col("w"), 1).over(wPos))
+          .where(col("w1").isNotNull)
+          .groupBy(col("doc_id"), concat_ws(" ", col("w"), col("w1")).as("bg"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("c")).as("top_bg"), sum(col("c")).as("n_bg"))
+        wordStats.join(bigramStats, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_words"),
+            round((col("n_words") - col("n_distinct")).cast("double")
+              / col("n_words").cast("double"), 6).as("dup_word_frac"),
+            coalesce(round(col("top_bg").cast("double")
+              / col("n_bg").cast("double"), 6), lit(0.0)).as("top_bigram_frac"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |ws AS (
+        |  SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct
+        |  FROM w),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |           generate_series(1, len(ws) - 1),
+        |           i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1])) AS b
+        |  FROM w),
+        |bgc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bgs AS (SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg FROM bgc GROUP BY 1)
+        |SELECT ws.doc_id, ws.n_words,
+        |  round(CAST(ws.n_words - ws.n_distinct AS DOUBLE)
+        |        / CAST(ws.n_words AS DOUBLE), 6) AS dup_word_frac,
+        |  coalesce(round(CAST(bgs.top_bg AS DOUBLE)
+        |        / CAST(bgs.n_bg AS DOUBLE), 6), 0.0) AS top_bigram_frac
+        |FROM ws LEFT JOIN bgs ON ws.doc_id = bgs.doc_id
+        |ORDER BY ws.doc_id""".stripMargin),
+
+    // ── PII scrubbing: regex redaction of emails/phones, the standard
+    //    pre-release pass of a training-data pipeline. The synthetic
+    //    corpus contains no PII, so (the t06 seeding idiom) every 5th doc
+    //    gets a deterministic contact suffix injected first — the judged
+    //    output proves the patterns hit exactly the injected tokens and
+    //    nothing else. Pure per-row regexp_replace inside codegen;
+    //    patterns kept to the RE2 ∩ java.util.regex common dialect. ──
+    ("t15_pii_scrub",
+      (s: SparkSession, dir: String) => {
+        val emailRe = "[a-z0-9._]+@[a-z0-9.]+"
+        val phoneRe = "\\+1-555-[0-9]{4}"
+        val injected = when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
+            lit("@example.com or +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(col("text"))
+        val scrubbed = regexp_replace(
+          regexp_replace(injected, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            size(regexp_extract_all(injected, lit(emailRe), lit(0)))
+              .cast("long").as("n_emails"),
+            size(regexp_extract_all(injected, lit(phoneRe), lit(0)))
+              .cast("long").as("n_phones"),
+            length(scrubbed).cast("long").as("scrub_len"),
+            md5(scrubbed.cast("binary")).as("scrub_digest"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN text || ' contact u' || doc_id || '@example.com or +1-555-'
+        |              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |         ELSE text END AS t
+        |  FROM documents),
+        |scr AS (
+        |  SELECT doc_id, t,
+        |    regexp_replace(regexp_replace(t, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |      '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS c
+        |  FROM inj)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  CAST(length(c) AS BIGINT) AS scrub_len,
+        |  md5(c) AS scrub_digest
+        |FROM scr ORDER BY doc_id""".stripMargin)
   )
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap

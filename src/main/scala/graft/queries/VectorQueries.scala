@@ -475,7 +475,66 @@ object VectorQueries {
          |  round(${planeDotSql("embedding", 1)}, 6) AS pd1_hof,
          |  round(${planeDotSql("embedding", 3)}, 6) AS pd3_native,
          |  round(${planeDotSql("embedding", 3)}, 6) AS pd3_hof
-         |FROM embeddings WHERE vec_id < 200 ORDER BY vec_id""".stripMargin)
+         |FROM embeddings WHERE vec_id < 200 ORDER BY vec_id""".stripMargin),
+
+    // ── int8-style scalar quantization + quantized cosine top-k: the
+    //    memory/bandwidth scale path for ANN — each float32 dim becomes a
+    //    small integer in [-127, 127] (4× smaller stored as bytes), and
+    //    the score loop runs over the quantized vectors. Quantized values
+    //    are integers exactly representable in float, so the native
+    //    codegen'd `dot_fold` kernel computes them EXACTLY (every product
+    //    and partial sum is an integer < 2^24 — no FP rounding anywhere
+    //    in the dot), which is what lets DuckDB judge the full top-k
+    //    including the scores. The global max-|x| scale factor is one
+    //    relational pass (posexplode → max) broadcast back — at 100 TB
+    //    quantization is a one-time materialized rewrite of the corpus,
+    //    amortized over every query that follows. ──
+    ("v09_quantized_topk",
+      (s: SparkSession, dir: String) => {
+        val m = Tables(s, dir, "embeddings")
+          .select(posexplode(col("embedding")).as(Seq("i", "v")))
+          .agg(max(abs(col("v").cast("double"))).as("m"))
+        val quant = Tables(s, dir, "embeddings")
+          .crossJoin(broadcast(m))
+          .select(col("vec_id"),
+            transform(col("embedding"),
+              x => round(x.cast("double") / col("m") * 127, 0).cast("float"))
+              .as("qv"))
+          .withColumn("qn", sqrt(dotNative(col("qv"), col("qv"))))
+        val queries = quant.where(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+            col("qn").as("q_qn"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_q").desc, col("vec_id").asc)
+        broadcast(queries).crossJoin(quant)
+          .where(col("vec_id") =!= col("q_id"))
+          .withColumn("cos_q", cosPre(dotNative(col("q_qv"), col("qv")),
+            col("q_qn"), col("qn")))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 5)
+          .select(col("q_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("cos_q"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      s"""WITH mm AS (
+         |  SELECT max(abs(CAST(v AS DOUBLE))) AS m
+         |  FROM (SELECT unnest(embedding) AS v FROM embeddings)),
+         |q0 AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |           x -> CAST(round(CAST(x AS DOUBLE) / mm.m * 127, 0) AS FLOAT)) AS qv
+         |  FROM embeddings, mm),
+         |e AS (SELECT vec_id, qv, sqrt(${dotFoldSql("qv", "qv", Dim)}) AS qn FROM q0),
+         |q AS (SELECT vec_id AS q_id, qv AS q_qv, qn AS q_qn FROM e WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id,
+         |         ${cosPreSql(dotFoldSql("q.q_qv", "e.qv", 64), "q.q_qn", "e.qn")} AS cos_q
+         |  FROM q, e WHERE e.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |            ORDER BY cos_q DESC, vec_id ASC) AS rank
+         |  FROM scored)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos_q
+         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
   )
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap

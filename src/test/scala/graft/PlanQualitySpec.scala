@@ -169,4 +169,35 @@ class PlanQualitySpec extends SparkSpec {
     // the join
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("g17: window filter sits under the pivot agg; min broadcasts") {
+    val p = plan("g17_wide_hour_matrix")
+    // the h < 48 cut must run before the pivot's region exchange (rows
+    // outside the window never shuffle), and the corpus-min attach is a
+    // broadcast of one row, not a shuffle join
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(region")
+    val filterIdx = p.indexOf("< 48")
+    assert(exchangeIdx >= 0 && filterIdx > exchangeIdx, p)
+  }
+
+  test("v09: quantization scale broadcasts; candidates never cartesian-join unbroadcast") {
+    val p = plan("v09_quantized_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    // two intended 1-row/10-row broadcast attaches (max-|x| scale, query
+    // set) — anything beyond that means a data-sized nested loop appeared
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 3, p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("t14: both repetition aggs key by doc_id; the stitch join never shuffles a third time") {
+    val p = plan("t14_repetition_quality")
+    assert(!p.contains("CartesianProduct"), p)
+    // word stats + bigram window + bigram aggs all ride
+    // hashpartitioning(doc_id...) exchanges — a non-doc_id exchange
+    // would mean per-doc work acquired cross-doc movement
+    val exchanges = "Exchange hashpartitioning\\(\\w+#\\d+".r.findAllIn(p).toList
+    assert(exchanges.nonEmpty && exchanges.forall(_.contains("doc_id")), p)
+  }
 }
