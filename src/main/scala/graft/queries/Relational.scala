@@ -96,6 +96,51 @@ object Relational {
         |       CAST(sum(user_id) AS BIGINT) AS sum_uid
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
+    // ── S-family, JSONL: newline-delimited JSON sink + schema'd source
+    //    (the interchange format every ingest pipeline meets). Schema is
+    //    EXPLICIT on re-read — at 100 TB, schema inference would scan
+    //    the corpus once just to guess what we already know. The agg is
+    //    judged against the original parquet: the roundtrip must be
+    //    lossless for the longs and fixed-point-in-double prices. ──
+    ("s08_jsonl_roundtrip",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val tmp = scratchPath("jsonl_roundtrip")
+        Tables(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+          .write.mode("overwrite").json(tmp)
+        s.read
+          .schema("o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
+          .json(tmp)
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"), moneySum($"o_totalprice").as("sum_price"))
+          .orderBy($"o_orderstatus")
+      },
+      s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+         |       ${moneySumSql("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ── S-family, ORC: the other columnar format Spark ships a native
+    //    vectorized reader for. Same judged-roundtrip contract as s08;
+    //    the projection must reach the ORC scan just as it does parquet
+    //    (columnar pruning is format-independent in the DSv1 path). ──
+    ("s09_orc_roundtrip",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val tmp = scratchPath("orc_roundtrip")
+        Tables(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_returnflag", $"l_quantity")
+          .write.mode("overwrite").orc(tmp)
+        s.read.orc(tmp)
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum($"l_quantity".cast("long")).as("sum_qty"))
+          .orderBy($"l_returnflag")
+      },
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ── S6/S4: hive-partitioned parquet sink → partition-pruned scan
     //    (ppl_days.py:23 writes partitionBy(date); cal_mobility_matrix.py:
     //    27-29 reads back WHERE date=... — pruning must reach the scan) ──

@@ -91,6 +91,14 @@ class Round4OpsSpec extends SparkSpec {
     assert(total == inWindow, s"wide mass $total != window rows $inWindow")
   }
 
+  test("st07: transformWithState agrees with mapGroupsWithState exactly") {
+    val a = SparkEntry.queries("st06_stateful_counts")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val b = SparkEntry.queries("st07_transform_with_state")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("st06: stateful fold equals the batch aggregate") {
     val got = SparkEntry.queries("st06_stateful_counts")(spark, dir)
       .collect().map { case Row(u: Long, n: Long, f: Long, l: Long) =>
