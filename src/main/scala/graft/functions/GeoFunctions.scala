@@ -124,6 +124,18 @@ object GeoFunctions {
     lit(2) * R * atan2(sqrt(a), sqrt(lit(1) - a))
   }
 
+  /** Column-expression integer cell index along one axis — the Catalyst
+    * twin of [[lonIndex]]/[[latIndex]] and of `Portable.lonIndexSql`/
+    * `latIndexSql` (same double ops → same cell everywhere). */
+  def lonIndexCol(lon: Column, precision: Int): Column = {
+    val lb = lonBits(precision)
+    least(greatest(floor((lon + 180.0) / 360.0 * lit(1L << lb)), lit(0)), lit((1L << lb) - 1)).cast("long")
+  }
+  def latIndexCol(lat: Column, precision: Int): Column = {
+    val tb = latBits(precision)
+    least(greatest(floor((lat + 90.0) / 180.0 * lit(1L << tb)), lit(0)), lit((1L << tb) - 1)).cast("long")
+  }
+
   /** Column-expression geohash encode from the same scaling formula,
     * built from codegen'd built-ins (conv-free: arithmetic + substring).
     * Kept for plan-quality; the UDF below is the simpler default. */

@@ -112,6 +112,34 @@ object Portable {
   def latFromKeySql(k: String): String = s"CAST(($k * 37) % 1700 AS DOUBLE) / 10.0 - 85.0"
   def lonFromKeySql(k: String): String = s"CAST(($k * 13) % 3500 AS DOUBLE) / 10.0 - 175.0"
 
+  /** Morton (z-order) bit-spread: interleaves zeros between the low 16
+    * bits of `c` (0b1011 → 0b1000101). Pure 64-bit integer ops — exact
+    * and identical in Spark and DuckDB. The classic magic-mask ladder;
+    * each step doubles the gap between occupied bit groups. */
+  def mortonSpread(c: Column): Column = {
+    val a = c.bitwiseAND(lit(0xFFFFL))
+    val b = a.bitwiseOR(shiftleft(a, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val d = b.bitwiseOR(shiftleft(b, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val e = d.bitwiseOR(shiftleft(d, 2)).bitwiseAND(lit(0x33333333L))
+    e.bitwiseOR(shiftleft(e, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** DuckDB twin of [[mortonSpread]]. `x` must be a short expression
+    * (ideally a bare column name): the ladder substitutes it 2^4 times. */
+  def mortonSpreadSql(x: String): String = {
+    val a = s"(($x) & 65535)"
+    val b = s"((($a) | (($a) << 8)) & 16711935)"
+    val d = s"((($b) | (($b) << 4)) & 252645135)"
+    val e = s"((($d) | (($d) << 2)) & 858993459)"
+    s"((($e) | (($e) << 1)) & 1431655765)"
+  }
+
+  /** 2^60 as an exact double literal — the KMV estimator's hash-space
+    * size. Written as an integer cast, not `pow(2, 60)`, so both engines
+    * use the same exactly-representable constant. */
+  val HashSpaceSql = "CAST(1152921504606846976 AS DOUBLE)"
+  val HashSpace: Column = lit(1152921504606846976L).cast("double")
+
   /** Haversine meters in DuckDB SQL — the 1:1 twin of
     * `GeoFunctions.haversineCol` (same op order, same R). */
   def haversineSql(lat1: String, lon1: String, lat2: String, lon2: String): String = {

@@ -141,6 +141,32 @@ object Relational {
         |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ── S-family, XML: Spark 4 ships a native XML source (the former
+    //    spark-xml package, now in-tree). Same judged-roundtrip contract
+    //    as s08/s09 with an explicit read schema — rowTag framing is the
+    //    XML-specific surface worth pinning. Small dim table on purpose:
+    //    XML is a row-framed format with no column pruning, so at 100 TB
+    //    it is an ingest/interchange format, never the analytic store —
+    //    land it to parquet once (exactly what this query does). ──
+    ("s10_xml_roundtrip",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val tmp = scratchPath("xml_roundtrip")
+        Tables(s, dir, "customer")
+          .select($"c_custkey", $"c_nationkey", $"c_acctbal", $"c_mktsegment")
+          .write.mode("overwrite").option("rowTag", "customer").xml(tmp)
+        s.read
+          .schema("c_custkey LONG, c_nationkey LONG, c_acctbal DOUBLE, c_mktsegment STRING")
+          .option("rowTag", "customer")
+          .xml(tmp)
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n"), moneySum($"c_acctbal").as("sum_bal"))
+          .orderBy($"c_mktsegment")
+      },
+      s"""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+         |       ${moneySumSql("c_acctbal")} AS sum_bal
+         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ── S6/S4: hive-partitioned parquet sink → partition-pruned scan
     //    (ppl_days.py:23 writes partitionBy(date); cal_mobility_matrix.py:
     //    27-29 reads back WHERE date=... — pruning must reach the scan) ──
@@ -697,6 +723,30 @@ object Relational {
       },
       ""),
 
+    // ── A1 sketch form #2: Apache DataSketches HLL with an explicit
+    //    REAGGREGATION step — the shape that matters at 100 TB. Daily
+    //    per-type sketches (the thing you'd persist once) are unioned
+    //    with hll_union_agg into per-type monthly distincts WITHOUT
+    //    rescanning the raw events: re-aggregation moves kilobyte
+    //    sketches, not terabytes of rows. approx_count_distinct (a01)
+    //    cannot do this — its estimate is final. Rows-only judged (no
+    //    cross-engine sketch oracle); SketchAccuracySpec bounds the
+    //    union estimate against the exact distinct at sf0.01. ──
+    ("a13_hll_union",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val daily = Tables.events(s, dir)
+          .withColumn("day", to_date($"ts"))
+          .groupBy($"day", $"event_type")
+          .agg(hll_sketch_agg($"user_id", lit(12)).as("sk"))
+        daily
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_days"),
+            hll_sketch_estimate(hll_union_agg($"sk")).as("n_users_approx"))
+          .orderBy($"event_type")
+      },
+      ""),
+
     // ── F13 typed form: from_json with an explicit schema (the
     //    Catalyst-native JSON path; get_json_object form is f13) ──
     ("f14_from_json",
@@ -711,6 +761,29 @@ object Relational {
       },
       """SELECT CAST(k % 5 AS BIGINT) AS k_mod, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM (SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ── F13/F14's Spark-4-native sibling: VARIANT. parse_json lands the
+    //    blob once as a binary-encoded variant (shredded, not re-parsed
+    //    per access — the 100-TB answer to "semi-structured column read
+    //    by many downstream extracts"); variant_get does typed path
+    //    extraction. Output is plain LONGs so the parquet dump and the
+    //    DuckDB oracle stay comparable. ──
+    ("f15_variant_extract",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .withColumn("v", parse_json($"props"))
+          .withColumn("k", variant_get($"v", "$.k", "long"))
+          .groupBy(pmod($"k", lit(7)).as("k_mod"))
+          .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+            max($"k").as("max_k"))
+          .orderBy($"k_mod")
+      },
+      """SELECT CAST(k % 7 AS BIGINT) AS k_mod, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(k) AS BIGINT) AS sum_k, CAST(max(k) AS BIGINT) AS max_k
         |FROM (SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
         |      FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin),
@@ -1059,6 +1132,54 @@ object Relational {
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin),
 
+    // ── W3/W5 composite: batch sessionization — the canonical lag →
+    //    gap-flag → running-sum-as-session-id chain (the batch twin of
+    //    st02's session_window; the reference's "stay" detection is this
+    //    exact shape over fix gaps). Every window is keyed by user_id, so
+    //    at 100 TB the sort is per-user within hash partitions — no
+    //    global ordering anywhere. 30-min gap threshold. ──
+    ("w07_sessionize",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val byTs = Window.partitionBy($"user_id").orderBy($"ts")
+        val sessions = Tables.events(s, dir)
+          .select($"user_id", $"ts")
+          .withColumn("gap",
+            unix_timestamp($"ts") - unix_timestamp(lag($"ts", 1).over(byTs)))
+          .withColumn("is_new",
+            when($"gap".isNull || $"gap" > 1800, 1L).otherwise(0L))
+          .withColumn("session_id",
+            sum($"is_new").over(byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy($"user_id", $"session_id")
+          .agg(count(lit(1)).as("n_events"),
+            (unix_timestamp(max($"ts")) - unix_timestamp(min($"ts"))).as("dur_sec"))
+        sessions.groupBy($"user_id")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum($"n_events").as("n_events"),
+            max($"n_events").as("max_session_events"),
+            sum($"dur_sec").as("total_dur_sec"))
+          .orderBy($"user_id")
+      },
+      s"""WITH g AS (
+         |  SELECT user_id, ts,
+         |         ${epochSecSql("ts")} - ${epochSecSql("lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts)")} AS gap
+         |  FROM events),
+         |sid AS (
+         |  SELECT user_id, ts,
+         |         sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY user_id ORDER BY ts
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM g),
+         |sess AS (
+         |  SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+         |         ${epochSecSql("max(ts)")} - ${epochSecSql("min(ts)")} AS dur_sec
+         |  FROM sid GROUP BY 1, 2)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+         |       CAST(sum(n_events) AS BIGINT) AS n_events,
+         |       CAST(max(n_events) AS BIGINT) AS max_session_events,
+         |       CAST(sum(dur_sec) AS BIGINT) AS total_dur_sec
+         |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ── W4: dense_rank ID minting (region.py:51-52; small dim only —
     //    the single-partition hazard is documented in SURVEY §4.2) ──
     ("w04_dense_rank",
@@ -1140,6 +1261,50 @@ object Relational {
          |                          THEN 1 ELSE 0 END) AS DOUBLE)
          |             / CAST(count(*) AS DOUBLE), 4) AS frac
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ── q04: bottom-k (KMV) sketch per group — one operator that is both
+    //    a deterministic bounded sample AND a mergeable distinct-count
+    //    estimator (est = (k-1) · 2^60 / kth-smallest-hash). Unlike
+    //    rand()-based sampling it is reproducible across engines and
+    //    runs, and unlike collect_list it never holds a whole group: the
+    //    sort-based window ranks then drops everything past k. At 100 TB
+    //    the same shape runs as a partial top-k per partition (o03's
+    //    TopKAggregator is the mergeable form); the window form here is
+    //    the judged, oracle-expressible twin. ──
+    ("q04_bottomk_sample",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val k = 5
+        val h = Tables.events(s, dir)
+          .select($"event_type",
+            portableHash($"event_id".cast("string")).as("h"))
+        val w = Window.partitionBy($"event_type").orderBy($"h")
+        val kmv = h.withColumn("rk", row_number().over(w))
+          .where($"rk" <= k)
+          .groupBy($"event_type")
+          .agg(max($"h").as("h_kmv"))
+        val n = h.groupBy($"event_type").agg(count(lit(1)).as("n_exact"))
+        n.join(broadcast(kmv), Seq("event_type"))
+          .select($"event_type", $"n_exact", $"h_kmv",
+            round(lit(k - 1) * HashSpace / $"h_kmv".cast("double"))
+              .cast("long").as("est_kmv"))
+          .orderBy($"event_type")
+      },
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |         ${portableHashSql("CAST(event_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |kmv AS (
+         |  SELECT event_type, CAST(max(h) AS BIGINT) AS h_kmv FROM (
+         |    SELECT event_type, h,
+         |           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+         |    FROM h) WHERE rk <= 5 GROUP BY 1),
+         |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+         |      FROM h GROUP BY 1)
+         |SELECT n.event_type, n.n_exact, kmv.h_kmv,
+         |       CAST(round(4 * $HashSpaceSql / CAST(h_kmv AS DOUBLE), 0) AS BIGINT) AS est_kmv
+         |FROM n JOIN kmv ON n.event_type = kmv.event_type
+         |ORDER BY 1""".stripMargin),
 
     // ── intersect / except (beyond the reference, which emulated the
     //    anti role with isNull splits): cohort algebra over user sets ──

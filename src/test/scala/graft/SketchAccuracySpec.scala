@@ -43,4 +43,24 @@ class SketchAccuracySpec extends SparkSpec {
         s"group (${r.getString(0)}, ${r.getString(1)}): approx $a vs exact $e exceeds ±$bound")
     }
   }
+
+  test("a13 HLL union estimate within 3*rsd of exact per event_type") {
+    val dir = "/root/testdata/sf0.01"
+    val approx = Relational.queries("a13_hll_union")(spark, dir)
+    val exact = graft.engine.Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    val joined = approx.join(exact, Seq("event_type"), "full").collect()
+    assert(joined.nonEmpty)
+    // DataSketches HLL at lgConfigK=12: rsd ≈ 1.04 / sqrt(2^12) ≈ 1.6%;
+    // same max(2 absolute, 3·rsd relative) floor as the a01 pin
+    val rsd = 1.04 / math.sqrt(1 << 12)
+    joined.foreach { r =>
+      val a = r.getAs[Long]("n_users_approx").toDouble
+      val e = r.getAs[Long]("n_exact").toDouble
+      val bound = math.max(2.0, 3 * rsd * e)
+      assert(math.abs(a - e) <= bound,
+        s"type ${r.getString(0)}: union estimate $a vs exact $e exceeds ±$bound")
+    }
+  }
 }
