@@ -768,7 +768,73 @@ object GeoQueries {
          |  FROM xy)
          |SELECT zkey >> 20 AS zcell, CAST(count(*) AS BIGINT) AS n,
          |       CAST(min(zkey) AS BIGINT) AS min_z, CAST(max(zkey) AS BIGINT) AS max_z
-         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ── g19: PageRank over the region transition graph — the iterative-
+    //    algorithm pattern (same family as t10's label propagation):
+    //    driver loop launches jobs, rows never leave the cluster,
+    //    localCheckpoint truncates lineage each round. All arithmetic is
+    //    FIXED-POINT BIGINT (rank in 1e-12 units, integer division) so
+    //    five chained iterations stay bit-identical across engines —
+    //    float PageRank could never hash-match an oracle. Edges are the
+    //    OD matrix aggregated once (region² bounded, independent of raw
+    //    row count), so iteration cost does not grow with data scale.
+    //    Contribution is (pr DIV out_w) * w, bounding every term by the
+    //    source's rank — overflow-safe at any corpus size. ──
+    ("g19_region_pagerank",
+      (s: SparkSession, dir: String) => {
+        val Init = 1000000000000L // unit rank, 1e-12 fixed point
+        val Base = 150000000000L  // (1 - d) · Init, d = 0.85
+        val edges = Trajectory.transitions(Trajectory.hourlyState(Tables.events(s, dir)))
+          .groupBy(col("src"), col("dst"))
+          .agg(count(lit(1)).as("w"))
+          .persist()
+        val nodes = edges.select(col("src").as("region"))
+          .union(edges.select(col("dst").as("region")))
+          .distinct().persist()
+        val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+        var ranks = nodes.select(col("region"), lit(Init).as("pr"))
+        for (_ <- 1 to 5) {
+          val inc = ranks
+            .join(outw, ranks("region") === outw("src"))
+            .select(col("region").as("u"), expr("pr DIV ow").as("unit"))
+            .join(edges, col("u") === edges("src"))
+            .groupBy(col("dst"))
+            .agg(sum(col("unit") * col("w")).as("inc"))
+          ranks = nodes.join(inc, nodes("region") === inc("dst"), "left")
+            .select(col("region"),
+              (lit(Base) + expr("(85 * coalesce(inc, 0)) DIV 100")).as("pr"))
+            .localCheckpoint()
+        }
+        ranks.orderBy(col("region"))
+      },
+      {
+        def iter(prev: String) =
+          s"""SELECT n.region, 150000000000 + (85 * COALESCE(i.s, 0)) // 100 AS pr
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT e.dst, sum((p.pr // o.ow) * e.w) AS s
+             |    FROM $prev p
+             |    JOIN outw o ON p.region = o.src
+             |    JOIN edges e ON e.src = p.region
+             |    GROUP BY 1) i ON i.dst = n.region""".stripMargin
+        s"""${Trajectory.trajSqlPrelude},
+           |seq AS (
+           |  SELECT user_id, hour, region,
+           |         lag(region) OVER (PARTITION BY user_id ORDER BY hour) AS src
+           |  FROM traj),
+           |edges AS (
+           |  SELECT src, region AS dst, CAST(count(*) AS BIGINT) AS w
+           |  FROM seq WHERE src IS NOT NULL GROUP BY 1, 2),
+           |nodes AS (SELECT src AS region FROM edges UNION SELECT dst FROM edges),
+           |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY 1),
+           |r0 AS (SELECT region, CAST(1000000000000 AS BIGINT) AS pr FROM nodes),
+           |r1 AS (${iter("r0")}),
+           |r2 AS (${iter("r1")}),
+           |r3 AS (${iter("r2")}),
+           |r4 AS (${iter("r3")}),
+           |r5 AS (${iter("r4")})
+           |SELECT region, CAST(pr AS BIGINT) AS pr FROM r5 ORDER BY region""".stripMargin
+      })
   )
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap

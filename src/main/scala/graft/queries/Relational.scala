@@ -954,6 +954,25 @@ object Relational {
         |       CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ── a11's sketch form: percentile_approx (Greenwald-Khanna). At
+    //    100 TB the exact percentile's per-group sort is the bottleneck;
+    //    GK summaries are bounded-size (here ≤ ~10k entries) and merge
+    //    map-side like any partial agg. Rows-only judged (DuckDB's
+    //    t-digest is a different sketch); SketchAccuracySpec brackets
+    //    each approx value between exact percentiles at ±rank-error. ──
+    ("a14_approx_quantile",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Tables(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4).as("p50_approx"),
+            round(expr("approx_percentile(l_extendedprice, 0.95, 10000)"), 4).as("p95_approx"),
+            count(lit(1)).as("n"))
+          .orderBy($"l_returnflag")
+      },
+      ""),
+
     // ── Rollup subtotals (beyond the reference: hierarchical totals in
     //    one pass; DuckDB ROLLUP mirrors, with NULLS FIRST pinned since
     //    the engines' default null ordering differs) ──
@@ -1179,6 +1198,35 @@ object Relational {
          |       CAST(max(n_events) AS BIGINT) AS max_session_events,
          |       CAST(sum(dur_sec) AS BIGINT) AS total_dur_sec
          |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ── W5 RANGE frame: trailing one-hour activity count per user —
+    //    event-time RANGE BETWEEN (not ROWS: ties on the ordering key
+    //    all share one frame, so the result is order-insensitive and
+    //    cross-engine deterministic). Same user-keyed scaling story as
+    //    w07: the sort is per-user inside hash partitions. ──
+    ("w08_range_frame",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"es")
+          .rangeBetween(-3600, 0)
+        Tables.events(s, dir)
+          .select($"user_id", unix_timestamp($"ts").as("es"))
+          .withColumn("n_trailing_1h", count(lit(1)).over(w))
+          .groupBy($"user_id")
+          .agg(max($"n_trailing_1h").as("peak_1h"),
+            count(lit(1)).as("n_events"))
+          .orderBy($"user_id")
+      },
+      s"""WITH t AS (
+         |  SELECT user_id, ${epochSecSql("ts")} AS es FROM events),
+         |f AS (
+         |  SELECT user_id,
+         |         CAST(count(*) OVER (PARTITION BY user_id ORDER BY es
+         |           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_trailing_1h
+         |  FROM t)
+         |SELECT user_id, CAST(max(n_trailing_1h) AS BIGINT) AS peak_1h,
+         |       CAST(count(*) AS BIGINT) AS n_events
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // ── W4: dense_rank ID minting (region.py:51-52; small dim only —
     //    the single-partition hazard is documented in SURVEY §4.2) ──

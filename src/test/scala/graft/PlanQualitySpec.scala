@@ -200,4 +200,27 @@ class PlanQualitySpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning\\(\\w+#\\d+".r.findAllIn(p).toList
     assert(exchanges.nonEmpty && exchanges.forall(_.contains("doc_id")), p)
   }
+
+  test("w07: sessionize rides ONE user_id exchange through window + both aggs") {
+    val p = plan("w07_sessionize")
+    // lag window, session-sum window, (user, session) agg and the final
+    // per-user agg are all clustered by user_id — hashpartitioning on
+    // user_id alone satisfies every downstream ClusteredDistribution, so
+    // a second hash exchange means the chain broke
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("hashpartitioning(user_id"), p)
+  }
+
+  test("w08: range frame + per-user agg share the single user_id exchange") {
+    val p = plan("w08_range_frame")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("hashpartitioning(user_id"), p)
+  }
+
+  test("q04: KMV side broadcasts back; no sort-merge join anywhere") {
+    val p = plan("q04_bottomk_sample")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

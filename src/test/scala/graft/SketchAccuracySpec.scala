@@ -63,4 +63,27 @@ class SketchAccuracySpec extends SparkSpec {
         s"type ${r.getString(0)}: union estimate $a vs exact $e exceeds ±$bound")
     }
   }
+
+  test("a14 approx_percentile brackets between exact rank-error bounds") {
+    val dir = "/root/testdata/sf0.01"
+    val approx = Relational.queries("a14_approx_quantile")(spark, dir)
+    // GK at accuracy 10000 guarantees rank error ≤ n/10000 (= 0.01%);
+    // bracket each approx value between exact percentiles ±1% rank —
+    // 100× slacker than the guarantee, immune to interpolation details
+    val exact = graft.engine.Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.49)").as("p50_lo"),
+        expr("percentile(l_extendedprice, 0.51)").as("p50_hi"),
+        expr("percentile(l_extendedprice, 0.94)").as("p95_lo"),
+        expr("percentile(l_extendedprice, 0.96)").as("p95_hi"))
+    val joined = approx.join(exact, Seq("l_returnflag"), "full").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (a50, a95) = (r.getAs[Double]("p50_approx"), r.getAs[Double]("p95_approx"))
+      assert(a50 >= r.getAs[Double]("p50_lo") && a50 <= r.getAs[Double]("p50_hi"),
+        s"flag ${r.getString(0)}: p50 $a50 outside exact ±1%-rank bracket")
+      assert(a95 >= r.getAs[Double]("p95_lo") && a95 <= r.getAs[Double]("p95_hi"),
+        s"flag ${r.getString(0)}: p95 $a95 outside exact ±1%-rank bracket")
+    }
+  }
 }
