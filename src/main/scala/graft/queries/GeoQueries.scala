@@ -794,14 +794,19 @@ object GeoQueries {
           .distinct().persist()
         val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
         var ranks = nodes.select(col("region"), lit(Init).as("pr"))
+        // every per-node table (ranks, outw, inc) is bounded by the
+        // region count — broadcastable at ANY corpus size — so each
+        // iteration's only shuffle is the partial-agg'd groupBy(dst)
+        // over the (possibly large, stay-partitioned) edge table
         for (_ <- 1 to 5) {
-          val inc = ranks
-            .join(outw, ranks("region") === outw("src"))
+          val unit = ranks
+            .join(broadcast(outw), ranks("region") === outw("src"))
             .select(col("region").as("u"), expr("pr DIV ow").as("unit"))
-            .join(edges, col("u") === edges("src"))
+          val inc = edges
+            .join(broadcast(unit), edges("src") === col("u"))
             .groupBy(col("dst"))
             .agg(sum(col("unit") * col("w")).as("inc"))
-          ranks = nodes.join(inc, nodes("region") === inc("dst"), "left")
+          ranks = nodes.join(broadcast(inc), nodes("region") === inc("dst"), "left")
             .select(col("region"),
               (lit(Base) + expr("(85 * coalesce(inc, 0)) DIV 100")).as("pr"))
             .localCheckpoint()

@@ -305,7 +305,44 @@ object StreamingQueries {
       s"""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
          |       min(${epochSecSql("ts")}) AS first_es,
          |       max(${epochSecSql("ts")}) AS last_es
-         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ── st08: SLIDING event-time windows on the real streaming engine —
+    //    the overlap case st01's tumbling windows don't cover. Every
+    //    event lands in duration/slide = 2 windows; state size scales
+    //    with open-window count, not event count, and the watermark
+    //    bounds it exactly as in st01. The oracle materializes the same
+    //    assignment arithmetically: an event at t belongs to window
+    //    starts floor_hour(t) and floor_hour(t) − 1h. ──
+    ("st08_sliding_window",
+      (s: SparkSession, dir: String) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val stage = java.nio.file.Paths.get(Portable.scratchPath("stream_events_sl"))
+        java.nio.file.Files.createDirectories(stage)
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          stage.resolve("events.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val src = s.readStream.schema(schema).parquet(stage.toString)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        val counts = src
+          .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val q = counts.writeStream.format("memory").queryName("st08_mem")
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table("st08_mem")
+          .select(tsSec(col("w.start")).as("win_start"), col("event_type"), col("n"))
+          .orderBy(col("win_start"), col("event_type"))
+      },
+      s"""WITH w AS (
+         |  SELECT date_trunc('hour', ts) AS ws, event_type FROM events
+         |  UNION ALL
+         |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type FROM events)
+         |SELECT ${tsSecSql("ws")} AS win_start, event_type,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   )
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap
