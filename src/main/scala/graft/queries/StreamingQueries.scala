@@ -342,7 +342,51 @@ object StreamingQueries {
          |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type FROM events)
          |SELECT ${tsSecSql("ws")} AS win_start, event_type,
          |       CAST(count(*) AS BIGINT) AS n
-         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // ── st09: foreachBatch → idempotent partitioned sink — THE
+    //    production pattern for streaming into a queryable table.
+    //    Complete-mode agg + per-batch DYNAMIC partition overwrite:
+    //    each microbatch rewrites exactly the day-partitions it
+    //    touches with the full current aggregate, so a replayed or
+    //    failed-and-retried batch lands identical bytes (exactly-once
+    //    by idempotence, no sink transaction log needed). The source
+    //    is staged as 3 files with maxFilesPerTrigger=1, so the final
+    //    table really is the product of three successive overwrites,
+    //    not one lucky batch. Judged on the files re-read from disk. ──
+    ("st09_foreach_batch_sink",
+      (s: SparkSession, dir: String) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val stage = Portable.scratchPath("stream_fb_events")
+        s.read.parquet(s"$dir/events.parquet")
+          .repartition(3)
+          .write.mode("overwrite").parquet(stage)
+        val out = Portable.scratchPath("stream_fb_out")
+        val schema = s.read.parquet(stage).schema
+        val src = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        val counts = src
+          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val q = counts.writeStream
+          .outputMode("complete")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            batch.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("day")
+              .parquet(out): Unit
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(out)
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("event_type"), col("n"))
+          .orderBy(col("day"), col("event_type"))
+      },
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   )
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap
