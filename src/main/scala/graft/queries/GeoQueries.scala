@@ -770,6 +770,76 @@ object GeoQueries {
          |       CAST(min(zkey) AS BIGINT) AS min_z, CAST(max(zkey) AS BIGINT) AS max_z
          |FROM z GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ── g20: triangle counting over the region transition graph — the
+    //    third graph-analytics pattern (after t10's components and g19's
+    //    PageRank), built the way it scales: DEGREE-ORIENTED wedges.
+    //    Every undirected edge is oriented from its (degree, id)-smaller
+    //    endpoint to its larger one, so each wedge is enumerated at its
+    //    lowest-degree vertex — the hub that would otherwise emit
+    //    deg²/2 wedges emits almost none (arboricity bound; the
+    //    standard MapReduce triangle trick). Three equi-joins, zero
+    //    cartesian products, all-integer arithmetic. Edge table is
+    //    region²-bounded here, but nothing in the plan relies on that:
+    //    the same three shuffles work on a billion-edge graph. ──
+    ("g20_triangle_count",
+      (s: SparkSession, dir: String) => {
+        val und = Trajectory.transitions(Trajectory.hourlyState(Tables.events(s, dir)))
+          .where(col("src") =!= col("dst") && col("src") =!= "0" && col("dst") =!= "0")
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        val deg = und.select(col("a").as("v")).unionByName(und.select(col("b").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("d"))
+        // orient a→b iff (deg, id) of a < of b; carry BOTH endpoint keys
+        // so the wedge and closing joins compare the same total order
+        val oriented = und
+          .join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
+          .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
+          .select(
+            when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+              struct(col("a").as("lo"), col("b").as("hi"), col("db").as("dhi")))
+              .otherwise(
+                struct(col("b").as("lo"), col("a").as("hi"), col("da").as("dhi")))
+              .as("e"))
+          .select(col("e.lo"), col("e.hi"), col("e.dhi"))
+        val e1 = oriented.select(col("lo").as("u"), col("hi").as("v"), col("dhi").as("dv"))
+        val e2 = oriented.select(col("lo").as("u2"), col("hi").as("w"), col("dhi").as("dw"))
+        val wedges = e1.join(e2, col("u") === col("u2")
+            && (col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w"))))
+          .select(col("v"), col("w"))
+        val closing = oriented.select(col("lo").as("cv"), col("hi").as("cw"))
+        wedges.join(closing, col("v") === col("cv") && col("w") === col("cw"))
+          .agg(count(lit(1)).as("n_triangles"))
+          .select(col("n_triangles"))
+      },
+      s"""${Trajectory.trajSqlPrelude},
+         |seq AS (
+         |  SELECT user_id, hour, region,
+         |         lag(region) OVER (PARTITION BY user_id ORDER BY hour) AS src
+         |  FROM traj),
+         |und AS (
+         |  SELECT DISTINCT least(src, region) AS a, greatest(src, region) AS b
+         |  FROM seq
+         |  WHERE src IS NOT NULL AND src <> region AND src <> '0' AND region <> '0'),
+         |deg AS (
+         |  SELECT v, count(*) AS d FROM (
+         |    SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+         |  GROUP BY v),
+         |oriented AS (
+         |  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b) THEN u.a ELSE u.b END AS lo,
+         |         CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b) THEN u.b ELSE u.a END AS hi,
+         |         CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b) THEN db.d ELSE da.d END AS dhi
+         |  FROM und u
+         |  JOIN deg da ON da.v = u.a
+         |  JOIN deg db ON db.v = u.b),
+         |wedges AS (
+         |  SELECT e1.hi AS v, e2.hi AS w
+         |  FROM oriented e1 JOIN oriented e2
+         |    ON e1.lo = e2.lo
+         |   AND ((e1.dhi < e2.dhi) OR (e1.dhi = e2.dhi AND e1.hi < e2.hi)))
+         |SELECT CAST(count(*) AS BIGINT) AS n_triangles
+         |FROM wedges JOIN oriented c ON wedges.v = c.lo AND wedges.w = c.hi""".stripMargin),
+
     // ── g19: PageRank over the region transition graph — the iterative-
     //    algorithm pattern (same family as t10's label propagation):
     //    driver loop launches jobs, rows never leave the cluster,
@@ -792,20 +862,25 @@ object GeoQueries {
         val nodes = edges.select(col("src").as("region"))
           .union(edges.select(col("dst").as("region")))
           .distinct().persist()
-        val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+        // the out-weight column is loop-invariant: join it onto the edge
+        // table ONCE (broadcast — outw is region-bounded) and persist,
+        // instead of re-broadcasting outw every round
+        val ew = edges
+          .join(broadcast(edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+            .withColumnRenamed("src", "osrc")), col("src") === col("osrc"))
+          .select(col("src"), col("dst"), col("w"), col("ow"))
+          .persist()
         var ranks = nodes.select(col("region"), lit(Init).as("pr"))
-        // every per-node table (ranks, outw, inc) is bounded by the
-        // region count — broadcastable at ANY corpus size — so each
-        // iteration's only shuffle is the partial-agg'd groupBy(dst)
-        // over the (possibly large, stay-partitioned) edge table
+        // every per-node table (ranks, inc) is bounded by the region
+        // count — broadcastable at ANY corpus size — so each iteration
+        // broadcasts ONE tiny table and its only shuffle is the
+        // partial-agg'd groupBy(dst) over the (possibly large,
+        // stay-partitioned) edge table
         for (_ <- 1 to 5) {
-          val unit = ranks
-            .join(broadcast(outw), ranks("region") === outw("src"))
-            .select(col("region").as("u"), expr("pr DIV ow").as("unit"))
-          val inc = edges
-            .join(broadcast(unit), edges("src") === col("u"))
+          val inc = ew
+            .join(broadcast(ranks), col("src") === col("region"))
             .groupBy(col("dst"))
-            .agg(sum(col("unit") * col("w")).as("inc"))
+            .agg(sum(expr("pr DIV ow") * col("w")).as("inc"))
           ranks = nodes.join(broadcast(inc), nodes("region") === inc("dst"), "left")
             .select(col("region"),
               (lit(Base) + expr("(85 * coalesce(inc, 0)) DIV 100")).as("pr"))

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
 
@@ -167,7 +168,77 @@ object MultimodalQueries {
         |           p -> ascii(substring(text, CAST(p AS INT), 1))) AS cs
         |  FROM documents),
         |     (SELECT unnest(generate_series(0, 3)) AS k)
-        |ORDER BY doc_id, feature_id""".stripMargin)
+        |ORDER BY doc_id, feature_id""".stripMargin),
+
+    // ── m06: perceptual-hash near-dup over the media payload — the
+    //    multimodal member of the dedup family (t05/t06/t07/v04). The
+    //    STUB kernel derives a 60-bit "phash" from the payload's
+    //    60-bucket code-unit histogram (bit k set iff bucket k exceeds a
+    //    uniform 1/60 share; a real implementation would DCT the decoded
+    //    image — 60 bits so the LSH bands are 15-bit, the t07 lesson:
+    //    never a key space the corpus can saturate). The plumbing is the
+    //    real thing end-to-end: 4×15-bit LSH bands → hot-bucket-capped
+    //    equi-join (the t06 BandCap pattern, cap mirrored in the oracle
+    //    via QUALIFY — never an all-pairs join) → Hamming ≤ 3 over the
+    //    full hash (lossless banding by pigeonhole: ≤3 flipped bits
+    //    cannot touch all 4 bands). ──
+    ("m06_phash_dedup",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val cap = 64
+        val ph = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, t) =>
+            // STUB kernel (character semantics, BMP — see m04)
+            val h = new Array[Long](60)
+            var i = 0
+            while (i < t.length) { h(t.charAt(i) % 60) += 1; i += 1 }
+            var sig = 0L; var k = 0
+            while (k < 60) { if (h(k) * 60 > t.length) sig |= (1L << k); k += 1 }
+            (id, sig)
+          })
+          .toDF("doc_id", "ph")
+        val wKey = Window.partitionBy(col("bd"), col("v"))
+        val bands = ph.select(col("doc_id"), col("ph"), explode(array(
+            (0 until 4).map(b => struct(lit(b).as("bd"),
+              shiftright(col("ph"), 15 * b).bitwiseAND(lit(32767L)).as("v"))): _*)).as("e"))
+          .select(col("doc_id"), col("ph"), col("e.bd"), col("e.v"))
+          .withColumn("nk", count(lit(1)).over(wKey))
+          .where(col("nk") <= cap).drop("nk")
+        bands.as("a").join(bands.as("b"),
+            col("a.bd") === col("b.bd") && col("a.v") === col("b.v")
+              && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            expr("CAST(bit_count(a.ph ^ b.ph) AS BIGINT)").as("hamming"))
+          .distinct()
+          .where(col("hamming") <= 3)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      """WITH cs AS (
+        |  SELECT doc_id, length(text) AS n,
+        |         list_transform(generate_series(1, length(text)),
+        |           p -> ascii(substring(text, CAST(p AS INT), 1))) AS cs
+        |  FROM documents),
+        |ph AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN cnt * 60 > n
+        |                       THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS ph
+        |  FROM (
+        |    SELECT doc_id, n, k, len(list_filter(cs, c -> c % 60 = k)) AS cnt
+        |    FROM cs, (SELECT unnest(generate_series(0, 59)) AS k))
+        |  GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, ph, bd, (ph >> (15*bd)) & 32767 AS v
+        |  FROM ph, (SELECT unnest(generate_series(0, 3)) AS bd)
+        |  QUALIFY count(*) OVER (PARTITION BY bd, v) <= 64),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+        |  FROM bands a JOIN bands b
+        |    ON a.bd = b.bd AND a.v = b.v AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM pairs
+        |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin)
   )
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap

@@ -1387,6 +1387,102 @@ object Relational {
         |    SELECT user_id FROM events WHERE event_type = 'error'))
         |ORDER BY cohort, user_id""".stripMargin),
 
+    // ── u03: CDC merge / changelog compaction — the incremental-ingest
+    //    operator a 100-TB pipeline refreshes with. A base snapshot
+    //    (customer state, pseudo-version −1) unions with an append-only
+    //    changelog (events; event_type 'error' = tombstone), then ONE
+    //    hash aggregation compacts to latest-state-per-key: max_by keeps
+    //    partial map-side combine, so no per-key sort and no window over
+    //    the full log (the w01 row_number form is the small-data twin).
+    //    Tombstoned keys drop AFTER the winner resolves — a delete only
+    //    deletes if it is the LAST op for that key. The oracle keeps the
+    //    window form; equality of the two plans is the judged property
+    //    (same pattern as g09). ──
+    ("u03_upsert_merge",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val base = Tables(s, dir, "customer")
+          .select($"c_custkey".as("user_id"), lit("base").as("state"),
+            round($"c_acctbal", 2).as("val"), lit(-1L).as("seq"),
+            lit("base").as("src"))
+        val delta = Tables.events(s, dir)
+          .select($"user_id", $"event_type".as("state"),
+            round($"value", 2).as("val"), $"event_id".as("seq"),
+            lit("delta").as("src"))
+        base.unionByName(delta)
+          .groupBy($"user_id")
+          .agg(max_by(struct($"state", $"val", $"src"), $"seq").as("t"))
+          .select($"user_id", $"t.state".as("state"), $"t.val".as("val"),
+            $"t.src".as("src"))
+          .where($"state" =!= "error")
+          .orderBy($"user_id")
+      },
+      """WITH log AS (
+        |  SELECT c_custkey AS user_id, 'base' AS state,
+        |         round(c_acctbal, 2) AS val, CAST(-1 AS BIGINT) AS seq,
+        |         'base' AS src
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT user_id, event_type, round(value, 2), event_id, 'delta'
+        |  FROM events),
+        |latest AS (
+        |  SELECT * FROM log
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |          ORDER BY seq DESC) = 1)
+        |SELECT user_id, state, val, src FROM latest
+        |WHERE state <> 'error' ORDER BY user_id""".stripMargin),
+
+    // ── q05: one-pass dataset profiling (the Deequ/Great-Expectations
+    //    shape): the pre-training data-quality report — row count,
+    //    null counts, distinct cardinalities, numeric min/max/mean —
+    //    computed in ONE aggregation pass and emitted LONG FORM
+    //    (col_name, metric, value) so the report is itself a relational
+    //    table a pipeline can assert against or diff between snapshots.
+    //    The exact countDistincts expand the input (one duplicate per
+    //    distinct agg); at 100 TB swap them for approx_count_distinct
+    //    (a01/a13 pattern) without touching the report schema. ──
+    ("q05_profile",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Tables(s, dir, "documents").agg(
+            count(lit(1)).cast("double").as("n_rows"),
+            countDistinct($"doc_id").cast("double").as("docid_card"),
+            countDistinct($"lang").cast("double").as("lang_card"),
+            countDistinct($"source").cast("double").as("source_card"),
+            sum($"text".isNull.cast("long")).cast("double").as("text_nulls"),
+            min($"n_chars").cast("double").as("chars_min"),
+            max($"n_chars").cast("double").as("chars_max"),
+            round(avg($"n_chars"), 4).as("chars_mean"))
+          .select(expr("""stack(8,
+              '_table', 'n_rows', n_rows,
+              'doc_id', 'n_distinct', docid_card,
+              'lang', 'n_distinct', lang_card,
+              'source', 'n_distinct', source_card,
+              'text', 'n_nulls', text_nulls,
+              'n_chars', 'min', chars_min,
+              'n_chars', 'max', chars_max,
+              'n_chars', 'mean', chars_mean) AS (col_name, metric, value)"""))
+          .orderBy($"col_name", $"metric")
+      },
+      """SELECT col_name, metric, value FROM (
+        |  SELECT '_table' AS col_name, 'n_rows' AS metric,
+        |         CAST(count(*) AS DOUBLE) AS value FROM documents
+        |  UNION ALL SELECT 'doc_id', 'n_distinct',
+        |         CAST(count(DISTINCT doc_id) AS DOUBLE) FROM documents
+        |  UNION ALL SELECT 'lang', 'n_distinct',
+        |         CAST(count(DISTINCT lang) AS DOUBLE) FROM documents
+        |  UNION ALL SELECT 'source', 'n_distinct',
+        |         CAST(count(DISTINCT source) AS DOUBLE) FROM documents
+        |  UNION ALL SELECT 'text', 'n_nulls',
+        |         CAST(count(*) FILTER (WHERE text IS NULL) AS DOUBLE) FROM documents
+        |  UNION ALL SELECT 'n_chars', 'min',
+        |         CAST(min(n_chars) AS DOUBLE) FROM documents
+        |  UNION ALL SELECT 'n_chars', 'max',
+        |         CAST(max(n_chars) AS DOUBLE) FROM documents
+        |  UNION ALL SELECT 'n_chars', 'mean',
+        |         round(avg(CAST(n_chars AS DOUBLE)), 4) FROM documents)
+        |ORDER BY col_name, metric""".stripMargin),
+
     // ── TPC-H Q1-shaped pricing summary: the headline agg benchmark ──
     ("q01_pricing_summary",
       (s: SparkSession, dir: String) => {

@@ -146,6 +146,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("m06: phash pair generation joins on band keys, never cross-joins") {
+    val p = plan("m06_phash_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("g20: triangle joins are equi-joins on vertex keys, never cartesian") {
+    val p = plan("g20_triangle_count")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("u03: changelog compaction is one agg with map-side partial, no window sort") {
+    val p = plan("u03_upsert_merge")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_max_by"), p)
+  }
+
   test("v07: multi-probe IVF probes via an equi-join; centroid set broadcasts") {
     val p = plan("v07_ann_ivf_multiprobe")
     // the cell-probe join must be a hash/sort join on the cell key, and
