@@ -783,11 +783,15 @@ object GeoQueries {
     //    the same three shuffles work on a billion-edge graph. ──
     ("g20_triangle_count",
       (s: SparkSession, dir: String) => {
+        // persisted: every downstream leg (degrees ×2, orientation,
+        // wedge ×2, closing) would otherwise re-run the whole trajectory
+        // lineage; the deduped edge table is region²-bounded
         val und = Trajectory.transitions(Trajectory.hourlyState(Tables.events(s, dir)))
           .where(col("src") =!= col("dst") && col("src") =!= "0" && col("dst") =!= "0")
           .select(least(col("src"), col("dst")).as("a"),
             greatest(col("src"), col("dst")).as("b"))
           .distinct()
+          .persist()
         val deg = und.select(col("a").as("v")).unionByName(und.select(col("b").as("v")))
           .groupBy(col("v")).agg(count(lit(1)).as("d"))
         // orient a→b iff (deg, id) of a < of b; carry BOTH endpoint keys
@@ -802,6 +806,7 @@ object GeoQueries {
                 struct(col("b").as("lo"), col("a").as("hi"), col("da").as("dhi")))
               .as("e"))
           .select(col("e.lo"), col("e.hi"), col("e.dhi"))
+          .persist()
         val e1 = oriented.select(col("lo").as("u"), col("hi").as("v"), col("dhi").as("dv"))
         val e2 = oriented.select(col("lo").as("u2"), col("hi").as("w"), col("dhi").as("dw"))
         val wedges = e1.join(e2, col("u") === col("u2")
