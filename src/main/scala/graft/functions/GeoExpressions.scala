@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, QuaternaryExpression, TernaryExpression}
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StringType}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, QuaternaryExpression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the geo scalar functions — the
@@ -61,6 +61,28 @@ case class HaversineMeters(first: Expression, second: Expression,
     copy(first = f, second = s, third = t, fourth = q)
 }
 
+/** Self + up-to-8 adjacent geohash cells (the reference's 3×3 dictionary
+  * expansion, `cal_orig_area.py:62-72`) as a native array-returning
+  * expression — the codegen upgrade of `GeoFunctions.geohashNeighborsUdf`
+  * (the last geo scalar still riding a UDF boundary). Pole-clamped rows
+  * are dropped, so the array holds 4..9 distinct cells. */
+case class GeohashNeighbors(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "geohash_neighbors"
+
+  override protected def nullSafeEval(gh: Any): Any =
+    GeoFunctions.neighborsArray(gh.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, gh =>
+      s"graft.functions.GeoFunctions.neighborsArray($gh)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Session extension registering the native expressions as SQL functions
   * (`spark.builder.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.functions.GraftExtensions`). */
@@ -86,6 +108,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 4, "haversine_meters(lat1, lon1, lat2, lon2)")
         HaversineMeters(Cast(children(0), DoubleType), Cast(children(1), DoubleType),
           Cast(children(2), DoubleType), Cast(children(3), DoubleType))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("geohash_neighbors"),
+      new ExpressionInfo(classOf[GeohashNeighbors].getName, "geohash_neighbors"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "geohash_neighbors(geohash)")
+        GeohashNeighbors(Cast(children(0), StringType))
       }))
     // the kernels read elements with getFloat: without this cast an
     // array<double> argument would pass analysis and silently return

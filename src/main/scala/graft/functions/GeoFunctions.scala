@@ -76,6 +76,17 @@ object GeoFunctions {
     out.distinct
   }
 
+  /** [[geohashNeighbors]] in Catalyst's internal representation — the
+    * kernel behind the native `geohash_neighbors` expression (called
+    * from generated code, so it takes/returns internal types directly:
+    * no UTF8String↔String round-trip per element beyond the one decode). */
+  def neighborsArray(gh: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val out = geohashNeighbors(gh.toString)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any])
+  }
+
   /** Inverse of encodeIndices. */
   def decodeIndices(gh: String): (Long, Long) = {
     var xi = 0L; var yi = 0L; var g = 0

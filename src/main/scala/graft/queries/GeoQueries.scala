@@ -44,6 +44,26 @@ object GeoQueries {
     * oracle SQL stays reviewable — the plan shape is identical at 744). */
   private val WideHours = 48
 
+  /** Shared oracle for the neighbor-expansion twins (g02 UDF form, g21
+    * native-expression form): the 3×3 block re-derived with the same
+    * integer index arithmetic (lon wraps mod 2^lonBits, lat clamps). */
+  private def neighborsOracleSql: String = {
+    val p = 5
+    val nLon = 1L << ((5 * p + 1) / 2)
+    val nLat = 1L << ((5 * p) / 2)
+    s"""WITH $pointsSql,
+       |cells AS (
+       |  SELECT DISTINCT ${lonIndexSql("lon", p)} AS xi, ${latIndexSql("lat", p)} AS yi
+       |  FROM pts),
+       |offs AS (SELECT unnest([-1, 0, 1]) AS d),
+       |nb AS (
+       |  SELECT ${geohashFromIndicesSql("c.xi", "c.yi", p)} AS gh5,
+       |         ${geohashFromIndicesSql(s"((c.xi + dx.d) % $nLon + $nLon) % $nLon", "c.yi + dy.d", p)} AS neighbor
+       |  FROM cells c, offs dx, offs dy
+       |  WHERE c.yi + dy.d >= 0 AND c.yi + dy.d < $nLat)
+       |SELECT DISTINCT gh5, neighbor FROM nb ORDER BY gh5, neighbor""".stripMargin
+  }
+
   val catalog: Seq[(String, Q, String)] = Seq(
 
     // ── F10/D1: geohash encode at precisions 5..8 (region.py:34-40) ──
@@ -75,22 +95,22 @@ object GeoQueries {
             explode(GeoFunctions.geohashNeighborsUdf(col("gh5"))).as("neighbor"))
           .orderBy(col("gh5"), col("neighbor"))
       },
-      {
-        val p = 5
-        val nLon = 1L << ((5 * p + 1) / 2)
-        val nLat = 1L << ((5 * p) / 2)
-        s"""WITH $pointsSql,
-           |cells AS (
-           |  SELECT DISTINCT ${lonIndexSql("lon", p)} AS xi, ${latIndexSql("lat", p)} AS yi
-           |  FROM pts),
-           |offs AS (SELECT unnest([-1, 0, 1]) AS d),
-           |nb AS (
-           |  SELECT ${geohashFromIndicesSql("c.xi", "c.yi", p)} AS gh5,
-           |         ${geohashFromIndicesSql(s"((c.xi + dx.d) % $nLon + $nLon) % $nLon", "c.yi + dy.d", p)} AS neighbor
-           |  FROM cells c, offs dx, offs dy
-           |  WHERE c.yi + dy.d >= 0 AND c.yi + dy.d < $nLat)
-           |SELECT DISTINCT gh5, neighbor FROM nb ORDER BY gh5, neighbor""".stripMargin
-      }),
+      neighborsOracleSql),
+
+    // ── F11 native form: same query through the codegen'd
+    //    GeohashNeighbors Catalyst expression instead of the Scala UDF —
+    //    the g11/t11 parity pattern: the SAME oracle judges both, so the
+    //    two implementations are pinned to identical output ──
+    ("g21_native_neighbors",
+      (s: SparkSession, dir: String) => {
+        points(s, dir)
+          .select(GeoFunctions.geohashCol(col("lat"), col("lon"), 5).as("gh5"))
+          .distinct()
+          .select(col("gh5"),
+            explode(call_function("geohash_neighbors", col("gh5"))).as("neighbor"))
+          .orderBy(col("gh5"), col("neighbor"))
+      },
+      neighborsOracleSql),
 
     // ── F9: haversine distance to a fixed point (cal_subarea_portion.py:83-92) ──
     ("g03_haversine",

@@ -32,6 +32,28 @@ class GeoExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("geohash_neighbors native expression matches the Scala function") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val cells = (Seq.fill(100)((rnd.nextDouble() * 180 - 90, rnd.nextDouble() * 360 - 180))
+      ++ Seq((89.99, 0.0), (-89.99, 0.0), (0.0, 179.99), (0.0, -179.99)))
+      .map { case (la, lo) => GeoFunctions.geohashEncode(la, lo, 5) }
+    val rows = cells.toDF("gh")
+      .select($"gh", call_function("geohash_neighbors", $"gh").as("nb"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == GeoFunctions.geohashNeighbors(r.getString(0)))
+    }
+  }
+
+  test("geohash_neighbors folds constants and propagates null") {
+    val folded = spark.sql("SELECT geohash_neighbors('wtw3s') AS nb")
+      .queryExecution.optimizedPlan
+    assert(folded.toString.contains("wtw3t"), folded.toString) // an adjacent cell
+    assert(spark.sql("SELECT geohash_neighbors(CAST(NULL AS STRING)) AS nb").head().isNullAt(0))
+  }
+
   test("null inputs propagate to null (nullIntolerant)") {
     val r = spark.sql(
       """SELECT geohash_encode(CAST(NULL AS DOUBLE), 121.0, 5) AS g,
