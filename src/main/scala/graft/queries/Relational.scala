@@ -954,6 +954,42 @@ object Relational {
         |       CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ── a11's distributed-exact form: percentile via rank + linear
+    //    interpolation. The built-in percentile() (a11) collects each
+    //    group's values into one aggregation buffer — at 100 TB a single
+    //    group's buffer is executor-memory-fatal. Here the values stay
+    //    distributed: one per-group sort window ranks them, the group
+    //    size joins back broadcast, and the two bracketing ranks
+    //    interpolate with percentile()'s own formula
+    //    (lo + (hi - lo) * frac) — judged against the SAME quantile_cont
+    //    oracle as a11, so the buffer form and the distributed form are
+    //    pinned to identical output. ──
+    ("a11b_percentile_rank",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val w = Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice")
+        val ranked = Tables(s, dir, "lineitem")
+          .select($"l_returnflag", $"l_extendedprice")
+          .withColumn("rn", row_number().over(w))
+        val sizes = ranked.groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+        def interp(q: Double): org.apache.spark.sql.Column = {
+          val pos = ($"n" - 1).cast("double") * lit(q)
+          val vlo = max(when($"rn" - 1 === floor(pos).cast("long"), $"l_extendedprice"))
+          val vhi = max(when($"rn" - 1 === ceil(pos).cast("long"), $"l_extendedprice"))
+          round(vlo + (vhi - vlo) * (max(pos) - floor(max(pos))), 4)
+        }
+        ranked.join(broadcast(sizes), "l_returnflag")
+          .groupBy($"l_returnflag")
+          .agg(interp(0.5).as("p50"), interp(0.95).as("p95"),
+            count(lit(1)).as("n"))
+          .orderBy($"l_returnflag")
+      },
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ── a11's sketch form: percentile_approx (Greenwald-Khanna). At
     //    100 TB the exact percentile's per-group sort is the bottleneck;
     //    GK summaries are bounded-size (here ≤ ~10k entries) and merge

@@ -152,6 +152,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("a11b: exact percentile keeps values distributed — no buffer agg, sizes broadcast") {
+    val p = plan("a11b_percentile_rank")
+    assert(!p.contains("percentile"), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("g20: triangle joins are equi-joins on vertex keys, never cartesian") {
     val p = plan("g20_triangle_count")
     assert(!p.contains("CartesianProduct"), p)
