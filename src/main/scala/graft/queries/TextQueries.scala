@@ -322,6 +322,42 @@ object TextQueries {
          |    (acc, h) -> (acc * 31 + h) % 2147483647) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // ── t16: train/test DECONTAMINATION — the split-integrity gate a
+    //    training pipeline runs before any eval: find test-split
+    //    documents whose exact content digest also appears in the train
+    //    split (the split is keyed by doc_id, so two ids carrying the
+    //    same text can land on opposite sides — exactly how benchmark
+    //    leakage happens; the seeded corpus pins two such straddling
+    //    twins at every SF). One digest-keyed left-semi join — at 100 TB
+    //    it shuffles on digest and the native bloom runtime filter
+    //    (RuntimeFilterSpec) pre-drops test rows whose digest cannot be
+    //    in train. N-gram-overlap decontamination is this same shape
+    //    over t08's shingle relation. ──
+    ("t16_decontaminate",
+      (s: SparkSession, dir: String) => {
+        val tagged = seededDocs(s, dir)
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"),
+            when(pmod(portableHash(col("doc_id").cast("string")), lit(100)) < 90,
+              "train").otherwise("test").as("split"))
+        val trainDigests = tagged.where(col("split") === "train")
+          .select(col("digest")).distinct()
+        tagged.where(col("split") === "test")
+          .join(trainDigests, Seq("digest"), "left_semi")
+          .select(col("doc_id"), col("digest"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH $seededDocsSql,
+         |tagged AS (
+         |  SELECT doc_id, md5(text) AS digest,
+         |         CASE WHEN ${portableHashSql("CAST(doc_id AS VARCHAR)")} % 100 < 90
+         |              THEN 'train' ELSE 'test' END AS split
+         |  FROM seeded)
+         |SELECT doc_id, digest FROM tagged t
+         |WHERE split = 'test'
+         |  AND EXISTS (SELECT 1 FROM tagged tr
+         |              WHERE tr.split = 'train' AND tr.digest = t.digest)
+         |ORDER BY doc_id""".stripMargin),
+
     // ── exact dedup: hash-groupBy on content digest ──
     ("t05_dedup_exact",
       (s: SparkSession, dir: String) => {
