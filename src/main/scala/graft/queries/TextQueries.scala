@@ -358,6 +358,62 @@ object TextQueries {
          |              WHERE tr.split = 'train' AND tr.digest = t.digest)
          |ORDER BY doc_id""".stripMargin),
 
+    // ── t17: n-gram-overlap decontamination — the fuzzy form of t16
+    //    (the GPT-3/PaLM eval-hygiene rule): a test doc is contaminated
+    //    when ≥90% of its distinct word-3-gram shingles also occur
+    //    anywhere in the train split — catching partial copies and
+    //    near-verbatim rewrites a digest can't. CONTAINMENT, not an
+    //    absolute count: templated corpora share so many natural
+    //    3-grams that any fixed count threshold saturates (measured:
+    //    every sf0.01 test doc shares ≥5 shingles). Shape: the shingle
+    //    relation tagged by split, the train side reduced to DISTINCT
+    //    hashes (so hot shingles cannot fan out — no df cap needed),
+    //    one hash join + per-doc count against the doc's own shingle
+    //    total. ──
+    ("t17_ngram_decontaminate",
+      (s: SparkSession, dir: String) => {
+        val sh = shingleIndex(seededDocs(s, dir))
+          .withColumn("split",
+            when(pmod(portableHash(col("doc_id").cast("string")), lit(100)) < 90,
+              "train").otherwise("test"))
+        val trainSh = sh.where(col("split") === "train")
+          .select(col("h")).distinct()
+        val testSh = sh.where(col("split") === "test")
+        val tot = testSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tot"))
+        testSh.join(trainSh, "h")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+          .join(tot, "doc_id")
+          // filter on the UNROUNDED ratio (exactly what the oracle
+          // compares), round only for display — a ratio like 0.89996
+          // must fall on the same side in both engines
+          .where(col("n_shared").cast("double") / col("n_tot").cast("double") >= 0.9)
+          .select(col("doc_id"), col("n_shared"), col("n_tot"),
+            round(col("n_shared").cast("double") / col("n_tot").cast("double"), 4)
+              .as("containment"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH $seededDocsSql,
+         |${hashedShinglesSql("seeded")},
+         |tagged AS (
+         |  SELECT doc_id, unnest(s) AS h,
+         |         CASE WHEN ${portableHashSql("CAST(doc_id AS VARCHAR)")} % 100 < 90
+         |              THEN 'train' ELSE 'test' END AS split
+         |  FROM sh),
+         |train AS (SELECT DISTINCT h FROM tagged WHERE split = 'train'),
+         |tot AS (
+         |  SELECT doc_id, count(*) AS n_tot FROM tagged
+         |  WHERE split = 'test' GROUP BY doc_id),
+         |hits AS (
+         |  SELECT t.doc_id, count(*) AS n_shared
+         |  FROM tagged t JOIN train USING (h)
+         |  WHERE t.split = 'test' GROUP BY t.doc_id)
+         |SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared,
+         |       CAST(n_tot AS BIGINT) AS n_tot,
+         |       round(CAST(n_shared AS DOUBLE) / CAST(n_tot AS DOUBLE), 4) AS containment
+         |FROM hits JOIN tot USING (doc_id)
+         |WHERE CAST(n_shared AS DOUBLE) / CAST(n_tot AS DOUBLE) >= 0.9
+         |ORDER BY doc_id""".stripMargin),
+
     // ── exact dedup: hash-groupBy on content digest ──
     ("t05_dedup_exact",
       (s: SparkSession, dir: String) => {
