@@ -83,6 +83,19 @@ class Round4cOpsSpec extends SparkSpec {
     assert(got == brute, s"oriented count $got != brute force $brute")
   }
 
+  test("t16/t17: the seeded straddling twins are flagged at every SF") {
+    // seeds 0 and 9 land in the test split while their identical-text
+    // twins (doc_id + 1e12) land in train — both decontamination forms
+    // must flag them regardless of scale factor
+    val exact = SparkEntry.queries("t16_decontaminate")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(Set(0L, 9L).subsetOf(exact), s"t16 flagged $exact")
+    val fuzzy = SparkEntry.queries("t17_ngram_decontaminate")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(fuzzy.get(0L).contains(1.0) && fuzzy.get(9L).contains(1.0),
+      s"t17 flagged $fuzzy")
+  }
+
   test("m06: every pair is genuinely Hamming-close and every exact-dup pair in an uncapped bucket is found") {
     val s = spark
     import s.implicits._
