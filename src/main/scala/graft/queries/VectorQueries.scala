@@ -92,6 +92,67 @@ object VectorQueries {
       s"(CASE WHEN ${planeDotSql(emb, j)} >= 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** v05's IVF probe, shared with the v10 recall evaluation: nearest-of-8
+    * centroid assignment, query set = vec_id 10..19, probe the query's
+    * cell only, top-3 by cosine (ties broken by vec_id). Unordered —
+    * judged callers add their own orderBy. */
+  private def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    // coarse centroids: the 8 lowest-id vectors (deterministic seed set)
+    val cents = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+    // assign every vector to its nearest centroid by cosine
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine(col("embedding"), col("cent")))
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"),
+        normCol(col("embedding")).as("nrm"))
+      .persist() // probed twice: query side + cell side
+    val queries = assigned.where(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("cell"), col("nrm").as("q_nrm"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    queries.join(assigned, Seq("cell")) // probe the query's cell only
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosPre(dotNative(col("q_emb"), col("embedding")),
+        col("q_nrm"), col("nrm")))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= 3)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("cos"))
+  }
+
+  /** Oracle CTE chain producing v05's (q_id, rank, vec_id, cos) as `ivf`
+    * — shared verbatim by the v05 and v10 oracles. */
+  private def ivfOracleCtes: String =
+    s"""cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < 8),
+       |cscored AS (
+       |  SELECT e.vec_id, e.embedding, c.cent_id,
+       |         ${cosineSql("e.embedding", "c.cent")} AS ccos
+       |  FROM embeddings e, cents c),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cent_id AS cell, ${normSql("embedding")} AS nrm FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |              ORDER BY ccos DESC, cent_id ASC) AS rn
+       |    FROM cscored) WHERE rn = 1),
+       |iq AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, cell, nrm AS q_nrm
+       |  FROM assigned WHERE vec_id >= 10 AND vec_id < 20),
+       |cand AS (
+       |  SELECT iq.q_id, e.vec_id,
+       |         ${cosPreSql(dotFoldSql("iq.q_emb", "e.embedding", 64), "iq.q_nrm", "e.nrm")} AS cos
+       |  FROM iq JOIN assigned e ON iq.cell = e.cell AND e.vec_id <> iq.q_id),
+       |ivf AS (
+       |  SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |              ORDER BY cos DESC, vec_id ASC) AS rank
+       |    FROM cand) WHERE rank <= 3)""".stripMargin
+
   val catalog: Seq[(String, Q, String)] = Seq(
 
     // ── brute-force cosine top-k (exact ANN baseline) ──
@@ -229,60 +290,72 @@ object VectorQueries {
     //    path beyond v02: candidate count shrinks by ~n_cells and the
     //    probe is a hash join on the cell id ──
     ("v05_ann_ivf",
+      (s: SparkSession, dir: String) => ivfTopK(s, dir)
+        .orderBy(col("q_id"), col("rank")),
+      s"""WITH $ivfOracleCtes
+         |SELECT q_id, rank, vec_id, cos
+         |FROM ivf ORDER BY q_id, rank""".stripMargin),
+
+    // ── v10: ANN quality evaluation IN-pipeline — recall@3 of the IVF
+    //    probe (v05's exact chain, shared code) against the brute-force
+    //    exact top-3 for the same query set. The eval an ANN deployment
+    //    gates on, expressed as the same kind of judged relational
+    //    query: exact side = broadcast queries × corpus (the v01 shape),
+    //    approx side = ivfTopK, recall = matched/3 per query via a
+    //    left-semi-style join on (q_id, vec_id). All-integer counts and
+    //    a 1/3-grid fraction — deterministic across engines. ──
+    ("v10_ann_recall",
       (s: SparkSession, dir: String) => {
         val emb = Tables(s, dir, "embeddings")
-        // coarse centroids: the 8 lowest-id vectors (deterministic seed set)
-        val cents = emb.where(col("vec_id") < 8)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
-        // assign every vector to its nearest centroid by cosine
-        val wAssign = Window.partitionBy(col("vec_id"))
-          .orderBy(col("ccos").desc, col("cent_id").asc)
-        val assigned = emb.crossJoin(broadcast(cents))
-          .withColumn("ccos", cosine(col("embedding"), col("cent")))
-          .withColumn("rn", row_number().over(wAssign))
-          .where(col("rn") === 1)
-          .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"),
-            normCol(col("embedding")).as("nrm"))
-          .persist() // probed twice: query side + cell side
-        val queries = assigned.where(col("vec_id") >= 10 && col("vec_id") < 20)
+          .select(col("vec_id"), col("embedding"), normCol(col("embedding")).as("nrm"))
+        val qs = emb.where(col("vec_id") >= 10 && col("vec_id") < 20)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-            col("cell"), col("nrm").as("q_nrm"))
-        val wRank = Window.partitionBy(col("q_id"))
+            col("nrm").as("q_nrm"))
+        val wq = Window.partitionBy(col("q_id"))
           .orderBy(col("cos").desc, col("vec_id").asc)
-        queries.join(assigned, Seq("cell")) // probe the query's cell only
+        val exact = broadcast(qs).crossJoin(emb)
           .where(col("vec_id") =!= col("q_id"))
           .withColumn("cos", cosPre(dotNative(col("q_emb"), col("embedding")),
             col("q_nrm"), col("nrm")))
-          .withColumn("rank", row_number().over(wRank))
+          .withColumn("rank", row_number().over(wq))
           .where(col("rank") <= 3)
-          .select(col("q_id"), col("rank").cast("long").as("rank"),
-            col("vec_id"), col("cos"))
-          .orderBy(col("q_id"), col("rank"))
+          .select(col("q_id"), col("vec_id"))
+        val hits = ivfTopK(s, dir).select(col("q_id"), col("vec_id"))
+          .join(exact, Seq("q_id", "vec_id"), "left_semi")
+          .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+        exact.groupBy(col("q_id")).agg(count(lit(1)).as("k"))
+          .join(hits, Seq("q_id"), "left")
+          .select(col("q_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("k"),
+            round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("k").cast("double"), 4)
+              .as("recall"))
+          .orderBy(col("q_id"))
       },
-      s"""WITH cents AS (
-         |  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < 8),
-         |scored AS (
-         |  SELECT e.vec_id, e.embedding, c.cent_id,
-         |         ${cosineSql("e.embedding", "c.cent")} AS ccos
-         |  FROM embeddings e, cents c),
-         |assigned AS (
-         |  SELECT vec_id, embedding, cent_id AS cell, ${normSql("embedding")} AS nrm FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |              ORDER BY ccos DESC, cent_id ASC) AS rn
-         |    FROM scored) WHERE rn = 1),
-         |q AS (
-         |  SELECT vec_id AS q_id, embedding AS q_emb, cell, nrm AS q_nrm
-         |  FROM assigned WHERE vec_id >= 10 AND vec_id < 20),
-         |cand AS (
-         |  SELECT q.q_id, e.vec_id,
-         |         ${cosPreSql(dotFoldSql("q.q_emb", "e.embedding", 64), "q.q_nrm", "e.nrm")} AS cos
-         |  FROM q JOIN assigned e ON q.cell = e.cell AND e.vec_id <> q.q_id),
-         |ranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY q_id
-         |            ORDER BY cos DESC, vec_id ASC) AS rank
-         |  FROM cand)
-         |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
-         |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin),
+      s"""WITH $ivfOracleCtes,
+         |e AS (
+         |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+         |bq AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e
+         |  WHERE vec_id >= 10 AND vec_id < 20),
+         |bscored AS (
+         |  SELECT bq.q_id, e.vec_id,
+         |         ${cosPreSql(dotFoldSql("bq.q_emb", "e.embedding", 64), "bq.q_nrm", "e.nrm")} AS cos
+         |  FROM bq, e WHERE e.vec_id <> bq.q_id),
+         |exact AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |              ORDER BY cos DESC, vec_id ASC) AS rank
+         |    FROM bscored) WHERE rank <= 3),
+         |hits AS (
+         |  SELECT i.q_id, count(*) AS n_hit
+         |  FROM ivf i WHERE EXISTS (
+         |    SELECT 1 FROM exact x WHERE x.q_id = i.q_id AND x.vec_id = i.vec_id)
+         |  GROUP BY i.q_id),
+         |ks AS (SELECT q_id, count(*) AS k FROM exact GROUP BY q_id)
+         |SELECT ks.q_id, CAST(coalesce(hits.n_hit, 0) AS BIGINT) AS n_hit,
+         |       CAST(ks.k AS BIGINT) AS k,
+         |       round(CAST(coalesce(hits.n_hit, 0) AS DOUBLE) / CAST(ks.k AS DOUBLE), 4) AS recall
+         |FROM ks LEFT JOIN hits ON ks.q_id = hits.q_id
+         |ORDER BY ks.q_id""".stripMargin),
 
     // ── IVF ANN, scale-parameterized multi-probe form: v05's 8 fixed
     //    centroids are a demo constant — the real config grows the cell
