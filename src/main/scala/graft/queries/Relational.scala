@@ -625,6 +625,34 @@ object Relational {
         |                    AND o.o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin),
 
+    // ── J11 (beyond reference): correlated LATERAL subquery — the
+    //    "top-k related rows per outer row" written the way a SQL user
+    //    writes it (ORDER BY + LIMIT inside a correlated derived table)
+    //    rather than hand-rewritten into a window. The judged property
+    //    is Catalyst's DECORRELATION: the optimizer rewrites the
+    //    per-outer-row LIMIT into a partitioned rank + join (the o01
+    //    plan), so the lateral form pays no nested-loop re-execution
+    //    per outer row — the naive reading of LATERAL — at any scale.
+    //    DuckDB runs the identical LATERAL text as the oracle. ──
+    ("j11_lateral_topk",
+      (s: SparkSession, dir: String) => {
+        Tables(s, dir, "nation").createOrReplaceTempView("nation")
+        Tables(s, dir, "customer").createOrReplaceTempView("customer")
+        s.sql("""
+          SELECT n.n_name, l.c_custkey, l.c_acctbal
+          FROM nation n,
+          LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+                   WHERE c.c_nationkey = n.n_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) l
+          ORDER BY n.n_name, l.c_acctbal DESC, l.c_custkey""")
+      },
+      """SELECT n.n_name, l.c_custkey, l.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) l
+        |ORDER BY n.n_name, l.c_acctbal DESC, l.c_custkey""".stripMargin),
+
     // ── J9 (beyond reference): dynamic partition pruning — the runtime
     //    filter that matters most at 100 TB. The fact side is a
     //    date-partitioned copy of events; the dim side is a tiny derived

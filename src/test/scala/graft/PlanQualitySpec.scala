@@ -152,6 +152,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("j11: lateral top-k decorrelates — no per-row nested-loop re-execution") {
+    val p = plan("j11_lateral_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the correlated ORDER BY+LIMIT must surface as a rank window over
+    // the joined relation, not as a repeated subquery
+    assert(p.contains("Window"), p)
+  }
+
   test("a11b: exact percentile keeps values distributed — no buffer agg, sizes broadcast") {
     val p = plan("a11b_percentile_rank")
     assert(!p.contains("percentile"), p)
