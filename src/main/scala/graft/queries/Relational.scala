@@ -1418,6 +1418,83 @@ object Relational {
          |FROM n JOIN kmv ON n.event_type = kmv.event_type
          |ORDER BY 1""".stripMargin),
 
+    // ── q06: KMV sketch SET ALGEBRA — estimate the overlap of two user
+    //    cohorts from their bottom-k signatures alone, no raw re-scan:
+    //    the union sketch is the k smallest of the two signatures' merged
+    //    hashes (a valid KMV — bottom-k of a union is computable from
+    //    the per-set bottom-k's, the property that makes KMV mergeable),
+    //    and |A∩B| falls out by inclusion–exclusion over the three
+    //    estimates. This is the cross-partition/cross-day sketch-combine
+    //    a13 does for distinct COUNTS, extended to set OPERATIONS —
+    //    kilobytes per cohort instead of terabytes. Exact overlap rides
+    //    along, so the judged row also records the estimation error.
+    //    Deterministic end-to-end (q04's hash-ranked windows), fully
+    //    DuckDB-judged including the estimate arithmetic. ──
+    ("q06_kmv_intersect",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val k = 64
+        val users = Tables.events(s, dir)
+          .where($"event_type".isin("view", "click"))
+          .select($"event_type", $"user_id",
+            portableHash($"user_id".cast("string")).as("h"))
+          .distinct()
+          .persist() // feeds both per-cohort sketches AND the exact overlap
+        val w = Window.partitionBy($"event_type").orderBy($"h")
+        val bottomK = users
+          .withColumn("rk", row_number().over(w)).where($"rk" <= k)
+        // per-cohort estimate from the k-th smallest hash
+        val perSet = bottomK.groupBy($"event_type")
+          .agg(max($"h").as("hk"), count(lit(1)).as("n"))
+          .agg(
+            round(lit(k - 1) * HashSpace / min(when($"event_type" === "view", $"hk")).cast("double"))
+              .cast("long").as("est_a"),
+            round(lit(k - 1) * HashSpace / min(when($"event_type" === "click", $"hk")).cast("double"))
+              .cast("long").as("est_b"))
+        // union sketch: k smallest of the merged signature hashes
+        val unionEst = bottomK.select($"h").distinct()
+          .withColumn("rk", row_number().over(Window.orderBy($"h")))
+          .where($"rk" <= k)
+          .agg(round(lit(k - 1) * HashSpace / max($"h").cast("double"))
+            .cast("long").as("est_union"))
+        val exact = users.groupBy($"user_id")
+          .agg(countDistinct($"event_type").as("nt"))
+          .where($"nt" === 2)
+          .agg(count(lit(1)).as("n_exact"))
+        perSet.crossJoin(unionEst).crossJoin(exact)
+          .select($"est_a", $"est_b", $"est_union",
+            greatest($"est_a" + $"est_b" - $"est_union", lit(0L)).as("est_intersect"),
+            $"n_exact")
+      },
+      s"""WITH u AS (
+         |  SELECT DISTINCT event_type, user_id,
+         |         ${portableHashSql("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events WHERE event_type IN ('view', 'click')),
+         |bk AS (
+         |  SELECT * FROM (
+         |    SELECT event_type, h,
+         |           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+         |    FROM u) WHERE rk <= 64),
+         |per_set AS (
+         |  SELECT
+         |    CAST(round(63 * $HashSpaceSql /
+         |      CAST(min(CASE WHEN event_type = 'view' THEN hk END) AS DOUBLE), 0) AS BIGINT) AS est_a,
+         |    CAST(round(63 * $HashSpaceSql /
+         |      CAST(min(CASE WHEN event_type = 'click' THEN hk END) AS DOUBLE), 0) AS BIGINT) AS est_b
+         |  FROM (SELECT event_type, max(h) AS hk FROM bk GROUP BY 1)),
+         |un AS (
+         |  SELECT CAST(round(63 * $HashSpaceSql / CAST(max(h) AS DOUBLE), 0) AS BIGINT) AS est_union
+         |  FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk
+         |        FROM (SELECT DISTINCT h FROM bk)) WHERE rk <= 64),
+         |ex AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_exact FROM (
+         |    SELECT user_id FROM u GROUP BY user_id
+         |    HAVING count(DISTINCT event_type) = 2))
+         |SELECT est_a, est_b, est_union,
+         |       greatest(est_a + est_b - est_union, 0) AS est_intersect,
+         |       n_exact
+         |FROM per_set, un, ex""".stripMargin),
+
     // ── intersect / except (beyond the reference, which emulated the
     //    anti role with isNull splits): cohort algebra over user sets ──
     ("u02_intersect_except",
