@@ -16,10 +16,24 @@ import graft.engine.Tables
   * it — binary schema, batch-shaped `mapPartitions` (the Scala analogue
   * of `mapInPandas`: one iterator per partition, amortized per-batch
   * setup), partition-preserving plumbing — is real and oracle-checked,
-  * because the stub is pure arithmetic DuckDB can mirror.
+  * because the stub is pure arithmetic DuckDB can mirror. The m06
+  * perceptual hash is NOT a stub: its 2D-DCT + sign-threshold kernel is
+  * the production pHash algorithm in exact integer arithmetic; only its
+  * input "image" is the payload histogram instead of decoded luma.
   */
 object MultimodalQueries {
   type Q = (SparkSession, String) => DataFrame
+
+  /** 8-point DCT-II cosine table, fixed-point ×10000: entry u*8+x is
+    * round(cos(π(2x+1)u/16)·10⁴). Computed once here and EMITTED into the
+    * m06 oracle as a VALUES literal, so Spark and DuckDB share the exact
+    * same integer constants by construction — the transform itself is
+    * then pure integer arithmetic, bit-identical across engines. */
+  val DctTable: Array[Long] = Array.tabulate(64) { i =>
+    math.round(math.cos(math.Pi * (2 * (i % 8) + 1) * (i / 8) / 16.0) * 10000)
+  }
+  private def dctTableSql: String =
+    DctTable.indices.map(i => s"(${i / 8}, ${i % 8}, ${DctTable(i)})").mkString(", ")
 
   final case class MediaBlob(doc_id: Long, payload: Array[Byte])
   final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long,
@@ -54,11 +68,15 @@ object MultimodalQueries {
         |  CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte
         |FROM documents ORDER BY doc_id""".stripMargin),
 
-    // ── batch decode via typed mapPartitions (the multimodal UDF shape) ──
+    // ── batch decode via typed mapPartitions (the multimodal UDF shape).
+    //    q05 profiles text as nullable, so every mapPartitions kernel in
+    //    this module filters nulls up front (a null payload would NPE the
+    //    whole query) — the filter is mirrored in each oracle CTE. ──
     ("m02_decode_stub",
       (s: SparkSession, dir: String) => {
         import s.implicits._
         Tables(s, dir, "documents")
+          .where(col("text").isNotNull)
           .select(col("doc_id"), col("text").cast("binary").as("payload"))
           .as[MediaBlob]
           .mapPartitions { it =>
@@ -74,7 +92,7 @@ object MultimodalQueries {
         |  CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
         |  CAST(octet_length(encode(text)) % 16 AS BIGINT) AS n_frames,
         |  CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte
-        |FROM documents ORDER BY doc_id""".stripMargin),
+        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin),
 
     // ── frame sampling: explode the decoded frame range, keep every 4th
     //    frame (the video-pipeline pattern: metadata drives a generator,
@@ -83,6 +101,7 @@ object MultimodalQueries {
       (s: SparkSession, dir: String) => {
         import s.implicits._
         Tables(s, dir, "documents")
+          .where(col("text").isNotNull)
           .select(col("doc_id"), col("text").cast("binary").as("payload"))
           .as[MediaBlob]
           .mapPartitions(_.map(StubDecoder.decode))
@@ -97,7 +116,8 @@ object MultimodalQueries {
       """SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no FROM (
         |  SELECT doc_id,
         |         unnest(generate_series(0, CAST(octet_length(encode(text)) % 16 AS BIGINT) - 1)) AS frame_no
-        |  FROM documents WHERE octet_length(encode(text)) % 16 > 0)
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND octet_length(encode(text)) % 16 > 0)
         |WHERE frame_no % 4 = 0
         |ORDER BY doc_id, frame_no""".stripMargin),
 
@@ -109,6 +129,7 @@ object MultimodalQueries {
       (s: SparkSession, dir: String) => {
         import s.implicits._
         Tables(s, dir, "documents")
+          .where(col("text").isNotNull)
           .select(col("doc_id"), col("text"))
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, t) =>
@@ -135,7 +156,7 @@ object MultimodalQueries {
         |  SELECT doc_id, text,
         |         generate_series(1, length(text),
         |           greatest(1, length(text) // 64)) AS ps
-        |  FROM documents)
+        |  FROM documents WHERE text IS NOT NULL)
         |ORDER BY doc_id""".stripMargin),
 
     // ── feature-extract stub: fixed-width feature vector per payload
@@ -146,6 +167,7 @@ object MultimodalQueries {
       (s: SparkSession, dir: String) => {
         import s.implicits._
         Tables(s, dir, "documents")
+          .where(col("text").isNotNull)
           .select(col("doc_id"), col("text"))
           .as[(Long, String)]
           .mapPartitions(_.flatMap { case (id, t) =>
@@ -166,36 +188,56 @@ object MultimodalQueries {
         |  SELECT doc_id, list_transform(
         |           generate_series(1, length(text)),
         |           p -> ascii(substring(text, CAST(p AS INT), 1))) AS cs
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |     (SELECT unnest(generate_series(0, 3)) AS k)
         |ORDER BY doc_id, feature_id""".stripMargin),
 
     // ── m06: perceptual-hash near-dup over the media payload — the
     //    multimodal member of the dedup family (t05/t06/t07/v04). The
-    //    STUB kernel derives a 60-bit "phash" from the payload's
-    //    60-bucket code-unit histogram (bit k set iff bucket k exceeds a
-    //    uniform 1/60 share; a real implementation would DCT the decoded
-    //    image — 60 bits so the LSH bands are 15-bit, the t07 lesson:
-    //    never a key space the corpus can saturate). The plumbing is the
-    //    real thing end-to-end: 4×15-bit LSH bands → hot-bucket-capped
-    //    equi-join (the t06 BandCap pattern, cap mirrored in the oracle
-    //    via QUALIFY — never an all-pairs join) → Hamming ≤ 3 over the
-    //    full hash (lossless banding by pigeonhole: ≤3 flipped bits
-    //    cannot touch all 4 bands). ──
+    //    kernel is a REAL pHash shape: the payload's 64-bucket code-unit
+    //    histogram read as an 8×8 "image", a 2D DCT-II over it in exact
+    //    fixed-point integer arithmetic (cosine table scaled ×10000 —
+    //    [[DctTable]] — so the transform is bit-identical in DuckDB),
+    //    then the sign of the 60 lowest-frequency AC coefficients as a
+    //    60-bit hash (60 so the LSH bands are 15-bit, the t07 lesson:
+    //    never a key space the corpus can saturate). On a real image the
+    //    histogram stage would be the decoded 8×8 luma downsample; the
+    //    DCT + sign-threshold stage is the production algorithm as-is.
+    //    The plumbing is the real thing end-to-end: 4×15-bit LSH bands →
+    //    hot-bucket-capped equi-join (the t06 BandCap pattern, cap
+    //    mirrored in the oracle via QUALIFY — never an all-pairs join) →
+    //    Hamming ≤ 3 over the full hash (lossless banding by pigeonhole:
+    //    ≤3 flipped bits cannot touch all 4 bands). ──
     ("m06_phash_dedup",
       (s: SparkSession, dir: String) => {
         import s.implicits._
         val cap = 64
+        val dct = DctTable
         val ph = Tables(s, dir, "documents")
+          .where(col("text").isNotNull)
           .select(col("doc_id"), col("text"))
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, t) =>
-            // STUB kernel (character semantics, BMP — see m04)
-            val h = new Array[Long](60)
+            // character semantics (BMP) — see m04
+            val h = new Array[Long](64)
             var i = 0
-            while (i < t.length) { h(t.charAt(i) % 60) += 1; i += 1 }
-            var sig = 0L; var k = 0
-            while (k < 60) { if (h(k) * 60 > t.length) sig |= (1L << k); k += 1 }
+            while (i < t.length) { h(t.charAt(i) % 64) += 1; i += 1 }
+            // D[u][v] = Σ_x Σ_y T[u][x]·H[x][y]·T[v][y]; bit u*8+v-1 set
+            // iff the AC coefficient is positive (DC at (0,0) excluded).
+            // Bound: |T|≤1e4, so |term| ≤ 1e8·len — overflow-free for
+            // any payload under ~9e10 code units.
+            var sig = 0L; var k = 1
+            while (k <= 60) {
+              val u = k / 8; val v = k % 8
+              var d = 0L; var x = 0
+              while (x < 8) {
+                var y = 0
+                while (y < 8) { d += dct(u * 8 + x) * dct(v * 8 + y) * h(x * 8 + y); y += 1 }
+                x += 1
+              }
+              if (d > 0) sig |= (1L << (k - 1))
+              k += 1
+            }
             (id, sig)
           })
           .toDF("doc_id", "ph")
@@ -215,19 +257,29 @@ object MultimodalQueries {
           .where(col("hamming") <= 3)
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      """WITH cs AS (
-        |  SELECT doc_id, length(text) AS n,
-        |         list_transform(generate_series(1, length(text)),
-        |           p -> ascii(substring(text, CAST(p AS INT), 1))) AS cs
-        |  FROM documents),
-        |ph AS (
+      s"""WITH tbl(u, x, t) AS (VALUES $dctTableSql),
+        |docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |hist AS (
+        |  SELECT doc_id, c % 64 AS b, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, length(text)),
+        |           p -> ascii(substring(text, CAST(p AS INT), 1)))) AS c
+        |        FROM docs)
+        |  GROUP BY 1, 2),
+        |coef AS (
+        |  SELECT h.doc_id, tu.u AS u, tv.u AS v,
+        |         CAST(sum(tu.t * tv.t * h.cnt) AS BIGINT) AS d
+        |  FROM hist h
+        |  JOIN tbl tu ON tu.x = h.b // 8
+        |  JOIN tbl tv ON tv.x = h.b % 8
+        |  GROUP BY 1, 2, 3),
+        |sig AS (
         |  SELECT doc_id,
-        |         CAST(sum(CASE WHEN cnt * 60 > n
-        |                       THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS ph
-        |  FROM (
-        |    SELECT doc_id, n, k, len(list_filter(cs, c -> c % 60 = k)) AS cnt
-        |    FROM cs, (SELECT unnest(generate_series(0, 59)) AS k))
-        |  GROUP BY doc_id),
+        |         CAST(coalesce(sum(CASE WHEN d > 0 AND (u*8+v) BETWEEN 1 AND 60
+        |                  THEN (CAST(1 AS BIGINT) << (u*8+v-1)) ELSE 0 END), 0) AS BIGINT) AS ph
+        |  FROM coef GROUP BY doc_id),
+        |ph AS (
+        |  SELECT d.doc_id, coalesce(s.ph, 0) AS ph
+        |  FROM docs d LEFT JOIN sig s ON d.doc_id = s.doc_id),
         |bands AS (
         |  SELECT doc_id, ph, bd, (ph >> (15*bd)) & 32767 AS v
         |  FROM ph, (SELECT unnest(generate_series(0, 3)) AS bd)

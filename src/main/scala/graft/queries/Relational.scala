@@ -1394,12 +1394,16 @@ object Relational {
         val kmv = h.withColumn("rk", row_number().over(w))
           .where($"rk" <= k)
           .groupBy($"event_type")
-          .agg(max($"h").as("h_kmv"))
+          .agg(max($"h").as("h_kmv"), count(lit(1)).as("n_kmv"))
         val n = h.groupBy($"event_type").agg(count(lit(1)).as("n_exact"))
         n.join(broadcast(kmv), Seq("event_type"))
           .select($"event_type", $"n_exact", $"h_kmv",
-            round(lit(k - 1) * HashSpace / $"h_kmv".cast("double"))
-              .cast("long").as("est_kmv"))
+            // standard KMV fallback: a sketch holding fewer than k hashes
+            // has seen its whole set — report the exact count, not the
+            // (k-1)·|H|/h_k extrapolation (which is biased for |S| < k)
+            when($"n_kmv" < k, $"n_kmv")
+              .otherwise(round(lit(k - 1) * HashSpace / $"h_kmv".cast("double"))
+                .cast("long")).as("est_kmv"))
           .orderBy($"event_type")
       },
       s"""WITH h AS (
@@ -1407,14 +1411,17 @@ object Relational {
          |         ${portableHashSql("CAST(event_id AS VARCHAR)")} AS h
          |  FROM events),
          |kmv AS (
-         |  SELECT event_type, CAST(max(h) AS BIGINT) AS h_kmv FROM (
+         |  SELECT event_type, CAST(max(h) AS BIGINT) AS h_kmv,
+         |         CAST(count(*) AS BIGINT) AS n_kmv FROM (
          |    SELECT event_type, h,
          |           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
          |    FROM h) WHERE rk <= 5 GROUP BY 1),
          |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
          |      FROM h GROUP BY 1)
          |SELECT n.event_type, n.n_exact, kmv.h_kmv,
-         |       CAST(round(4 * $HashSpaceSql / CAST(h_kmv AS DOUBLE), 0) AS BIGINT) AS est_kmv
+         |       CASE WHEN n_kmv < 5 THEN n_kmv
+         |            ELSE CAST(round(4 * $HashSpaceSql / CAST(h_kmv AS DOUBLE), 0) AS BIGINT)
+         |       END AS est_kmv
          |FROM n JOIN kmv ON n.event_type = kmv.event_type
          |ORDER BY 1""".stripMargin),
 
@@ -1443,20 +1450,28 @@ object Relational {
         val w = Window.partitionBy($"event_type").orderBy($"h")
         val bottomK = users
           .withColumn("rk", row_number().over(w)).where($"rk" <= k)
-        // per-cohort estimate from the k-th smallest hash
+        // per-cohort estimate from the k-th smallest hash; a sketch that
+        // kept fewer than k hashes has seen its whole set — the standard
+        // KMV fallback reports the exact count instead of the
+        // (k-1)·|H|/h_k extrapolation (biased upward for |S| < k)
         val perSet = bottomK.groupBy($"event_type")
           .agg(max($"h").as("hk"), count(lit(1)).as("n"))
+          .select($"event_type",
+            when($"n" < k, $"n")
+              .otherwise(round(lit(k - 1) * HashSpace / $"hk".cast("double"))
+                .cast("long")).as("est"))
           .agg(
-            round(lit(k - 1) * HashSpace / min(when($"event_type" === "view", $"hk")).cast("double"))
-              .cast("long").as("est_a"),
-            round(lit(k - 1) * HashSpace / min(when($"event_type" === "click", $"hk")).cast("double"))
-              .cast("long").as("est_b"))
+            min(when($"event_type" === "view", $"est")).as("est_a"),
+            min(when($"event_type" === "click", $"est")).as("est_b"))
         // union sketch: k smallest of the merged signature hashes
         val unionEst = bottomK.select($"h").distinct()
           .withColumn("rk", row_number().over(Window.orderBy($"h")))
           .where($"rk" <= k)
-          .agg(round(lit(k - 1) * HashSpace / max($"h").cast("double"))
-            .cast("long").as("est_union"))
+          .agg(max($"h").as("hu"), count(lit(1)).as("nu"))
+          .select(
+            when($"nu" < k, $"nu")
+              .otherwise(round(lit(k - 1) * HashSpace / $"hu".cast("double"))
+                .cast("long")).as("est_union"))
         val exact = users.groupBy($"user_id")
           .agg(countDistinct($"event_type").as("nt"))
           .where($"nt" === 2)
@@ -1477,15 +1492,22 @@ object Relational {
          |    FROM u) WHERE rk <= 64),
          |per_set AS (
          |  SELECT
-         |    CAST(round(63 * $HashSpaceSql /
-         |      CAST(min(CASE WHEN event_type = 'view' THEN hk END) AS DOUBLE), 0) AS BIGINT) AS est_a,
-         |    CAST(round(63 * $HashSpaceSql /
-         |      CAST(min(CASE WHEN event_type = 'click' THEN hk END) AS DOUBLE), 0) AS BIGINT) AS est_b
-         |  FROM (SELECT event_type, max(h) AS hk FROM bk GROUP BY 1)),
+         |    min(CASE WHEN event_type = 'view' THEN est END) AS est_a,
+         |    min(CASE WHEN event_type = 'click' THEN est END) AS est_b
+         |  FROM (
+         |    SELECT event_type,
+         |           CASE WHEN n < 64 THEN n
+         |                ELSE CAST(round(63 * $HashSpaceSql / CAST(hk AS DOUBLE), 0) AS BIGINT)
+         |           END AS est
+         |    FROM (SELECT event_type, max(h) AS hk, CAST(count(*) AS BIGINT) AS n
+         |          FROM bk GROUP BY 1))),
          |un AS (
-         |  SELECT CAST(round(63 * $HashSpaceSql / CAST(max(h) AS DOUBLE), 0) AS BIGINT) AS est_union
-         |  FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk
-         |        FROM (SELECT DISTINCT h FROM bk)) WHERE rk <= 64),
+         |  SELECT CASE WHEN nu < 64 THEN nu
+         |              ELSE CAST(round(63 * $HashSpaceSql / CAST(hu AS DOUBLE), 0) AS BIGINT)
+         |         END AS est_union
+         |  FROM (SELECT max(h) AS hu, CAST(count(*) AS BIGINT) AS nu
+         |        FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk
+         |              FROM (SELECT DISTINCT h FROM bk)) WHERE rk <= 64)),
          |ex AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n_exact FROM (
          |    SELECT user_id FROM u GROUP BY user_id

@@ -99,14 +99,20 @@ class Round4cOpsSpec extends SparkSpec {
   test("m06: every pair is genuinely Hamming-close and every exact-dup pair in an uncapped bucket is found") {
     val s = spark
     import s.implicits._
-    // reference phash per doc, computed driver-side
+    // reference phash per doc, computed driver-side (independent loop
+    // structure over the same DCT table the query emits into its oracle)
+    val dct = graft.queries.MultimodalQueries.DctTable
     val docs = graft.engine.Tables(spark, dir, "documents")
       .select($"doc_id", $"text").collect()
       .map { case Row(id: Long, t: String) =>
-        val h = new Array[Long](60)
-        t.foreach(c => h(c % 60) += 1)
+        val h = new Array[Long](64)
+        t.foreach(c => h(c % 64) += 1)
         var sig = 0L
-        (0 until 60).foreach(k => if (h(k) * 60 > t.length) sig |= (1L << k))
+        for (k <- 1 to 60) {
+          val d = (for (x <- 0 until 8; y <- 0 until 8)
+            yield dct((k / 8) * 8 + x) * dct((k % 8) * 8 + y) * h(x * 8 + y)).sum
+          if (d > 0) sig |= (1L << (k - 1))
+        }
         id -> sig
       }.toMap
     val pairs = SparkEntry.queries("m06_phash_dedup")(spark, dir)
