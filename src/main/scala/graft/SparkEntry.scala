@@ -28,6 +28,7 @@ object SparkEntry {
     Seq(
       (graft.queries.Relational.queries, graft.queries.Relational.oracle),
       (graft.queries.GeoQueries.queries, graft.queries.GeoQueries.oracle),
+      (graft.queries.EpiQueries.queries, graft.queries.EpiQueries.oracle),
       (graft.queries.TextQueries.queries, graft.queries.TextQueries.oracle),
       (graft.queries.VectorQueries.queries, graft.queries.VectorQueries.oracle),
       (graft.queries.MultimodalQueries.queries, graft.queries.MultimodalQueries.oracle),

@@ -21,8 +21,9 @@ class QueriesSmokeSpec extends SparkSpec {
     // would silently drop one module's query from the judged surface
     val names = Seq(
       graft.queries.Relational.queries, graft.queries.GeoQueries.queries,
-      graft.queries.TextQueries.queries, graft.queries.VectorQueries.queries,
-      graft.queries.MultimodalQueries.queries, graft.queries.StreamingQueries.queries)
+      graft.queries.EpiQueries.queries, graft.queries.TextQueries.queries,
+      graft.queries.VectorQueries.queries, graft.queries.MultimodalQueries.queries,
+      graft.queries.StreamingQueries.queries)
       .flatMap(_.keys)
     val dups = names.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query names: $dups")

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.EpiQueries
+
+/** Semantics checks for the round-5 operators. */
+class Round5OpsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("g22: infection step conserves S+I+A+R per (area, kind) exactly") {
+    val s0 = EpiQueries.seedWide(spark, dir)
+    val s1 = EpiQueries.infectStep(s0)
+    def totals(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("area") +: (0 to 2).map(k =>
+          (col(s"s$k") + col(s"i$k") + col(s"a$k") + col(s"r$k")).as(s"n$k")): _*)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val before = totals(s0)
+    val after = totals(s1)
+    assert(before.keySet == after.keySet)
+    before.foreach { case (area, n) =>
+      assert(after(area) == n, s"area $area: mass $n -> ${after(area)}")
+    }
+  }
+
+  test("g22: the epidemic progresses (recoveries strictly positive) and no compartment goes negative") {
+    // sf0.01: the judged scale — sf0.001's ~15 users can (and do) all
+    // hash into the S compartment, which would make this test vacuous
+    val big = "/root/testdata/sf0.01"
+    val out = SparkEntry.queries("g22_siar_step")(spark, big)
+      .agg(sum(col("r")).as("r"), sum(col("i") + col("a")).as("ia"),
+        min(least(col("s"), col("i"), col("a"), col("r"))).as("mn"),
+        sum(col("s") + col("i") + col("a") + col("r")).as("mass"))
+      .collect().head
+    assert(out.getLong(0) > 0, "no recoveries — the step is vacuous")
+    assert(out.getLong(1) > 0, "no infectious mass")
+    assert(out.getLong(2) >= 0, "negative compartment")
+    // move-step integer division can only LOSE mass (never mint it):
+    // the final global mass is bounded by the seeded 10^4 per user
+    val users = graft.engine.Tables.events(spark, big)
+      .select(col("user_id")).distinct().count()
+    assert(out.getLong(3) <= users * 10000L, "mass minted from nothing")
+    assert(out.getLong(3) > users * 9000L, "move steps lost >10% of mass")
+  }
+}
