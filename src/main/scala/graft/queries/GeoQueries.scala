@@ -939,7 +939,43 @@ object GeoQueries {
            |r4 AS (${iter("r3")}),
            |r5 AS (${iter("r4")})
            |SELECT region, CAST(pr AS BIGINT) AS pr FROM r5 ORDER BY region""".stripMargin
-      })
+      }),
+
+    // ── w04b: dense ID minting at REAL key cardinality — the scale-safe
+    //    form of region.py:51-52 (dense_rank over a constant key: a
+    //    single-partition sort of every distinct cell — the exact hazard
+    //    SURVEY §4.2.4 documents, judged only on a small dim by w04).
+    //    The t13b two-pass trick applied to ID assignment: (1) range-
+    //    repartition the distinct cells and row_number WITHIN each
+    //    partition (keys are distinct and range-disjoint, so the local
+    //    rank ordered by key IS a local dense rank); (2) per-partition
+    //    counts (#partitions rows) get the only single-partition window,
+    //    prefix-summed into offsets and broadcast back. offset + local
+    //    rank == global dense_rank for ANY boundary placement, so the
+    //    result is deterministic and identical to the oracle's one-window
+    //    form while every corpus-sized pass stays parallel. ──
+    ("w04b_id_minting_scaled",
+      (s: SparkSession, dir: String) => {
+        val cells = points(s, dir)
+          .select(GeoFunctions.geohashCol(col("lat"), col("lon"), 5).as("gh5"))
+          .distinct()
+        val parted = cells.repartitionByRange(32, col("gh5"))
+          .withColumn("pid", spark_partition_id())
+        val wLocal = Window.partitionBy(col("pid")).orderBy(col("gh5"))
+        val local = parted.withColumn("lrk", row_number().over(wLocal))
+        val wOff = Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = local.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
+          .withColumn("off", coalesce(sum(col("pn")).over(wOff), lit(0L)))
+          .select(col("pid"), col("off"))
+        local.join(broadcast(offsets), "pid")
+          .select(col("gh5"), (col("off") + col("lrk")).cast("long").as("region_id"))
+          .orderBy(col("gh5"))
+      },
+      s"""WITH $pointsSql,
+         |cells AS (SELECT DISTINCT ${geohashSql("lat", "lon", 5)} AS gh5 FROM pts)
+         |SELECT gh5, CAST(dense_rank() OVER (ORDER BY gh5) AS BIGINT) AS region_id
+         |FROM cells ORDER BY gh5""".stripMargin)
   )
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap

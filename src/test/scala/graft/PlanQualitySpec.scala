@@ -204,6 +204,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("w04b: ID minting range-partitions the keys; only the offset pass single-partitions") {
+    val p = plan("w04b_id_minting_scaled")
+    // the key set must rank inside range partitions; the ONLY
+    // single-partition exchange is the #partitions-row offset window
+    // (a global dense_rank would single-partition every distinct key —
+    // the region.py:51-52 hazard this query exists to retire)
+    assert(p.contains("Exchange rangepartitioning"), p)
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("g17: window filter sits under the pivot agg; min broadcasts") {
     val p = plan("g17_wide_hour_matrix")
     // the h < 48 cut must run before the pivot's region exchange (rows
