@@ -92,25 +92,29 @@ object VectorQueries {
       s"(CASE WHEN ${planeDotSql(emb, j)} >= 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
 
-  /** v05's IVF probe, shared with the v10 recall evaluation: nearest-of-8
-    * centroid assignment, query set = vec_id 10..19, probe the query's
-    * cell only, top-3 by cosine (ties broken by vec_id). Unordered —
-    * judged callers add their own orderBy. */
-  private def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+  /** Seed-quantizer assignment (persisted — probed twice: query side +
+    * cell side): nearest-of-8 centroid by cosine, centroids = the 8
+    * lowest-id vectors (deterministic seed set). */
+  private def seedAssigned(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
-    // coarse centroids: the 8 lowest-id vectors (deterministic seed set)
     val cents = emb.where(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
-    // assign every vector to its nearest centroid by cosine
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cent_id").asc)
-    val assigned = emb.crossJoin(broadcast(cents))
+    emb.crossJoin(broadcast(cents))
       .withColumn("ccos", cosine(col("embedding"), col("cent")))
       .withColumn("rn", row_number().over(wAssign))
       .where(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"),
         normCol(col("embedding")).as("nrm"))
-      .persist() // probed twice: query side + cell side
+      .persist()
+  }
+
+  /** The IVF probe over any (vec_id, embedding, cell, nrm) assignment:
+    * query set = vec_id 10..19, probe the query's cell only, top-3 by
+    * cosine (ties broken by vec_id). Unordered — judged callers add
+    * their own orderBy. */
+  private def probeTopK(assigned: DataFrame): DataFrame = {
     val queries = assigned.where(col("vec_id") >= 10 && col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("cell"), col("nrm").as("q_nrm"))
@@ -126,9 +130,76 @@ object VectorQueries {
         col("vec_id"), col("cos"))
   }
 
-  /** Oracle CTE chain producing v05's (q_id, rank, vec_id, cos) as `ivf`
-    * — shared verbatim by the v05 and v10 oracles. */
-  private def ivfOracleCtes: String =
+  /** v05's IVF probe, shared with the v10 recall evaluation. */
+  private def ivfTopK(s: SparkSession, dir: String): DataFrame =
+    probeTopK(seedAssigned(s, dir))
+
+  /** One deterministic Lloyd iteration over the seed assignment (v11):
+    * per-cell exact elementwise mean via scaled longs (the judged v03
+    * recipe — both engines sum identical BIGINTs, divide identically),
+    * then re-assign every vector to its nearest TRAINED centroid.
+    * Centroid-side products use the composed double fold
+    * ([[Portable.dotFold]] ↔ DuckDB list_reduce) because the trained
+    * centroids are exact doubles — the native float-array kernel would
+    * narrow them; vector-side norms keep the native form. Every seed
+    * cell is non-empty (a seed vector's cosine with itself is 1), so 8
+    * trained centroids always exist. */
+  private def trainedAssigned(s: SparkSession, dir: String): DataFrame = {
+    val a0 = seedAssigned(s, dir)
+    val cents1 = a0
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(round(col("v").cast("double") * 1000000).cast("long")).as("sv"),
+        count(lit(1)).as("n"))
+      .select(col("cell"), col("pos"),
+        ((col("sv").cast("double") / 1000000.0) / col("n").cast("double")).as("mv"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pm"))
+      .select(col("cell").as("cent_id"),
+        transform(col("pm"), x => x.getField("mv")).as("cent"))
+      .withColumn("cnrm", sqrt(Portable.dotFold(col("cent"), col("cent"))))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    a0.select(col("vec_id"), col("embedding"), col("nrm"))
+      .crossJoin(broadcast(cents1))
+      .withColumn("ccos",
+        round(Portable.dotFold(col("embedding"), col("cent")) / (col("nrm") * col("cnrm")), 6))
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"), col("nrm"))
+      .persist()
+  }
+
+  /** v10's recall@3 evaluation over any probe result — exact side =
+    * broadcast queries × corpus (the v01 shape), recall = matched/3. */
+  private def recallOf(approx: DataFrame, s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), normCol(col("embedding")).as("nrm"))
+    val qs = emb.where(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val exact = broadcast(qs).crossJoin(emb)
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosPre(dotNative(col("q_emb"), col("embedding")),
+        col("q_nrm"), col("nrm")))
+      .withColumn("rank", row_number().over(wq))
+      .where(col("rank") <= 3)
+      .select(col("q_id"), col("vec_id"))
+    val hits = approx.select(col("q_id"), col("vec_id"))
+      .join(exact, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(col("q_id")).agg(count(lit(1)).as("k"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("k"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("k").cast("double"), 4)
+          .as("recall"))
+      .orderBy(col("q_id"))
+  }
+
+  /** Oracle CTEs producing the seed assignment as `assigned`. */
+  private def ivfAssignCtes: String =
     s"""cents AS (
        |  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < 8),
        |cscored AS (
@@ -139,19 +210,80 @@ object VectorQueries {
        |  SELECT vec_id, embedding, cent_id AS cell, ${normSql("embedding")} AS nrm FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id
        |              ORDER BY ccos DESC, cent_id ASC) AS rn
-       |    FROM cscored) WHERE rn = 1),
-       |iq AS (
+       |    FROM cscored) WHERE rn = 1)""".stripMargin
+
+  /** Oracle CTEs for the probe over assignment `asg`, emitting `out`. */
+  private def ivfProbeCtes(asg: String, iq: String, cand: String, out: String): String =
+    s"""$iq AS (
        |  SELECT vec_id AS q_id, embedding AS q_emb, cell, nrm AS q_nrm
-       |  FROM assigned WHERE vec_id >= 10 AND vec_id < 20),
-       |cand AS (
-       |  SELECT iq.q_id, e.vec_id,
-       |         ${cosPreSql(dotFoldSql("iq.q_emb", "e.embedding", 64), "iq.q_nrm", "e.nrm")} AS cos
-       |  FROM iq JOIN assigned e ON iq.cell = e.cell AND e.vec_id <> iq.q_id),
-       |ivf AS (
+       |  FROM $asg WHERE vec_id >= 10 AND vec_id < 20),
+       |$cand AS (
+       |  SELECT $iq.q_id, e.vec_id,
+       |         ${cosPreSql(dotFoldSql(s"$iq.q_emb", "e.embedding", 64), s"$iq.q_nrm", "e.nrm")} AS cos
+       |  FROM $iq JOIN $asg e ON $iq.cell = e.cell AND e.vec_id <> $iq.q_id),
+       |$out AS (
        |  SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos FROM (
        |    SELECT *, row_number() OVER (PARTITION BY q_id
        |              ORDER BY cos DESC, vec_id ASC) AS rank
-       |    FROM cand) WHERE rank <= 3)""".stripMargin
+       |    FROM $cand) WHERE rank <= 3)""".stripMargin
+
+  /** Oracle CTE chain producing v05's (q_id, rank, vec_id, cos) as `ivf`
+    * — shared verbatim by the v05 and v10 oracles. */
+  private def ivfOracleCtes: String =
+    s"""$ivfAssignCtes,
+       |${ivfProbeCtes("assigned", "iq", "cand", "ivf")}""".stripMargin
+
+  /** Oracle CTEs for the one-Lloyd-iteration trained quantizer (v11/v12):
+    * per-cell scaled-long exact mean (the v03 recipe) → `assigned1`. */
+  private def ivfTrainedCtes: String =
+    s"""cmean AS (
+       |  SELECT cell, i AS pos,
+       |    (CAST(sum(CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000.0)
+       |      / CAST(count(*) AS DOUBLE) AS mv
+       |  FROM assigned, (SELECT unnest(generate_series(1, $Dim)) AS i)
+       |  GROUP BY 1, 2),
+       |cent1 AS (
+       |  SELECT cell AS cent_id, list(mv ORDER BY pos) AS cent FROM cmean GROUP BY 1),
+       |cent1n AS (
+       |  SELECT cent_id, cent, sqrt(${dotFoldSql("cent", "cent", Dim)}) AS cnrm FROM cent1),
+       |cscored1 AS (
+       |  SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
+       |         round(${dotFoldSql("e.embedding", "c.cent", Dim)} / (e.nrm * c.cnrm), 6) AS ccos
+       |  FROM assigned e, cent1n c),
+       |assigned1 AS (
+       |  SELECT vec_id, embedding, cell, nrm FROM (
+       |    SELECT vec_id, embedding, nrm, cent_id AS cell,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY ccos DESC, cent_id ASC) AS rn
+       |    FROM cscored1) WHERE rn = 1)""".stripMargin
+
+  /** Oracle tail computing recall@3 of probe CTE `ivfName` vs exact. */
+  private def recallTailSql(ivfName: String): String =
+    s"""e AS (
+       |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       |bq AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e
+       |  WHERE vec_id >= 10 AND vec_id < 20),
+       |bscored AS (
+       |  SELECT bq.q_id, e.vec_id,
+       |         ${cosPreSql(dotFoldSql("bq.q_emb", "e.embedding", 64), "bq.q_nrm", "e.nrm")} AS cos
+       |  FROM bq, e WHERE e.vec_id <> bq.q_id),
+       |exact AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |              ORDER BY cos DESC, vec_id ASC) AS rank
+       |    FROM bscored) WHERE rank <= 3),
+       |hits AS (
+       |  SELECT i.q_id, count(*) AS n_hit
+       |  FROM $ivfName i WHERE EXISTS (
+       |    SELECT 1 FROM exact x WHERE x.q_id = i.q_id AND x.vec_id = i.vec_id)
+       |  GROUP BY i.q_id),
+       |ks AS (SELECT q_id, count(*) AS k FROM exact GROUP BY q_id)
+       |SELECT ks.q_id, CAST(coalesce(hits.n_hit, 0) AS BIGINT) AS n_hit,
+       |       CAST(ks.k AS BIGINT) AS k,
+       |       round(CAST(coalesce(hits.n_hit, 0) AS DOUBLE) / CAST(ks.k AS DOUBLE), 4) AS recall
+       |FROM ks LEFT JOIN hits ON ks.q_id = hits.q_id
+       |ORDER BY ks.q_id""".stripMargin
 
   val catalog: Seq[(String, Q, String)] = Seq(
 
@@ -305,57 +437,40 @@ object VectorQueries {
     //    left-semi-style join on (q_id, vec_id). All-integer counts and
     //    a 1/3-grid fraction — deterministic across engines. ──
     ("v10_ann_recall",
-      (s: SparkSession, dir: String) => {
-        val emb = Tables(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"), normCol(col("embedding")).as("nrm"))
-        val qs = emb.where(col("vec_id") >= 10 && col("vec_id") < 20)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-            col("nrm").as("q_nrm"))
-        val wq = Window.partitionBy(col("q_id"))
-          .orderBy(col("cos").desc, col("vec_id").asc)
-        val exact = broadcast(qs).crossJoin(emb)
-          .where(col("vec_id") =!= col("q_id"))
-          .withColumn("cos", cosPre(dotNative(col("q_emb"), col("embedding")),
-            col("q_nrm"), col("nrm")))
-          .withColumn("rank", row_number().over(wq))
-          .where(col("rank") <= 3)
-          .select(col("q_id"), col("vec_id"))
-        val hits = ivfTopK(s, dir).select(col("q_id"), col("vec_id"))
-          .join(exact, Seq("q_id", "vec_id"), "left_semi")
-          .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
-        exact.groupBy(col("q_id")).agg(count(lit(1)).as("k"))
-          .join(hits, Seq("q_id"), "left")
-          .select(col("q_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("k"),
-            round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("k").cast("double"), 4)
-              .as("recall"))
-          .orderBy(col("q_id"))
-      },
+      (s: SparkSession, dir: String) => recallOf(ivfTopK(s, dir), s, dir),
       s"""WITH $ivfOracleCtes,
-         |e AS (
-         |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
-         |bq AS (
-         |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e
-         |  WHERE vec_id >= 10 AND vec_id < 20),
-         |bscored AS (
-         |  SELECT bq.q_id, e.vec_id,
-         |         ${cosPreSql(dotFoldSql("bq.q_emb", "e.embedding", 64), "bq.q_nrm", "e.nrm")} AS cos
-         |  FROM bq, e WHERE e.vec_id <> bq.q_id),
-         |exact AS (
-         |  SELECT q_id, vec_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY q_id
-         |              ORDER BY cos DESC, vec_id ASC) AS rank
-         |    FROM bscored) WHERE rank <= 3),
-         |hits AS (
-         |  SELECT i.q_id, count(*) AS n_hit
-         |  FROM ivf i WHERE EXISTS (
-         |    SELECT 1 FROM exact x WHERE x.q_id = i.q_id AND x.vec_id = i.vec_id)
-         |  GROUP BY i.q_id),
-         |ks AS (SELECT q_id, count(*) AS k FROM exact GROUP BY q_id)
-         |SELECT ks.q_id, CAST(coalesce(hits.n_hit, 0) AS BIGINT) AS n_hit,
-         |       CAST(ks.k AS BIGINT) AS k,
-         |       round(CAST(coalesce(hits.n_hit, 0) AS DOUBLE) / CAST(ks.k AS DOUBLE), 4) AS recall
-         |FROM ks LEFT JOIN hits ON ks.q_id = hits.q_id
-         |ORDER BY ks.q_id""".stripMargin),
+         |${recallTailSql("ivf")}""".stripMargin),
+
+    // ── v11: IVF with TRAINED centroids — one deterministic Lloyd
+    //    iteration over the v05 seed set (assign → per-cell exact
+    //    scaled-long mean → re-assign), then v05's probe verbatim. The
+    //    quantizer-training slot of the ANN pipeline, exact in both
+    //    engines: centroid components are the judged v03 mean recipe,
+    //    and centroid-side dots run the composed double fold (DuckDB's
+    //    list_reduce twin) so nothing narrows to float. At 100 TB the
+    //    mean is one posexplode aggregation (map-side combinable) and
+    //    the 8-row centroid table broadcasts — Lloyd cost is one extra
+    //    corpus pass per iteration, no new shuffle shape. ──
+    ("v11_ann_ivf_trained",
+      (s: SparkSession, dir: String) => probeTopK(trainedAssigned(s, dir))
+        .orderBy(col("q_id"), col("rank")),
+      s"""WITH $ivfAssignCtes,
+         |$ivfTrainedCtes,
+         |${ivfProbeCtes("assigned1", "iq1", "cand1", "ivf1")}
+         |SELECT q_id, rank, vec_id, cos
+         |FROM ivf1 ORDER BY q_id, rank""".stripMargin),
+
+    // ── v12: recall@3 of the TRAINED quantizer — v10's evaluation over
+    //    v11's probe. Judged side-by-side with v10, the pair records
+    //    in-pipeline whether Lloyd training actually bought recall
+    //    (Round5OpsSpec pins the aggregate improvement). ──
+    ("v12_ann_recall_trained",
+      (s: SparkSession, dir: String) =>
+        recallOf(probeTopK(trainedAssigned(s, dir)), s, dir),
+      s"""WITH $ivfAssignCtes,
+         |$ivfTrainedCtes,
+         |${ivfProbeCtes("assigned1", "iq1", "cand1", "ivf1")},
+         |${recallTailSql("ivf1")}""".stripMargin),
 
     // ── IVF ANN, scale-parameterized multi-probe form: v05's 8 fixed
     //    centroids are a demo constant — the real config grows the cell
