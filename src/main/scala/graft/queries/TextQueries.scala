@@ -733,6 +733,7 @@ object TextQueries {
           .localCheckpoint(true) // same per-round lineage truncation as t10
         var converged = false
         var rounds = 0
+        var prevN = edges.count() // once, before the loop — not per round
         while (!converged && rounds < 25) {
           // large-star: from each node, all LARGER neighbors re-attach to
           // its minimum (neighbor or self)
@@ -758,12 +759,19 @@ object TextQueries {
             .unionByName(mS.select(col("m").as("u"), col("src").as("v")))
             .distinct()
             .localCheckpoint(true)
-          // fixpoint when the canonical edge set is unchanged (both
-          // counts equal AND no novel edge): the graph is then a forest
-          // of stars rooted at each component's minimum id
-          val nNext = small.count()
-          converged = nNext == edges.count() &&
-            small.exceptAll(edges).isEmpty
+          // fixpoint when the canonical edge set is unchanged (count
+          // equal to last round's AND no novel edge). ONE aggregate job
+          // per round: both edge sets are distinct canonical pairs, so
+          // a left join counting misses is exactly exceptAll-nonempty —
+          // the previous count()+count()+exceptAll trio was 3 jobs per
+          // round for the same two numbers
+          val Array(nNext, novel) = small.alias("s")
+            .join(edges.alias("e"),
+              expr("s.u = e.u AND s.v = e.v"), "left")
+            .agg(count(lit(1)), sum(when(expr("e.u IS NULL"), 1L).otherwise(0L)))
+            .collect().head.toSeq.map(x => Option(x).fold(0L)(_.asInstanceOf[Long])).toArray
+          converged = nNext == prevN && novel == 0
+          prevN = nNext
           edges = small
           rounds += 1
         }
