@@ -10,9 +10,11 @@ import Portable._
   * the real streaming engine (file source → windowed agg → memory sink,
   * `Trigger.AvailableNow`) and must converge to the batch answer DuckDB
   * computes; st02 proves `session_window` semantics against an
-  * islands-and-gaps SQL oracle. The incremental/stateful behaviors that
-  * a batch oracle cannot observe (watermark drops, state timeouts) are
-  * covered by `StreamingPresenceSpec` instead. */
+  * islands-and-gaps SQL oracle; st10 stages multi-batch arrival so a
+  * watermark genuinely expires between microbatches and judges the
+  * resulting late-data drops arithmetically. The remaining stateful
+  * behaviors a batch oracle cannot observe (state timeouts) are covered
+  * by `StreamingPresenceSpec` instead. */
 object StreamingQueries {
   type Q = (SparkSession, String) => DataFrame
 
@@ -386,7 +388,96 @@ object StreamingQueries {
       },
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
         |       CAST(count(*) AS BIGINT) AS n
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // ── st10: WATERMARK LATE-DATA SEMANTICS as a judged query (the
+    //    behavior StreamingPresenceSpec could only spec-check before).
+    //    The event stream arrives as THREE files under
+    //    maxFilesPerTrigger=1 (the st09 idiom), mtime-ordered:
+    //      batch 0  one deterministic hash-half, full time range — its
+    //               max advances the watermark to wmA = max(f0) − 2h;
+    //      batch 1  the other half's final-3h tail (on-time stragglers);
+    //      batch 2  the other half's older bulk — genuinely LATE now.
+    //    Empirically-pinned microbatch semantics (probed on this Spark
+    //    version): the state store FILTERS batch N's input with the
+    //    watermark as of batch N−1 and EVICTS/emits with the watermark
+    //    as of batch N, so batch-2 rows whose hourly window closed at
+    //    wmA are dropped (batch 0/1 rows never are — the filter
+    //    watermark was still 1970 then), and the final no-data batch
+    //    emits everything up to wmC = max(all) − 2h. The sink therefore
+    //    holds windows with end ≤ wmC counting f0 + f1 + only the
+    //    f2 rows with window end > wmA — all pure arithmetic over
+    //    max(ts), which is exactly what the oracle applies. ──
+    ("st10_watermark_late_data",
+      (s: SparkSession, dir: String) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        val half = pmod(portableHash(col("user_id").cast("string")), lit(2))
+        val tsx = expr("timestamp_micros(ts DIV 1000)")
+        val mx = raw.agg(max(tsx).as("mx"))
+        // staged files keep the source schema — the tagging columns are
+        // dropped before write
+        val tagged = raw.crossJoin(broadcast(mx))
+          .withColumn("__late", tsx < col("mx") - expr("INTERVAL 3 HOUR"))
+          .withColumn("__half", half)
+        val srcCols = raw.columns.map(col).toSeq
+        val stage = java.nio.file.Paths.get(Portable.scratchPath("stream_late_events"))
+        java.nio.file.Files.createDirectories(stage)
+        // one file per arrival batch, mtimes force the arrival order
+        // (the file source processes oldest-mtime first)
+        def writeArrival(df: DataFrame, name: String, mtime: Long): Unit = {
+          val tmp = Portable.scratchPath(s"stream_late_stage_$name")
+          df.select(srcCols: _*).coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val target = stage.resolve(s"$name.parquet")
+          java.nio.file.Files.copy(part.toPath, target,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          target.toFile.setLastModified(mtime): Unit
+        }
+        val now = System.currentTimeMillis()
+        writeArrival(tagged.where(col("__half") === 0), "arrival0", now - 180000)
+        writeArrival(tagged.where(col("__half") === 1 && !col("__late")),
+          "arrival1", now - 120000)
+        writeArrival(tagged.where(col("__half") === 1 && col("__late")),
+          "arrival2", now - 60000)
+        val schema = s.read.parquet(stage.toString).schema
+        val src = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .withWatermark("ts", "2 hours")
+        val counts = src
+          .groupBy(window(col("ts"), "1 hour").as("w"))
+          .agg(count(lit(1)).as("n"))
+        val q = counts.writeStream.format("memory").queryName("st10_mem")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table("st10_mem")
+          .select(tsSec(col("w.start")).as("hour"), col("n"))
+          .orderBy(col("hour"))
+      },
+      s"""WITH ev AS (
+         |  SELECT CAST(ts AS TIMESTAMP) AS ts,
+         |         ${portableHashSql("CAST(user_id AS VARCHAR)")} % 2 AS h
+         |  FROM events),
+         |mx AS (SELECT max(ts) AS m FROM ev),
+         |f0 AS (SELECT ts FROM ev WHERE h = 0),
+         |f2 AS (SELECT ev.ts FROM ev, mx WHERE h = 1 AND ev.ts < m - INTERVAL 3 HOUR),
+         |f1 AS (SELECT ev.ts FROM ev, mx WHERE h = 1 AND ev.ts >= m - INTERVAL 3 HOUR),
+         |wma AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM f0),
+         |wmc AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM ev),
+         |kept AS (
+         |  SELECT ts FROM f0
+         |  UNION ALL
+         |  SELECT ts FROM f1
+         |  UNION ALL
+         |  SELECT ts FROM f2
+         |  WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR > (SELECT w FROM wma))
+         |SELECT ${tsSecSql("date_trunc('hour', ts)")} AS hour,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM kept
+         |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wmc)
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap
