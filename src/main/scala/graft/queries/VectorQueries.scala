@@ -120,7 +120,10 @@ object VectorQueries {
         col("cell"), col("nrm").as("q_nrm"))
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    queries.join(assigned, Seq("cell")) // probe the query's cell only
+    // the query set is tiny by construction — broadcast it so the probe
+    // is a broadcast hash join on the cell key and the corpus side never
+    // shuffles (statically; AQE would only discover this at runtime)
+    broadcast(queries).join(assigned, Seq("cell")) // probe the query's cell only
       .where(col("vec_id") =!= col("q_id"))
       .withColumn("cos", cosPre(dotNative(col("q_emb"), col("embedding")),
         col("q_nrm"), col("nrm")))

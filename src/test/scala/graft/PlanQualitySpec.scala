@@ -215,6 +215,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("g22: SIAR move matrices broadcast; no cartesian products") {
+    val p = plan("g22_siar_step")
+    // both move steps join the #areas²-bounded matrix by broadcast — the
+    // wide state never reshuffles for them; the only single-partition
+    // work is the two #hours-row hot-matrix rankings
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("v11: trained centroids broadcast back to the corpus side") {
+    val p = plan("v11_ann_ivf_trained")
+    // seed assignment broadcasts 8 vectors, training output broadcasts 8
+    // centroids, the probe joins on the cell key — corpus never cross-
+    // joins unbroadcast. The explain string re-expands the persisted
+    // seed-assignment subtree at each of its three consumers (runtime
+    // reads the cache), so the BNLJ count is per-reference, not per-
+    // execution: 2 distinct broadcast cross joins × expansion.
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 8, p)
+  }
+
   test("g17: window filter sits under the pivot agg; min broadcasts") {
     val p = plan("g17_wide_hour_matrix")
     // the h < 48 cut must run before the pivot's region exchange (rows
