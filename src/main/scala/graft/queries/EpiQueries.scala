@@ -147,10 +147,45 @@ object EpiQueries {
     first.groupBy(col("area")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Infection step split at the transfer stage: (transfers, next) —
+    * the transfers frame still carries nf/ti per kind, which is what
+    * the reference's `Result` loop records as NI (dS2I sums, :246-249). */
+  private[graft] def infectParts(state: DataFrame): (DataFrame, DataFrame) = {
+    val stages = infectStages(sparkDiv)
+    val pre = stages.take(3).foldLeft(state)((d, stage) => d.selectExpr(stage: _*))
+    (pre, pre.selectExpr(stages(3): _*))
+  }
+
   /** One mean-field infection step (exposed for the conservation spec:
     * S+I+A+R is invariant per (area, kind) — exactly, in integers). */
   private[graft] def infectStep(state: DataFrame): DataFrame =
-    infectStages(sparkDiv).foldLeft(state)((d, stage) => d.selectExpr(stage: _*))
+    infectParts(state)._2
+
+  /** The shared pipeline inputs: seed state + the two busiest hourly
+    * move matrices (chosen in-plan; `mat(1)` is the chronologically
+    * earlier of the two). One persisted hourly-state pass feeds BOTH
+    * the seed and the transition matrices (the g10b sharing pattern);
+    * od persists because it feeds the hour ranking AND both matrices. */
+  private def siarInputs(s: SparkSession, dir: String): (DataFrame, Int => DataFrame) = {
+    val st = Trajectory.hourlyState(Tables.events(s, dir)).persist()
+    val od = Trajectory.transitions(st)
+      .select(col("hour"), col("src"),
+        when(col("dst") === "0", col("src")).otherwise(col("dst")).as("dst"))
+      .groupBy(col("hour"), col("src"), col("dst"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist()
+    val hot = od.groupBy(col("hour")).agg(sum(col("cnt")).as("n"))
+      .withColumn("rk", row_number().over(Window.orderBy(col("n").desc, col("hour"))))
+      .where(col("rk") <= 2).select(col("hour"))
+      .withColumn("ord", row_number().over(Window.orderBy(col("hour"))))
+    // the two single-partition windows above rank #distinct-hours rows
+    // (≈ 750/month) — bounded, never corpus-sized
+    def mat(o: Int): DataFrame = od
+      .join(broadcast(hot.where(col("ord") === o).select(col("hour"))), "hour")
+      .select(col("src"), col("dst"), col("cnt"))
+      .withColumn("tot", sum(col("cnt")).over(Window.partitionBy(col("src"))))
+    (seedWideFrom(st), mat)
+  }
 
   /** One move step through a (src, dst, cnt, tot) matrix. The matrix is
     * #areas²-bounded — broadcastable at any corpus size. */
@@ -179,10 +214,13 @@ object EpiQueries {
        |  FROM $prev p LEFT JOIN $mat m ON p.area = m.src
        |  GROUP BY 1)""".stripMargin
 
-  private def oracleSql: String = {
+  /** The full unrolled CTE chain shared by the g22/g23 oracles. Stage-3
+    * CTE of step N is `inNc` (carries nf/ti per kind), post-move states
+    * are `mv1`/`mv2`, the final state is `in3d`. */
+  private def siarOracleCtes: String = {
     val (in1, o1) = infectSqlCtes("in1", "w0")
     val (in2, o2) = infectSqlCtes("in2", "mv1")
-    val (in3, o3) = infectSqlCtes("in3", "mv2")
+    val (in3, _) = infectSqlCtes("in3", "mv2")
     s"""${Trajectory.trajSqlPrelude},
        |seq AS (
        |  SELECT user_id, hour, region,
@@ -212,11 +250,7 @@ object EpiQueries {
        |${moveSqlCte("mv1", o1, "mat1")},
        |$in2,
        |${moveSqlCte("mv2", o2, "mat2")},
-       |$in3
-       |SELECT area, CAST(k AS BIGINT) AS kind,
-       |       ${Comps.map(c => s"CASE k WHEN 0 THEN ${c}0 WHEN 1 THEN ${c}1 ELSE ${c}2 END AS $c").mkString(", ")}
-       |FROM $o3, (SELECT unnest(generate_series(0, 2)) AS k)
-       |ORDER BY area, kind""".stripMargin
+       |$in3""".stripMargin
   }
 
   val catalog: Seq[(String, Q, String)] = Seq(
@@ -228,26 +262,7 @@ object EpiQueries {
     //    through its 168-matrix week, :246-257). ──
     ("g22_siar_step",
       (s: SparkSession, dir: String) => {
-        // one persisted hourly-state pass feeds BOTH the seed and the
-        // transition matrices (the g10b sharing pattern)
-        val st = Trajectory.hourlyState(Tables.events(s, dir)).persist()
-        val od = Trajectory.transitions(st)
-          .select(col("hour"), col("src"),
-            when(col("dst") === "0", col("src")).otherwise(col("dst")).as("dst"))
-          .groupBy(col("hour"), col("src"), col("dst"))
-          .agg(count(lit(1)).as("cnt"))
-          .persist() // feeds the hour ranking AND both matrices
-        val hot = od.groupBy(col("hour")).agg(sum(col("cnt")).as("n"))
-          .withColumn("rk", row_number().over(Window.orderBy(col("n").desc, col("hour"))))
-          .where(col("rk") <= 2).select(col("hour"))
-          .withColumn("ord", row_number().over(Window.orderBy(col("hour"))))
-        // the two single-partition windows above rank #distinct-hours
-        // rows (≈ 750/month) — bounded, never corpus-sized
-        def mat(o: Int): DataFrame = od
-          .join(broadcast(hot.where(col("ord") === o).select(col("hour"))), "hour")
-          .select(col("src"), col("dst"), col("cnt"))
-          .withColumn("tot", sum(col("cnt")).over(Window.partitionBy(col("src"))))
-        val s0 = seedWideFrom(st)
+        val (s0, mat) = siarInputs(s, dir)
         val fin = infectStep(moveStep(infectStep(moveStep(infectStep(s0),
           mat(1))), mat(2)))
         val kindStructs = Kinds.map { k =>
@@ -258,7 +273,57 @@ object EpiQueries {
           .select(col("area") +: ("kind" +: Comps).map(c => col(s"e.$c").as(c)): _*)
           .orderBy(col("area"), col("kind"))
       },
-      oracleSql)
+      s"""$siarOracleCtes
+         |SELECT area, CAST(k AS BIGINT) AS kind,
+         |       ${Comps.map(c => s"CASE k WHEN 0 THEN ${c}0 WHEN 1 THEN ${c}1 ELSE ${c}2 END AS $c").mkString(", ")}
+         |FROM in3d, (SELECT unnest(generate_series(0, 2)) AS k)
+         |ORDER BY area, kind""".stripMargin),
+
+    // ── g23: the reference's `Result` observable series
+    //    (1108Fit_para_multi.py:233-270) — per step, the global
+    //    compartment totals recorded AFTER the move (resulta/b/c sums)
+    //    and the new-infection count NI = Σ dS2I (:246-249; the final
+    //    step has no move, mirroring the loop's k = step-1 exit). The
+    //    entire series reduces to three 1-row aggregates over the
+    //    area-bounded chain — the epidemic-curve artifact the paper
+    //    fits β against, never materialized on the driver. ──
+    ("g23_siar_series",
+      (s: SparkSession, dir: String) => {
+        val (s0, mat) = siarInputs(s, dir)
+        val (t1, i1) = infectParts(s0)
+        val m1 = moveStep(i1, mat(1))
+        val (t2, i2) = infectParts(m1)
+        val m2 = moveStep(i2, mat(2))
+        val (t3, i3) = infectParts(m2)
+        def stepRow(step: Int, state: DataFrame, transfers: DataFrame): DataFrame = {
+          val tots = Comps.map(c => expr(
+            s"CAST(${Kinds.map(k => s"sum($c$k)").mkString(" + ")} AS BIGINT) AS $c"))
+          val ni = transfers.agg(expr(
+            s"CAST(${Kinds.map(k => s"sum(ti$k)").mkString(" + ")} AS BIGINT) AS new_i"))
+          state.agg(tots.head, tots.tail: _*)
+            .crossJoin(ni)
+            .select(lit(step).cast("long").as("step") +:
+              ("new_i" +: Comps).map(col): _*)
+        }
+        stepRow(1, m1, t1)
+          .unionByName(stepRow(2, m2, t2))
+          .unionByName(stepRow(3, i3, t3))
+          .orderBy(col("step"))
+      },
+      {
+        def stepSql(step: Int, state: String, stage3: String) =
+          s"""SELECT CAST($step AS BIGINT) AS step,
+             |       (SELECT CAST(${Kinds.map(k => s"sum(ti$k)").mkString(" + ")} AS BIGINT) FROM $stage3) AS new_i,
+             |       ${Comps.map(c => s"CAST(${Kinds.map(k => s"sum($c$k)").mkString(" + ")} AS BIGINT) AS $c").mkString(", ")}
+             |FROM $state""".stripMargin
+        s"""$siarOracleCtes
+           |${stepSql(1, "mv1", "in1c")}
+           |UNION ALL
+           |${stepSql(2, "mv2", "in2c")}
+           |UNION ALL
+           |${stepSql(3, "in3d", "in3c")}
+           |ORDER BY step""".stripMargin
+      })
   )
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap
