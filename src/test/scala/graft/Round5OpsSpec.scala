@@ -48,6 +48,22 @@ class Round5OpsSpec extends SparkSpec {
     assert(n.get() <= 42, s"t10b ran ${n.get()} jobs — convergence check regressed?")
   }
 
+  test("g23: the observable series is epidemiologically coherent") {
+    val big = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("g23_siar_series")(spark, big)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.length == 3)
+    // R is cumulative (never shrinks); total mass never exceeds the seed
+    val rs = rows.map(_._5)
+    assert(rs.zip(rs.tail).forall { case (a, b) => a <= b }, rs.toSeq.toString)
+    assert(rs.last > 0)
+    val masses = rows.map(t => t._2 + t._3 + t._4 + t._5)
+    val users = graft.engine.Tables.events(spark, big)
+      .select(col("user_id")).distinct().count()
+    masses.foreach(m => assert(m <= users * 10000L && m > users * 9000L, m))
+  }
+
   test("v11: one Lloyd iteration does not lose recall (and gains it at the judged SF)") {
     val big = "/root/testdata/sf0.01"
     def total(name: String): Long =
