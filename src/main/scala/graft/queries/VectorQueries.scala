@@ -465,8 +465,15 @@ object VectorQueries {
 
     // ── v12: recall@3 of the TRAINED quantizer — v10's evaluation over
     //    v11's probe. Judged side-by-side with v10, the pair records
-    //    in-pipeline whether Lloyd training actually bought recall
-    //    (Round5OpsSpec pins the aggregate improvement). ──
+    //    in-pipeline whether Lloyd training actually bought recall —
+    //    which is exactly why the eval exists: training monotonically
+    //    lowers quantization distortion but single-cell-probe recall is
+    //    NOT monotone in it (measured: 6/30 → 7/30 at sf0.01, but
+    //    11/30 → 8/30 at sf0.1, where re-assignment moves queries into
+    //    cells that no longer hold their true neighbors — the standard
+    //    cure is multi-probe, v07). Round5OpsSpec pins the sf0.01
+    //    improvement; the sf0.1 regression is the honest measurement a
+    //    deployment would gate on. ──
     ("v12_ann_recall_trained",
       (s: SparkSession, dir: String) =>
         recallOf(probeTopK(trainedAssigned(s, dir)), s, dir),
