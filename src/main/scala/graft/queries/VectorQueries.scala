@@ -147,7 +147,7 @@ object VectorQueries {
     * narrow them; vector-side norms keep the native form. Every seed
     * cell is non-empty (a seed vector's cosine with itself is 1), so 8
     * trained centroids always exist. */
-  private def trainedAssigned(s: SparkSession, dir: String): DataFrame = {
+  private def trainedRanked(s: SparkSession, dir: String): DataFrame = {
     val a0 = seedAssigned(s, dir)
     val cents1 = a0
       .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -168,9 +168,37 @@ object VectorQueries {
       .withColumn("ccos",
         round(Portable.dotFold(col("embedding"), col("cent")) / (col("nrm") * col("cnrm")), 6))
       .withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cent_id"), col("rn"))
+      .persist() // rn=1 is the cell assignment; rn<=2 is the probe set
+  }
+
+  private def trainedAssigned(s: SparkSession, dir: String): DataFrame =
+    trainedRanked(s, dir).where(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"), col("nrm"))
-      .persist()
+
+  /** Trained quantizer + v07's two-cell multi-probe — the documented
+    * cure for v12's measured single-probe recall regression: probing
+    * the query's two nearest TRAINED cells recovers the neighbors that
+    * re-assignment moved one cell over. */
+  private def trainedMultiProbe(s: SparkSession, dir: String): DataFrame = {
+    val ranked = trainedRanked(s, dir)
+    val assigned = ranked.where(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"), col("nrm"))
+    val probes = ranked
+      .where(col("vec_id") >= 10 && col("vec_id") < 20 && col("rn") <= 2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("cent_id").as("cell"), col("nrm").as("q_nrm"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    broadcast(probes).join(assigned, Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosPre(dotNative(col("q_emb"), col("embedding")),
+        col("q_nrm"), col("nrm")))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= 3)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("cos"))
   }
 
   /** v10's recall@3 evaluation over any probe result — exact side =
@@ -253,12 +281,30 @@ object VectorQueries {
        |  SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
        |         round(${dotFoldSql("e.embedding", "c.cent", Dim)} / (e.nrm * c.cnrm), 6) AS ccos
        |  FROM assigned e, cent1n c),
+       |ranked1 AS (
+       |  SELECT vec_id, embedding, nrm, cent_id,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY ccos DESC, cent_id ASC) AS rn
+       |  FROM cscored1),
        |assigned1 AS (
-       |  SELECT vec_id, embedding, cell, nrm FROM (
-       |    SELECT vec_id, embedding, nrm, cent_id AS cell,
-       |           row_number() OVER (PARTITION BY vec_id
-       |                              ORDER BY ccos DESC, cent_id ASC) AS rn
-       |    FROM cscored1) WHERE rn = 1)""".stripMargin
+       |  SELECT vec_id, embedding, cent_id AS cell, nrm
+       |  FROM ranked1 WHERE rn = 1)""".stripMargin
+
+  /** Oracle CTEs for the two-cell multi-probe over the trained
+    * assignment (v13/v14): probe set = rn ≤ 2 of `ranked1`. */
+  private def ivfTrainedMultiProbeCtes: String =
+    s"""iq2 AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, cent_id AS cell, nrm AS q_nrm
+       |  FROM ranked1 WHERE vec_id >= 10 AND vec_id < 20 AND rn <= 2),
+       |cand2 AS (
+       |  SELECT iq2.q_id, e.vec_id,
+       |         ${cosPreSql(dotFoldSql("iq2.q_emb", "e.embedding", 64), "iq2.q_nrm", "e.nrm")} AS cos
+       |  FROM iq2 JOIN assigned1 e ON iq2.cell = e.cell AND e.vec_id <> iq2.q_id),
+       |ivf2 AS (
+       |  SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |              ORDER BY cos DESC, vec_id ASC) AS rank
+       |    FROM cand2) WHERE rank <= 3)""".stripMargin
 
   /** Oracle tail computing recall@3 of probe CTE `ivfName` vs exact. */
   private def recallTailSql(ivfName: String): String =
@@ -481,6 +527,34 @@ object VectorQueries {
          |$ivfTrainedCtes,
          |${ivfProbeCtes("assigned1", "iq1", "cand1", "ivf1")},
          |${recallTailSql("ivf1")}""".stripMargin),
+
+    // ── v13: trained quantizer + two-cell multi-probe (the v07 probe
+    //    over the v11 assignment) — the composition the v12 measurement
+    //    calls for: re-assignment can move a query's true neighbors one
+    //    cell over, and probing the two nearest trained cells is the
+    //    standard recovery. Completes the ANN ablation grid: seed/
+    //    trained × single/multi probe, every cell judged. ──
+    ("v13_ann_ivf_trained_multiprobe",
+      (s: SparkSession, dir: String) => trainedMultiProbe(s, dir)
+        .orderBy(col("q_id"), col("rank")),
+      s"""WITH $ivfAssignCtes,
+         |$ivfTrainedCtes,
+         |$ivfTrainedMultiProbeCtes
+         |SELECT q_id, rank, vec_id, cos
+         |FROM ivf2 ORDER BY q_id, rank""".stripMargin),
+
+    // ── v14: recall@3 of the trained multi-probe — the fourth cell of
+    //    the ablation grid's eval row (v10 seed-single, v12 trained-
+    //    single, v14 trained-multi; v07's seed-multi is plan-equivalent
+    //    modulo centroids). Round5OpsSpec pins that multi-probe
+    //    recovers the single-probe regression at both judged SFs. ──
+    ("v14_ann_recall_trained_multiprobe",
+      (s: SparkSession, dir: String) =>
+        recallOf(trainedMultiProbe(s, dir), s, dir),
+      s"""WITH $ivfAssignCtes,
+         |$ivfTrainedCtes,
+         |$ivfTrainedMultiProbeCtes,
+         |${recallTailSql("ivf2")}""".stripMargin),
 
     // ── IVF ANN, scale-parameterized multi-probe form: v05's 8 fixed
     //    centroids are a demo constant — the real config grows the cell

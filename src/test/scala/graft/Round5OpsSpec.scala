@@ -74,6 +74,13 @@ class Round5OpsSpec extends SparkSpec {
     // deterministic data → a fixed fact, not a flaky bound: measured
     // 6/30 (seed) vs 7/30 (trained) at sf0.01
     assert(trained > seed, s"trained recall $trained !> seed $seed")
+    // the full ablation: two-cell multi-probe over the trained
+    // quantizer recovers what single-probe re-assignment loses —
+    // measured 12/30 at sf0.01 (13/30 at sf0.1, where trained
+    // single-probe REGRESSES to 8/30 — the v12 comment's finding)
+    val multi = total("v14_ann_recall_trained_multiprobe")
+    assert(multi > trained, s"multi-probe recall $multi !> single $trained")
+    assert(multi > seed, s"multi-probe recall $multi !> seed $seed")
   }
 
   test("g22: the epidemic progresses (recoveries strictly positive) and no compartment goes negative") {
