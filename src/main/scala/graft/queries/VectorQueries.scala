@@ -517,9 +517,9 @@ object VectorQueries {
     //    NOT monotone in it (measured: 6/30 → 7/30 at sf0.01, but
     //    11/30 → 8/30 at sf0.1, where re-assignment moves queries into
     //    cells that no longer hold their true neighbors — the standard
-    //    cure is multi-probe, v07). Round5OpsSpec pins the sf0.01
-    //    improvement; the sf0.1 regression is the honest measurement a
-    //    deployment would gate on. ──
+    //    cure is multi-probe, applied and judged as v13/v14).
+    //    Round5OpsSpec pins the sf0.01 improvement; the sf0.1
+    //    regression is the honest measurement a deployment gates on. ──
     ("v12_ann_recall_trained",
       (s: SparkSession, dir: String) =>
         recallOf(probeTopK(trainedAssigned(s, dir)), s, dir),
