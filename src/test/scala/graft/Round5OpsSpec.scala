@@ -48,6 +48,43 @@ class Round5OpsSpec extends SparkSpec {
     assert(n.get() <= 42, s"t10b ran ${n.get()} jobs — convergence check regressed?")
   }
 
+  test("g22: infection arithmetic is total and conservative on edge states") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // hand-picked hostile states: all-zero area, single-kind mass,
+    // everyone infected, near the documented overflow bound (1e10 =
+    // 1e6 users at the x1e4 state scale), and a mixed busy area
+    val cols = for (k <- 0 to 2; c <- Seq("s", "i", "a", "r")) yield s"$c$k"
+    val rows = Seq(
+      ("empty", Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)),
+      ("one_kind", Seq(50000L, 10000L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)),
+      ("all_inf", Seq(0L, 10000000000L, 0L, 0L, 0L, 10000000000L, 0L, 0L, 0L, 10000000000L, 0L, 0L)),
+      ("huge", Seq(10000000000L, 10000000000L, 10000000000L, 10000000000L,
+        10000000000L, 10000000000L, 10000000000L, 10000000000L,
+        10000000000L, 10000000000L, 10000000000L, 10000000000L)),
+      ("mixed", Seq(123450000L, 6780000L, 910000L, 1110000L,
+        222220000L, 0L, 333330L, 0L, 7770000L, 888880L, 99990L, 12340L)))
+    val schema = StructType(StructField("area", StringType) +:
+      cols.map(c => StructField(c, LongType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (a, vs) => Row.fromSeq(a +: vs) }), schema)
+    val out = graft.queries.EpiQueries.infectStep(df).collect()
+      .map(r => r.getString(0) -> (1 to 12).map(r.getLong).toSeq).toMap
+    rows.foreach { case (a, vs) =>
+      val o = out(a)
+      assert(o.forall(_ >= 0L), s"$a: negative compartment in $o")
+      (0 to 2).foreach { k =>
+        val before = vs.slice(4 * k, 4 * k + 4).sum
+        val after = o.slice(4 * k, 4 * k + 4).sum
+        assert(after == before, s"$a kind $k: mass $before -> $after")
+      }
+    }
+    // non-vacuity: the busy mixed area actually infects and recovers
+    assert(out("mixed")(0) < rows(4)._2(0), "no new infections in mixed")
+    assert(out("mixed")(3) > rows(4)._2(3), "no recoveries in mixed")
+  }
+
   test("g23: the observable series is epidemiologically coherent") {
     val big = "/root/testdata/sf0.01"
     val rows = SparkEntry.queries("g23_siar_series")(spark, big)
