@@ -1517,6 +1517,45 @@ object Relational {
          |       n_exact
          |FROM per_set, un, ex""".stripMargin),
 
+    // ── q07: deterministic MIXTURE sampler — rebalance the corpus across
+    //    language strata (the training-data "domain mixing" step: en is
+    //    ~40% of documents; the balanced mixture downsamples every
+    //    language to the rarest language's share in expectation).
+    //    Mechanics: per-stratum counts (a tiny agg, broadcast back) set a
+    //    per-stratum acceptance threshold min(n)·10⁶/n, and a document is
+    //    kept iff its content-hash bucket falls under its stratum's
+    //    threshold — never rand() (reproducible across runs, engines,
+    //    retries), one scan + one broadcast join at any corpus size.
+    //    Arbitrary target weights drop in by replacing min(n) with
+    //    w_s·N_target. The judged artifact is the exact sampled rowset. ──
+    ("q07_mixture_sample",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents").select($"doc_id", $"lang")
+        val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n_lang"))
+        val minN = counts.agg(min($"n_lang").as("min_n"))
+        // floor of the SAME double division on both engines (a BIGINT
+        // `/` returns double in Spark and DuckDB alike; CASTing that
+        // would round-half-even in DuckDB but truncate in Spark)
+        val thr = counts.crossJoin(broadcast(minN))
+          .select($"lang",
+            floor($"min_n".cast("double") * 1000000.0 / $"n_lang".cast("double"))
+              .cast("long").as("thr"))
+        docs.join(broadcast(thr), Seq("lang"))
+          .where(pmod(portableHash($"doc_id".cast("string")), lit(1000000L)) < $"thr")
+          .select($"doc_id", $"lang")
+          .orderBy($"doc_id")
+      },
+      s"""WITH counts AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM documents GROUP BY 1),
+         |thr AS (
+         |  SELECT lang, CAST(floor(CAST(min(n_lang) OVER () AS DOUBLE) * 1000000.0
+         |                          / CAST(n_lang AS DOUBLE)) AS BIGINT) AS thr
+         |  FROM counts)
+         |SELECT d.doc_id, d.lang FROM documents d JOIN thr USING (lang)
+         |WHERE ${portableHashSql("CAST(d.doc_id AS VARCHAR)")} % 1000000 < thr.thr
+         |ORDER BY d.doc_id""".stripMargin),
+
     // ── intersect / except (beyond the reference, which emulated the
     //    anti role with isNull splits): cohort algebra over user sets ──
     ("u02_intersect_except",
