@@ -1017,7 +1017,75 @@ object TextQueries {
         |  CAST(len(regexp_extract_all(t, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
         |  CAST(length(c) AS BIGINT) AS scrub_len,
         |  md5(c) AS scrub_digest
-        |FROM scr ORDER BY doc_id""".stripMargin)
+        |FROM scr ORDER BY doc_id""".stripMargin),
+
+    // ── t18: sub-document exact dedup (the C4 rule — drop every repeated
+    //    LINE corpus-wide, keeping only its first occurrence, then rebuild
+    //    each document from its surviving pieces). This corpus has no
+    //    newlines, so fixed 10-word spans stand in for lines; the operator
+    //    is boundary-agnostic (swap the span generator for split-on-'\n'
+    //    and nothing else changes). Shape, built for 100 TB:
+    //    * spans are emitted by slicing each doc's own word array — one
+    //      narrow projection, no self-join;
+    //    * "first occurrence" is min(struct(doc_id, span_idx)) GROUPED BY
+    //      span — an aggregation with map-side partial combine, NOT a
+    //      row_number window, so a pathologically hot span (boilerplate
+    //      repeated millions of times) collapses to one row per map task
+    //      before the shuffle instead of landing on one reducer;
+    //    * rebuild groups by doc_id — a group is one document, bounded.
+    //    The twins make every seed doc's spans corpus-duplicates (their
+    //    rebuilt text is empty), pinning non-vacuity at every SF; the
+    //    generator's designed near-dups exercise the partial-keep path. ──
+    ("t18_line_dedup",
+      (s: SparkSession, dir: String) => {
+        val docs = seededDocs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        val sp = docs.select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0L), ceil(size(col("ws")).cast("double") / 10.0).cast("long") - 1),
+            i => array_join(slice(col("ws"), (i * 10 + 1).cast("int"), lit(10)), " ")))
+            .as(Seq("span_idx", "span")))
+        val kept = sp.groupBy(col("span"))
+          .agg(min(struct(col("doc_id"), col("span_idx"))).as("w"))
+          .select(col("w.doc_id").as("doc_id"), col("w.span_idx").as("span_idx"),
+            col("span"))
+        val rebuilt = kept.groupBy(col("doc_id"))
+          .agg(
+            array_join(
+              transform(array_sort(collect_list(struct(col("span_idx"), col("span")))),
+                x => x.getField("span")), " ").as("kept_text"),
+            count(lit(1)).as("n_kept"))
+        docs
+          .select(col("doc_id"),
+            ceil(size(col("ws")).cast("double") / 10.0).cast("long").as("n_tot"))
+          .join(rebuilt, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("kept_text"), lit("")).as("kept_text"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            col("n_tot"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH $seededDocsSql,
+         |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM seeded),
+         |sp AS (
+         |  SELECT doc_id, i AS span_idx,
+         |         array_to_string(ws[(CAST(i AS INT)*10+1):(CAST(i AS INT)*10+10)], ' ') AS span
+         |  FROM w, LATERAL (SELECT unnest(generate_series(
+         |    0, CAST(ceil(len(ws)/10.0) AS BIGINT) - 1)) AS i)),
+         |kept AS (
+         |  SELECT doc_id, span_idx, span FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY span
+         |                                 ORDER BY doc_id, span_idx) AS rn
+         |    FROM sp) WHERE rn = 1),
+         |rebuilt AS (
+         |  SELECT doc_id, string_agg(span, ' ' ORDER BY span_idx) AS kept_text,
+         |         CAST(count(*) AS BIGINT) AS n_kept
+         |  FROM kept GROUP BY 1)
+         |SELECT w.doc_id, coalesce(r.kept_text, '') AS kept_text,
+         |       coalesce(r.n_kept, 0) AS n_kept,
+         |       CAST(ceil(len(w.ws)/10.0) AS BIGINT) AS n_tot
+         |FROM w LEFT JOIN rebuilt r USING (doc_id)
+         |ORDER BY w.doc_id""".stripMargin)
   )
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap

@@ -22,4 +22,30 @@ class Round5bOpsSpec extends SparkSpec {
     assert(hi <= (minLang * 1.25).toLong + 1, s"over-sampled stratum: $sampled (min=$minLang)")
     assert(lo >= (minLang * 0.75).toLong - 1, s"under-sampled stratum: $sampled (min=$minLang)")
   }
+
+  test("t18: seed twins dedup to empty and span mass is conserved") {
+    val out = SparkEntry.queries("t18_line_dedup")(spark, dir)
+      .select(col("doc_id"), col("kept_text"), col("n_kept"), col("n_tot"))
+      .persist()
+    // every twin (doc_id >= 1e12) is a verbatim copy of an earlier doc —
+    // sub-document dedup must strip it entirely
+    val twins = out.where(col("doc_id") >= 1000000000000L)
+    assert(twins.count() == 10)
+    assert(twins.where(col("kept_text") =!= "" || col("n_kept") =!= 0).count() == 0,
+      "a twin survived sub-document dedup")
+    // conservation: exactly one copy of every distinct span survives
+    val docs = graft.engine.Tables(spark, dir, "documents")
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .unionByName(docs.where(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000000000L).as("doc_id"),
+          split(col("text"), " ").as("ws")))
+    val nDistinct = base.select(posexplode(transform(
+        sequence(lit(0L), ceil(size(col("ws")).cast("double") / 10.0).cast("long") - 1),
+        i => array_join(slice(col("ws"), (i * 10 + 1).cast("int"), lit(10)), " ")))
+        .as(Seq("i", "span")))
+      .agg(countDistinct(col("span"))).collect()(0).getLong(0)
+    val keptSum = out.agg(sum(col("n_kept"))).collect()(0).getLong(0)
+    assert(keptSum == nDistinct, s"kept $keptSum spans, expected $nDistinct distinct")
+    out.unpersist()
+  }
 }
