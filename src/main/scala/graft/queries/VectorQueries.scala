@@ -806,7 +806,115 @@ object VectorQueries {
          |            ORDER BY cos_q DESC, vec_id ASC) AS rank
          |  FROM scored)
          |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos_q
-         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
+         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+
+    // ── v15: SEMANTIC dedup (the SemDeDup recipe): cluster the corpus
+    //    with a data-trained coarse quantizer, then search for
+    //    near-duplicate pairs ONLY within a cluster — the scale shape
+    //    that keeps embedding dedup tractable when even an LSH-bucketed
+    //    global search (v04) is too wide: cluster count grows with the
+    //    corpus (v07's √n rule composes here), per-cluster candidate
+    //    sets stay bounded by [[BucketCap]]. Quantizer: 32 seed
+    //    centroids + one exact Lloyd iteration (the judged v11 recipe —
+    //    scaled-long means, identical BIGINTs on both engines), so
+    //    clusters are data-driven, not random hyperplanes. Eviction is
+    //    deterministic min-id: a vector is removed iff a smaller-id
+    //    cluster-mate scores cos ≥ 0.9, reporting the smallest such
+    //    keeper. The ×2-scaled twins (exact exponent shift — same cell
+    //    by cosine scale-invariance, cos 1.0 with the original) pin
+    //    non-vacuity at every SF. ──
+    ("v15_semantic_dedup",
+      (s: SparkSession, dir: String) => {
+        val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val seeded = emb.unionByName(
+          emb.where(col("vec_id") < 10)
+            .select((col("vec_id") + 1000000000000L).as("vec_id"),
+              transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+        val cents0 = emb.where(col("vec_id") < 32)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("ccos").desc, col("cent_id").asc)
+        val a0 = emb.crossJoin(broadcast(cents0))
+          .withColumn("ccos", cosine(col("embedding"), col("cent")))
+          .withColumn("rn", row_number().over(wAssign))
+          .where(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+        val cents1 = a0
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("cell"), col("pos"))
+          .agg(sum(round(col("v").cast("double") * 1000000).cast("long")).as("sv"),
+            count(lit(1)).as("n"))
+          .select(col("cell"), col("pos"),
+            ((col("sv").cast("double") / 1000000.0) / col("n").cast("double")).as("mv"))
+          .groupBy(col("cell"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pm"))
+          .select(col("cell").as("cent_id"),
+            transform(col("pm"), x => x.getField("mv")).as("cent"))
+          .withColumn("cnrm", sqrt(Portable.dotFold(col("cent"), col("cent"))))
+        val wCell = Window.partitionBy(col("cell"))
+        val assigned = seeded
+          .withColumn("nrm", normCol(col("embedding")))
+          .crossJoin(broadcast(cents1))
+          // trained centroids are exact doubles — composed fold, not the
+          // float-array native kernel (the v11 narrowing rule)
+          .withColumn("ccos",
+            round(Portable.dotFold(col("embedding"), col("cent")) / (col("nrm") * col("cnrm")), 6))
+          .withColumn("rn", row_number().over(wAssign))
+          .where(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"), col("nrm"))
+          // hot-cell guard rides the cell shuffle the self-join needs anyway
+          .withColumn("nc", count(lit(1)).over(wCell))
+          .where(col("nc") <= BucketCap).drop("nc")
+          .persist() // self-joined: assignment + norm computed once
+        assigned.as("a").join(assigned.as("b"),
+            col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+          .withColumn("cos", cosPre(dotNative(col("a.embedding"), col("b.embedding")),
+            col("a.nrm"), col("b.nrm")))
+          .where(col("cos") >= 0.9)
+          .select(col("b.vec_id").as("vec_id"), col("b.cell").as("cell"),
+            col("a.vec_id").as("va"), col("cos"))
+          .groupBy(col("vec_id"), col("cell"))
+          .agg(min(col("va")).as("keeper_id"), max(col("cos")).as("best_cos"))
+          .orderBy(col("vec_id"))
+      },
+      s"""WITH seededv AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000000000, list_transform(embedding, x -> x * CAST(2.0 AS FLOAT))
+         |  FROM embeddings WHERE vec_id < 10),
+         |cents0 AS (
+         |  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < 32),
+         |sc0 AS (
+         |  SELECT e.vec_id, e.embedding, c.cent_id, ${cosineSql("e.embedding", "c.cent")} AS ccos
+         |  FROM embeddings e, cents0 c),
+         |a0 AS (
+         |  SELECT vec_id, embedding, cent_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn
+         |    FROM sc0) WHERE rn = 1),
+         |cmean AS (
+         |  SELECT cell, i AS pos,
+         |    (CAST(sum(CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000.0)
+         |      / CAST(count(*) AS DOUBLE) AS mv
+         |  FROM a0, (SELECT unnest(generate_series(1, $Dim)) AS i) GROUP BY 1, 2),
+         |cent1 AS (SELECT cell AS cent_id, list(mv ORDER BY pos) AS cent FROM cmean GROUP BY 1),
+         |cent1n AS (SELECT cent_id, cent, sqrt(${dotFoldSql("cent", "cent", Dim)}) AS cnrm FROM cent1),
+         |sv AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM seededv),
+         |sc1 AS (
+         |  SELECT v.vec_id, v.embedding, v.nrm, c.cent_id,
+         |         round(${dotFoldSql("v.embedding", "c.cent", Dim)} / (v.nrm * c.cnrm), 6) AS ccos
+         |  FROM sv v, cent1n c),
+         |a1 AS (
+         |  SELECT vec_id, embedding, nrm, cent_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn
+         |    FROM sc1) WHERE rn = 1),
+         |capped AS (
+         |  SELECT * FROM a1 QUALIFY count(*) OVER (PARTITION BY cell) <= $BucketCap),
+         |pairs AS (
+         |  SELECT a.cell, a.vec_id AS va, b.vec_id AS vb,
+         |         ${cosPreSql(dotFoldSql("a.embedding", "b.embedding", 64), "a.nrm", "b.nrm")} AS cos
+         |  FROM capped a JOIN capped b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |SELECT vb AS vec_id, cell, CAST(min(va) AS BIGINT) AS keeper_id, max(cos) AS best_cos
+         |FROM pairs WHERE cos >= 0.9 GROUP BY 1, 2 ORDER BY 1""".stripMargin)
   )
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap

@@ -48,4 +48,16 @@ class Round5bOpsSpec extends SparkSpec {
     assert(keptSum == nDistinct, s"kept $keptSum spans, expected $nDistinct distinct")
     out.unpersist()
   }
+
+  test("v15: semantic dedup evicts exactly the scaled twins, keeping their originals") {
+    val rows = SparkEntry.queries("v15_semantic_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 10, s"expected the 10 twins, got ${rows.length} evictions")
+    rows.foreach { case (vecId, keeper, cos) =>
+      assert(vecId >= 1000000000000L, s"a corpus vector $vecId was evicted")
+      assert(keeper == vecId - 1000000000000L,
+        s"twin $vecId kept by $keeper, not its original")
+      assert(cos == 1.0, s"twin $vecId scored $cos against its original")
+    }
+  }
 }
