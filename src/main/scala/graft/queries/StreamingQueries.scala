@@ -477,7 +477,79 @@ object StreamingQueries {
          |       CAST(count(*) AS BIGINT) AS n
          |FROM kept
          |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wmc)
-         |GROUP BY 1 ORDER BY 1""".stripMargin)
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ── st11: stream-stream LEFT OUTER interval join — st04's shape plus
+    //    the semantics a batch engine cannot fake incrementally: a
+    //    purchase with no matching click emits its NULL row only once the
+    //    watermark proves no future click can ever match (c_ts ≤ p_ts, so
+    //    the row is provably unmatched when the global watermark passes
+    //    p_ts). AvailableNow runs one data batch then a no-data flush
+    //    batch (noDataMicroBatches), whose watermark = min over both
+    //    sides of max(event time) − 2h; unmatched purchases younger than
+    //    that stay buffered in the state store and never reach the sink —
+    //    the oracle applies the same cutoff arithmetically, so the
+    //    watermark-held tail is judged, not hand-waved. ──
+    ("st11_stream_outer_join",
+      (s: SparkSession, dir: String) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val stage = java.nio.file.Paths.get(Portable.scratchPath("stream_outer_events"))
+        java.nio.file.Files.createDirectories(stage)
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          stage.resolve("events.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        def src() = s.readStream.schema(schema).parquet(stage.toString)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        val purchases = src().where(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "2 hours")
+        val clicks = src().where(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+          .withWatermark("c_ts", "2 hours")
+        val joined = purchases.join(clicks,
+          col("p_user") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts"),
+          "leftOuter")
+        val q = joined.writeStream.format("memory").queryName("st11_mem")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table("st11_mem")
+          .groupBy(date_trunc("hour", col("p_ts")).as("hour"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("c_user").isNull, 1L).otherwise(0L)).as("n_null"))
+          .select(tsSec(col("hour")).as("hour"), col("n_rows"), col("n_null"))
+          .orderBy(col("hour"))
+      },
+      s"""WITH p AS (
+         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts FROM events
+         |  WHERE event_type = 'purchase'),
+         |c AS (
+         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS c_ts FROM events
+         |  WHERE event_type = 'click'),
+         |wm AS (
+         |  SELECT least((SELECT max(p_ts) FROM p),
+         |               (SELECT max(c_ts) FROM c)) - INTERVAL 2 HOUR AS w),
+         |matched AS (
+         |  SELECT p.p_ts FROM p JOIN c
+         |    ON p.user_id = c.user_id
+         |   AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts <= p.p_ts),
+         |unmatched AS (
+         |  SELECT p.p_ts FROM p
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM c WHERE c.user_id = p.user_id
+         |      AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts <= p.p_ts)
+         |    AND p.p_ts < (SELECT w FROM wm)),
+         |sunk AS (
+         |  SELECT p_ts, 0 AS is_null FROM matched
+         |  UNION ALL
+         |  SELECT p_ts, 1 AS is_null FROM unmatched)
+         |SELECT ${tsSecSql("date_trunc('hour', p_ts)")} AS hour,
+         |       CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(sum(is_null) AS BIGINT) AS n_null
+         |FROM sunk GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap

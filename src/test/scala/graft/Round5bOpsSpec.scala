@@ -60,4 +60,25 @@ class Round5bOpsSpec extends SparkSpec {
       assert(cos == 1.0, s"twin $vecId scored $cos against its original")
     }
   }
+
+  test("st11: outer join emits nulls for provably-unmatched rows and holds back the tail") {
+    import org.apache.spark.sql.functions.expr
+    val out = SparkEntry.queries("st11_stream_outer_join")(spark, dir).persist()
+    val nNull = out.agg(sum(col("n_null"))).collect()(0).getLong(0)
+    assert(nNull > 0, "no null rows emitted — outer semantics not exercised")
+    // batch ground truth: every unmatched purchase, with no watermark cutoff
+    val ev = graft.engine.Tables.events(spark, dir)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val unmatchedAll = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"), "left_anti").count()
+    assert(nNull < unmatchedAll,
+      s"all $unmatchedAll unmatched purchases were emitted — the watermark held nothing, " +
+        "so the query no longer demonstrates streaming state retention")
+    out.unpersist()
+  }
 }
