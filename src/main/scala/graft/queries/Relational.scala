@@ -1556,6 +1556,78 @@ object Relational {
          |WHERE ${portableHashSql("CAST(d.doc_id AS VARCHAR)")} % 1000000 < thr.thr
          |ORDER BY d.doc_id""".stripMargin),
 
+    // ── j12: FULL OUTER join — the one join type the catalog lacked.
+    //    Activity reconciliation at (user, hour) grain: purchase-hours
+    //    and click-hours mostly don't overlap (~1% both at sf0.01), so
+    //    all three outer legs are genuinely exercised. Both sides
+    //    pre-aggregate before the join (map-side combine shrinks the
+    //    shuffle to one row per user-hour) and share the key shuffle. ──
+    ("j12_full_outer_join",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .select($"user_id", date_trunc("hour", $"ts").as("hour"), $"event_type")
+        def side(t: String, out: String) = ev.where($"event_type" === t)
+          .groupBy($"user_id", $"hour").agg(count(lit(1)).as(out))
+        side("purchase", "n_purch")
+          .join(side("click", "n_click"), Seq("user_id", "hour"), "full_outer")
+          .select($"user_id", tsSec($"hour").as("hour"),
+            coalesce($"n_purch", lit(0L)).as("n_purch"),
+            coalesce($"n_click", lit(0L)).as("n_click"),
+            when($"n_purch".isNull, "click_only")
+              .when($"n_click".isNull, "purchase_only")
+              .otherwise("both").as("side"))
+          .orderBy($"user_id", $"hour")
+      },
+      s"""WITH p AS (
+         |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+         |         CAST(count(*) AS BIGINT) AS n_purch
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         |c AS (
+         |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+         |         CAST(count(*) AS BIGINT) AS n_click
+         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         |SELECT coalesce(p.user_id, c.user_id) AS user_id,
+         |       ${tsSecSql("coalesce(p.hour, c.hour)")} AS hour,
+         |       coalesce(p.n_purch, 0) AS n_purch,
+         |       coalesce(c.n_click, 0) AS n_click,
+         |       CASE WHEN p.user_id IS NULL THEN 'click_only'
+         |            WHEN c.user_id IS NULL THEN 'purchase_only'
+         |            ELSE 'both' END AS side
+         |FROM p FULL OUTER JOIN c ON p.user_id = c.user_id AND p.hour = c.hour
+         |ORDER BY user_id, hour""".stripMargin),
+
+    // ── a16: UNPIVOT (melt) — the inverse of the judged pivots (a07/g14/
+    //    g17): a wide per-flag summary melted back to long-form
+    //    (dimension, metric, value) triples, the shape q05's profile
+    //    emits by construction. Spark 3.4's native `unpivot` — a
+    //    Generate, not a UNION of re-scans: the wide input is read once.
+    //    All melted measures share BIGINT so no lossy value coercion. ──
+    ("a16_unpivot",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val wide = Tables(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            sum(round($"l_quantity" * 100).cast("long")).as("qty_c"),
+            sum(round($"l_extendedprice" * 100).cast("long")).as("price_c"),
+            count(lit(1)).as("rows_c"))
+        wide.unpivot(
+            Array($"l_returnflag"),
+            Array($"qty_c", $"price_c", $"rows_c"),
+            "metric", "value")
+          .orderBy($"l_returnflag", $"metric")
+      },
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |         CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS qty_c,
+        |         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS price_c,
+        |         CAST(count(*) AS BIGINT) AS rows_c
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, metric, value FROM wide
+        |UNPIVOT (value FOR metric IN (qty_c, price_c, rows_c))
+        |ORDER BY l_returnflag, metric""".stripMargin),
+
     // ── intersect / except (beyond the reference, which emulated the
     //    anti role with isNull splits): cohort algebra over user sets ──
     ("u02_intersect_except",
