@@ -292,4 +292,44 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q07: stratum thresholds broadcast; the corpus never shuffles for the sample") {
+    val p = plan("q07_mixture_sample")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_count"), p) // stratum counts combine map-side
+  }
+
+  test("t18: first-occurrence keep is a map-side-combinable agg, not a window") {
+    val p = plan("t18_line_dedup")
+    // a boilerplate span repeated millions of times collapses per map
+    // task; a row_number window would land every copy on one reducer
+    assert(p.contains("partial_min(struct(doc_id"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("v15: dedup pairs come from a cell equi-join; centroid sets broadcast") {
+    val p = plan("v15_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    // eviction agg combines map-side
+    assert(p.contains("partial_min(va"), p)
+    // the only cross joins are the ≤32-row centroid broadcasts (persisted
+    // subtree re-expands per self-join side in the explain string)
+    assert("BroadcastNestedLoopJoin BuildLeft".r.findAllIn(p).isEmpty, p)
+  }
+
+  test("j12: both sides pre-aggregate on the join grain; the agg exchanges serve the join") {
+    val p = plan("j12_full_outer_join")
+    assert(p.contains("FullOuter"), p)
+    assert("partial_count".r.findAllIn(p).size == 2, p)
+    // one hash exchange per side, reused by the join — none between
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+  }
+
+  test("a16: unpivot is one scan + Expand, not a union of re-scans") {
+    val p = plan("a16_unpivot")
+    assert(p.contains("Expand"), p)
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Union"), p)
+  }
 }
