@@ -1085,7 +1085,43 @@ object TextQueries {
          |       coalesce(r.n_kept, 0) AS n_kept,
          |       CAST(ceil(len(w.ws)/10.0) AS BIGINT) AS n_tot
          |FROM w LEFT JOIN rebuilt r USING (doc_id)
-         |ORDER BY w.doc_id""".stripMargin)
+         |ORDER BY w.doc_id""".stripMargin),
+
+    // ── t19: sliding-window chunking — the RAG/embedding-prep step
+    //    (split every document into overlapping fixed-size windows, here
+    //    16 words with stride 8, so each boundary appears mid-chunk in
+    //    the next window). Distinct from t18: no dedup, the product IS
+    //    the chunk table a downstream embedder consumes, keyed by a
+    //    content digest (what the embedding join would use, and what
+    //    makes re-runs idempotent). Each doc expands from its own word
+    //    array — embarrassingly parallel, no shuffle before the
+    //    presentation sort; chunk count per doc is ceil(words/stride). ──
+    ("t19_chunk_overlap",
+      (s: SparkSession, dir: String) => {
+        val ch = Tables(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .select(col("doc_id"),
+            posexplode(transform(
+              sequence(lit(0L), ceil(size(col("ws")).cast("double") / 8.0).cast("long") - 1),
+              i => slice(col("ws"), (i * 8 + 1).cast("int"), lit(16))))
+              .as(Seq("chunk_id", "cw")))
+        ch.select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+            (col("chunk_id") * 8L).as("start_pos"),
+            array_join(col("cw"), " ").as("chunk_text"),
+            size(col("cw")).cast("long").as("n_words"),
+            md5(array_join(col("cw"), " ").cast("binary")).as("chunk_key"))
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |ch AS (
+        |  SELECT doc_id, i AS chunk_id, CAST(i*8 AS BIGINT) AS start_pos,
+        |         array_to_string(ws[(CAST(i AS INT)*8+1):(CAST(i AS INT)*8+16)], ' ') AS chunk_text,
+        |         CAST(len(ws[(CAST(i AS INT)*8+1):(CAST(i AS INT)*8+16)]) AS BIGINT) AS n_words
+        |  FROM w, LATERAL (SELECT unnest(generate_series(
+        |    0, CAST(ceil(len(ws)/8.0) AS BIGINT) - 1)) AS i))
+        |SELECT doc_id, chunk_id, start_pos, chunk_text, n_words,
+        |       md5(chunk_text) AS chunk_key
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin)
   )
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap

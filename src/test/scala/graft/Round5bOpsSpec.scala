@@ -81,4 +81,22 @@ class Round5bOpsSpec extends SparkSpec {
         "so the query no longer demonstrates streaming state retention")
     out.unpersist()
   }
+
+  test("t19: consecutive chunks overlap by exactly the stride") {
+    val ch = SparkEntry.queries("t19_chunk_overlap")(spark, dir)
+      .select(col("doc_id"), col("chunk_id"), split(col("chunk_text"), " ").as("cw"))
+      .persist()
+    val pairs = ch.as("a").join(ch.as("b"),
+      col("a.doc_id") === col("b.doc_id") &&
+        col("b.chunk_id") === col("a.chunk_id") + 1)
+    val total = pairs.count()
+    assert(total > 0, "no consecutive chunk pairs — docs too short for the window")
+    // when chunk i is full (16 words), its back half is chunk i+1's front half
+    val bad = pairs
+      .where(size(col("a.cw")) === 16 &&
+        !(slice(col("a.cw"), 9, 8) === slice(col("b.cw"), 1, 8)))
+      .count()
+    assert(bad == 0, s"$bad consecutive chunk pairs do not share their stride overlap")
+    ch.unpersist()
+  }
 }
