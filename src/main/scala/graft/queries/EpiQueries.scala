@@ -290,11 +290,19 @@ object EpiQueries {
     ("g23_siar_series",
       (s: SparkSession, dir: String) => {
         val (s0, mat) = siarInputs(s, dir)
+        // each chain frame has TWO consumers (its own step aggregate and
+        // the next stage), and a frame is #areas × #cols — persist all
+        // five so the six 1-row aggregate branches don't re-run the seed
+        // agg and matrix windows once per branch (cache substitution
+        // applies to the already-built derived plans)
         val (t1, i1) = infectParts(s0)
-        val m1 = moveStep(i1, mat(1))
+        t1.persist()
+        val m1 = moveStep(i1, mat(1)).persist()
         val (t2, i2) = infectParts(m1)
-        val m2 = moveStep(i2, mat(2))
+        t2.persist()
+        val m2 = moveStep(i2, mat(2)).persist()
         val (t3, i3) = infectParts(m2)
+        t3.persist()
         def stepRow(step: Int, state: DataFrame, transfers: DataFrame): DataFrame = {
           val tots = Comps.map(c => expr(
             s"CAST(${Kinds.map(k => s"sum($c$k)").mkString(" + ")} AS BIGINT) AS $c"))
