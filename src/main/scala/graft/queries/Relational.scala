@@ -1137,6 +1137,31 @@ object Relational {
         |SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
         |FROM ranked WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin),
 
+    // ── O1 as a CUSTOM PHYSICAL OPERATOR (the §2 tier-(c) extension
+    //    point: LogicalPlan node + SparkStrategy + two UnaryExecNodes,
+    //    injected via GraftExtensions.injectPlannerStrategy): per-key
+    //    top-k as a two-phase bounded heap — a partial pass caps every
+    //    map task at k rows per local key BEFORE the exchange, the final
+    //    pass merges and emits ranks, and nothing is ever sorted beyond
+    //    k-element arrays. Third physical engine on the o01 oracle
+    //    (window form o01, mergeable UDAF o03, plan node here). ──
+    ("o04_native_topk",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val in = Tables(s, dir, "orders")
+          .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+        graft.operators.TopKPerKey(in, Seq("o_custkey"),
+            Seq(("o_totalprice", false), ("o_orderkey", true)), 2)
+          .select($"o_custkey", $"rn", $"o_orderkey", $"o_totalprice")
+          .orderBy($"o_custkey", $"rn")
+      },
+      """WITH ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
+        |FROM ranked WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin),
+
     // ── O2+: GLOBAL top-k — orderBy + limit must plan as
     //    TakeOrderedAndProject (per-partition top-k, merge k·n_partitions
     //    rows on one node), never a full global sort; at 100 TB the

@@ -326,6 +326,21 @@ class PlanQualitySpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
   }
 
+  test("o04: custom top-k plans as partial-heap → exchange → final, no window, no sort") {
+    val p = plan("o04_native_topk")
+    assert(p.contains("TopKPerKeyFinal"), p)
+    assert(p.contains("TopKPerKeyPartial"), p)
+    assert(!p.contains("Window"), p)
+    // the only sort is the presentation orderBy; the operator itself
+    // never sorts a partition
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert("Sort \\[".r.findAllIn(p).size == 1, p)
+    // partial must sit BELOW the exchange (map-side reduction)
+    val partialIdx = p.indexOf("TopKPerKeyPartial")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx, p)
+  }
+
   test("a16: unpivot is one scan + Expand, not a union of re-scans") {
     val p = plan("a16_unpivot")
     assert(p.contains("Expand"), p)

@@ -99,4 +99,23 @@ class Round5bOpsSpec extends SparkSpec {
     assert(bad == 0, s"$bad consecutive chunk pairs do not share their stride overlap")
     ch.unpersist()
   }
+
+  test("TopKPerKey: edge semantics match the window form (ties, short groups, k ≥ group)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // group a: 4 rows with a tie on v; group b: 1 row (< k); group c: exactly k
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 30.0), ("a", 4L, 20.0),
+      ("b", 5L, 7.0),
+      ("c", 6L, 2.0), ("c", 7L, 1.0), ("c", 8L, 3.0)
+    ).toDF("g", "id", "v").repartition(3) // multiple maps exercise the partial pass
+    val got = graft.operators.TopKPerKey(df, Seq("g"), Seq(("v", false), ("id", true)), 3)
+      .select($"g", $"rn", $"id", $"v")
+    val w = Window.partitionBy($"g").orderBy($"v".desc, $"id".asc)
+    val want = df.withColumn("rn", row_number().over(w)).where($"rn" <= 3)
+      .select($"g", $"rn".cast("long").as("rn"), $"id", $"v")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      s"got ${got.collect().toSeq.sortBy(_.toString)} want ${want.collect().toSeq.sortBy(_.toString)}")
+  }
 }
