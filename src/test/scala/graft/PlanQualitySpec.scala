@@ -341,6 +341,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchangeIdx >= 0 && partialIdx > exchangeIdx, p)
   }
 
+  test("o04: the top-k exchange elides on a bucketed input") {
+    // ClusteredDistribution(keys) is satisfiable by a bucketed scan's
+    // HashPartitioning — co-located layout makes the operator
+    // exchange-free, same as s07's join
+    val t = "graft_buck_topk"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new java.io.File(s"spark-warehouse/$t")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(loc)
+    }
+    graft.engine.Tables(spark, dir, "orders")
+      .select(org.apache.spark.sql.functions.col("o_custkey"),
+        org.apache.spark.sql.functions.col("o_orderkey"),
+        org.apache.spark.sql.functions.col("o_totalprice"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_custkey").saveAsTable(t)
+    val p = graft.operators.TopKPerKey(spark.table(t), Seq("o_custkey"),
+        Seq(("o_totalprice", false), ("o_orderkey", true)), 2)
+      .queryExecution.explainString(SimpleMode)
+    assert(p.contains("TopKPerKeyFinal"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("a16: unpivot is one scan + Expand, not a union of re-scans") {
     val p = plan("a16_unpivot")
     assert(p.contains("Expand"), p)
