@@ -100,6 +100,21 @@ class Round5bOpsSpec extends SparkSpec {
     ch.unpersist()
   }
 
+  test("g24: a user's stays are disjoint, time-ordered intervals") {
+    val rows = SparkEntry.queries("g24_stay_points")(spark, dir)
+      .select(col("user_id"), col("stay_start"), col("stay_end"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.nonEmpty, "no stays detected")
+    rows.groupBy(_._1).foreach { case (u, ss) =>
+      ss.foreach { case (_, a, b) => assert(a <= b, s"user $u stay $a > $b") }
+      ss.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, e0), (_, s1, _)) =>
+          assert(e0 < s1, s"user $u has overlapping stays ($e0 vs $s1)")
+        case _ =>
+      }
+    }
+  }
+
   test("TopKPerKey: edge semantics match the window form (ties, short groups, k ≥ group)") {
     val s = spark
     import s.implicits._
