@@ -1121,7 +1121,70 @@ object TextQueries {
         |    0, CAST(ceil(len(ws)/8.0) AS BIGINT) - 1)) AS i))
         |SELECT doc_id, chunk_id, start_pos, chunk_text, n_words,
         |       md5(chunk_text) AS chunk_key
-        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin)
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin),
+
+    // ── t20: the PIPELINE — exact dedup (t05's keep-first), quality
+    //    gate (length + distinct-word fraction, the t14 signal), and
+    //    language-mixture rebalance (q07's broadcast thresholds)
+    //    composed as ONE declarative plan: this is the artifact a
+    //    training-data engine actually ships (the clean corpus), and
+    //    composing it in one query is what lets Catalyst fuse the
+    //    stages — one documents scan feeds dedup + quality, and only
+    //    the tiny per-language count table makes a second pass
+    //    (broadcast back). Every stage binds on the fixtures: dedup
+    //    drops the generator's designed duplicates, the quality gate
+    //    trims short/repetitive docs, the mixture step downsamples the
+    //    en-heavy remainder to the rarest language's share. ──
+    ("t20_clean_corpus",
+      (s: SparkSession, dir: String) => {
+        val wDigest = Window.partitionBy(col("digest")).orderBy(col("doc_id"))
+        val passed = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            md5(col("text").cast("binary")).as("digest"),
+            split(col("text"), " ").as("ws"))
+          .withColumn("rn", row_number().over(wDigest))
+          .where(col("rn") === 1)
+          .select(col("doc_id"), col("lang"),
+            size(col("ws")).cast("long").as("n_words"),
+            size(array_distinct(col("ws"))).cast("long").as("n_distinct"))
+          .where(col("n_words") >= 20 &&
+            col("n_distinct").cast("double") / col("n_words").cast("double") >= 0.3)
+          .select(col("doc_id"), col("lang"), col("n_words"))
+          .persist() // feeds the per-language counts AND the final filter
+        val counts = passed.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+        val minN = counts.agg(min(col("n_lang")).as("min_n"))
+        val thr = counts.crossJoin(broadcast(minN))
+          .select(col("lang"),
+            floor(col("min_n").cast("double") * 1000000.0 / col("n_lang").cast("double"))
+              .cast("long").as("thr"))
+        passed.join(broadcast(thr), Seq("lang"))
+          .where(pmod(portableHash(col("doc_id").cast("string")), lit(1000000L)) < col("thr"))
+          .select(col("doc_id"), col("lang"), col("n_words"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH deduped AS (
+         |  SELECT doc_id, lang, text FROM (
+         |    SELECT doc_id, lang, text,
+         |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM documents) WHERE rn = 1),
+         |quality AS (
+         |  SELECT doc_id, lang,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+         |  FROM deduped),
+         |passed AS (
+         |  SELECT doc_id, lang, n_words FROM quality
+         |  WHERE n_words >= 20
+         |    AND CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.3),
+         |counts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM passed GROUP BY 1),
+         |thr AS (
+         |  SELECT lang, CAST(floor(CAST(min(n_lang) OVER () AS DOUBLE) * 1000000.0
+         |                          / CAST(n_lang AS DOUBLE)) AS BIGINT) AS thr
+         |  FROM counts)
+         |SELECT p.doc_id, p.lang, p.n_words
+         |FROM passed p JOIN thr USING (lang)
+         |WHERE ${portableHashSql("CAST(p.doc_id AS VARCHAR)")} % 1000000 < thr.thr
+         |ORDER BY p.doc_id""".stripMargin)
   )
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap

@@ -100,6 +100,20 @@ class Round5bOpsSpec extends SparkSpec {
     ch.unpersist()
   }
 
+  test("t20: every pipeline stage binds and the final corpus is balanced") {
+    val docs = graft.engine.Tables(spark, dir, "documents")
+    val nRaw = docs.count()
+    val out = SparkEntry.queries("t20_clean_corpus")(spark, dir).persist()
+    val n = out.count()
+    assert(n > 0 && n < nRaw, s"pipeline kept $n of $nRaw — no stage bound")
+    val perLang = out.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang.size == 5, s"missing languages: $perLang")
+    val (lo, hi) = (perLang.values.min, perLang.values.max)
+    assert(hi <= (lo * 1.3).toLong + 1, s"final mixture skewed: $perLang")
+    out.unpersist()
+  }
+
   test("g24: a user's stays are disjoint, time-ordered intervals") {
     val rows = SparkEntry.queries("g24_stay_points")(spark, dir)
       .select(col("user_id"), col("stay_start"), col("stay_end"))
