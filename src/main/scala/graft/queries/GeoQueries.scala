@@ -1048,7 +1048,63 @@ object GeoQueries {
          |       n_points, lat, lon
          |FROM stays
          |WHERE n_points >= 2 AND date_diff('second', t0, t1) >= 1800
-         |ORDER BY user_id, stay_start""".stripMargin)
+         |ORDER BY user_id, stay_start""".stripMargin),
+
+    // ── g25: RADIUS OF GYRATION per user — the standard human-mobility
+    //    dispersal metric (rg = √(mean squared distance of every fix
+    //    from the user's fix centroid); the pedestrian-flow literature
+    //    characterizes population movement by its rg distribution).
+    //    Determinism recipe: the centroid averages scaled-long lat/lon
+    //    (one-decimal grid → exact BIGINTs, summation order can't
+    //    matter), per-fix haversine distances round to whole meters
+    //    BEFORE the sum-of-squares (so the only cross-engine trig ulp
+    //    sits far from the judged digit), and the squared sums stay
+    //    < 2⁶³ at any fix count that fits a user. Two hash aggs + one
+    //    broadcastable centroid join — fully parallel per user. ──
+    ("g25_radius_of_gyration",
+      (s: SparkSession, dir: String) => {
+        val pts = Tables.events(s, dir)
+          .select(col("user_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .select(col("user_id"),
+            latFromKey(col("k")).as("lat"), lonFromKey(col("k")).as("lon"))
+        val cent = pts.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_fixes"),
+            sum(round(col("lat") * 10).cast("long")).as("slat"),
+            sum(round(col("lon") * 10).cast("long")).as("slon"))
+          .select(col("user_id"), col("n_fixes"),
+            ((col("slat").cast("double") / 10.0) / col("n_fixes").cast("double")).as("clat"),
+            ((col("slon").cast("double") / 10.0) / col("n_fixes").cast("double")).as("clon"))
+        pts.join(broadcast(cent), Seq("user_id"))
+          .select(col("user_id"), col("n_fixes"),
+            round(GeoFunctions.haversineCol(col("lat"), col("lon"),
+              col("clat"), col("clon"))).cast("long").as("dm"))
+          .groupBy(col("user_id"))
+          .agg(min(col("n_fixes")).as("n_fixes"),
+            round(sqrt(sum(col("dm") * col("dm")).cast("double") /
+              count(lit(1)).cast("double")), 1).as("rg_m"))
+          .orderBy(col("user_id"))
+      },
+      s"""WITH pk AS (
+         |  SELECT user_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+         |  FROM events),
+         |gpts AS (
+         |  SELECT user_id, ${latFromKeySql("k")} AS lat, ${lonFromKeySql("k")} AS lon
+         |  FROM pk),
+         |cent AS (
+         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_fixes,
+         |         (CAST(sum(CAST(round(lat * 10, 0) AS BIGINT)) AS DOUBLE) / 10.0)
+         |           / CAST(count(*) AS DOUBLE) AS clat,
+         |         (CAST(sum(CAST(round(lon * 10, 0) AS BIGINT)) AS DOUBLE) / 10.0)
+         |           / CAST(count(*) AS DOUBLE) AS clon
+         |  FROM gpts GROUP BY 1),
+         |d AS (
+         |  SELECT p.user_id, c.n_fixes,
+         |         CAST(round(${haversineSql("p.lat", "p.lon", "c.clat", "c.clon")}, 0) AS BIGINT) AS dm
+         |  FROM gpts p JOIN cent c USING (user_id))
+         |SELECT user_id, CAST(min(n_fixes) AS BIGINT) AS n_fixes,
+         |       round(sqrt(CAST(sum(dm * dm) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 1) AS rg_m
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap

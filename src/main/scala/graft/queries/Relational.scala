@@ -1581,6 +1581,62 @@ object Relational {
          |WHERE ${portableHashSql("CAST(d.doc_id AS VARCHAR)")} % 1000000 < thr.thr
          |ORDER BY d.doc_id""".stripMargin),
 
+    // ── a17: Count-Min frequency sketch — the sketch family member that
+    //    IS fully hash-judgeable (pure integer arithmetic, unlike the
+    //    engine-specific HLL/quantile sketches a01/a13/a14 that get
+    //    rows-only checks): 4 affine-permutation hash rows × 64 buckets
+    //    (the t06 MinHash perm family — products stay < 2³⁸, no
+    //    overflow), counters built in ONE pass with map-side combine
+    //    (the 256-row sketch is the shuffle), estimates = min over the
+    //    4 counters, never below the true count. Mergeable by + like
+    //    every CMS. Judged against exact per-key counts side by side. ──
+    ("a17_countmin_freq",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val P = 2147483647L
+        val W = 64L
+        def bkt(j: Int, h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          pmod(pmod(h, lit(P)) * lit(37L * j + 7) + lit(101L * j + 3), lit(P)) % lit(W)
+        def rows(h: org.apache.spark.sql.Column) = array((0 until 4).map(j =>
+          struct(lit(j).as("j"), bkt(j, h).cast("long").as("b"))): _*)
+        val ev = Tables.events(s, dir)
+          .select($"user_id", portableHash($"user_id".cast("string")).as("h"))
+        val cms = ev.select(explode(rows($"h")).as("e"))
+          .groupBy($"e.j".as("j"), $"e.b".as("b"))
+          .agg(count(lit(1)).as("cnt"))
+        ev.groupBy($"user_id")
+          .agg(count(lit(1)).as("n_exact"), min($"h").as("h"))
+          .select($"user_id", $"n_exact", explode(rows($"h")).as("e"))
+          .select($"user_id", $"n_exact", $"e.j".as("j"), $"e.b".as("b"))
+          .join(broadcast(cms), Seq("j", "b"))
+          .groupBy($"user_id")
+          .agg(min($"n_exact").as("n_exact"), min($"cnt").as("est_cms"))
+          .orderBy($"user_id")
+      },
+      {
+        val P = 2147483647L
+        def bkt(j: Int) = s"(((h % $P) * ${37L * j + 7} + ${101L * j + 3}) % $P) % 64"
+        def bktCase(tbl: String) =
+          s"""CASE $tbl.j WHEN 0 THEN ${bkt(0)} WHEN 1 THEN ${bkt(1)}
+             |             WHEN 2 THEN ${bkt(2)} ELSE ${bkt(3)} END""".stripMargin
+        s"""WITH h AS (
+           |  SELECT user_id, ${portableHashSql("CAST(user_id AS VARCHAR)")} AS h FROM events),
+           |cms AS (
+           |  SELECT j, b, CAST(count(*) AS BIGINT) AS cnt FROM (
+           |    SELECT t.j, ${bktCase("t")} AS b
+           |    FROM h, (SELECT unnest(generate_series(0, 3)) AS j) t)
+           |  GROUP BY 1, 2),
+           |exact AS (
+           |  SELECT user_id, min(h) AS h, CAST(count(*) AS BIGINT) AS n_exact
+           |  FROM h GROUP BY 1)
+           |SELECT e.user_id, CAST(min(e.n_exact) AS BIGINT) AS n_exact,
+           |       CAST(min(c.cnt) AS BIGINT) AS est_cms
+           |FROM (SELECT user_id, n_exact, t.j, ${bktCase("t")} AS b
+           |      FROM exact, (SELECT unnest(generate_series(0, 3)) AS j) t) e
+           |JOIN cms c ON c.j = e.j AND c.b = e.b
+           |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin
+      }),
+
     // ── j12: FULL OUTER join — the one join type the catalog lacked.
     //    Activity reconciliation at (user, hour) grain: purchase-hours
     //    and click-hours mostly don't overlap (~1% both at sf0.01), so

@@ -100,6 +100,34 @@ class Round5bOpsSpec extends SparkSpec {
     ch.unpersist()
   }
 
+  test("a17: count-min never underestimates and is exact for collision-free keys") {
+    val rows = SparkEntry.queries("a17_countmin_freq")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, exact, est) =>
+      assert(est >= exact, s"user $u: CMS estimated $est below true count $exact")
+    }
+    // with 64 buckets × 4 rows some keys must escape every collision
+    assert(rows.exists { case (_, exact, est) => est == exact },
+      "no key estimated exactly — hash family degenerate?")
+  }
+
+  test("g25: radius of gyration is 0 for a single-site user and positive otherwise") {
+    val s2 = spark
+    import s2.implicits._
+    val rg = SparkEntry.queries("g25_radius_of_gyration")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    // users visiting ≥2 distinct sites must disperse; all-one-site users sit at 0
+    val sites = graft.engine.Tables.events(spark, dir)
+      .select($"user_id", get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"user_id").agg(countDistinct($"k").as("n_sites"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    sites.foreach { case (u, n) =>
+      if (n >= 2) assert(rg(u) > 0.0, s"user $u visits $n sites but rg=0")
+      else assert(rg(u) == 0.0, s"single-site user $u has rg=${rg(u)}")
+    }
+  }
+
   test("t20: every pipeline stage binds and the final corpus is balanced") {
     val docs = graft.engine.Tables(spark, dir, "documents")
     val nRaw = docs.count()
