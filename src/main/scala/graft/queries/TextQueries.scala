@@ -213,6 +213,63 @@ object TextQueries {
     s"round(CAST($inter AS DOUBLE) / CAST(len($a) + len($b) - $inter AS DOUBLE), 6)"
   }
 
+  /** t21 Bloom machinery. [[BloomSalts]] = k hash functions (salted
+    * [[Portable.portableHash]]); the filter size m is the smallest
+    * power of two ≥ 64·|eval| from [[BloomPowers]] — integer-exact on
+    * both engines (float `log2` could straddle a rounding boundary at
+    * exact powers). Fill ratio stays ≈ k/64 ≈ 4.7% at ANY corpus size,
+    * so the false-positive rate is (k/64)^k ≈ 1e-4 — the confirm join
+    * downstream sees only that sliver plus true hits. */
+  private val BloomSalts = 3
+  private val BloomPowers: Seq[Long] = (6 to 40).map(1L << _)
+  private def bloomPowersSql: String = BloomPowers.mkString(", ")
+
+  /** Bloom-prefilter decontamination core over a tagged relation
+    * `(doc_id, digest, split)`: flags train docs whose k salted digest
+    * positions are ALL set in the filter built from the test split's
+    * digests, each with an exact-confirm boolean. `forcedM` overrides
+    * the scale-adaptive filter size (Round5cOpsSpec uses a tiny m to
+    * make the false-positive path bind; judged queries pass None). */
+  private[graft] def bloomDecontaminate(tagged: DataFrame,
+      forcedM: Option[Long]): DataFrame = {
+    val testD = tagged.where(col("split") === "test")
+      .select(col("digest")).distinct()
+    val mDf = forcedM match {
+      case Some(m) =>
+        tagged.sparkSession.range(1).select(lit(m).as("m"))
+      case None =>
+        // the v07 discipline: the parameter comes from count(*) INSIDE
+        // the plan (a 1-row frame cross-joined everywhere), never from
+        // a driver-side collect
+        testD.agg(count(lit(1)).as("n"))
+          .select(explode(array(BloomPowers.map(lit(_)): _*)).as("mc"), col("n"))
+          .where(col("mc") >= col("n") * 64)
+          .agg(min(col("mc")).as("m"))
+    }
+    val salts = array((0 until BloomSalts).map(j => lit(j)): _*)
+    def posCol: Column =
+      pmod(portableHash(concat_ws(":", col("digest"), col("j"))), col("m"))
+    val bits = testD.crossJoin(broadcast(mDf))
+      .select(col("digest"), explode(salts).as("j"), col("m"))
+      .select(posCol.as("pos"))
+      .distinct()
+    val probe = tagged.where(col("split") === "train")
+      .crossJoin(broadcast(mDf))
+      .select(col("doc_id"), col("digest"), explode(salts).as("j"), col("m"))
+      .select(col("doc_id"), col("digest"), col("j"), posCol.as("pos"))
+    // the bit set broadcasts (≤ k·|eval| positions); only probe rows
+    // landing on a set bit survive into the (doc, salt) count — the
+    // groupBy shuffles ~fill·k·|train| rows, not the corpus
+    probe.join(broadcast(bits), Seq("pos"))
+      .groupBy(col("doc_id"), col("digest"))
+      .agg(countDistinct(col("j")).as("nhit"))
+      .where(col("nhit") === BloomSalts)
+      .join(testD.select(col("digest"), lit(true).as("hit")), Seq("digest"), "left")
+      .select(col("doc_id"), col("digest"),
+        coalesce(col("hit"), lit(false)).as("confirmed"))
+      .orderBy(col("doc_id"))
+  }
+
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("batch", "stream", "window"),
     "en" -> Seq("the", "a", "order"),
@@ -1184,7 +1241,109 @@ object TextQueries {
          |SELECT p.doc_id, p.lang, p.n_words
          |FROM passed p JOIN thr USING (lang)
          |WHERE ${portableHashSql("CAST(p.doc_id AS VARCHAR)")} % 1000000 < thr.thr
-         |ORDER BY p.doc_id""".stripMargin)
+         |ORDER BY p.doc_id""".stripMargin),
+
+    // ── t21: BLOOM-PREFILTER decontamination — the shape t16's Scaladoc
+    //    promises ("bloom-prefilterable") made real: the eval-set digests
+    //    are folded into a Bloom filter (k=3 salted positions in an
+    //    m-bit space), the TRAIN side is scanned against the broadcast
+    //    bit set, and only full-k hits reach the exact digest confirm.
+    //    At 100 TB this is THE decontamination plan: the filter is
+    //    ≤ k·|eval| positions (a broadcast relation standing in for the
+    //    bit array), the train scan never shuffles (broadcast semi-join
+    //    per salt), and only the ~(k/64)^k false-positive sliver plus
+    //    the true hits pay the confirm join. m is derived INSIDE the
+    //    plan (v07's discipline): the smallest power of two ≥ 64·|eval|,
+    //    picked from a literal powers table with integer arithmetic —
+    //    no float log2, which could round differently across engines at
+    //    exact powers. `confirmed=false` rows are the filter's false
+    //    positives (none at the judged fill ratio ~4.7%; the binding
+    //    small-m behavior is pinned by Round5cOpsSpec). ──
+    ("t21_bloom_decontaminate",
+      (s: SparkSession, dir: String) => {
+        val tagged = seededDocs(s, dir)
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"),
+            when(pmod(portableHash(col("doc_id").cast("string")), lit(100)) < 90,
+              "train").otherwise("test").as("split"))
+        bloomDecontaminate(tagged, None)
+      },
+      s"""WITH $seededDocsSql,
+         |tagged AS (
+         |  SELECT doc_id, md5(text) AS digest,
+         |         CASE WHEN ${portableHashSql("CAST(doc_id AS VARCHAR)")} % 100 < 90
+         |              THEN 'train' ELSE 'test' END AS split
+         |  FROM seeded),
+         |testd AS (SELECT DISTINCT digest FROM tagged WHERE split = 'test'),
+         |m AS (
+         |  SELECT min(mc) AS m
+         |  FROM (SELECT unnest([$bloomPowersSql]) AS mc),
+         |       (SELECT count(*) AS n FROM testd)
+         |  WHERE mc >= 64 * n),
+         |salts AS (SELECT unnest(generate_series(0, ${BloomSalts - 1})) AS j),
+         |bits AS (
+         |  SELECT DISTINCT
+         |    ${portableHashSql("digest || ':' || CAST(j AS VARCHAR)")} % (SELECT m FROM m) AS pos
+         |  FROM testd, salts),
+         |probe AS (
+         |  SELECT doc_id, digest, j,
+         |    ${portableHashSql("digest || ':' || CAST(j AS VARCHAR)")} % (SELECT m FROM m) AS pos
+         |  FROM tagged, salts WHERE split = 'train'),
+         |flagged AS (
+         |  SELECT doc_id, digest FROM probe JOIN bits USING (pos)
+         |  GROUP BY 1, 2 HAVING count(DISTINCT j) = $BloomSalts)
+         |SELECT f.doc_id, f.digest,
+         |       EXISTS (SELECT 1 FROM testd t WHERE t.digest = f.digest) AS confirmed
+         |FROM flagged f ORDER BY f.doc_id""".stripMargin),
+
+    // ── t22: UNIGRAM-LM QUALITY SCORE — the CCNet/CC-style language-
+    //    model filter in its simplest judgeable form: score every doc by
+    //    its mean token log-probability under the corpus's own unigram
+    //    distribution (boilerplate-heavy docs of common tokens score
+    //    high, gibberish scores low; a downstream gate thresholds on
+    //    it). Determinism recipe: token counts are exact BIGINTs; the
+    //    per-doc Σ ln c(w_i) folds over the POSITION-SORTED list
+    //    (collect_list → array_sort → aggregate ↔ list(ORDER BY pos) →
+    //    list_reduce — identical order, ≤1-ulp libm ln per term, crushed
+    //    by round(6)); avg_logp = Σ/n − ln(N) takes no per-term
+    //    rounding. Shape: one vocab hash agg, one (token → count) join
+    //    (fanout 1 per token — stopword heat is partition imbalance, not
+    //    blowup, and AQE's skew split or a broadcast vocab handles it at
+    //    scale), one per-doc fold agg. The per-doc list is bounded by
+    //    document length, not corpus size. ──
+    ("t22_lm_quality",
+      (s: SparkSession, dir: String) => {
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val tot = vocab.agg(sum(col("c")).as("n_total"))
+        toks.join(vocab, "w")
+          .select(col("doc_id"), col("pos"), log(col("c").cast("double")).as("lnc"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tok"),
+            aggregate(array_sort(collect_list(struct(col("pos"), col("lnc")))),
+              lit(0.0), (acc, x) => acc + x.getField("lnc")).as("slnc"))
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"), col("n_tok"),
+            round(col("slnc") / col("n_tok").cast("double") -
+              log(col("n_total").cast("double")), 6).as("avg_logp"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |toks AS (
+        |  SELECT doc_id, i AS pos, ws[CAST(i AS INT)] AS w
+        |  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)),
+        |vocab AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM vocab),
+        |folded AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list(ln(CAST(c AS DOUBLE)) ORDER BY pos)),
+        |           (acc, x) -> acc + x) AS slnc
+        |  FROM toks JOIN vocab USING (w) GROUP BY 1)
+        |SELECT doc_id, n_tok,
+        |       round(slnc / CAST(n_tok AS DOUBLE)
+        |             - ln(CAST((SELECT n_total FROM tot) AS DOUBLE)), 6) AS avg_logp
+        |FROM folded ORDER BY doc_id""".stripMargin)
   )
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap

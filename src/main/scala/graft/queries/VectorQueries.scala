@@ -92,6 +92,97 @@ object VectorQueries {
       s"(CASE WHEN ${planeDotSql(emb, j)} >= 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** v16 product-quantization geometry: [[Dim]] = [[NSub]] × [[SubDim]]
+    * subspaces, 8 codes per subspace. */
+  private val NSub = 8
+  private val SubDim = 8
+
+  /** Squared L2 between two [[SubDim]]-length slices — sequential
+    * index-order fold of exact IEEE ops (subtract, multiply, add): the
+    * two engines produce bit-identical doubles, so v16's micro-unit
+    * rounding is exact, not approximately-matched. */
+  private def subD2(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** DuckDB twin of [[subD2]] over full embedding lists at element
+    * offset `off` (both sides use the SAME offset — a code's j-th
+    * subvector lives at the same positions as the vector's); `n` is
+    * the fold length ([[SubDim]] for subspaces, [[Dim]] for v17's
+    * exact full-vector distance). */
+  private def pqD2Sql(a: String, b: String, off: String, n: Int = SubDim): String = {
+    val x = s"(CAST($a[CAST(i + $off AS INT)] AS DOUBLE) - CAST($b[CAST(i + $off AS INT)] AS DOUBLE))"
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, $n), i -> $x * $x)), (acc, x) -> acc + x)"
+  }
+
+  /** v16's PQ encode + ADC probe, shared with the v17 recall row:
+    * returns (q_id, rank, vec_id, adc_us), unordered — judged callers
+    * add their own orderBy. */
+  private def pqTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    def subSlices(vcol: Column): Column = explode(array((0 until NSub).map(j =>
+      struct(lit(j).as("j"), slice(vcol, j * SubDim + 1, SubDim).as("sub"))): _*))
+    val codes = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("code_id"), subSlices(col("embedding")).as("e"))
+      .select(col("e.j").as("j"), col("code_id"), col("e.sub").as("csub"))
+    val subs = emb
+      .select(col("vec_id"), subSlices(col("embedding")).as("e"))
+      .select(col("vec_id"), col("e.j").as("j"), col("e.sub").as("sub"))
+    val assigned = subs.join(broadcast(codes), Seq("j"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(subD2(col("sub"), col("csub")).as("d2"), col("code_id"))).as("w"))
+      .select(col("vec_id"), col("j"), col("w.code_id").as("code_id"))
+    val qtab = emb.where(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), subSlices(col("embedding")).as("e"))
+      .select(col("q_id"), col("e.j").as("j"), col("e.sub").as("qsub"))
+      .join(broadcast(codes), Seq("j"))
+      .select(col("q_id"), col("j"), col("code_id"),
+        round(subD2(col("qsub"), col("csub")) * 1000000).cast("long").as("ql"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_us"), col("vec_id"))
+    assigned.join(broadcast(qtab), Seq("j", "code_id"))
+      .where(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("ql")).as("adc_us"))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= 5)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("adc_us"))
+  }
+
+  /** Oracle CTE chain producing v16's (q_id, rank, vec_id, adc_us) as
+    * `pq` — shared verbatim by the v16 and v17 oracles. */
+  private def pqOracleCtes: String =
+    s"""js AS (SELECT unnest(generate_series(0, ${NSub - 1})) AS j),
+       |codes AS (
+       |  SELECT js.j, vec_id AS code_id, embedding FROM embeddings, js
+       |  WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT e.vec_id, c.j, c.code_id,
+       |         ${pqD2Sql("e.embedding", "c.embedding", s"c.j * $SubDim")} AS d2
+       |  FROM embeddings e, codes c),
+       |asg AS (
+       |  SELECT vec_id, j, code_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+       |              ORDER BY d2, code_id) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |qtab AS (
+       |  SELECT e.vec_id AS q_id, c.j, c.code_id,
+       |         CAST(round(${pqD2Sql("e.embedding", "c.embedding", s"c.j * $SubDim")} * 1000000, 0) AS BIGINT) AS ql
+       |  FROM embeddings e, codes c
+       |  WHERE e.vec_id >= 10 AND e.vec_id < 20),
+       |score AS (
+       |  SELECT q.q_id, a.vec_id, CAST(sum(q.ql) AS BIGINT) AS adc_us
+       |  FROM asg a JOIN qtab q ON q.j = a.j AND q.code_id = a.code_id
+       |  WHERE a.vec_id <> q.q_id GROUP BY 1, 2),
+       |pq AS (
+       |  SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, adc_us FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |              ORDER BY adc_us, vec_id) AS rank
+       |    FROM score) WHERE rank <= 5)""".stripMargin
+
   /** Seed-quantizer assignment (persisted — probed twice: query side +
     * cell side): nearest-of-8 centroid by cosine, centroids = the 8
     * lowest-id vectors (deterministic seed set). */
@@ -914,7 +1005,85 @@ object VectorQueries {
          |         ${cosPreSql(dotFoldSql("a.embedding", "b.embedding", 64), "a.nrm", "b.nrm")} AS cos
          |  FROM capped a JOIN capped b ON a.cell = b.cell AND a.vec_id < b.vec_id)
          |SELECT vb AS vec_id, cell, CAST(min(va) AS BIGINT) AS keeper_id, max(cos) AS best_cos
-         |FROM pairs WHERE cos >= 0.9 GROUP BY 1, 2 ORDER BY 1""".stripMargin)
+         |FROM pairs WHERE cos >= 0.9 GROUP BY 1, 2 ORDER BY 1""".stripMargin),
+
+    // ── v16: PRODUCT-QUANTIZATION ADC search — the memory-side half of
+    //    a production ANN stack (IVF prunes candidates, PQ shrinks each
+    //    candidate to NSub code bytes so the scan is table lookups, not
+    //    float folds). 64 dims → 8 subspaces × 8 dims; per-subspace
+    //    codebook = the 8 seed vectors' subvectors (the v05 seed-set
+    //    discipline — demo-grade codebook, production trains it with the
+    //    v11 Lloyd step, which composes per subspace unchanged). Encode:
+    //    nearest code per (vector, subspace) via ONE hash agg —
+    //    `min(struct(d2, code_id))` gives the deterministic tie-break
+    //    with map-side combine, no window over the 64×n scored rows.
+    //    Query: the asymmetric-distance lookup table (10 queries × 64
+    //    codes) broadcasts, the corpus's code rows join it, and ADC =
+    //    one integer sum — micro-unit BIGINTs, since the d2 folds are
+    //    bit-identical IEEE on both engines (no trig), so the judged
+    //    compare is exact. Scale: codebook + ADC table are O(queries ×
+    //    codes) broadcasts; the per-(q, vec) sum has map-side combine;
+    //    the corpus never moves uncompressed. ──
+    ("v16_pq_adc",
+      (s: SparkSession, dir: String) => {
+        val emb = Tables(s, dir, "embeddings")
+        def subSlices(vcol: Column): Column = explode(array((0 until NSub).map(j =>
+          struct(lit(j).as("j"), slice(vcol, j * SubDim + 1, SubDim).as("sub"))): _*))
+        val codes = emb.where(col("vec_id") < 8)
+          .select(col("vec_id").as("code_id"), subSlices(col("embedding")).as("e"))
+          .select(col("e.j").as("j"), col("code_id"), col("e.sub").as("csub"))
+        val subs = emb
+          .select(col("vec_id"), subSlices(col("embedding")).as("e"))
+          .select(col("vec_id"), col("e.j").as("j"), col("e.sub").as("sub"))
+        val assigned = subs.join(broadcast(codes), Seq("j"))
+          .groupBy(col("vec_id"), col("j"))
+          .agg(min(struct(subD2(col("sub"), col("csub")).as("d2"), col("code_id"))).as("w"))
+          .select(col("vec_id"), col("j"), col("w.code_id").as("code_id"))
+        val qtab = emb.where(col("vec_id") >= 10 && col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), subSlices(col("embedding")).as("e"))
+          .select(col("q_id"), col("e.j").as("j"), col("e.sub").as("qsub"))
+          .join(broadcast(codes), Seq("j"))
+          .select(col("q_id"), col("j"), col("code_id"),
+            round(subD2(col("qsub"), col("csub")) * 1000000).cast("long").as("ql"))
+        val wRank = Window.partitionBy(col("q_id"))
+          .orderBy(col("adc_us"), col("vec_id"))
+        assigned.join(broadcast(qtab), Seq("j", "code_id"))
+          .where(col("vec_id") =!= col("q_id"))
+          .groupBy(col("q_id"), col("vec_id"))
+          .agg(sum(col("ql")).as("adc_us"))
+          .withColumn("rank", row_number().over(wRank))
+          .where(col("rank") <= 5)
+          .select(col("q_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("adc_us"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      s"""WITH js AS (SELECT unnest(generate_series(0, ${NSub - 1})) AS j),
+         |codes AS (
+         |  SELECT js.j, vec_id AS code_id, embedding FROM embeddings, js
+         |  WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT e.vec_id, c.j, c.code_id,
+         |         ${pqD2Sql("e.embedding", "c.embedding", s"c.j * $SubDim")} AS d2
+         |  FROM embeddings e, codes c),
+         |asg AS (
+         |  SELECT vec_id, j, code_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+         |              ORDER BY d2, code_id) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |qtab AS (
+         |  SELECT e.vec_id AS q_id, c.j, c.code_id,
+         |         CAST(round(${pqD2Sql("e.embedding", "c.embedding", s"c.j * $SubDim")} * 1000000, 0) AS BIGINT) AS ql
+         |  FROM embeddings e, codes c
+         |  WHERE e.vec_id >= 10 AND e.vec_id < 20),
+         |score AS (
+         |  SELECT q.q_id, a.vec_id, CAST(sum(q.ql) AS BIGINT) AS adc_us
+         |  FROM asg a JOIN qtab q ON q.j = a.j AND q.code_id = a.code_id
+         |  WHERE a.vec_id <> q.q_id GROUP BY 1, 2)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, adc_us FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |            ORDER BY adc_us, vec_id) AS rank
+         |  FROM score) WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin)
   )
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap
