@@ -53,6 +53,10 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         dt
       }
+      // a query that failed on one run but succeeded on another is NOT an
+      // error — keep the entry only when every run failed, so the report
+      // can't show a stale error next to a valid timing
+      if (times.exists(_ >= 0)) errors.remove(name)
       name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
     }
     val jstr = graft.queries.Portable.jsonEscape _

@@ -373,4 +373,15 @@ class PlanQualitySpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(p).size == 1, p)
     assert(!p.contains("Union"), p)
   }
+
+  test("g25: the per-user centroid join never broadcasts a fact-derived frame") {
+    // cent is one row per USER — it grows with the corpus, so a
+    // BroadcastExchange over it is a driver OOM at scale (round-5 judge
+    // finding #2). The judged plan must shuffle on user_id, and cent's
+    // side must reuse its groupBy partitioning rather than exchange again.
+    val p = plan("g25_radius_of_gyration")
+    assert(!p.contains("BroadcastExchange"), p)
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size <= 2, p)
+  }
 }
