@@ -16,10 +16,14 @@ import graft.engine.Tables
   * it — binary schema, batch-shaped `mapPartitions` (the Scala analogue
   * of `mapInPandas`: one iterator per partition, amortized per-batch
   * setup), partition-preserving plumbing — is real and oracle-checked,
-  * because the stub is pure arithmetic DuckDB can mirror. The m06
-  * perceptual hash is NOT a stub: its 2D-DCT + sign-threshold kernel is
-  * the production pHash algorithm in exact integer arithmetic; only its
-  * input "image" is the payload histogram instead of decoded luma.
+  * because the stub is pure arithmetic DuckDB can mirror. Two kernels
+  * are NOT stubs: m06's 2D-DCT + sign-threshold is the production pHash
+  * algorithm in exact integer arithmetic, and m04's fractional-area box
+  * filter is the production INTER_AREA resize in exact integer
+  * arithmetic — in both, only the input "image" is the payload (bytes /
+  * histogram) instead of decoded luma. The remaining stubs are m02's
+  * decode and m05's feature extractor (a container parser and a model
+  * forward pass genuinely need the absent native libs).
   */
 object MultimodalQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -121,43 +125,78 @@ object MultimodalQueries {
         |WHERE frame_no % 4 = 0
         |ORDER BY doc_id, frame_no""".stripMargin),
 
-    // ── resize stub: strided downsample of the payload to ≤64 samples —
-    //    the image-resize slot of the pipeline (a real kernel would do
-    //    area-weighted pixel averaging here; the stride arithmetic, batch
-    //    shape, and output contract are the real plumbing) ──
-    ("m04_resize_stub",
+    // ── m04: RESIZE — a REAL area-averaging kernel (not a stub; the m06
+    //    template applied to the resize slot). The payload's code-unit
+    //    sequence downsamples to M = min(64, n) output samples by exact
+    //    fractional-area box filtering — the production INTER_AREA
+    //    algorithm, in pure integers: on a common axis of n·M units,
+    //    input sample i covers [i·M, (i+1)·M) and output bucket j covers
+    //    [j·n, (j+1)·n), so out[j] = ⌊Σ_i overlap(i,j)·v_i / n⌋ with
+    //    every overlap an exact BIGINT. Because the input width M never
+    //    exceeds the bucket width n, each input hits at most TWO buckets
+    //    — both engines enumerate exactly those two contributions, so
+    //    the oracle stays linear in payload size (never the n×M cross
+    //    join). On a real image the same arithmetic runs per axis over
+    //    decoded luma rows; character semantics (BMP) match the oracle's
+    //    substring/ascii indexing — see m05/m06. Output is LONG FORM so
+    //    every resized sample is hash-judged, not a checksum. ──
+    ("m04_resize",
       (s: SparkSession, dir: String) => {
         import s.implicits._
         Tables(s, dir, "documents")
-          .where(col("text").isNotNull)
+          .where(col("text").isNotNull && length(col("text")) > 0)
           .select(col("doc_id"), col("text"))
           .as[(Long, String)]
-          .mapPartitions(_.map { case (id, t) =>
-            // STUB kernel: sample every stride-th code unit; a real
-            // resize would interpolate pixels of the decoded tensor.
-            // CHARACTER semantics (BMP), matching the oracle's
-            // substring/ascii indexing exactly — a byte loop would
-            // silently diverge on the first non-ASCII document.
-            val n = t.length
-            val stride = math.max(1, n / 64)
-            var i = 0; var cnt = 0L; var sum = 0L
-            while (i < n) { sum += t.charAt(i).toLong; cnt += 1; i += stride }
-            (id, cnt, sum % 2147483647L)
+          .mapPartitions(_.flatMap { case (id, t) =>
+            val n = t.length.toLong
+            val m = math.min(64L, n)
+            val acc = new Array[Long](m.toInt)
+            var i = 0
+            while (i < t.length) {
+              val lo = i * m
+              val hi = lo + m
+              var j = (lo / n).toInt
+              while (j * n < hi) {
+                val ov = math.min(hi, (j + 1) * n) - math.max(lo, j * n)
+                acc(j) += ov * t.charAt(i)
+                j += 1
+              }
+              i += 1
+            }
+            // Σ_j acc(j) = M·Σv ≤ 64·65535·n — overflow-free at any
+            // realistic payload; floor division is exact (all operands
+            // non-negative)
+            (0 until m.toInt).map(j => (id, j.toLong, acc(j) / n))
           })
-          .toDF("doc_id", "out_samples", "checksum")
-          .orderBy(col("doc_id"))
+          .toDF("doc_id", "sample_no", "value")
+          .orderBy(col("doc_id"), col("sample_no"))
       },
-      """SELECT doc_id,
-        |  CAST(len(ps) AS BIGINT) AS out_samples,
-        |  CAST(coalesce(list_sum(list_transform(ps,
-        |         p -> ascii(substring(text, CAST(p AS INT), 1)))), 0)
-        |       % 2147483647 AS BIGINT) AS checksum
-        |FROM (
-        |  SELECT doc_id, text,
-        |         generate_series(1, length(text),
-        |           greatest(1, length(text) // 64)) AS ps
-        |  FROM documents WHERE text IS NOT NULL)
-        |ORDER BY doc_id""".stripMargin),
+      """WITH docs AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+        |         CAST(least(64, length(text)) AS BIGINT) AS m
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |inp AS (
+        |  SELECT doc_id, n, m, i,
+        |         CAST(ascii(substring(text, CAST(i + 1 AS INT), 1)) AS BIGINT) AS v
+        |  FROM (SELECT doc_id, text, n, m,
+        |               unnest(generate_series(0, n - 1)) AS i
+        |        FROM docs)),
+        |contrib AS (
+        |  -- first overlapped bucket: j1 = (i*m)//n, overlap ends at
+        |  -- min(hi, (j1+1)*n) and starts at lo (lo >= j1*n by definition)
+        |  SELECT doc_id, n, (i*m) // n AS j,
+        |         (least((i+1)*m, ((i*m) // n + 1) * n) - i*m) * v AS c
+        |  FROM inp
+        |  UNION ALL
+        |  -- second bucket, only when the input straddles a boundary:
+        |  -- j2 = (hi-1)//n > j1; overlap = hi - j2*n
+        |  SELECT doc_id, n, ((i+1)*m - 1) // n AS j,
+        |         ((i+1)*m - (((i+1)*m - 1) // n) * n) * v AS c
+        |  FROM inp WHERE ((i+1)*m - 1) // n > (i*m) // n)
+        |SELECT doc_id, CAST(j AS BIGINT) AS sample_no,
+        |       CAST(sum(c) // n AS BIGINT) AS value
+        |FROM contrib GROUP BY doc_id, n, j
+        |ORDER BY doc_id, sample_no""".stripMargin),
 
     // ── feature-extract stub: fixed-width feature vector per payload
     //    (4-bucket byte histogram), emitted LONG FORM (doc_id, feature_id,

@@ -117,13 +117,15 @@ object VectorQueries {
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, $n), i -> $x * $x)), (acc, x) -> acc + x)"
   }
 
-  /** v16's PQ encode + ADC probe, shared with the v17 recall row:
-    * returns (q_id, rank, vec_id, adc_us), unordered — judged callers
-    * add their own orderBy. */
+  /** One embedding → its [[NSub]] (j, subvector) slices. */
+  private def subSlices(vcol: Column): Column = explode(array((0 until NSub).map(j =>
+    struct(lit(j).as("j"), slice(vcol, j * SubDim + 1, SubDim).as("sub"))): _*))
+
+  /** v16's PQ encode + ADC probe (seed codebook), the body of the v16
+    * catalog entry: returns (q_id, rank, vec_id, adc_us), unordered —
+    * judged callers add their own orderBy. */
   private def pqTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
-    def subSlices(vcol: Column): Column = explode(array((0 until NSub).map(j =>
-      struct(lit(j).as("j"), slice(vcol, j * SubDim + 1, SubDim).as("sub"))): _*))
     val codes = emb.where(col("vec_id") < 8)
       .select(col("vec_id").as("code_id"), subSlices(col("embedding")).as("e"))
       .select(col("e.j").as("j"), col("code_id"), col("e.sub").as("csub"))
@@ -182,6 +184,68 @@ object VectorQueries {
        |    SELECT *, row_number() OVER (PARTITION BY q_id
        |              ORDER BY adc_us, vec_id) AS rank
        |    FROM score) WHERE rank <= 5)""".stripMargin
+
+  /** Squared-L2 fold between a full embedding at offset `offA` and a
+    * codebook subvector list at offset 0 — the DuckDB twin of
+    * [[subD2]](slice, csub) for v17's trained codebooks, whose centroid
+    * lists are [[SubDim]]-long (unlike [[pqD2Sql]], where both sides are
+    * full embeddings sharing one offset). */
+  private def trainedD2Sql(a: String, offA: String, c: String): String = {
+    val x = s"(CAST($a[CAST(i + $offA AS INT)] AS DOUBLE) - CAST($c[CAST(i AS INT)] AS DOUBLE))"
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, $SubDim), i -> $x * $x)), (acc, x) -> acc + x)"
+  }
+
+  /** The corpus's (vec_id, j, sub) subvector rows — shared by every
+    * stage of the trained-PQ pipeline (seed assignment, re-encode,
+    * query table), so computed once and cached. */
+  private def pqSubs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), subSlices(col("embedding")).as("e"))
+      .select(col("vec_id"), col("e.j").as("j"), col("e.sub").as("sub"))
+      .persist()
+
+  /** Nearest-code assignment of every (vector, subspace) against a
+    * (j, code_id, csub) codebook: ONE hash agg with map-side combine —
+    * `min(struct(d2, code_id))` is the deterministic tie-break; the
+    * subvector rides along for the training step (constant per group,
+    * so `first` is value-deterministic). */
+  private def pqAssign(subs: DataFrame, codebook: DataFrame): DataFrame =
+    subs.join(broadcast(codebook), Seq("j"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(subD2(col("sub"), col("csub")).as("d2"), col("code_id"))).as("w"),
+        first(col("sub")).as("sub"))
+      .select(col("vec_id"), col("j"), col("w.code_id").as("code_id"),
+        col("w.d2").as("d2"), col("sub"))
+
+  /** One Lloyd step per subspace (the v11 recipe composed per subspace,
+    * exactly as SURVEY §2.11 promised): each (subspace, code) centroid
+    * becomes the EXACT mean of its assigned subvectors — scaled-long
+    * sums so the two engines agree bit-for-bit, then one double
+    * division. Codes that attract no vectors drop out (mirrored in the
+    * oracle: the training join only sees assigned codes). */
+  private def pqTrainCodebook(asg0: DataFrame): DataFrame =
+    asg0.select(col("j"), col("code_id"), posexplode(col("sub")).as(Seq("pos", "v")))
+      .groupBy(col("j"), col("code_id"), col("pos"))
+      .agg(sum(round(col("v").cast("double") * 1000000).cast("long")).as("sv"),
+        count(lit(1)).as("n"))
+      .select(col("j"), col("code_id"), col("pos"),
+        ((col("sv").cast("double") / 1000000.0) / col("n").cast("double")).as("mv"))
+      .groupBy(col("j"), col("code_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pm"))
+      .select(col("j"), col("code_id"),
+        transform(col("pm"), x => x.getField("mv")).as("csub"))
+
+  /** Seed + trained assignments with their distances, for the Lloyd
+    * monotonicity spec (one training step must not increase total
+    * quantization distortion). */
+  private[graft] def pqAssignments(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val subs = pqSubs(s, dir)
+    val codes0 = Tables(s, dir, "embeddings").where(col("vec_id") < 8)
+      .select(col("vec_id").as("code_id"), subSlices(col("embedding")).as("e"))
+      .select(col("e.j").as("j"), col("code_id"), col("e.sub").as("csub"))
+    val asg0 = pqAssign(subs, codes0).persist()
+    (asg0, pqAssign(subs, pqTrainCodebook(asg0)))
+  }
 
   /** Seed-quantizer assignment (persisted — probed twice: query side +
     * cell side): nearest-of-8 centroid by cosine, centroids = the 8
@@ -1025,65 +1089,123 @@ object VectorQueries {
     //    codes) broadcasts; the per-(q, vec) sum has map-side combine;
     //    the corpus never moves uncompressed. ──
     ("v16_pq_adc",
+      (s: SparkSession, dir: String) =>
+        pqTopK(s, dir).orderBy(col("q_id"), col("rank")),
+      s"""WITH $pqOracleCtes
+         |SELECT q_id, rank, vec_id, adc_us FROM pq
+         |ORDER BY q_id, rank""".stripMargin),
+
+    // ── v17: TRAINED PQ codebooks + end-to-end recall — the follow-up
+    //    v16 documented. One Lloyd step per subspace (assign to the seed
+    //    codebook, recompute each code as the exact mean of its assigned
+    //    subvectors, re-encode against the trained codebook — the v11
+    //    machinery composed per subspace), then the judged output is the
+    //    v10-style evaluation row: trained-ADC top-5 per query vs the
+    //    EXACT full-vector squared-L2 top-5 (micro-unit BIGINTs — the
+    //    d2 folds are bit-identical IEEE on both engines), recall@5 per
+    //    query. The whole pipeline — encode, train, re-encode, ADC
+    //    lookup-sum, rank, exact baseline, recall join — is inside the
+    //    one hash-judged query. Scale: codebooks and ADC tables stay
+    //    O(subspaces × codes) broadcasts however large the corpus; the
+    //    training step is one hash agg over (j, code, pos) — 512 groups;
+    //    the exact baseline broadcasts 10 queries (the v01 shape). ──
+    ("v17_pq_trained_recall",
       (s: SparkSession, dir: String) => {
         val emb = Tables(s, dir, "embeddings")
-        def subSlices(vcol: Column): Column = explode(array((0 until NSub).map(j =>
-          struct(lit(j).as("j"), slice(vcol, j * SubDim + 1, SubDim).as("sub"))): _*))
-        val codes = emb.where(col("vec_id") < 8)
+        val subs = pqSubs(s, dir)
+        val codes0 = emb.where(col("vec_id") < 8)
           .select(col("vec_id").as("code_id"), subSlices(col("embedding")).as("e"))
           .select(col("e.j").as("j"), col("code_id"), col("e.sub").as("csub"))
-        val subs = emb
-          .select(col("vec_id"), subSlices(col("embedding")).as("e"))
-          .select(col("vec_id"), col("e.j").as("j"), col("e.sub").as("sub"))
-        val assigned = subs.join(broadcast(codes), Seq("j"))
-          .groupBy(col("vec_id"), col("j"))
-          .agg(min(struct(subD2(col("sub"), col("csub")).as("d2"), col("code_id"))).as("w"))
-          .select(col("vec_id"), col("j"), col("w.code_id").as("code_id"))
-        val qtab = emb.where(col("vec_id") >= 10 && col("vec_id") < 20)
-          .select(col("vec_id").as("q_id"), subSlices(col("embedding")).as("e"))
-          .select(col("q_id"), col("e.j").as("j"), col("e.sub").as("qsub"))
-          .join(broadcast(codes), Seq("j"))
+        val cb1 = pqTrainCodebook(pqAssign(subs, codes0)).persist()
+        val asg1 = pqAssign(subs, cb1)
+          .select(col("vec_id"), col("j"), col("code_id"))
+        val qtab1 = subs.where(col("vec_id") >= 10 && col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("j"), col("sub").as("qsub"))
+          .join(broadcast(cb1), Seq("j"))
           .select(col("q_id"), col("j"), col("code_id"),
             round(subD2(col("qsub"), col("csub")) * 1000000).cast("long").as("ql"))
         val wRank = Window.partitionBy(col("q_id"))
           .orderBy(col("adc_us"), col("vec_id"))
-        assigned.join(broadcast(qtab), Seq("j", "code_id"))
+        val approx = asg1.join(broadcast(qtab1), Seq("j", "code_id"))
           .where(col("vec_id") =!= col("q_id"))
           .groupBy(col("q_id"), col("vec_id"))
           .agg(sum(col("ql")).as("adc_us"))
           .withColumn("rank", row_number().over(wRank))
           .where(col("rank") <= 5)
-          .select(col("q_id"), col("rank").cast("long").as("rank"),
-            col("vec_id"), col("adc_us"))
-          .orderBy(col("q_id"), col("rank"))
+          .select(col("q_id"), col("vec_id"))
+        val qs = emb.where(col("vec_id") >= 10 && col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val wq = Window.partitionBy(col("q_id"))
+          .orderBy(col("d2_us"), col("vec_id"))
+        val exact = broadcast(qs).crossJoin(emb)
+          .where(col("vec_id") =!= col("q_id"))
+          .withColumn("d2_us",
+            round(subD2(col("q_emb"), col("embedding")) * 1000000).cast("long"))
+          .withColumn("rank", row_number().over(wq))
+          .where(col("rank") <= 5)
+          .select(col("q_id"), col("vec_id"))
+        val hits = approx.join(exact, Seq("q_id", "vec_id"), "left_semi")
+          .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+        exact.groupBy(col("q_id")).agg(count(lit(1)).as("k"))
+          .join(hits, Seq("q_id"), "left")
+          .select(col("q_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("k"),
+            round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("k").cast("double"), 4)
+              .as("recall"))
+          .orderBy(col("q_id"))
       },
-      s"""WITH js AS (SELECT unnest(generate_series(0, ${NSub - 1})) AS j),
-         |codes AS (
-         |  SELECT js.j, vec_id AS code_id, embedding FROM embeddings, js
-         |  WHERE vec_id < 8),
-         |scored AS (
+      s"""WITH $pqOracleCtes,
+         |ps AS (SELECT unnest(generate_series(1, $SubDim)) AS pos),
+         |tr AS (
+         |  SELECT a.j, a.code_id, ps.pos,
+         |         CAST(sum(CAST(round(CAST(e.embedding[CAST(a.j * $SubDim + ps.pos AS INT)] AS DOUBLE) * 1000000, 0) AS BIGINT)) AS BIGINT) AS sv,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id, ps
+         |  GROUP BY 1, 2, 3),
+         |cb1 AS (
+         |  SELECT j, code_id,
+         |         list((CAST(sv AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)
+         |              ORDER BY pos) AS csub
+         |  FROM tr GROUP BY 1, 2),
+         |scored1 AS (
          |  SELECT e.vec_id, c.j, c.code_id,
-         |         ${pqD2Sql("e.embedding", "c.embedding", s"c.j * $SubDim")} AS d2
-         |  FROM embeddings e, codes c),
-         |asg AS (
+         |         ${trainedD2Sql("e.embedding", s"c.j * $SubDim", "c.csub")} AS d2
+         |  FROM embeddings e, cb1 c),
+         |asg1 AS (
          |  SELECT vec_id, j, code_id FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
          |              ORDER BY d2, code_id) AS rn
-         |    FROM scored) WHERE rn = 1),
-         |qtab AS (
-         |  SELECT e.vec_id AS q_id, c.j, c.code_id,
-         |         CAST(round(${pqD2Sql("e.embedding", "c.embedding", s"c.j * $SubDim")} * 1000000, 0) AS BIGINT) AS ql
-         |  FROM embeddings e, codes c
-         |  WHERE e.vec_id >= 10 AND e.vec_id < 20),
-         |score AS (
-         |  SELECT q.q_id, a.vec_id, CAST(sum(q.ql) AS BIGINT) AS adc_us
-         |  FROM asg a JOIN qtab q ON q.j = a.j AND q.code_id = a.code_id
-         |  WHERE a.vec_id <> q.q_id GROUP BY 1, 2)
-         |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, adc_us FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY q_id
-         |            ORDER BY adc_us, vec_id) AS rank
-         |  FROM score) WHERE rank <= 5
-         |ORDER BY q_id, rank""".stripMargin)
+         |    FROM scored1) WHERE rn = 1),
+         |qtab1 AS (
+         |  SELECT vec_id AS q_id, j, code_id,
+         |         CAST(round(d2 * 1000000, 0) AS BIGINT) AS ql
+         |  FROM scored1 WHERE vec_id >= 10 AND vec_id < 20),
+         |approx AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |              ORDER BY adc_us, vec_id) AS rank
+         |    FROM (SELECT q.q_id, a.vec_id, CAST(sum(q.ql) AS BIGINT) AS adc_us
+         |          FROM asg1 a JOIN qtab1 q ON q.j = a.j AND q.code_id = a.code_id
+         |          WHERE a.vec_id <> q.q_id GROUP BY 1, 2))
+         |  WHERE rank <= 5),
+         |exact AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.vec_id AS q_id, e.vec_id,
+         |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |             CAST(round(${pqD2Sql("q.embedding", "e.embedding", "0", Dim)} * 1000000, 0) AS BIGINT),
+         |             e.vec_id) AS rank
+         |    FROM embeddings q, embeddings e
+         |    WHERE q.vec_id >= 10 AND q.vec_id < 20 AND e.vec_id <> q.vec_id)
+         |  WHERE rank <= 5),
+         |hits AS (
+         |  SELECT a.q_id, CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM approx a WHERE EXISTS (
+         |    SELECT 1 FROM exact x WHERE x.q_id = a.q_id AND x.vec_id = a.vec_id)
+         |  GROUP BY 1)
+         |SELECT k.q_id, coalesce(h.n_hit, 0) AS n_hit, k.k,
+         |       round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(k.k AS DOUBLE), 4) AS recall
+         |FROM (SELECT q_id, CAST(count(*) AS BIGINT) AS k FROM exact GROUP BY 1) k
+         |LEFT JOIN hits h ON h.q_id = k.q_id
+         |ORDER BY k.q_id""".stripMargin)
   )
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap

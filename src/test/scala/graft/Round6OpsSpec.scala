@@ -27,6 +27,19 @@ class Round6OpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("v17: one Lloyd step never increases total PQ quantization distortion") {
+    // the defining property of the training step: with assignments
+    // fixed, the mean minimizes within-code squared distance, and
+    // re-assignment then only ever moves a subvector to a closer code
+    val (asg0, asg1) = graft.queries.VectorQueries.pqAssignments(spark, dir)
+    val d0 = asg0.agg(sum(col("d2"))).head().getDouble(0)
+    val d1 = asg1.agg(sum(col("d2"))).head().getDouble(0)
+    info(f"seed distortion $d0%.4f -> trained $d1%.4f")
+    assert(d1 <= d0, s"Lloyd step increased distortion: $d0 -> $d1")
+    assert(d1 > 0.0)
+    spark.catalog.clearCache()
+  }
+
   test("g22: persist barriers keep the optimized chain plan bounded") {
     // the judged g22 (persisted between steps): each chain stage plans
     // against an InMemoryRelation, so the optimized plan only ever holds
