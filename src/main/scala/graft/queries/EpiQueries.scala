@@ -44,16 +44,20 @@ import Portable._
   * N ≈ 9·10⁸ users; past that, drop the ×10⁴ state scale a decimal.
   *
   * CHAIN DISCIPLINE (the round-5 judge's #1 finding): every step of
-  * the chain is persisted before the next consumes it. Without the
-  * barrier, CollapseProject inlines the fixed-point arithmetic across
-  * all projection stages and the expression tree grows MULTIPLICATIVELY
-  * per step (nf/fl are each referenced several times downstream) —
-  * driver-side optimization alone took ~30 s for the 3-step chain, and
-  * it worsens with depth, which would make the reference's real
-  * hour-by-hour matrix schedule (:246-257) unrunnable. The frames are
-  * #areas × 13 — trivially cacheable at any corpus size. `siarChain`
-  * is the single shared builder, so no query can reintroduce the
-  * unpersisted shape; `Round6OpsSpec` pins the optimized-plan size.
+  * the chain is localCheckpoint-ed before the next consumes it. Without
+  * any barrier, CollapseProject inlines the fixed-point arithmetic
+  * across all projection stages and the expression tree grows
+  * MULTIPLICATIVELY per step (nf/fl are each referenced several times
+  * downstream) — driver-side optimization alone took ~30 s for the
+  * 3-step chain, and it worsens with depth. A plain `persist()` barrier
+  * stops the inlining but still carries the whole lineage prefix in
+  * every step's analyzed plan, so driver-side planning grows
+  * QUADRATICALLY with depth — the 13-step g22b measured 30 s persisted
+  * vs 6 s checkpointed at sf0.1. The frames are #areas × 13 —
+  * block-manager noise at any corpus size (the t10/g19 iterative
+  * recipe). `siarChain` is the single shared builder, so no query can
+  * reintroduce the unbarriered shape; `Round6OpsSpec` pins the
+  * optimized-plan size.
   */
 object EpiQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -202,11 +206,20 @@ object EpiQueries {
       .where(col("rk") <= nMats).select(col("hour"))
       .withColumn("ord", row_number().over(Window.orderBy(col("hour"))))
     // the two single-partition windows above rank #distinct-hours rows
-    // (≈ 750/month) — bounded, never corpus-sized
-    def mat(o: Int): DataFrame = od
-      .join(broadcast(hot.where(col("ord") === o).select(col("hour"))), "hour")
-      .select(col("src"), col("dst"), col("cnt"))
-      .withColumn("tot", sum(col("cnt")).over(Window.partitionBy(col("src"))))
+    // (≈ 750/month) — bounded, never corpus-sized. ALL nMats matrices
+    // materialize in ONE pass (the g10b sharing pattern: one join + one
+    // (ord, src)-partitioned window instead of nMats separate
+    // shuffle+window jobs — at 6+ matrices the per-broadcast build jobs
+    // were the chain's dominant fixed cost), then each broadcast slices
+    // the cached frame.
+    val matAll = od
+      .join(broadcast(hot), "hour")
+      .select(col("ord"), col("src"), col("dst"), col("cnt"))
+      .withColumn("tot",
+        sum(col("cnt")).over(Window.partitionBy(col("ord"), col("src"))))
+      .persist()
+    def mat(o: Int): DataFrame =
+      matAll.where(col("ord") === o).select(col("src"), col("dst"), col("cnt"), col("tot"))
     (seedWideFrom(st), mat)
   }
 
@@ -222,28 +235,33 @@ object EpiQueries {
 
   /** The full interleaved chain — `mats.size + 1` infection steps with a
     * move through `mats(i)` between consecutive ones. Every inter-step
-    * frame is persisted (see CHAIN DISCIPLINE above): each transfers
-    * frame both truncates the lineage for its successor and serves the
-    * per-step NI aggregate (g23/g28), and each post-move state has the
-    * same two consumers. Returns (per-step transfer frames, post-move
-    * states, final post-infection state). */
+    * frame is localCheckpoint-ed (see CHAIN DISCIPLINE above): the
+    * checkpoint both truncates the LINEAGE for the successor (with
+    * plain persist every step's analyzed plan still carries the whole
+    * prefix, so driver-side planning grows quadratically with depth —
+    * measured as the dominant cost of the 13-step g22b) and serves the
+    * per-step NI aggregate (g23/g28) from the same materialized blocks.
+    * The frames are #areas × 13 — block-manager noise at any corpus
+    * size; this is the t10/g19 iterative-query recipe. Returns
+    * (per-step transfer frames, post-move states, final state). */
   private[graft] def siarChain(s0: DataFrame, mats: Seq[DataFrame],
                                coef: Seq[Long] = Coef)
       : (Seq[DataFrame], Seq[DataFrame], DataFrame) = {
+    val stages = infectStages(sparkDiv, coef)
+    def infectPre(st: DataFrame): DataFrame =
+      stages.take(3).foldLeft(st)((d, sg) => d.selectExpr(sg: _*))
     val transfers = Seq.newBuilder[DataFrame]
     val moved = Seq.newBuilder[DataFrame]
     var state = s0
     mats.foreach { m =>
-      val (t, next) = infectParts(state, coef)
-      t.persist()
+      val t = infectPre(state).localCheckpoint()
       transfers += t
-      state = moveStep(next, m).persist()
+      state = moveStep(t.selectExpr(stages(3): _*), m).localCheckpoint()
       moved += state
     }
-    val (tLast, fin) = infectParts(state, coef)
-    tLast.persist()
+    val tLast = infectPre(state).localCheckpoint()
     transfers += tLast
-    (transfers.result(), moved.result(), fin)
+    (transfers.result(), moved.result(), tLast.selectExpr(stages(3): _*))
   }
 
   /** Final-state presentation shared by g22/g22b: wide (area, s0..r2) →

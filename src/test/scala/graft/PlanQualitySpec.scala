@@ -215,15 +215,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("g22: SIAR move matrices broadcast; no cartesian products") {
-    val p = plan("g22_siar_step")
-    // both move steps join the #areas²-bounded matrix by broadcast — the
-    // wide state never reshuffles for them; the only single-partition
-    // work is the two #hours-row hot-matrix rankings
+  test("g22: SIAR move step broadcasts its matrix; no cartesian products") {
+    // the judged g22 plan ends at the LAST checkpointed chain frame (the
+    // interior steps materialize eagerly — CHAIN DISCIPLINE in
+    // EpiQueries), so the move-join shape is pinned on the step operator
+    // itself: the #areas²-bounded matrix must broadcast and the wide
+    // state must never reshuffle for it
+    import org.apache.spark.sql.functions.{col, lit}
+    val state = graft.queries.EpiQueries.seedWide(spark, dir)
+    val mat = state.select(col("area").as("src"), col("area").as("dst"),
+      lit(1L).as("cnt"), lit(1L).as("tot"))
+    val p = graft.queries.EpiQueries.moveStep(state, mat)
+      .queryExecution.explainString(SimpleMode)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("SortMergeJoin"), p)
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
-    assert("Exchange SinglePartition".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the final judged plan stays free of cartesian products too
+    val pq = plan("g22_siar_step")
+    assert(!pq.contains("CartesianProduct"), pq)
   }
 
   test("v11: trained centroids broadcast back to the corpus side") {
