@@ -116,8 +116,17 @@ object EpiQueries {
     * Negative-clamps (`EdS2I[EdS2I<0]=0`, :135-140) are structural here:
     * every operand is non-negative by construction. */
   private def infectStages(div: (String, String) => String,
-                           coef: Seq[Long]): Seq[Seq[String]] = {
-    val pass = "area" +: stateCols
+                           coef: Seq[Long]): Seq[Seq[String]] =
+    infectStagesEx(div, k => coef(k).toString, Nil)
+
+  /** `coefExpr` may be a literal (the fixed-β chains) or a COLUMN name
+    * (g28's fused sweep, where the transmission coefficients ride the
+    * rows and one chain serves every β at once); `extras` are sweep-key
+    * columns carried through every stage. */
+  private def infectStagesEx(div: (String, String) => String,
+                             coefExpr: Int => String,
+                             extras: Seq[String]): Seq[Seq[String]] = {
+    val pass = extras ++ ("area" +: stateCols)
     val stage1 = pass ++ Kinds.map { k =>
       val num = s"(s$k + i$k + a$k + r$k)"
       val load = s"(i$k + ${div(s"55 * a$k", "100")})"
@@ -125,7 +134,7 @@ object EpiQueries {
     }
     val stage2 = pass ++ Kinds.map { k =>
       val mix = div(Kinds.map(j => s"${M(k)(j)} * fl$j").mkString(" + "), "1000")
-      s"least(${div(s"${div(s"s$k * ${coef(k)}", "1000000")} * $mix", "1000000")}, s$k) AS nf$k"
+      s"least(${div(s"${div(s"s$k * ${coefExpr(k)}", "1000000")} * $mix", "1000000")}, s$k) AS nf$k"
     }
     val stage3 = pass ++ Kinds.flatMap { k => Seq(
       s"nf$k",
@@ -133,7 +142,7 @@ object EpiQueries {
       s"least(${div(s"i$k * $GdMicro", "1000000")}, i$k) AS ri$k",
       s"least(${div(s"a$k * $GdMicro", "1000000")}, a$k) AS ra$k")
     }
-    val stage4 = "area" +: Kinds.flatMap { k => Seq(
+    val stage4 = (extras :+ "area") ++ Kinds.flatMap { k => Seq(
       s"s$k - nf$k AS s$k",
       s"i$k + ti$k - ri$k AS i$k",
       s"a$k + (nf$k - ti$k) - ra$k AS a$k",
@@ -224,12 +233,17 @@ object EpiQueries {
   }
 
   /** One move step through a (src, dst, cnt, tot) matrix. The matrix is
-    * #areas²-bounded — broadcastable at any corpus size. */
-  private[graft] def moveStep(state: DataFrame, mat: DataFrame): DataFrame = {
+    * #areas²-bounded — broadcastable at any corpus size. `extras` are
+    * sweep-key columns that become additional group keys (constant per
+    * sweep row, so groups are unchanged within a sweep member). */
+  private[graft] def moveStep(state: DataFrame, mat: DataFrame,
+                              extras: Seq[String] = Nil): DataFrame = {
     val aggs = moveExprs(sparkDiv).map(expr)
+    val keys = extras.map(e => expr(s"p.$e").as(e)) :+
+      expr("coalesce(m.dst, p.area)").as("area")
     state.alias("p")
       .join(broadcast(mat.alias("m")), expr("p.area = m.src"), "left")
-      .groupBy(expr("coalesce(m.dst, p.area)").as("area"))
+      .groupBy(keys: _*)
       .agg(aggs.head, aggs.tail: _*)
   }
 
@@ -246,8 +260,15 @@ object EpiQueries {
     * (per-step transfer frames, post-move states, final state). */
   private[graft] def siarChain(s0: DataFrame, mats: Seq[DataFrame],
                                coef: Seq[Long] = Coef)
+      : (Seq[DataFrame], Seq[DataFrame], DataFrame) =
+    siarChainEx(s0, mats, k => coef(k).toString, Nil)
+
+  /** The column-coefficient / sweep-key form — see [[infectStagesEx]]. */
+  private[graft] def siarChainEx(s0: DataFrame, mats: Seq[DataFrame],
+                                 coefExpr: Int => String,
+                                 extras: Seq[String])
       : (Seq[DataFrame], Seq[DataFrame], DataFrame) = {
-    val stages = infectStages(sparkDiv, coef)
+    val stages = infectStagesEx(sparkDiv, coefExpr, extras)
     def infectPre(st: DataFrame): DataFrame =
       stages.take(3).foldLeft(st)((d, sg) => d.selectExpr(sg: _*))
     val transfers = Seq.newBuilder[DataFrame]
@@ -256,7 +277,7 @@ object EpiQueries {
     mats.foreach { m =>
       val t = infectPre(state).localCheckpoint()
       transfers += t
-      state = moveStep(t.selectExpr(stages(3): _*), m).localCheckpoint()
+      state = moveStep(t.selectExpr(stages(3): _*), m, extras).localCheckpoint()
       moved += state
     }
     val tLast = infectPre(state).localCheckpoint()
@@ -482,31 +503,42 @@ object EpiQueries {
         val (s0raw, mat) = siarInputs(s, dir)
         val sAgg = stateCols.map(c => sum(col(c)).cast("long").as(c))
         val s0 = s0raw.groupBy(substring(col("area"), 1, 1).as("area"))
-          .agg(sAgg.head, sAgg.tail: _*).persist()
+          .agg(sAgg.head, sAgg.tail: _*)
         def districtMat(o: Int): DataFrame = mat(o)
           .select(substring(col("src"), 1, 1).as("src"),
             substring(col("dst"), 1, 1).as("dst"), col("cnt"))
           .groupBy(col("src"), col("dst")).agg(sum(col("cnt")).as("cnt"))
           .withColumn("tot", sum(col("cnt")).over(Window.partitionBy(col("src"))))
-          .persist()
         val mats = Seq(districtMat(1), districtMat(2))
-        def niSeries(base: Long): DataFrame = {
-          val (ts, _, _) = siarChain(s0, mats, coefOf(base))
-          ts.zipWithIndex.map { case (t, i) =>
-            t.agg(expr(s"CAST(${Kinds.map(k => s"sum(ti$k)").mkString(" + ")} AS BIGINT) AS new_i"))
-              .select(lit(i + 1).cast("long").as("step"), col("new_i"))
-          }.reduce(_ unionByName _)
+        // PARAMETER SWEEP AS DATA PARALLELISM: β becomes a column, not a
+        // loop — the seed state replicates once per grid member with its
+        // transmission coefficients riding the rows, and ONE chain runs
+        // every β simultaneously (5× the rows of one chain, the same
+        // number of jobs as one chain). Adding candidates adds rows, not
+        // stages — the form that survives a 1000-β sweep on a cluster.
+        val betaRows = BetaBases.map { base =>
+          val cf = coefOf(base)
+          struct(lit(base * 24L).cast("long").as("beta_micro"),
+            lit(cf(0)).as("cf0"), lit(cf(1)).as("cf1"), lit(cf(2)).as("cf2"))
         }
-        val trueSeries = niSeries(12500L)
-        val obs = trueSeries.select(col("step"),
-          greatest(lit(0L), col("new_i") +
-            pmod(portableHash(concat(lit("obs"), col("step").cast("string"))), lit(101)) -
-            lit(50L)).as("obs_i"))
-        val sim = BetaBases.map { base =>
-          (if (base == 12500L) trueSeries else niSeries(base))
-            .select(lit(base * 24L).cast("long").as("beta_micro"),
-              col("step"), col("new_i"))
+        val sweepCols = Seq("beta_micro", "cf0", "cf1", "cf2")
+        val s0b = s0.select(
+            (explode(array(betaRows: _*)).as("b") +:
+              (col("area") +: stateCols.map(col))): _*)
+          .select((sweepCols.map(c => col(s"b.$c")) ++
+            (col("area") +: stateCols.map(col))): _*)
+        val (ts, _, _) = siarChainEx(s0b, mats, k => s"cf$k", sweepCols)
+        val sim = ts.zipWithIndex.map { case (t, i) =>
+          t.groupBy(col("beta_micro"))
+            .agg(expr(s"CAST(${Kinds.map(k => s"sum(ti$k)").mkString(" + ")} AS BIGINT) AS new_i"))
+            .select(col("beta_micro"), lit(i + 1).cast("long").as("step"), col("new_i"))
         }.reduce(_ unionByName _)
+        // the observed series = the true-β member of the SAME sweep
+        val obs = sim.where(col("beta_micro") === lit(300000L))
+          .select(col("step"),
+            greatest(lit(0L), col("new_i") +
+              pmod(portableHash(concat(lit("obs"), col("step").cast("string"))), lit(101)) -
+              lit(50L)).as("obs_i"))
         sim.join(obs, "step")
           .select(col("beta_micro"),
             expr("abs(new_i - obs_i) DIV 100").as("d"))

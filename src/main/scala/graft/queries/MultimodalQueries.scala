@@ -16,14 +16,14 @@ import graft.engine.Tables
   * it — binary schema, batch-shaped `mapPartitions` (the Scala analogue
   * of `mapInPandas`: one iterator per partition, amortized per-batch
   * setup), partition-preserving plumbing — is real and oracle-checked,
-  * because the stub is pure arithmetic DuckDB can mirror. Two kernels
+  * because the stub is pure arithmetic DuckDB can mirror. Three kernels
   * are NOT stubs: m06's 2D-DCT + sign-threshold is the production pHash
-  * algorithm in exact integer arithmetic, and m04's fractional-area box
-  * filter is the production INTER_AREA resize in exact integer
-  * arithmetic — in both, only the input "image" is the payload (bytes /
-  * histogram) instead of decoded luma. The remaining stubs are m02's
-  * decode and m05's feature extractor (a container parser and a model
-  * forward pass genuinely need the absent native libs).
+  * algorithm, m04's fractional-area box filter is the production
+  * INTER_AREA resize, and m05's DCT band energies are the classic
+  * JPEG-domain texture descriptor — all in exact integer arithmetic, so
+  * only the input "image" is the payload (bytes / histogram) instead of
+  * decoded luma. The one remaining stub is m02's decode (a container
+  * parser genuinely needs the absent native libs).
   */
 object MultimodalQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -198,38 +198,76 @@ object MultimodalQueries {
         |FROM contrib GROUP BY doc_id, n, j
         |ORDER BY doc_id, sample_no""".stripMargin),
 
-    // ── feature-extract stub: fixed-width feature vector per payload
-    //    (4-bucket byte histogram), emitted LONG FORM (doc_id, feature_id,
-    //    value) so downstream similarity/centroid operators consume it
-    //    like any embedding — the feature-extraction slot of the pipeline ──
-    ("m05_feature_stub",
+    // ── m05: FEATURE EXTRACTION — a REAL spectral-feature kernel (not a
+    //    stub; the third member of the m06/m04 family). The payload's
+    //    64-bucket code-unit histogram read as an 8×8 "image", the exact
+    //    integer 2D DCT-II over it ([[DctTable]], the m06 transform),
+    //    and the feature vector = the 8 DIAGONAL FREQUENCY BAND energies
+    //    Σ|D[u][v]| over u+v = k — the classic JPEG/DCT-domain texture
+    //    descriptor (band 0 = DC mass, rising k = finer structure).
+    //    Emitted LONG FORM (doc_id, feature_id, value) so downstream
+    //    similarity/centroid operators consume it like any embedding.
+    //    On a real image the histogram stage would be the decoded 8×8
+    //    luma block; the transform + band-energy stage is the production
+    //    feature as-is. ──
+    ("m05_dct_features",
       (s: SparkSession, dir: String) => {
         import s.implicits._
+        val dct = DctTable
         Tables(s, dir, "documents")
           .where(col("text").isNotNull)
           .select(col("doc_id"), col("text"))
           .as[(Long, String)]
           .mapPartitions(_.flatMap { case (id, t) =>
-            // STUB kernel: code-unit histogram (character semantics,
-            // BMP — see m04); a real extractor would run a model over
-            // the decoded tensor.
-            val h = new Array[Long](4)
+            // character semantics (BMP) — see m04
+            val h = new Array[Long](64)
             var i = 0
-            while (i < t.length) { h(t.charAt(i) % 4) += 1; i += 1 }
-            (0 until 4).map(k => (id, k.toLong, h(k)))
+            while (i < t.length) { h(t.charAt(i) % 64) += 1; i += 1 }
+            // |term| ≤ 1e8·len per coefficient, ≤8 coefficients per band
+            // — overflow-free for any payload under ~1e9 code units
+            val bands = new Array[Long](8)
+            var u = 0
+            while (u < 8) {
+              var v = 0
+              while (v + u < 8) {
+                var d = 0L; var x = 0
+                while (x < 8) {
+                  var y = 0
+                  while (y < 8) { d += dct(u * 8 + x) * dct(v * 8 + y) * h(x * 8 + y); y += 1 }
+                  x += 1
+                }
+                bands(u + v) += math.abs(d)
+                v += 1
+              }
+              u += 1
+            }
+            (0 until 8).map(k => (id, k.toLong, bands(k)))
           })
           .toDF("doc_id", "feature_id", "value")
           .orderBy(col("doc_id"), col("feature_id"))
       },
-      """SELECT doc_id, CAST(k AS BIGINT) AS feature_id,
-        |  CAST(len(list_filter(cs, c -> c % 4 = k)) AS BIGINT) AS value
-        |FROM (
-        |  SELECT doc_id, list_transform(
-        |           generate_series(1, length(text)),
-        |           p -> ascii(substring(text, CAST(p AS INT), 1))) AS cs
-        |  FROM documents WHERE text IS NOT NULL),
-        |     (SELECT unnest(generate_series(0, 3)) AS k)
-        |ORDER BY doc_id, feature_id""".stripMargin),
+      s"""WITH tbl(u, x, t) AS (VALUES $dctTableSql),
+        |docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |hist AS (
+        |  SELECT doc_id, c % 64 AS b, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, length(text)),
+        |           p -> ascii(substring(text, CAST(p AS INT), 1)))) AS c
+        |        FROM docs)
+        |  GROUP BY 1, 2),
+        |coef AS (
+        |  SELECT h.doc_id, tu.u AS u, tv.u AS v,
+        |         CAST(sum(tu.t * tv.t * h.cnt) AS BIGINT) AS d
+        |  FROM hist h
+        |  JOIN tbl tu ON tu.x = h.b // 8
+        |  JOIN tbl tv ON tv.x = h.b % 8
+        |  GROUP BY 1, 2, 3)
+        |SELECT d.doc_id, CAST(k.k AS BIGINT) AS feature_id,
+        |       CAST(coalesce(sum(abs(c.d)), 0) AS BIGINT) AS value
+        |FROM docs d
+        |CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k) k
+        |LEFT JOIN coef c ON c.doc_id = d.doc_id AND c.u + c.v = k.k
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin),
 
     // ── m06: perceptual-hash near-dup over the media payload — the
     //    multimodal member of the dedup family (t05/t06/t07/v04). The

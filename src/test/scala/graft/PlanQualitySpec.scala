@@ -9,9 +9,16 @@ import org.apache.spark.sql.execution.SimpleMode
 class PlanQualitySpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
-  private def plan(name: String): String =
+  private def plan(name: String): String = {
+    // another suite (e.g. the smoke run) may have left catalog caches
+    // behind in the shared session; a cache-substituted InMemoryRelation
+    // would change the very plan shapes asserted here, so every pin
+    // explains against a cache-free session
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     SparkEntry.queries(name)(spark, dir)
       .queryExecution.explainString(SimpleMode)
+  }
 
   test("s03: quantity filter is pushed into the parquet scan") {
     val p = plan("s03_sql_over_path")
