@@ -43,6 +43,89 @@ object MultimodalQueries {
   final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long,
                              height: Long, n_frames: Long, first_byte: Long)
 
+  /** The exact-integer media kernels (m04/m05/m06), extracted so the
+    * property suite can pin each against an independently-written
+    * reference on arbitrary inputs — the judged queries call these same
+    * functions. Character semantics (BMP) throughout, matching the
+    * oracles' substring/ascii indexing. */
+  private[graft] object MediaKernels {
+    /** m04: fractional-area box-filter resize to min(64, n) samples —
+      * out[j] = ⌊Σ_i overlap(i,j)·v_i / n⌋ on the common n·M-unit axis. */
+    def resizeArea(t: String): Array[Long] = {
+      val n = t.length.toLong
+      val m = math.min(64L, n)
+      val acc = new Array[Long](m.toInt)
+      var i = 0
+      while (i < t.length) {
+        val lo = i * m
+        val hi = lo + m
+        var j = (lo / n).toInt
+        while (j * n < hi) {
+          val ov = math.min(hi, (j + 1) * n) - math.max(lo, j * n)
+          acc(j) += ov * t.charAt(i)
+          j += 1
+        }
+        i += 1
+      }
+      var j = 0
+      while (j < acc.length) { acc(j) = acc(j) / n; j += 1 }
+      acc
+    }
+
+    /** The 64-bucket code-unit histogram both DCT kernels read as an
+      * 8×8 "image". */
+    def histogram64(t: String): Array[Long] = {
+      val h = new Array[Long](64)
+      var i = 0
+      while (i < t.length) { h(t.charAt(i) % 64) += 1; i += 1 }
+      h
+    }
+
+    /** One 2D DCT-II coefficient D[u][v] over an 8×8 histogram, in the
+      * exact fixed-point integer table arithmetic. */
+    def dctCoef(h: Array[Long], u: Int, v: Int): Long = {
+      val dct = DctTable
+      var d = 0L
+      var x = 0
+      while (x < 8) {
+        var y = 0
+        while (y < 8) { d += dct(u * 8 + x) * dct(v * 8 + y) * h(x * 8 + y); y += 1 }
+        x += 1
+      }
+      d
+    }
+
+    /** m05: diagonal frequency band energies — feature k = Σ|D[u][v]|
+      * over u+v = k, k ∈ [0, 8). */
+    def dctBands(t: String): Array[Long] = {
+      val h = histogram64(t)
+      val bands = new Array[Long](8)
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v + u < 8) {
+          bands(u + v) += math.abs(dctCoef(h, u, v))
+          v += 1
+        }
+        u += 1
+      }
+      bands
+    }
+
+    /** m06: the 60-bit pHash — bit k−1 set iff AC coefficient k (in
+      * u·8+v order, DC excluded) is positive. */
+    def phash60(t: String): Long = {
+      val h = histogram64(t)
+      var sig = 0L
+      var k = 1
+      while (k <= 60) {
+        if (dctCoef(h, k / 8, k % 8) > 0) sig |= (1L << (k - 1))
+        k += 1
+      }
+      sig
+    }
+  }
+
   object StubDecoder {
     /** STUB: a real implementation would parse the container format
       * (e.g. JPEG SOF / WAV fmt chunk) here. Deterministic fake keeps the
@@ -148,25 +231,11 @@ object MultimodalQueries {
           .select(col("doc_id"), col("text"))
           .as[(Long, String)]
           .mapPartitions(_.flatMap { case (id, t) =>
-            val n = t.length.toLong
-            val m = math.min(64L, n)
-            val acc = new Array[Long](m.toInt)
-            var i = 0
-            while (i < t.length) {
-              val lo = i * m
-              val hi = lo + m
-              var j = (lo / n).toInt
-              while (j * n < hi) {
-                val ov = math.min(hi, (j + 1) * n) - math.max(lo, j * n)
-                acc(j) += ov * t.charAt(i)
-                j += 1
-              }
-              i += 1
-            }
-            // Σ_j acc(j) = M·Σv ≤ 64·65535·n — overflow-free at any
-            // realistic payload; floor division is exact (all operands
-            // non-negative)
-            (0 until m.toInt).map(j => (id, j.toLong, acc(j) / n))
+            // Σ_j pre-division acc(j) = M·Σv ≤ 64·65535·n — overflow-free
+            // at any realistic payload; floor division is exact (all
+            // operands non-negative). KernelProps pins the kernel.
+            val out = MediaKernels.resizeArea(t)
+            out.indices.map(j => (id, j.toLong, out(j)))
           })
           .toDF("doc_id", "sample_no", "value")
           .orderBy(col("doc_id"), col("sample_no"))
@@ -213,34 +282,15 @@ object MultimodalQueries {
     ("m05_dct_features",
       (s: SparkSession, dir: String) => {
         import s.implicits._
-        val dct = DctTable
         Tables(s, dir, "documents")
           .where(col("text").isNotNull)
           .select(col("doc_id"), col("text"))
           .as[(Long, String)]
           .mapPartitions(_.flatMap { case (id, t) =>
-            // character semantics (BMP) — see m04
-            val h = new Array[Long](64)
-            var i = 0
-            while (i < t.length) { h(t.charAt(i) % 64) += 1; i += 1 }
             // |term| ≤ 1e8·len per coefficient, ≤8 coefficients per band
-            // — overflow-free for any payload under ~1e9 code units
-            val bands = new Array[Long](8)
-            var u = 0
-            while (u < 8) {
-              var v = 0
-              while (v + u < 8) {
-                var d = 0L; var x = 0
-                while (x < 8) {
-                  var y = 0
-                  while (y < 8) { d += dct(u * 8 + x) * dct(v * 8 + y) * h(x * 8 + y); y += 1 }
-                  x += 1
-                }
-                bands(u + v) += math.abs(d)
-                v += 1
-              }
-              u += 1
-            }
+            // — overflow-free for any payload under ~1e9 code units.
+            // KernelProps pins the kernel.
+            val bands = MediaKernels.dctBands(t)
             (0 until 8).map(k => (id, k.toLong, bands(k)))
           })
           .toDF("doc_id", "feature_id", "value")
@@ -289,34 +339,15 @@ object MultimodalQueries {
       (s: SparkSession, dir: String) => {
         import s.implicits._
         val cap = 64
-        val dct = DctTable
         val ph = Tables(s, dir, "documents")
           .where(col("text").isNotNull)
           .select(col("doc_id"), col("text"))
           .as[(Long, String)]
-          .mapPartitions(_.map { case (id, t) =>
-            // character semantics (BMP) — see m04
-            val h = new Array[Long](64)
-            var i = 0
-            while (i < t.length) { h(t.charAt(i) % 64) += 1; i += 1 }
-            // D[u][v] = Σ_x Σ_y T[u][x]·H[x][y]·T[v][y]; bit u*8+v-1 set
-            // iff the AC coefficient is positive (DC at (0,0) excluded).
-            // Bound: |T|≤1e4, so |term| ≤ 1e8·len — overflow-free for
-            // any payload under ~9e10 code units.
-            var sig = 0L; var k = 1
-            while (k <= 60) {
-              val u = k / 8; val v = k % 8
-              var d = 0L; var x = 0
-              while (x < 8) {
-                var y = 0
-                while (y < 8) { d += dct(u * 8 + x) * dct(v * 8 + y) * h(x * 8 + y); y += 1 }
-                x += 1
-              }
-              if (d > 0) sig |= (1L << (k - 1))
-              k += 1
-            }
-            (id, sig)
-          })
+          // D[u][v] = Σ_x Σ_y T[u][x]·H[x][y]·T[v][y]; bit u*8+v-1 set
+          // iff the AC coefficient is positive (DC at (0,0) excluded).
+          // Bound: |T|≤1e4, so |term| ≤ 1e8·len — overflow-free for
+          // any payload under ~9e10 code units. KernelProps pins it.
+          .mapPartitions(_.map { case (id, t) => (id, MediaKernels.phash60(t)) })
           .toDF("doc_id", "ph")
         val wKey = Window.partitionBy(col("bd"), col("v"))
         val bands = ph.select(col("doc_id"), col("ph"), explode(array(

@@ -1,0 +1,105 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import graft.queries.MultimodalQueries.{DctTable, MediaKernels}
+
+/** Property pins for the exact-integer media kernels (m04/m05/m06) —
+  * each judged query calls exactly these functions, and each property
+  * checks them against an independently-written reference or a closed
+  * mathematical invariant on arbitrary inputs. */
+object MediaKernelProps extends Properties("MediaKernels") {
+
+  // BMP code units, biased toward ASCII but exercising the full range
+  private val payload: Gen[String] = Gen.listOf(Gen.frequency(
+    8 -> Gen.choose(32, 126),
+    2 -> Gen.choose(0, 0xFFFF))).map(_.map(_.toChar).mkString)
+
+  private val nonEmpty: Gen[String] = payload.suchThat(_.nonEmpty)
+
+  property("resize: output length is min(64, n)") =
+    Prop.forAll(nonEmpty) { t =>
+      MediaKernels.resizeArea(t).length == math.min(64, t.length)
+    }
+
+  property("resize: n <= 64 is the identity") =
+    Prop.forAll(Gen.resize(64, nonEmpty)) { t =>
+      val out = MediaKernels.resizeArea(t)
+      t.length > 64 ||
+        out.toSeq == t.map(_.toLong).toSeq
+    }
+
+  property("resize: every sample is bounded by the input range") =
+    Prop.forAll(nonEmpty) { t =>
+      val out = MediaKernels.resizeArea(t)
+      val lo = t.map(_.toLong).min
+      val hi = t.map(_.toLong).max
+      // each output is the floor of a weighted average of inputs, so it
+      // sits in [min, max] (the floor cannot undershoot the integer min)
+      out.forall(v => v >= lo && v <= hi)
+    }
+
+  property("resize: a constant signal resizes to itself") =
+    Prop.forAll(Gen.choose(1, 500), Gen.choose(32, 0xFFFF)) { (n, c) =>
+      MediaKernels.resizeArea(c.toChar.toString * n)
+        .forall(_ == c.toLong)
+    }
+
+  property("resize: total area is conserved before the floor") =
+    Prop.forAll(nonEmpty) { t =>
+      // reference: redo the overlap accumulation naively over the full
+      // (input x bucket) grid and compare pre-division sums
+      val n = t.length.toLong
+      val m = math.min(64L, n)
+      val ref = new Array[Long](m.toInt)
+      for (i <- 0 until t.length; j <- 0 until m.toInt) {
+        val lo = i * m; val hi = lo + m
+        val ov = math.min(hi, (j + 1) * n) - math.max(lo, j.toLong * n)
+        if (ov > 0) ref(j) += ov * t.charAt(i)
+      }
+      // the kernel floors per bucket; reconstruct its pre-floor sums by
+      // re-running the kernel arithmetic — the naive grid must agree
+      // bucket-for-bucket after the same floor
+      val out = MediaKernels.resizeArea(t)
+      out.toSeq == ref.map(_ / n).toSeq &&
+        ref.sum == m * t.map(_.toLong).sum // exact partition of the axis
+    }
+
+  property("dct bands: band 0 is exactly 1e8 x length") =
+    Prop.forAll(payload) { t =>
+      // T[0][x] = 10000 for all x, so D[0][0] = 1e8 x total histogram
+      // mass = 1e8 x length — the DC pin that catches any table or
+      // indexing slip
+      MediaKernels.dctBands(t)(0) == 100000000L * t.length
+    }
+
+  property("dct bands: permutation-invariant (histogram semantics)") =
+    Prop.forAll(nonEmpty, Gen.choose(1L, Long.MaxValue)) { (t, seed) =>
+      val shuffled = new scala.util.Random(seed).shuffle(t.toSeq).mkString
+      MediaKernels.dctBands(shuffled).toSeq == MediaKernels.dctBands(t).toSeq
+    }
+
+  property("dct coef agrees with an independent table fold") =
+    Prop.forAll(payload, Gen.choose(0, 7), Gen.choose(0, 7)) { (t, u, v) =>
+      val h = MediaKernels.histogram64(t)
+      // reference: iterate the histogram buckets directly (b = x*8+y)
+      var expect = 0L
+      for (b <- 0 until 64)
+        expect += DctTable(u * 8 + b / 8) * DctTable(v * 8 + b % 8) * h(b)
+      MediaKernels.dctCoef(h, u, v) == expect
+    }
+
+  property("phash: bit k-1 tracks the sign of AC coefficient k") =
+    Prop.forAll(payload) { t =>
+      val h = MediaKernels.histogram64(t)
+      val sig = MediaKernels.phash60(t)
+      (1 to 60).forall { k =>
+        val bit = (sig >> (k - 1)) & 1L
+        bit == (if (MediaKernels.dctCoef(h, k / 8, k % 8) > 0) 1L else 0L)
+      }
+    }
+
+  property("phash: only the low 60 bits are ever set") =
+    Prop.forAll(payload) { t =>
+      (MediaKernels.phash60(t) >>> 60) == 0L
+    }
+}
