@@ -40,6 +40,30 @@ class Round6OpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("siarChain runs at the reference's full-day depth (24 matrices)") {
+    // the reference cycles its move matrix hour-by-hour through a
+    // 168-matrix week (1108Fit_para_multi.py:246-257); 24 interleaved
+    // matrices = one full day, 25 infection + 24 move steps. With the
+    // lineage-truncating chain discipline this builds and runs in
+    // seconds; the pre-fix shapes (expression inlining, or persist with
+    // quadratic plan-matching) would visibly hang this suite long
+    // before the final assert
+    import org.apache.spark.sql.functions.{col, lit}
+    val s0 = EpiQueries.seedWide(spark, dir)
+    val idMat = s0.select(col("area").as("src"), col("area").as("dst"),
+      lit(1L).as("cnt"), lit(1L).as("tot"))
+    val (ts, _, fin) = EpiQueries.siarChain(s0, Seq.fill(24)(idMat))
+    assert(ts.length == 25)
+    val row = fin.selectExpr(
+      "CAST(sum(s0+i0+a0+r0+s1+i1+a1+r1+s2+i2+a2+r2) AS BIGINT) AS mass").head()
+    // identity moves preserve mass exactly; infections only shuffle it
+    // between compartments — the day-long chain must conserve it
+    val seedMass = s0.selectExpr(
+      "CAST(sum(s0+i0+a0+r0+s1+i1+a1+r1+s2+i2+a2+r2) AS BIGINT) AS mass").head()
+    assert(row.getLong(0) == seedMass.getLong(0),
+      s"mass ${seedMass.getLong(0)} -> ${row.getLong(0)} over 24 identity-move steps")
+  }
+
   test("g22: persist barriers keep the optimized chain plan bounded") {
     // the judged g22 (persisted between steps): each chain stage plans
     // against an InMemoryRelation, so the optimized plan only ever holds
