@@ -39,10 +39,57 @@ object GeoQueries {
     * before the sentinel default (cal_subarea_portion.py:34-76). */
   private val CascadePrecisions = Seq(8, 7, 6, 5, 4, 3, 2)
 
-  /** g17 window width: absolute hours materialized as wide columns (the
-    * reference's month is 744; the judged window is narrower only so the
-    * oracle SQL stays reviewable — the plan shape is identical at 744). */
+  /** g17 window width: absolute hours materialized as wide columns.
+    * g17 judges a reviewable 48-column window; g17b judges the
+    * reference's literal 744-column month with the same generated code
+    * on both sides. */
   private val WideHours = 48
+
+  /** A7's absolute-hour wide presence matrix at any width: one count
+    * column per hour of the study window (cal_user_trace.py:30-43),
+    * columns indexed RELATIVE to the corpus' first hour so the schema
+    * is fixed while the window can move. One min() pass broadcast back,
+    * one pivot; rows outside the window are filtered BEFORE the pivot
+    * shuffle. */
+  private def wideHourMatrix(s: SparkSession, dir: String, wide: Int): DataFrame = {
+    val hidx = (0 until wide).toList
+    val traj = Trajectory.complete(Tables.events(s, dir))
+      .select(col("user_id"), col("region"),
+        unix_timestamp(col("hour")).as("es"))
+    val h0 = traj.agg(min(col("es")).as("es0"))
+    traj.crossJoin(broadcast(h0))
+      .select(col("region"),
+        ((col("es") - col("es0")) / 3600).cast("long").as("h"))
+      .where(col("h") < wide)
+      .groupBy(col("region"))
+      .pivot("h", hidx)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("region") +: hidx.map(i => col(i.toString).as(s"h$i")): _*)
+      .orderBy(col("region"))
+  }
+
+  private def wideHourOracle(wide: Int): String = {
+    // native PIVOT, not `wide` filtered aggregates: one aggregate state
+    // per (region, h) pair instead of `wide` states per region — the
+    // filtered-aggregate form ran 50x slower at 744 columns and OOMed
+    // DuckDB under ambient memory pressure
+    val inList = (0 until wide).mkString(", ")
+    val alias = (0 until wide)
+      .map(i => s"""CAST(coalesce("$i", 0) AS BIGINT) AS h$i""")
+      .mkString(",\n  ")
+    s"""${Trajectory.trajSqlPrelude},
+       |rel AS (
+       |  SELECT region,
+       |    CAST((${epochSecSql("hour")} -
+       |      (SELECT min(${epochSecSql("hour")}) FROM traj)) / 3600 AS BIGINT) AS h
+       |  FROM traj)
+       |SELECT region,
+       |  $alias
+       |FROM (PIVOT (SELECT * FROM rel WHERE h < $wide)
+       |      ON h IN ($inList) USING count(*) GROUP BY region)
+       |ORDER BY region""".stripMargin
+  }
 
   /** Shared oracle for the neighbor-expansion twins (g02 UDF form, g21
     * native-expression form): the 3×3 block re-derived with the same
@@ -719,37 +766,20 @@ object GeoQueries {
     //    any scale: one min() pass broadcast back, one pivot. Rows
     //    outside the window are filtered BEFORE the pivot shuffle. ──
     ("g17_wide_hour_matrix",
-      (s: SparkSession, dir: String) => {
-        val hidx = (0 until WideHours).toList
-        val traj = Trajectory.complete(Tables.events(s, dir))
-          .select(col("user_id"), col("region"),
-            unix_timestamp(col("hour")).as("es"))
-        val h0 = traj.agg(min(col("es")).as("es0"))
-        traj.crossJoin(broadcast(h0))
-          .select(col("region"),
-            ((col("es") - col("es0")) / 3600).cast("long").as("h"))
-          .where(col("h") < WideHours)
-          .groupBy(col("region"))
-          .pivot("h", hidx)
-          .agg(count(lit(1)))
-          .na.fill(0L)
-          .select(col("region") +: hidx.map(i => col(i.toString).as(s"h$i")): _*)
-          .orderBy(col("region"))
-      },
-      {
-        val cols = (0 until WideHours).map(i =>
-          s"CAST(count(*) FILTER (WHERE h = $i) AS BIGINT) AS h$i")
-          .mkString(",\n  ")
-        s"""${Trajectory.trajSqlPrelude},
-           |rel AS (
-           |  SELECT region,
-           |    CAST((${epochSecSql("hour")} -
-           |      (SELECT min(${epochSecSql("hour")}) FROM traj)) / 3600 AS BIGINT) AS h
-           |  FROM traj)
-           |SELECT region,
-           |  $cols
-           |FROM rel WHERE h < $WideHours GROUP BY region ORDER BY region""".stripMargin
-      }),
+      (s: SparkSession, dir: String) => wideHourMatrix(s, dir, WideHours),
+      wideHourOracle(WideHours)),
+
+    // ── A7 at the LITERAL reference width: the full 744-column month
+    //    (31 days × 24 h — cal_user_trace.py:30-43 materializes exactly
+    //    this frame). Same plan as g17 (one min() broadcast + one pivot
+    //    over pre-filtered rows); the only difference is that all 744
+    //    absolute-hour columns are real, so the judged schema IS the
+    //    reference's frame. Hours past the corpus' span judge as honest
+    //    zero columns — the month window is the reference's fixed study
+    //    period, not data-derived. ──
+    ("g17b_wide_hour_month",
+      (s: SparkSession, dir: String) => wideHourMatrix(s, dir, 744),
+      wideHourOracle(744)),
 
     // ── g18: Morton (z-order) spatial clustering — the write-side layout
     //    operator for 100-TB geo scans. Interleaving the lon/lat cell
