@@ -1076,8 +1076,8 @@ object VectorQueries {
     //    candidate to NSub code bytes so the scan is table lookups, not
     //    float folds). 64 dims → 8 subspaces × 8 dims; per-subspace
     //    codebook = the 8 seed vectors' subvectors (the v05 seed-set
-    //    discipline — demo-grade codebook, production trains it with the
-    //    v11 Lloyd step, which composes per subspace unchanged). Encode:
+    //    discipline; v17 trains it with one Lloyd step per subspace and
+    //    judges the trained pipeline's recall end-to-end). Encode:
     //    nearest code per (vector, subspace) via ONE hash agg —
     //    `min(struct(d2, code_id))` gives the deterministic tie-break
     //    with map-side combine, no window over the 64×n scored rows.
