@@ -390,6 +390,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Union"), p)
   }
 
+  test("g17b: the 744-wide pivot rides a pre-counted (region, hour) aggregate") {
+    // the month-wide pivot must not shuffle raw trajectory rows into the
+    // 744-slot pivot state: a (region, h) count pre-aggregates with
+    // map-side combine, and only those ~|regions|x|hours| rows feed the
+    // partial pivot
+    val p = plan("g17b_wide_hour_month")
+    assert(p.contains("partial_pivotfirst"), p.take(2000))
+    assert(p.contains("partial_count"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("g25: the per-user centroid join never broadcasts a fact-derived frame") {
     // cent is one row per USER — it grows with the corpus, so a
     // BroadcastExchange over it is a driver OOM at scale (round-5 judge
