@@ -15,15 +15,17 @@ import graft.engine.Tables
   * width/height/frame metadata from the byte stream. Everything around
   * it — binary schema, batch-shaped `mapPartitions` (the Scala analogue
   * of `mapInPandas`: one iterator per partition, amortized per-batch
-  * setup), partition-preserving plumbing — is real and oracle-checked,
-  * because the stub is pure arithmetic DuckDB can mirror. Three kernels
-  * are NOT stubs: m06's 2D-DCT + sign-threshold is the production pHash
-  * algorithm, m04's fractional-area box filter is the production
-  * INTER_AREA resize, and m05's DCT band energies are the classic
-  * JPEG-domain texture descriptor — all in exact integer arithmetic, so
-  * only the input "image" is the payload (bytes / histogram) instead of
-  * decoded luma. The one remaining stub is m02's decode (a container
-  * parser genuinely needs the absent native libs).
+  * setup), partition-preserving plumbing — is real and oracle-checked.
+  * Four of the five kernels are REAL: m02's decode is a genuine 8-bit
+  * BMP container parser (little-endian header fields at spec offsets,
+  * bottom-up stride arithmetic) fed by a valid in-pipeline encoder,
+  * m06's 2D-DCT + sign-threshold is the production pHash algorithm,
+  * m04's fractional-area box filter is the production INTER_AREA
+  * resize, and m05's DCT band energies are the classic JPEG-domain
+  * texture descriptor — all exact integer arithmetic, so only the input
+  * image is synthesized from the payload rather than decoded by an
+  * (absent) native image lib. The one remaining stub is m03's
+  * video-frame METADATA (frame counts need a real video container).
   */
 object MultimodalQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -126,11 +128,85 @@ object MultimodalQueries {
     }
   }
 
+  /** A REAL binary container codec (m02): the encoder emits a VALID
+    * 8-bit grayscale BMP (BITMAPFILEHEADER + BITMAPINFOHEADER + 256-entry
+    * palette + 4-byte-aligned bottom-up pixel rows — any image tool opens
+    * it), and the decoder is a production-faithful parser: magic check,
+    * little-endian field reads at the spec offsets, row-stride
+    * arithmetic. The decoder would parse any real 8-bit BMP; only the
+    * input image is synthesized from the payload (the m06 discipline).
+    * [[MediaKernelProps]] pins the parser against an independent
+    * java.nio little-endian reader. */
+  private[graft] object BmpCodec {
+    /** Payload → w×h grayscale image, row-major top-down, w = ⌈√n⌉. */
+    def encode(t: String): Array[Byte] = {
+      val n = t.length
+      val w = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val h = math.max(1, (n + w - 1) / w)
+      val rowSize = (w + 3) & ~3
+      val dataOffset = 14 + 40 + 1024
+      val fileSize = dataOffset + rowSize * h
+      val b = new Array[Byte](fileSize)
+      def le32(off: Int, v: Int): Unit = {
+        b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+        b(off + 2) = ((v >> 16) & 0xff).toByte; b(off + 3) = ((v >> 24) & 0xff).toByte
+      }
+      def le16(off: Int, v: Int): Unit = {
+        b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+      }
+      b(0) = 'B'; b(1) = 'M'
+      le32(2, fileSize); le32(10, dataOffset)
+      le32(14, 40); le32(18, w); le32(22, h); le16(26, 1); le16(28, 8)
+      le32(34, rowSize * h)
+      var i = 0
+      while (i < 256) { // identity grayscale palette, BGRA entries
+        val o = 54 + i * 4
+        b(o) = i.toByte; b(o + 1) = i.toByte; b(o + 2) = i.toByte
+        i += 1
+      }
+      i = 0
+      while (i < n) { // BMP stores rows bottom-up
+        b(dataOffset + (h - 1 - i / w) * rowSize + i % w) =
+          (t.charAt(i) % 256).toByte
+        i += 1
+      }
+      b
+    }
+
+    final case class BmpMeta(n_bytes: Long, width: Long, height: Long,
+                             bpp: Long, first_pixel: Long, row0_sum: Long)
+
+    /** The parser: every field read from the BYTES at its documented
+      * offset — nothing is echoed from the encoder. */
+    def decode(bytes: Array[Byte]): BmpMeta = {
+      require(bytes.length >= 54 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
+        "not a BMP container")
+      def u32(off: Int): Long =
+        (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+          ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+      def u16(off: Int): Long =
+        (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8)
+      val fileSize = u32(2)
+      val dataOffset = u32(10)
+      val w = u32(18)
+      val h = u32(22)
+      val bpp = u16(28)
+      val rowSize = (w + 3L) & ~3L
+      val top = (dataOffset + (h - 1) * rowSize).toInt // top row, bottom-up file
+      var s = 0L
+      var c = 0
+      while (c < w) { s += bytes(top + c) & 0xffL; c += 1 }
+      BmpMeta(fileSize, w, h, bpp, bytes(top) & 0xffL, s)
+    }
+  }
+
   object StubDecoder {
-    /** STUB: a real implementation would parse the container format
-      * (e.g. JPEG SOF / WAV fmt chunk) here. Deterministic fake keeps the
-      * pipeline testable end-to-end. Per-partition call site amortizes
-      * decoder init across a batch, mirroring `mapInPandas` batch shape. */
+    /** STUB (m03 only): a real implementation would parse a VIDEO
+      * container's frame index here (images — m02 — now parse a real
+      * BMP via [[BmpCodec]]). Deterministic fake metadata keeps the
+      * frame-sampling pipeline testable end-to-end. Per-partition call
+      * site amortizes decoder init across a batch, mirroring
+      * `mapInPandas` batch shape. */
     def decode(b: MediaBlob): MediaMeta = {
       val n = b.payload.length.toLong
       MediaMeta(b.doc_id, n, n % 640, (n * 7) % 480, n % 16,
@@ -155,31 +231,51 @@ object MultimodalQueries {
         |  CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte
         |FROM documents ORDER BY doc_id""".stripMargin),
 
-    // ── batch decode via typed mapPartitions (the multimodal UDF shape).
-    //    q05 profiles text as nullable, so every mapPartitions kernel in
-    //    this module filters nulls up front (a null payload would NPE the
-    //    whole query) — the filter is mirrored in each oracle CTE. ──
-    ("m02_decode_stub",
+    // ── m02: batch DECODE via typed mapPartitions (the multimodal UDF
+    //    shape) — with a REAL container parser. Each payload round-trips
+    //    through a valid 8-bit BMP ([[BmpCodec]]): the judged output is
+    //    what the PARSER reads back from the byte stream (header fields
+    //    at their little-endian spec offsets + the top pixel row through
+    //    the bottom-up stride arithmetic), never echoed from the
+    //    encoder. The oracle re-derives the same values from the BMP
+    //    format's layout equations. q05 profiles text as nullable, so
+    //    every kernel in this module filters nulls up front — mirrored
+    //    in each oracle CTE. ──
+    ("m02_decode_bmp",
       (s: SparkSession, dir: String) => {
         import s.implicits._
         Tables(s, dir, "documents")
           .where(col("text").isNotNull)
-          .select(col("doc_id"), col("text").cast("binary").as("payload"))
-          .as[MediaBlob]
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)]
           .mapPartitions { it =>
             // per-partition (= per-batch) decoder init would go here
-            it.map(StubDecoder.decode)
+            it.map { case (id, t) =>
+              val m = BmpCodec.decode(BmpCodec.encode(t))
+              (id, m.n_bytes, m.width, m.height, m.bpp, m.first_pixel, m.row0_sum)
+            }
           }
-          .toDF()
+          .toDF("doc_id", "n_bytes", "width", "height", "bpp",
+            "first_pixel", "row0_sum")
           .orderBy(col("doc_id"))
       },
-      """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
-        |  CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
-        |  CAST(octet_length(encode(text)) % 16 AS BIGINT) AS n_frames,
-        |  CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte
-        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin),
+      """WITH dims AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+        |         greatest(1, CAST(ceil(sqrt(CAST(length(text) AS DOUBLE))) AS BIGINT)) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |geo AS (
+        |  SELECT doc_id, text, n, w,
+        |         greatest(1, (n + w - 1) // w) AS h,
+        |         ((w + 3) // 4) * 4 AS row_size
+        |  FROM dims)
+        |SELECT doc_id,
+        |  CAST(14 + 40 + 1024 + row_size * h AS BIGINT) AS n_bytes,
+        |  w AS width, h AS height, CAST(8 AS BIGINT) AS bpp,
+        |  CAST(CASE WHEN n > 0 THEN ascii(substring(text, 1, 1)) % 256 ELSE 0 END AS BIGINT) AS first_pixel,
+        |  CAST(coalesce(list_sum(list_transform(
+        |         generate_series(1, CAST(least(w, n) AS INT)),
+        |         p -> ascii(substring(text, CAST(p AS INT), 1)) % 256)), 0) AS BIGINT) AS row0_sum
+        |FROM geo ORDER BY doc_id""".stripMargin),
 
     // ── frame sampling: explode the decoded frame range, keep every 4th
     //    frame (the video-pipeline pattern: metadata drives a generator,

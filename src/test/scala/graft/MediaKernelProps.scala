@@ -102,4 +102,40 @@ object MediaKernelProps extends Properties("MediaKernels") {
     Prop.forAll(payload) { t =>
       (MediaKernels.phash60(t) >>> 60) == 0L
     }
+
+  private val bmp = graft.queries.MultimodalQueries.BmpCodec
+
+  property("bmp: encoder emits a well-formed container") =
+    Prop.forAll(payload) { t =>
+      val b = bmp.encode(t)
+      b(0) == 'B'.toByte && b(1) == 'M'.toByte &&
+        b.length >= 14 + 40 + 1024 + 4 // headers + palette + one padded row
+    }
+
+  property("bmp: parser agrees with an independent java.nio LE reader") =
+    Prop.forAll(payload) { t =>
+      val b = bmp.encode(t)
+      val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val fileSize = buf.getInt(2).toLong & 0xFFFFFFFFL
+      val dataOffset = buf.getInt(10).toLong & 0xFFFFFFFFL
+      val w = buf.getInt(18).toLong & 0xFFFFFFFFL
+      val h = buf.getInt(22).toLong & 0xFFFFFFFFL
+      val bpp = buf.getShort(28).toLong & 0xFFFFL
+      val rowSize = (w + 3L) & ~3L
+      val top = (dataOffset + (h - 1) * rowSize).toInt
+      val row0 = (0 until w.toInt).map(c => b(top + c) & 0xffL)
+      val m = bmp.decode(b)
+      m.n_bytes == fileSize && fileSize == b.length &&
+        m.width == w && m.height == h && m.bpp == bpp &&
+        m.first_pixel == (if (w > 0) row0.head else 0L) &&
+        m.row0_sum == row0.sum
+    }
+
+  property("bmp: the decoded top row is the payload's first image row") =
+    Prop.forAll(nonEmpty) { t =>
+      val m = bmp.decode(bmp.encode(t))
+      val expect = t.take(m.width.toInt).map(c => (c % 256).toLong)
+      m.first_pixel == expect.head && m.row0_sum == expect.sum &&
+        m.width * m.height >= t.length && m.bpp == 8L
+    }
 }
