@@ -10,22 +10,22 @@ import graft.engine.Tables
   * no binary payloads, and neither does the testdata, so `documents.text`
   * is cast to bytes as the stand-in payload).
   *
-  * The decode step is a clearly-marked STUB (no image/audio libs in this
-  * container): [[StubDecoder.decode]] derives deterministic fake
-  * width/height/frame metadata from the byte stream. Everything around
-  * it — binary schema, batch-shaped `mapPartitions` (the Scala analogue
-  * of `mapInPandas`: one iterator per partition, amortized per-batch
-  * setup), partition-preserving plumbing — is real and oracle-checked.
-  * Four of the five kernels are REAL: m02's decode is a genuine 8-bit
+  * Every kernel in this module is REAL: m02's decode is a genuine 8-bit
   * BMP container parser (little-endian header fields at spec offsets,
   * bottom-up stride arithmetic) fed by a valid in-pipeline encoder,
-  * m06's 2D-DCT + sign-threshold is the production pHash algorithm,
-  * m04's fractional-area box filter is the production INTER_AREA
-  * resize, and m05's DCT band energies are the classic JPEG-domain
-  * texture descriptor — all exact integer arithmetic, so only the input
-  * image is synthesized from the payload rather than decoded by an
-  * (absent) native image lib. The one remaining stub is m03's
-  * video-frame METADATA (frame counts need a real video container).
+  * m03's frame metadata comes from a genuine RIFF/AVI chunk walker
+  * ([[AviCodec]] — `avih`/`strh`/`idx1` parsed and cross-checked) over
+  * a valid in-pipeline AVI encoder, m06's 2D-DCT + sign-threshold is
+  * the production pHash algorithm, m04's fractional-area box filter is
+  * the production INTER_AREA resize, and m05's DCT band energies are
+  * the classic JPEG-domain texture descriptor — all exact integer
+  * arithmetic, so only the input image/video is synthesized from the
+  * payload rather than decoded by an (absent) native media lib. The
+  * plumbing around them — binary schema, batch-shaped `mapPartitions`
+  * (the Scala analogue of `mapInPandas`: one iterator per partition,
+  * amortized per-batch setup), partition-preserving layout — is the
+  * production shape end-to-end, and m07 composes decode → resize →
+  * DCT → pHash as one declarative plan over the decoded pixels.
   */
 object MultimodalQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -41,10 +41,6 @@ object MultimodalQueries {
   private def dctTableSql: String =
     DctTable.indices.map(i => s"(${i / 8}, ${i % 8}, ${DctTable(i)})").mkString(", ")
 
-  final case class MediaBlob(doc_id: Long, payload: Array[Byte])
-  final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long,
-                             height: Long, n_frames: Long, first_byte: Long)
-
   /** The exact-integer media kernels (m04/m05/m06), extracted so the
     * property suite can pin each against an independently-written
     * reference on arbitrary inputs — the judged queries call these same
@@ -54,17 +50,26 @@ object MultimodalQueries {
     /** m04: fractional-area box-filter resize to min(64, n) samples —
       * out[j] = ⌊Σ_i overlap(i,j)·v_i / n⌋ on the common n·M-unit axis. */
     def resizeArea(t: String): Array[Long] = {
-      val n = t.length.toLong
+      val vals = new Array[Long](t.length)
+      var i = 0
+      while (i < t.length) { vals(i) = t.charAt(i).toLong; i += 1 }
+      resizeArea(vals)
+    }
+
+    /** The same kernel over an arbitrary sample sequence (m07 feeds it
+      * decoded BMP pixels rather than raw code units). */
+    def resizeArea(vals: Array[Long]): Array[Long] = {
+      val n = vals.length.toLong
       val m = math.min(64L, n)
       val acc = new Array[Long](m.toInt)
       var i = 0
-      while (i < t.length) {
+      while (i < vals.length) {
         val lo = i * m
         val hi = lo + m
         var j = (lo / n).toInt
         while (j * n < hi) {
           val ov = math.min(hi, (j + 1) * n) - math.max(lo, j * n)
-          acc(j) += ov * t.charAt(i)
+          acc(j) += ov * vals(i)
           j += 1
         }
         i += 1
@@ -99,14 +104,17 @@ object MultimodalQueries {
 
     /** m05: diagonal frequency band energies — feature k = Σ|D[u][v]|
       * over u+v = k, k ∈ [0, 8). */
-    def dctBands(t: String): Array[Long] = {
-      val h = histogram64(t)
+    def dctBands(t: String): Array[Long] = dctBandsOf(histogram64(t))
+
+    /** The band kernel over an arbitrary 8×8 image (m07 feeds it the
+      * resized pixel plane instead of the code-unit histogram). */
+    def dctBandsOf(img: Array[Long]): Array[Long] = {
       val bands = new Array[Long](8)
       var u = 0
       while (u < 8) {
         var v = 0
         while (v + u < 8) {
-          bands(u + v) += math.abs(dctCoef(h, u, v))
+          bands(u + v) += math.abs(dctCoef(img, u, v))
           v += 1
         }
         u += 1
@@ -116,12 +124,14 @@ object MultimodalQueries {
 
     /** m06: the 60-bit pHash — bit k−1 set iff AC coefficient k (in
       * u·8+v order, DC excluded) is positive. */
-    def phash60(t: String): Long = {
-      val h = histogram64(t)
+    def phash60(t: String): Long = phash60Of(histogram64(t))
+
+    /** The pHash kernel over an arbitrary 8×8 image (see dctBandsOf). */
+    def phash60Of(img: Array[Long]): Long = {
       var sig = 0L
       var k = 1
       while (k <= 60) {
-        if (dctCoef(h, k / 8, k % 8) > 0) sig |= (1L << (k - 1))
+        if (dctCoef(img, k / 8, k % 8) > 0) sig |= (1L << (k - 1))
         k += 1
       }
       sig
@@ -133,8 +143,11 @@ object MultimodalQueries {
     * palette + 4-byte-aligned bottom-up pixel rows — any image tool opens
     * it), and the decoder is a production-faithful parser: magic check,
     * little-endian field reads at the spec offsets, row-stride
-    * arithmetic. The decoder would parse any real 8-bit BMP; only the
-    * input image is synthesized from the payload (the m06 discipline).
+    * arithmetic, with the header VALIDATED before any pixel read (BI_RGB
+    * only, bottom-up only, pixel array bounds-checked against the
+    * stream). The decoder parses any real uncompressed bottom-up 8-bit
+    * BMP; only the input image is synthesized from the payload (the
+    * m06 discipline).
     * [[MediaKernelProps]] pins the parser against an independent
     * java.nio little-endian reader. */
   private[graft] object BmpCodec {
@@ -177,40 +190,216 @@ object MultimodalQueries {
                              bpp: Long, first_pixel: Long, row0_sum: Long)
 
     /** The parser: every field read from the BYTES at its documented
-      * offset — nothing is echoed from the encoder. */
+      * offset — nothing is echoed from the encoder. Parses any
+      * uncompressed bottom-up 8-bit BMP; biCompression ≠ 0 and top-down
+      * (negative-height) images are rejected up front, and the pixel
+      * array is bounds-checked against the byte stream before any row
+      * is dereferenced — a truncated or lying header fails the requires,
+      * never an ArrayIndexOutOfBounds. */
     def decode(bytes: Array[Byte]): BmpMeta = {
-      require(bytes.length >= 54 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
-        "not a BMP container")
-      def u32(off: Int): Long =
-        (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
-          ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
-      def u16(off: Int): Long =
-        (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8)
-      val fileSize = u32(2)
-      val dataOffset = u32(10)
-      val w = u32(18)
-      val h = u32(22)
-      val bpp = u16(28)
+      val (dataOffset, w, h, bpp) = header(bytes)
       val rowSize = (w + 3L) & ~3L
       val top = (dataOffset + (h - 1) * rowSize).toInt // top row, bottom-up file
       var s = 0L
       var c = 0
       while (c < w) { s += bytes(top + c) & 0xffL; c += 1 }
-      BmpMeta(fileSize, w, h, bpp, bytes(top) & 0xffL, s)
+      BmpMeta(u32(bytes, 2), w, h, bpp, bytes(top) & 0xffL, s)
+    }
+
+    private def u32(bytes: Array[Byte], off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+
+    /** Validated header fields (dataOffset, width, height, bpp). */
+    private def header(bytes: Array[Byte]): (Long, Long, Long, Long) = {
+      require(bytes.length >= 54 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
+        "not a BMP container")
+      def u16(off: Int): Long =
+        (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8)
+      val dataOffset = u32(bytes, 10)
+      val w = u32(bytes, 18)
+      val h = u32(bytes, 22)
+      val compression = u32(bytes, 30)
+      require(compression == 0L, s"unsupported biCompression $compression (BI_RGB only)")
+      require(h > 0L && (h & 0x80000000L) == 0L && w > 0L,
+        "top-down (negative-height) or empty BMPs unsupported")
+      val rowSize = (w + 3L) & ~3L
+      require(dataOffset + h * rowSize <= bytes.length,
+        "pixel array extends past the byte stream")
+      (dataOffset, w, h, u16(28))
+    }
+
+    /** The full decoded pixel plane, top-down row-major (the bottom-up
+      * stride walk applied to every row, not just row 0) — what m07's
+      * composed pipeline feeds to resize/DCT/pHash. */
+    def decodePixels(bytes: Array[Byte]): Array[Long] = {
+      val (dataOffset, w, h, _) = header(bytes)
+      val rowSize = (w + 3L) & ~3L
+      Array.tabulate((w * h).toInt) { i =>
+        val r = i / w
+        val c = i % w
+        bytes((dataOffset + (h - 1 - r) * rowSize + c).toInt) & 0xffL
+      }
     }
   }
 
-  object StubDecoder {
-    /** STUB (m03 only): a real implementation would parse a VIDEO
-      * container's frame index here (images — m02 — now parse a real
-      * BMP via [[BmpCodec]]). Deterministic fake metadata keeps the
-      * frame-sampling pipeline testable end-to-end. Per-partition call
-      * site amortizes decoder init across a batch, mirroring
-      * `mapInPandas` batch shape. */
-    def decode(b: MediaBlob): MediaMeta = {
-      val n = b.payload.length.toLong
-      MediaMeta(b.doc_id, n, n % 640, (n * 7) % 480, n % 16,
-        if (n > 0) b.payload(0).toLong & 0xff else -1L)
+  /** A REAL video container codec (m03, the BmpCodec recipe applied to
+    * video): the encoder emits a VALID uncompressed RIFF/AVI — RIFF
+    * header, `LIST hdrl` (56-byte `avih` main header, `LIST strl` with a
+    * 56-byte `vids`/`DIB ` stream header and a BITMAPINFOHEADER `strf`),
+    * `LIST movi` holding one `00db` DIB chunk per 4×4 8-bit frame, and
+    * the `idx1` index with one entry per frame (offsets relative to the
+    * `movi` fourcc, the VfW convention) — any AVI demuxer opens it. The
+    * decoder is a genuine RIFF CHUNK WALKER, not a fixed-offset reader:
+    * it walks the word-aligned (fourcc, le32 size) chunk stream,
+    * descends `LIST`s, reads `dwTotalFrames` from `avih`, `dwLength`
+    * from the `vids` `strh`, and the per-frame (offset, size) entries
+    * from `idx1`, REQUIRES the three frame counts to agree, and resolves
+    * each idx1 offset to its `00db` chunk (verifying the fourcc it lands
+    * on) — so the judged metadata is read back through the container's
+    * own index, never echoed from the encoder. [[MediaKernelProps]] pins
+    * the walker against an independent java.nio little-endian reader and
+    * checks that a corrupted header fails the cross-check. */
+  private[graft] object AviCodec {
+    val FrameW = 4
+    val FrameH = 4
+    val FrameBytes: Int = FrameW * FrameH // 8-bit, rowSize 4 — no padding
+
+    final case class AviMeta(n_frames: Long, width: Long, height: Long,
+                             movi_pos: Long, frames: Array[(Long, Long)])
+
+    /** Payload → AVI: frame f holds payload bytes [16f, 16f+16), the
+      * tail frame zero-padded; nFrames = max(1, ⌈n/16⌉). */
+    def encode(t: String): Array[Byte] = {
+      val n = t.length
+      val nFrames = math.max(1, (n + FrameBytes - 1) / FrameBytes)
+      val hdrlSize = 4 + (8 + 56) + (8 + (4 + (8 + 56) + (8 + 40)))
+      val moviSize = 4 + nFrames * (8 + FrameBytes)
+      val idx1Size = nFrames * 16
+      val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idx1Size)
+      val b = new Array[Byte](8 + riffSize)
+      def le32(off: Int, v: Int): Unit = {
+        b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+        b(off + 2) = ((v >> 16) & 0xff).toByte; b(off + 3) = ((v >> 24) & 0xff).toByte
+      }
+      def le16(off: Int, v: Int): Unit = {
+        b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+      }
+      def fcc(off: Int, s: String): Unit = {
+        var i = 0
+        while (i < 4) { b(off + i) = s.charAt(i).toByte; i += 1 }
+      }
+      fcc(0, "RIFF"); le32(4, riffSize); fcc(8, "AVI ")
+      fcc(12, "LIST"); le32(16, hdrlSize); fcc(20, "hdrl")
+      fcc(24, "avih"); le32(28, 56)
+      le32(32, 33333)            // dwMicroSecPerFrame (30 fps)
+      le32(36, FrameBytes * 30)  // dwMaxBytesPerSec
+      le32(44, 0x10)             // dwFlags = AVIF_HASINDEX
+      le32(48, nFrames)          // dwTotalFrames
+      le32(56, 1)                // dwStreams
+      le32(60, FrameBytes)       // dwSuggestedBufferSize
+      le32(64, FrameW); le32(68, FrameH)
+      fcc(88, "LIST"); le32(92, 4 + (8 + 56) + (8 + 40)); fcc(96, "strl")
+      fcc(100, "strh"); le32(104, 56)
+      fcc(108, "vids"); fcc(112, "DIB ")
+      le32(128, 1); le32(132, 30) // dwScale / dwRate = 30 fps
+      le32(140, nFrames)          // dwLength
+      le32(144, FrameBytes)       // dwSuggestedBufferSize
+      le16(160, FrameW); le16(162, FrameH) // rcFrame right/bottom
+      fcc(164, "strf"); le32(168, 40)
+      le32(172, 40); le32(176, FrameW); le32(180, FrameH)
+      le16(184, 1); le16(186, 8)  // planes / bpp
+      le32(192, FrameBytes)       // biSizeImage
+      fcc(212, "LIST"); le32(216, moviSize); fcc(220, "movi")
+      var f = 0
+      while (f < nFrames) {
+        val ck = 224 + f * (8 + FrameBytes)
+        fcc(ck, "00db"); le32(ck + 4, FrameBytes)
+        var i = 0
+        while (i < FrameBytes) {
+          val p = f * FrameBytes + i
+          if (p < n) b(ck + 8 + i) = (t.charAt(p) % 256).toByte
+          i += 1
+        }
+        f += 1
+      }
+      val idx1 = 224 + nFrames * (8 + FrameBytes)
+      fcc(idx1, "idx1"); le32(idx1 + 4, idx1Size)
+      f = 0
+      while (f < nFrames) {
+        val e = idx1 + 8 + f * 16
+        fcc(e, "00db"); le32(e + 4, 0x10) // AVIIF_KEYFRAME
+        le32(e + 8, 4 + f * (8 + FrameBytes)) // offset from the movi fourcc
+        le32(e + 12, FrameBytes)
+        f += 1
+      }
+      b
+    }
+
+    /** The chunk walker. `frames` holds (idx1 offset, size) per frame;
+      * [[frameDataAt]] resolves an entry to its chunk data, verifying
+      * the fourcc the offset lands on. */
+    def decode(bytes: Array[Byte]): AviMeta = {
+      def fcc(off: Int): String = {
+        val c = new Array[Char](4)
+        var i = 0
+        while (i < 4) { c(i) = (bytes(off + i) & 0xff).toChar; i += 1 }
+        new String(c)
+      }
+      def u32(off: Int): Long =
+        (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+          ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+      require(bytes.length >= 12 && fcc(0) == "RIFF" && fcc(8) == "AVI ",
+        "not an AVI container")
+      require(8 + u32(4) <= bytes.length, "RIFF size extends past the stream")
+      var totalFrames = -1L; var width = -1L; var height = -1L
+      var strhLen = -1L; var moviPos = -1L; var idx1Pos = -1L; var idx1Size = 0L
+      def walk(start: Int, end: Int): Unit = {
+        var p = start
+        while (p + 8 <= end) {
+          val id = fcc(p)
+          val sz = u32(p + 4).toInt
+          require(p + 8 + sz <= end, s"chunk '$id' extends past its parent")
+          id match {
+            case "LIST" =>
+              val kind = fcc(p + 8)
+              if (kind == "movi") moviPos = p + 8 // frames indexed from here
+              else walk(p + 12, p + 8 + sz)       // descend hdrl / strl
+            case "avih" =>
+              totalFrames = u32(p + 8 + 16)
+              width = u32(p + 8 + 32); height = u32(p + 8 + 36)
+            case "strh" =>
+              if (fcc(p + 8) == "vids") strhLen = u32(p + 8 + 32)
+            case "idx1" =>
+              idx1Pos = p + 8; idx1Size = u32(p + 4)
+            case _ => ()
+          }
+          p += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+        }
+      }
+      walk(12, (8 + u32(4)).toInt)
+      require(moviPos >= 0 && idx1Pos >= 0 && totalFrames >= 0 && strhLen >= 0,
+        "missing avih/strh/movi/idx1")
+      val nIdx = idx1Size / 16
+      require(nIdx == totalFrames && strhLen == totalFrames,
+        s"frame counts disagree: avih=$totalFrames strh=$strhLen idx1=$nIdx")
+      val frames = Array.tabulate(nIdx.toInt) { e =>
+        val off = (idx1Pos + e * 16L).toInt
+        require(fcc(off) == "00db", s"idx1 entry $e is not a video chunk")
+        (u32(off + 8), u32(off + 12))
+      }
+      AviMeta(totalFrames, width, height, moviPos, frames)
+    }
+
+    /** Absolute data offset of frame `f`, through the index: the idx1
+      * offset lands on the chunk's fourcc (verified), data starts past
+      * the 8-byte chunk header. */
+    def frameDataAt(bytes: Array[Byte], m: AviMeta, f: Int): Int = {
+      val ck = (m.movi_pos + m.frames(f)._1).toInt
+      require(bytes(ck) == '0'.toByte && bytes(ck + 1) == '0'.toByte &&
+        bytes(ck + 2) == 'd'.toByte && bytes(ck + 3) == 'b'.toByte,
+        s"idx1 offset for frame $f does not land on a 00db chunk")
+      ck + 8
     }
   }
 
@@ -277,30 +466,51 @@ object MultimodalQueries {
         |         p -> ascii(substring(text, CAST(p AS INT), 1)) % 256)), 0) AS BIGINT) AS row0_sum
         |FROM geo ORDER BY doc_id""".stripMargin),
 
-    // ── frame sampling: explode the decoded frame range, keep every 4th
-    //    frame (the video-pipeline pattern: metadata drives a generator,
-    //    the heavy per-frame decode happens downstream per sampled row) ──
+    // ── m03: frame sampling over a REAL video container. Each payload
+    //    round-trips through a valid uncompressed RIFF/AVI
+    //    ([[AviCodec]]): the judged metadata is what the CHUNK WALKER
+    //    reads back — frame count cross-checked across avih/strh/idx1,
+    //    per-frame offsets from the idx1 index, each sampled frame's
+    //    first byte dereferenced THROUGH that index (the offset must
+    //    land on a verified 00db chunk) — never echoed from the encoder.
+    //    Every 4th frame is kept (the video-pipeline pattern: parsed
+    //    metadata drives the sampler; the heavy per-frame decode happens
+    //    downstream per sampled row). The oracle re-derives the same
+    //    values from the AVI format's layout equations: ⌈n/16⌉ frames,
+    //    idx1 offsets 4 + 24·f from the movi fourcc, frame f's data =
+    //    payload bytes from 16·f. ──
     ("m03_frame_sample",
       (s: SparkSession, dir: String) => {
         import s.implicits._
         Tables(s, dir, "documents")
           .where(col("text").isNotNull)
-          .select(col("doc_id"), col("text").cast("binary").as("payload"))
-          .as[MediaBlob]
-          .mapPartitions(_.map(StubDecoder.decode))
-          .toDF()
-          .where(col("n_frames") > 0)
-          .select(col("doc_id"), col("n_frames"),
-            explode(sequence(lit(0), col("n_frames") - 1)).as("frame_no"))
-          .where(pmod(col("frame_no"), lit(4)) === 0)
-          .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"))
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.flatMap { case (id, t) =>
+            // per-partition (= per-batch) demuxer init would go here
+            val bytes = AviCodec.encode(t)
+            val m = AviCodec.decode(bytes)
+            (0 until m.n_frames.toInt).withFilter(_ % 4 == 0).map { f =>
+              val firstByte = bytes(AviCodec.frameDataAt(bytes, m, f)) & 0xffL
+              (id, m.n_frames, f.toLong, m.frames(f)._1, firstByte)
+            }
+          })
+          .toDF("doc_id", "n_frames", "frame_no", "frame_off", "first_byte")
           .orderBy(col("doc_id"), col("frame_no"))
       },
-      """SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no FROM (
-        |  SELECT doc_id,
-        |         unnest(generate_series(0, CAST(octet_length(encode(text)) % 16 AS BIGINT) - 1)) AS frame_no
-        |  FROM documents
-        |  WHERE text IS NOT NULL AND octet_length(encode(text)) % 16 > 0)
+      """WITH docs AS (
+        |  SELECT doc_id, text,
+        |         CAST(length(text) AS BIGINT) AS n,
+        |         greatest(1, (CAST(length(text) AS BIGINT) + 15) // 16) AS nf
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, nf AS n_frames, CAST(frame_no AS BIGINT) AS frame_no,
+        |       CAST(4 + 24 * frame_no AS BIGINT) AS frame_off,
+        |       CAST(CASE WHEN 16 * frame_no < n
+        |              THEN ascii(substring(text, CAST(16 * frame_no + 1 AS INT), 1)) % 256
+        |              ELSE 0 END AS BIGINT) AS first_byte
+        |FROM (SELECT doc_id, text, n, nf,
+        |             unnest(generate_series(0, nf - 1)) AS frame_no
+        |      FROM docs)
         |WHERE frame_no % 4 = 0
         |ORDER BY doc_id, frame_no""".stripMargin),
 
@@ -494,7 +704,87 @@ object MultimodalQueries {
         |  FROM bands a JOIN bands b
         |    ON a.bd = b.bd AND a.v = b.v AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, hamming FROM pairs
-        |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin)
+        |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin),
+
+    // ── m07: the COMPOSED media pipeline — decode → resize → DCT →
+    //    pHash as ONE declarative plan over REAL DECODED PIXELS (the t20
+    //    pattern applied to the m-side). Each payload is encoded as a
+    //    valid 8-bit BMP and decoded back through [[BmpCodec]]'s full
+    //    stride walk (every row, bottom-up file → top-down plane, pad
+    //    cells included — the pipeline consumes what the container
+    //    actually holds, not the raw payload), then the m04 area resize
+    //    shrinks the w·h pixel plane to min(64, w·h) samples, the
+    //    zero-padded 64-sample plane is read as the 8×8 image, and the
+    //    m05 band energies + m06 pHash come off ONE shared DCT. Proves
+    //    the kernels compose on decoded bytes: the oracle re-derives the
+    //    decoded plane from the BMP layout equations (grid cell i =
+    //    payload char i, zero past n) and runs the same resize/DCT
+    //    arithmetic. One mapPartitions stage — no shuffle until the
+    //    final sort; per-doc cost is bounded by the 64-sample plane, so
+    //    the plan is a scan-shaped pipeline at any corpus size. ──
+    ("m07_media_pipeline",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .where(col("text").isNotNull)
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, t) =>
+            val px = BmpCodec.decodePixels(BmpCodec.encode(t))
+            val img = java.util.Arrays.copyOf(MediaKernels.resizeArea(px), 64)
+            val bands = MediaKernels.dctBandsOf(img)
+            (id, bands(0), bands(1), bands(2), bands(3), bands(4), bands(5),
+              bands(6), bands(7), MediaKernels.phash60Of(img))
+          })
+          .toDF("doc_id", "b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7", "ph")
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH tbl(u, x, t) AS (VALUES $dctTableSql),
+        |dims AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+        |         greatest(1, CAST(ceil(sqrt(CAST(length(text) AS DOUBLE))) AS BIGINT)) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |geo AS (
+        |  SELECT doc_id, text, n,
+        |         w * greatest(1, (n + w - 1) // w) AS nn,
+        |         least(64, w * greatest(1, (n + w - 1) // w)) AS m
+        |  FROM dims),
+        |inp AS (
+        |  SELECT doc_id, nn, m, i,
+        |         CASE WHEN i < n THEN ascii(substring(text, CAST(i + 1 AS INT), 1)) % 256
+        |              ELSE 0 END AS v
+        |  FROM (SELECT doc_id, text, n, nn, m,
+        |               unnest(generate_series(0, nn - 1)) AS i
+        |        FROM geo)),
+        |contrib AS (
+        |  SELECT doc_id, nn, (i*m) // nn AS j,
+        |         (least((i+1)*m, ((i*m) // nn + 1) * nn) - i*m) * v AS c
+        |  FROM inp
+        |  UNION ALL
+        |  SELECT doc_id, nn, ((i+1)*m - 1) // nn AS j,
+        |         ((i+1)*m - (((i+1)*m - 1) // nn) * nn) * v AS c
+        |  FROM inp WHERE ((i+1)*m - 1) // nn > (i*m) // nn),
+        |samp AS (
+        |  SELECT doc_id, j, sum(c) // nn AS v
+        |  FROM contrib GROUP BY doc_id, nn, j),
+        |img AS (
+        |  SELECT g.doc_id, g.j, coalesce(s.v, 0) AS v
+        |  FROM (SELECT doc_id, unnest(generate_series(0, 63)) AS j FROM geo) g
+        |  LEFT JOIN samp s ON s.doc_id = g.doc_id AND s.j = g.j),
+        |coef AS (
+        |  SELECT i.doc_id, tu.u AS u, tv.u AS v,
+        |         CAST(sum(tu.t * tv.t * i.v) AS BIGINT) AS d
+        |  FROM img i
+        |  JOIN tbl tu ON tu.x = i.j // 8
+        |  JOIN tbl tv ON tv.x = i.j % 8
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_id,
+        |  ${(0 to 7).map(k => s"CAST(sum(CASE WHEN u + v = $k THEN abs(d) ELSE 0 END) AS BIGINT) AS b$k").mkString(",\n  ")},
+        |  CAST(coalesce(sum(CASE WHEN d > 0 AND (u*8+v) BETWEEN 1 AND 60
+        |         THEN (CAST(1 AS BIGINT) << (u*8+v-1)) ELSE 0 END), 0) AS BIGINT) AS ph
+        |FROM coef
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin)
   )
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap

@@ -138,4 +138,88 @@ object MediaKernelProps extends Properties("MediaKernels") {
       m.first_pixel == expect.head && m.row0_sum == expect.sum &&
         m.width * m.height >= t.length && m.bpp == 8L
     }
+
+  property("bmp: the decoded pixel plane is the payload grid, zero-padded") =
+    Prop.forAll(payload) { t =>
+      val m = bmp.decode(bmp.encode(t))
+      val px = bmp.decodePixels(bmp.encode(t))
+      px.length == m.width * m.height &&
+        px.toSeq == (0 until px.length).map(i =>
+          if (i < t.length) (t.charAt(i) % 256).toLong else 0L)
+    }
+
+  property("bmp: a truncated pixel array fails validation, never AIOOBE") =
+    Prop.forAll(nonEmpty) { t =>
+      val b = bmp.encode(t)
+      val cut = java.util.Arrays.copyOf(b, b.length - 1)
+      Prop.throws(classOf[IllegalArgumentException])(bmp.decode(cut))
+    }
+
+  private val avi = graft.queries.MultimodalQueries.AviCodec
+
+  property("avi: encoder emits a well-formed RIFF container") =
+    Prop.forAll(payload) { t =>
+      val b = avi.encode(t)
+      val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      new String(b, 0, 4, "ISO-8859-1") == "RIFF" &&
+        new String(b, 8, 4, "ISO-8859-1") == "AVI " &&
+        8L + (buf.getInt(4).toLong & 0xFFFFFFFFL) == b.length
+    }
+
+  property("avi: walker agrees with an independent java.nio LE reader") =
+    Prop.forAll(payload) { t =>
+      // independent path: the encoder's layout is fixed, so every field
+      // sits at a CLOSED-FORM offset — read them there with a ByteBuffer
+      // (no chunk walking) and require the walker to land on the same
+      // values through the chunk stream.
+      val b = avi.encode(t)
+      val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val total = buf.getInt(48).toLong & 0xFFFFFFFFL   // avih dwTotalFrames
+      val w = buf.getInt(64).toLong & 0xFFFFFFFFL       // avih dwWidth
+      val h = buf.getInt(68).toLong & 0xFFFFFFFFL       // avih dwHeight
+      val idx1 = 224 + total.toInt * 24
+      val entries = (0 until total.toInt).map { e =>
+        (buf.getInt(idx1 + 8 + e * 16 + 8).toLong & 0xFFFFFFFFL,
+          buf.getInt(idx1 + 8 + e * 16 + 12).toLong & 0xFFFFFFFFL)
+      }
+      val m = avi.decode(b)
+      m.n_frames == total && m.width == w && m.height == h &&
+        m.movi_pos == 220L && m.frames.toSeq == entries
+    }
+
+  property("avi: sampled frame bytes are the payload, through the index") =
+    Prop.forAll(nonEmpty) { t =>
+      val b = avi.encode(t)
+      val m = avi.decode(b)
+      m.n_frames == math.max(1, (t.length + 15) / 16) &&
+        (0 until m.n_frames.toInt).forall { f =>
+          val data = avi.frameDataAt(b, m, f)
+          (0 until 16).forall { i =>
+            val p = f * 16 + i
+            (b(data + i) & 0xff) ==
+              (if (p < t.length) t.charAt(p) % 256 else 0)
+          }
+        }
+    }
+
+  property("avi: a corrupted frame count fails the avih/strh/idx1 cross-check") =
+    Prop.forAll(nonEmpty) { t =>
+      val b = avi.encode(t)
+      b(48) = ((b(48) & 0xff) ^ 1).toByte // flip a bit in avih dwTotalFrames
+      Prop.throws(classOf[IllegalArgumentException])(avi.decode(b))
+    }
+
+  property("resize kernel: the string form equals the value-array form") =
+    Prop.forAll(nonEmpty) { t =>
+      MediaKernels.resizeArea(t).toSeq ==
+        MediaKernels.resizeArea(t.map(_.toLong).toArray).toSeq
+    }
+
+  property("m07 composition: DC band is 1e8 x the resized-plane mass") =
+    Prop.forAll(payload) { t =>
+      val px = bmp.decodePixels(bmp.encode(t))
+      val img = java.util.Arrays.copyOf(MediaKernels.resizeArea(px), 64)
+      MediaKernels.dctBandsOf(img)(0) == 100000000L * img.sum &&
+        (MediaKernels.phash60Of(img) >>> 60) == 0L
+    }
 }
