@@ -91,15 +91,17 @@ object EpiQueries {
   private def duckDiv(a: String, b: String) = s"(($a) // ($b))"
 
   /** Seed aggregation (`Info2SIAR`, :72-110): status counts per
-    * (area, kind), ×10⁴ fixed point. Input rows carry (area, kind, hs)
-    * where hs ∈ [0,100) is the user's deterministic status draw:
-    * hs<4 → I, hs<10 → A, else S; R starts empty — patient-zero
-    * seeding (`patient_zero`, :35-45) made deterministic. */
-  private def seedAggExprs: Seq[String] =
+    * (area, kind), ×`unit` fixed point (10⁴ for the mean-field chains;
+    * 1 — whole persons — for the stochastic replica g29, which draws
+    * integer individuals the way the reference does). Input rows carry
+    * (area, kind, hs) where hs ∈ [0,100) is the user's deterministic
+    * status draw: hs<4 → I, hs<10 → A, else S; R starts empty —
+    * patient-zero seeding (`patient_zero`, :35-45) made deterministic. */
+  private def seedAggExprs(unit: Long = 10000L): Seq[String] =
     Kinds.flatMap { k => Seq(
-      s"CAST(sum(CASE WHEN kind = $k AND hs >= 10 THEN 10000 ELSE 0 END) AS BIGINT) AS s$k",
-      s"CAST(sum(CASE WHEN kind = $k AND hs < 4 THEN 10000 ELSE 0 END) AS BIGINT) AS i$k",
-      s"CAST(sum(CASE WHEN kind = $k AND hs >= 4 AND hs < 10 THEN 10000 ELSE 0 END) AS BIGINT) AS a$k",
+      s"CAST(sum(CASE WHEN kind = $k AND hs >= 10 THEN $unit ELSE 0 END) AS BIGINT) AS s$k",
+      s"CAST(sum(CASE WHEN kind = $k AND hs < 4 THEN $unit ELSE 0 END) AS BIGINT) AS i$k",
+      s"CAST(sum(CASE WHEN kind = $k AND hs >= 4 AND hs < 10 THEN $unit ELSE 0 END) AS BIGINT) AS a$k",
       s"CAST(sum(0) AS BIGINT) AS r$k")
     }
 
@@ -116,16 +118,20 @@ object EpiQueries {
     * Negative-clamps (`EdS2I[EdS2I<0]=0`, :135-140) are structural here:
     * every operand is non-negative by construction. */
   private def infectStages(div: (String, String) => String,
-                           coef: Seq[Long]): Seq[Seq[String]] =
-    infectStagesEx(div, k => coef(k).toString, Nil)
+                           coef: Seq[Long],
+                           gd: String = GdMicro.toString): Seq[Seq[String]] =
+    infectStagesEx(div, k => coef(k).toString, Nil, gd)
 
   /** `coefExpr` may be a literal (the fixed-β chains) or a COLUMN name
     * (g28's fused sweep, where the transmission coefficients ride the
-    * rows and one chain serves every β at once); `extras` are sweep-key
-    * columns carried through every stage. */
+    * rows and one chain serves every β at once); `gdExpr` is the
+    * recovery coefficient dt·γ ×10⁶ — a literal for the fixed-γ chains,
+    * a column name for g28b's 2-D grid; `extras` are sweep-key columns
+    * carried through every stage. */
   private def infectStagesEx(div: (String, String) => String,
                              coefExpr: Int => String,
-                             extras: Seq[String]): Seq[Seq[String]] = {
+                             extras: Seq[String],
+                             gdExpr: String = GdMicro.toString): Seq[Seq[String]] = {
     val pass = extras ++ ("area" +: stateCols)
     val stage1 = pass ++ Kinds.map { k =>
       val num = s"(s$k + i$k + a$k + r$k)"
@@ -139,8 +145,8 @@ object EpiQueries {
     val stage3 = pass ++ Kinds.flatMap { k => Seq(
       s"nf$k",
       s"${div(s"nf$k * 15", "100")} AS ti$k",
-      s"least(${div(s"i$k * $GdMicro", "1000000")}, i$k) AS ri$k",
-      s"least(${div(s"a$k * $GdMicro", "1000000")}, a$k) AS ra$k")
+      s"least(${div(s"i$k * $gdExpr", "1000000")}, i$k) AS ri$k",
+      s"least(${div(s"a$k * $gdExpr", "1000000")}, a$k) AS ra$k")
     }
     val stage4 = (extras :+ "area") ++ Kinds.flatMap { k => Seq(
       s"s$k - nf$k AS s$k",
@@ -160,6 +166,95 @@ object EpiQueries {
       s"CAST(sum(${div(s"p.$c * coalesce(m.cnt, 1)", "coalesce(m.tot, 1)")}) AS BIGINT) AS $c"
     }
 
+  // ─────────────── stochastic replica machinery (g29) ───────────────
+  //
+  // The reference's simulation is STOCHASTIC: integer Poisson draws per
+  // transfer (1108Fit_para_multi.py:142-145) and multinomial moves
+  // (:188-207), averaged over `Xunhuan` = 2 replicas (:349-358). The
+  // judgeable counterpart replaces each draw with COUNTER-BASED
+  // STOCHASTIC ROUNDING: a transfer with expectation e (fixed-point
+  // ×10⁴) realizes as ⌊e/10⁴⌋ + [u < e mod 10⁴], where u ∈ [0,10⁴) is a
+  // keyed hash — `portableHash('g29|' rep|step|draw|area)` — so every
+  // draw is (a) an integer with EXACTLY the reference expectation at the
+  // 10⁻⁴ grain (Round7OpsSpec pins Σ_u draw(e,u) = e), (b) independent
+  // across (replica, step, transfer-kind, area) by md5 mixing, and
+  // (c) bit-identical in Spark and DuckDB (the portableHash pair). The
+  // same scheme replaces the multinomial move: each (src→dst, comp)
+  // flow rounds stochastically around its expected share — expectation
+  // matches `MultiNom2` exactly; only the (unobservable) joint
+  // distribution differs, and the infection step conserves S+I+A+R per
+  // (area, kind) exactly, as the reference's does.
+  //
+  // State is WHOLE PERSONS (unit = 1), as in the reference. Bounds: the
+  // largest intermediate is s·coef·mix ≤ s·5.8·10¹¹ — overflow-free to
+  // ~1.5·10⁷ persons per (area, kind); past that, pre-divide mix by 100
+  // (costs nothing: mix carries 6 fractional digits of a rate ≤ 50).
+
+  /** u ∈ [0, 10⁴) from a varchar key expression, rendered per engine —
+    * the portableHash / portableHashSql pair with a modulus. */
+  private def sparkRng(key: String): String =
+    s"pmod(CAST(conv(substring(md5(CAST($key AS BINARY)), 1, 15), 16, 10) AS BIGINT), 10000)"
+  private def duckRng(key: String): String =
+    s"(CAST('0x' || substring(md5($key), 1, 15) AS BIGINT) % 10000)"
+
+  /** The stochastic infection step as seven narrow projection stages
+    * (same step semantics as [[infectStagesEx]], drawn instead of
+    * averaged; the CASE/least clamps mirror the reference's probplace
+    * and np.minimum branches, :146-157, with the I-draw clamped first). */
+  private def stochInfectStages(div: (String, String) => String,
+                                rng: String => String,
+                                st: Int): Seq[Seq[String]] = {
+    def key(tag: String) =
+      s"concat('g29|', CAST(rep AS STRING), '|$st|$tag|', area)"
+    def draw(e: String, tag: String) =
+      s"(${div(e, "10000")} + CASE WHEN ${rng(key(tag))} < ($e) % 10000 THEN 1 ELSE 0 END)"
+    val base = Seq("rep", "area") ++ stateCols
+    val s1 = base ++ Kinds.map { k =>
+      val num = s"(s$k + i$k + a$k + r$k)"
+      s"CASE WHEN $num > 0 THEN ${div(s"(i$k * 10000 + a$k * 5500) * 100", num)} ELSE 0 END AS fl$k"
+    }
+    val s2 = base ++ Kinds.map { k =>
+      val mix = div(Kinds.map(j => s"${M(k)(j)} * fl$j").mkString(" + "), "1000")
+      s"least(${div(s"s$k * ${Coef(k)} * $mix", "100000000")}, s$k * 10000) AS e4$k"
+    }
+    val s3 = base ++ Kinds.flatMap { k => Seq(
+      s"${div(s"e4$k * 15", "100")} AS ei$k",
+      s"e4$k - ${div(s"e4$k * 15", "100")} AS ea$k",
+      s"${div(s"i$k * $GdMicro", "100")} AS eri$k",
+      s"${div(s"a$k * $GdMicro", "100")} AS era$k")
+    }
+    val s4 = base ++ Kinds.flatMap { k => Seq(
+      s"${draw(s"ei$k", s"i$k")} AS di$k",
+      s"${draw(s"ea$k", s"a$k")} AS da$k",
+      s"least(${draw(s"eri$k", s"ri$k")}, i$k) AS ri$k",
+      s"least(${draw(s"era$k", s"ra$k")}, a$k) AS ra$k")
+    }
+    val s5 = (base ++ Kinds.flatMap(k => Seq(s"da$k", s"ri$k", s"ra$k"))) ++
+      Kinds.map(k => s"least(di$k, s$k) AS ci$k")
+    val s6 = (base ++ Kinds.flatMap(k => Seq(s"ri$k", s"ra$k", s"ci$k"))) ++
+      Kinds.map(k => s"least(da$k, s$k - ci$k) AS ca$k")
+    val s7 = Seq("rep", "area") ++ Kinds.flatMap { k => Seq(
+      s"s$k - ci$k - ca$k AS s$k",
+      s"i$k + ci$k - ri$k AS i$k",
+      s"a$k + ca$k - ra$k AS a$k",
+      s"r$k + ri$k + ra$k AS r$k")
+    }
+    Seq(s1, s2, s3, s4, s5, s6, s7)
+  }
+
+  /** Stochastic move: each (src→dst, comp) flow rounds stochastically
+    * around its expected share (X·cnt/tot ×10⁴). The keep-mass branch
+    * (no matrix row: cnt=tot=1) has zero fractional part, so it moves
+    * exactly X — no draw fires. Bound: X·cnt·10⁴ per flow. */
+  private def stochMoveExprs(div: (String, String) => String,
+                             rng: String => String,
+                             st: Int): Seq[String] =
+    stateCols.map { c =>
+      val m4 = div(s"p.$c * coalesce(m.cnt, 1) * 10000", "coalesce(m.tot, 1)")
+      val key = s"concat('g29m|', CAST(p.rep AS STRING), '|$st|$c|', p.area, '|', coalesce(m.dst, p.area))"
+      s"CAST(sum(${div(m4, "10000")} + CASE WHEN ${rng(key)} < ($m4) % 10000 THEN 1 ELSE 0 END) AS BIGINT) AS $c"
+    }
+
   // ───────────────────────── Spark side ─────────────────────────
 
   /** Wide per-area seed state from the testdata (exposed for the
@@ -167,14 +262,14 @@ object EpiQueries {
   private[graft] def seedWide(s: SparkSession, dir: String): DataFrame =
     seedWideFrom(Trajectory.hourlyState(Tables.events(s, dir)))
 
-  private def seedWideFrom(st: DataFrame): DataFrame = {
+  private def seedWideFrom(st: DataFrame, unit: Long = 10000L): DataFrame = {
     val first = st.groupBy(col("user_id"))
       .agg(min_by(col("region"), col("hour")).as("area"))
       .select(col("area"),
         pmod(portableHash(concat(lit("k"), col("user_id").cast("string"))), lit(3))
           .cast("int").as("kind"),
         pmod(portableHash(col("user_id").cast("string")), lit(100)).as("hs"))
-    val aggs = seedAggExprs.map(expr)
+    val aggs = seedAggExprs(unit).map(expr)
     first.groupBy(col("area")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -202,7 +297,8 @@ object EpiQueries {
     * pattern); od persists because it feeds the hour ranking AND every
     * matrix. */
   private def siarInputs(s: SparkSession, dir: String,
-                         nMats: Int = 2): (DataFrame, Int => DataFrame) = {
+                         nMats: Int = 2,
+                         unit: Long = 10000L): (DataFrame, Int => DataFrame) = {
     val st = Trajectory.hourlyState(Tables.events(s, dir)).persist()
     val od = Trajectory.transitions(st)
       .select(col("hour"), col("src"),
@@ -229,7 +325,7 @@ object EpiQueries {
       .persist()
     def mat(o: Int): DataFrame =
       matAll.where(col("ord") === o).select(col("src"), col("dst"), col("cnt"), col("tot"))
-    (seedWideFrom(st), mat)
+    (seedWideFrom(st, unit), mat)
   }
 
   /** One move step through a (src, dst, cnt, tot) matrix. The matrix is
@@ -266,9 +362,10 @@ object EpiQueries {
   /** The column-coefficient / sweep-key form — see [[infectStagesEx]]. */
   private[graft] def siarChainEx(s0: DataFrame, mats: Seq[DataFrame],
                                  coefExpr: Int => String,
-                                 extras: Seq[String])
+                                 extras: Seq[String],
+                                 gdExpr: String = GdMicro.toString)
       : (Seq[DataFrame], Seq[DataFrame], DataFrame) = {
-    val stages = infectStagesEx(sparkDiv, coefExpr, extras)
+    val stages = infectStagesEx(sparkDiv, coefExpr, extras, gdExpr)
     def infectPre(st: DataFrame): DataFrame =
       stages.take(3).foldLeft(st)((d, sg) => d.selectExpr(sg: _*))
     val transfers = Seq.newBuilder[DataFrame]
@@ -283,6 +380,38 @@ object EpiQueries {
     val tLast = infectPre(state).localCheckpoint()
     transfers += tLast
     (transfers.result(), moved.result(), tLast.selectExpr(stages(3): _*))
+  }
+
+  /** Replicate a person-unit seed state across `reps` replica rows —
+    * the g28 sweep-as-data pattern: replicas are rows riding a `rep`
+    * column through one shared chain, never separate jobs. */
+  private[graft] def replicateSeed(s0: DataFrame, reps: Int): DataFrame =
+    s0.select(
+      explode(array((0 until reps).map(r => lit(r.toLong)): _*)).as("rep") +:
+        (col("area") +: stateCols.map(col)): _*)
+
+  /** The stochastic chain (g29): same interleave as [[siarChainEx]],
+    * every transfer drawn by the counter-based RNG. `s0rep` must carry
+    * (rep, area, s0..r2) in whole persons. Returns the final wide state
+    * per replica. Same CHAIN DISCIPLINE: localCheckpoint per step. */
+  private[graft] def stochChain(s0rep: DataFrame,
+                                mats: Seq[DataFrame]): DataFrame = {
+    def infect(st: DataFrame, step: Int): DataFrame =
+      stochInfectStages(sparkDiv, sparkRng, step)
+        .foldLeft(st)((d, sg) => d.selectExpr(sg: _*))
+    var state = s0rep
+    var step = 1
+    mats.foreach { m =>
+      val post = infect(state, step).localCheckpoint()
+      val aggs = stochMoveExprs(sparkDiv, sparkRng, step).map(expr)
+      state = post.alias("p")
+        .join(broadcast(m.alias("m")), expr("p.area = m.src"), "left")
+        .groupBy(expr("p.rep").as("rep"), expr("coalesce(m.dst, p.area)").as("area"))
+        .agg(aggs.head, aggs.tail: _*)
+        .localCheckpoint()
+      step += 1
+    }
+    infect(state, step)
   }
 
   /** Final-state presentation shared by g22/g22b: wide (area, s0..r2) →
@@ -300,9 +429,10 @@ object EpiQueries {
   // ───────────────────────── DuckDB side ─────────────────────────
 
   private def infectSqlCtes(prefix: String, prev: String,
-                            coef: Seq[Long]): (String, String) = {
+                            coef: Seq[Long],
+                            gd: String = GdMicro.toString): (String, String) = {
     val names = Seq("a", "b", "c", "d").map(x => s"$prefix$x")
-    val ctes = infectStages(duckDiv, coef).zip(names).zip(prev +: names)
+    val ctes = infectStages(duckDiv, coef, gd).zip(names).zip(prev +: names)
       .map { case ((exprs, nm), from) =>
         s"$nm AS (SELECT ${exprs.mkString(", ")} FROM $from)"
       }
@@ -317,7 +447,7 @@ object EpiQueries {
 
   /** Shared oracle prelude: trajectory → OD matrices for the `nMats`
     * busiest hours (mat1..matN, chronological) → seeded wide state w0. */
-  private def siarPreludeCtes(nMats: Int): String = {
+  private def siarPreludeCtes(nMats: Int, unit: Long = 10000L): String = {
     val mats = (1 to nMats).map { o =>
       s"""mat$o AS (
          |  SELECT src, dst, cnt, sum(cnt) OVER (PARTITION BY src) AS tot
@@ -342,7 +472,7 @@ object EpiQueries {
        |         CAST(${portableHashSql("'k' || CAST(user_id AS VARCHAR)")} % 3 AS INT) AS kind,
        |         ${portableHashSql("CAST(user_id AS VARCHAR)")} % 100 AS hs
        |  FROM st GROUP BY user_id),
-       |w0 AS (SELECT area, ${seedAggExprs.mkString(", ")} FROM sd GROUP BY 1)""".stripMargin
+       |w0 AS (SELECT area, ${seedAggExprs(unit).mkString(", ")} FROM sd GROUP BY 1)""".stripMargin
   }
 
   /** Unrolled CTEs for one full chain (`nMats`+1 infection steps,
@@ -352,16 +482,17 @@ object EpiQueries {
     * the NI observable); post-move states are `${tag}mv$N`. */
   private def siarChainCtes(tag: String, nMats: Int, coef: Seq[Long],
                             seed: String = "w0",
-                            matPrefix: String = "mat"): (String, String) = {
+                            matPrefix: String = "mat",
+                            gd: String = GdMicro.toString): (String, String) = {
     val parts = Seq.newBuilder[String]
     var prev = seed
     (1 to nMats).foreach { step =>
-      val (ctes, out) = infectSqlCtes(s"${tag}in$step", prev, coef)
+      val (ctes, out) = infectSqlCtes(s"${tag}in$step", prev, coef, gd)
       parts += ctes
       parts += moveSqlCte(s"${tag}mv$step", out, s"$matPrefix$step")
       prev = s"${tag}mv$step"
     }
-    val (ctes, out) = infectSqlCtes(s"${tag}in${nMats + 1}", prev, coef)
+    val (ctes, out) = infectSqlCtes(s"${tag}in${nMats + 1}", prev, coef, gd)
     parts += ctes
     (parts.result().mkString(",\n"), out)
   }
@@ -373,10 +504,47 @@ object EpiQueries {
        |FROM $from, (SELECT unnest(generate_series(0, 2)) AS k)
        |ORDER BY area, kind""".stripMargin
 
+  /** Unrolled CTEs for the stochastic chain (g29) — the twin of
+    * [[siarChainCtes]] rendered from the SAME stage templates. */
+  private def stochChainCtes(nMats: Int, seed: String): (String, String) = {
+    def infect(prefix: String, prev: String, st: Int): (String, String) = {
+      val stages = stochInfectStages(duckDiv, duckRng, st)
+      val names = stages.indices.map(i => s"$prefix${('a' + i).toChar}")
+      val ctes = stages.zip(names).zip(prev +: names).map {
+        case ((exprs, nm), from) =>
+          s"$nm AS (SELECT ${exprs.mkString(", ")} FROM $from)"
+      }
+      (ctes.mkString(",\n"), names.last)
+    }
+    val parts = Seq.newBuilder[String]
+    var prev = seed
+    (1 to nMats).foreach { step =>
+      val (ctes, out) = infect(s"g29in$step", prev, step)
+      parts += ctes
+      parts +=
+        s"""g29mv$step AS (
+           |  SELECT p.rep AS rep, coalesce(m.dst, p.area) AS area,
+           |         ${stochMoveExprs(duckDiv, duckRng, step).mkString(", ")}
+           |  FROM $out p LEFT JOIN mat$step m ON p.area = m.src
+           |  GROUP BY 1, 2)""".stripMargin
+      prev = s"g29mv$step"
+    }
+    val (ctes, out) = infect(s"g29in${nMats + 1}", prev, nMats + 1)
+    parts += ctes
+    (parts.result().mkString(",\n"), out)
+  }
+
   /** β-fit grid (`dt·β ×10⁶` bases; multiples of 100 keep the per-kind
     * coefficients exact). The true simulation base 12500 (β=0.3/day) is
     * a grid member, so the fit must recover it. */
   private val BetaBases = Seq(6000L, 9000L, 12500L, 15000L, 18000L)
+
+  /** The 2-D grid (g28b): the reference's harness iterates (β, γ) pairs
+    * (`canshu`, 1108Fit_para_multi.py:323-331). `dt·γ ×10⁶` bases:
+    * γ = 0.1 / 0.2 / 0.3 per day; the true pair (12500, 8333) is a grid
+    * member and the fit must recover BOTH coordinates. */
+  private val BetaBases2 = Seq(9000L, 12500L, 15000L)
+  private val GdBases = Seq(4167L, 8333L, 12500L)
 
   val catalog: Seq[(String, Q, String)] = Seq(
 
@@ -598,6 +766,167 @@ object EpiQueries {
            |SELECT beta_micro, sse,
            |       CAST(CASE WHEN sse = (SELECT min(sse) FROM sc) THEN 1 ELSE 0 END AS BIGINT) AS is_best
            |FROM sc ORDER BY beta_micro""".stripMargin
+      }),
+
+    // ── g29: the STOCHASTIC replica — the reference's simulation as it
+    //    actually runs (integer Poisson draws per transfer, multinomial
+    //    moves, Xunhuan = 2 replicas averaged; 1108Fit_para_multi.py:
+    //    142-145, 188-207, 349-358), judged end-to-end via the
+    //    counter-based RNG (see the stochastic machinery note above):
+    //    every draw is a keyed portableHash both engines compute
+    //    identically, so the full random trajectory — not just its
+    //    mean — hash-matches the oracle. Replicas are ROWS (the g28
+    //    sweep-as-data pattern): one chain runs both replicas; the
+    //    final state is the per-(area, kind) floor-mean over them.
+    //    Round7OpsSpec pins (a) exact unbiasedness of the draw at the
+    //    10⁻⁴ grain and (b) recovery of the mean-field g22 state as the
+    //    replica count grows. ──
+    ("g29_siar_stochastic",
+      (s: SparkSession, dir: String) => {
+        val (s0, mat) = siarInputs(s, dir, nMats = 2, unit = 1L)
+        val fin = stochChain(replicateSeed(s0, 2), Seq(mat(1), mat(2)))
+        val meanAggs = stateCols.map(c => expr(s"sum($c) DIV 2").as(c))
+        explodeFinal(fin.groupBy(col("area")).agg(meanAggs.head, meanAggs.tail: _*))
+      },
+      {
+        val (chain, out) = stochChainCtes(2, "r0")
+        s"""${siarPreludeCtes(2, unit = 1L)},
+           |r0 AS (
+           |  SELECT CAST(rep AS BIGINT) AS rep, w0.*
+           |  FROM w0, (SELECT unnest(generate_series(0, 1)) AS rep)),
+           |$chain,
+           |meanst AS (
+           |  SELECT area, ${stateCols.map(c => s"(sum($c) // 2) AS $c").mkString(", ")}
+           |  FROM $out GROUP BY 1)
+           |${finalSelectSql("meanst")}""".stripMargin
+      }),
+
+    // ── g28b: the 2-D (β, γ) GRID FIT — the reference's full harness
+    //    shape (`canshu` iterates (β, γ) pairs per rate bucket,
+    //    1108Fit_para_multi.py:323-331; g28 sweeps the β axis only).
+    //    Both transmission (cf0..cf2) AND recovery (gdc) coefficients
+    //    ride the rows through ONE shared chain — 9 grid members are 9×
+    //    the rows of one chain, the same number of jobs. The score is a
+    //    TWO-SERIES SSE: per step, the NI series (g28's observable,
+    //    β-identifying) AND the post-step total-I prevalence series —
+    //    the γ-identifying one: over a 3-step horizon γ moves NI only
+    //    through second-order recovered-mass effects (measured: the γ
+    //    axis TIES on NI alone at sf0.01), but prevalence loses
+    //    dt·Δγ·I ≈ 250 fixed-point units per step FIRST-order, well
+    //    clear of the ±50 obs perturbation. This mirrors the reference,
+    //    whose fitted confirmed-cases curve depends on both arrival
+    //    (β) and removal (γ). Residuals quantize at DIV 10 (gaps are
+    //    ~10²; DIV 100 would flatten the γ axis; sse headroom: |d| ≤
+    //    ~10⁷ at the 9·10⁸-user bound, 6 squared terms → ≤ 6·10¹⁴ —
+    //    inside BIGINT). The judged argmin must recover BOTH true
+    //    coordinates. ──
+    ("g28b_siar_grid_fit",
+      (s: SparkSession, dir: String) => {
+        val (s0raw, mat) = siarInputs(s, dir)
+        val sAgg = stateCols.map(c => sum(col(c)).cast("long").as(c))
+        val s0 = s0raw.groupBy(substring(col("area"), 1, 1).as("area"))
+          .agg(sAgg.head, sAgg.tail: _*)
+        def districtMat(o: Int): DataFrame = mat(o)
+          .select(substring(col("src"), 1, 1).as("src"),
+            substring(col("dst"), 1, 1).as("dst"), col("cnt"))
+          .groupBy(col("src"), col("dst")).agg(sum(col("cnt")).as("cnt"))
+          .withColumn("tot", sum(col("cnt")).over(Window.partitionBy(col("src"))))
+        val mats = Seq(districtMat(1), districtMat(2))
+        val gridRows = for { base <- BetaBases2; gd <- GdBases } yield {
+          val cf = coefOf(base)
+          struct(lit(base * 24L).cast("long").as("beta_micro"),
+            lit(gd * 24L).cast("long").as("gamma_micro"),
+            lit(cf(0)).as("cf0"), lit(cf(1)).as("cf1"), lit(cf(2)).as("cf2"),
+            lit(gd).as("gdc"))
+        }
+        val sweepCols = Seq("beta_micro", "gamma_micro", "cf0", "cf1", "cf2", "gdc")
+        val s0b = s0.select(
+            (explode(array(gridRows: _*)).as("b") +:
+              (col("area") +: stateCols.map(col))): _*)
+          .select((sweepCols.map(c => col(s"b.$c")) ++
+            (col("area") +: stateCols.map(col))): _*)
+        val (ts, mv, fin) = siarChainEx(s0b, mats, k => s"cf$k", sweepCols, gdExpr = "gdc")
+        val states = mv :+ fin
+        val sim = ts.zipWithIndex.map { case (t, i) =>
+          val ni = t.groupBy(col("beta_micro"), col("gamma_micro"))
+            .agg(expr(s"CAST(${Kinds.map(k => s"sum(ti$k)").mkString(" + ")} AS BIGINT) AS new_i"))
+          val ti = states(i).groupBy(col("beta_micro"), col("gamma_micro"))
+            .agg(expr(s"CAST(${Kinds.map(k => s"sum(i$k)").mkString(" + ")} AS BIGINT) AS tot_i"))
+          ni.join(ti, Seq("beta_micro", "gamma_micro"))
+            .select(col("beta_micro"), col("gamma_micro"),
+              lit(i + 1).cast("long").as("step"), col("new_i"), col("tot_i"))
+        }.reduce(_ unionByName _)
+        def perturb(c: Column, tag: String): Column =
+          greatest(lit(0L), c +
+            pmod(portableHash(concat(lit(tag), col("step").cast("string"))), lit(101)) -
+            lit(50L))
+        val obs = sim
+          .where(col("beta_micro") === lit(300000L) &&
+            col("gamma_micro") === lit(GdMicro * 24L))
+          .select(col("step"),
+            perturb(col("new_i"), "obs").as("obs_ni"),
+            perturb(col("tot_i"), "obst").as("obs_ti"))
+        sim.join(obs, "step")
+          .select(col("beta_micro"), col("gamma_micro"),
+            expr("abs(new_i - obs_ni) DIV 10").as("d1"),
+            expr("abs(tot_i - obs_ti) DIV 10").as("d2"))
+          .groupBy(col("beta_micro"), col("gamma_micro"))
+          .agg(sum(expr("d1 * d1 + d2 * d2")).cast("long").as("sse"))
+          .withColumn("is_best",
+            when(col("sse") === min(col("sse")).over(Window.partitionBy(lit(1))), 1L)
+              .otherwise(0L).cast("long"))
+          .orderBy(col("beta_micro"), col("gamma_micro"))
+      },
+      {
+        val districtCtes = {
+          val mats = (1 to 2).map { o =>
+            s"""matd$o AS (
+               |  SELECT src, dst, cnt, sum(cnt) OVER (PARTITION BY src) AS tot
+               |  FROM (SELECT substring(src, 1, 1) AS src, substring(dst, 1, 1) AS dst,
+               |               CAST(sum(cnt) AS BIGINT) AS cnt
+               |        FROM mat$o GROUP BY 1, 2))""".stripMargin
+          }
+          val w0d =
+            s"""w0d AS (
+               |  SELECT substring(area, 1, 1) AS area,
+               |         ${stateCols.map(c => s"CAST(sum($c) AS BIGINT) AS $c").mkString(", ")}
+               |  FROM w0 GROUP BY 1)""".stripMargin
+          (w0d +: mats).mkString(",\n")
+        }
+        val members = for { base <- BetaBases2; gd <- GdBases } yield (base, gd)
+        def tag(base: Long, gd: Long) = s"b${base}g${gd}_"
+        val chains = members.map { case (base, gd) =>
+          siarChainCtes(tag(base, gd), 2, coefOf(base), seed = "w0d",
+            matPrefix = "matd", gd = gd.toString)._1
+        }
+        val serCtes = members.map { case (base, gd) =>
+          val steps = (1 to 3).map { st =>
+            s"""SELECT CAST($st AS BIGINT) AS step,
+               |       (SELECT CAST(${Kinds.map(k => s"sum(ti$k)").mkString(" + ")} AS BIGINT)
+               |        FROM ${tag(base, gd)}in${st}c) AS new_i""".stripMargin
+          }
+          s"${tag(base, gd)}ser AS (${steps.mkString("\nUNION ALL\n")})"
+        }
+        val allSer = members.map { case (base, gd) =>
+          s"SELECT CAST(${base * 24L} AS BIGINT) AS beta_micro, CAST(${gd * 24L} AS BIGINT) AS gamma_micro, step, new_i FROM ${tag(base, gd)}ser"
+        }.mkString("\nUNION ALL\n")
+        s"""${siarPreludeCtes(2)},
+           |$districtCtes,
+           |${chains.mkString(",\n")},
+           |${serCtes.mkString(",\n")},
+           |obs AS (
+           |  SELECT step, greatest(0, new_i +
+           |           (${portableHashSql("'obs' || CAST(step AS VARCHAR)")} % 101) - 50) AS obs_i
+           |  FROM ${tag(12500L, GdMicro)}ser),
+           |allser AS ($allSer),
+           |sc AS (
+           |  SELECT beta_micro, gamma_micro, CAST(sum(d * d) AS BIGINT) AS sse FROM (
+           |    SELECT a.beta_micro, a.gamma_micro, (abs(a.new_i - o.obs_i) // 10) AS d
+           |    FROM allser a JOIN obs o USING (step))
+           |  GROUP BY 1, 2)
+           |SELECT beta_micro, gamma_micro, sse,
+           |       CAST(CASE WHEN sse = (SELECT min(sse) FROM sc) THEN 1 ELSE 0 END AS BIGINT) AS is_best
+           |FROM sc ORDER BY beta_micro, gamma_micro""".stripMargin
       })
   )
 
