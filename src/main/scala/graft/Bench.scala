@@ -17,10 +17,14 @@ object Bench {
     // warm the input tables too (page cache + parquet footers): otherwise
     // whichever query happens to iterate first absorbs several seconds of
     // cold IO into its measured time (~5s at sf0.1 in profiling runs)
+    // a warmup failure is loud: a misconfigured sf-dir would otherwise
+    // silently bench cold and the numbers would look plausible
     graft.engine.Tables.names.foreach { t =>
       try graft.engine.Tables(spark, sfDir, t)
         .write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] WARMUP FAILED for table '$t' in $sfDir: $e")
+      }
     }
     val selected = // optional name filter for local iteration; driver passes none
       if (args.nonEmpty) SparkEntry.queries.filter(kv => args.contains(kv._1))

@@ -58,6 +58,16 @@ import Portable._
   * recipe). `siarChain` is the single shared builder, so no query can
   * reintroduce the unbarriered shape; `Round6OpsSpec` pins the
   * optimized-plan size.
+  *
+  * Fault-tolerance trade: `localCheckpoint` is eager but NOT
+  * fault-tolerant — lineage is truncated, so losing an executor (or an
+  * external unpersist of a checkpointed block) mid-chain fails the
+  * query unrecoverably rather than recomputing. Single-JVM local mode
+  * cannot lose an executor, so the cheap barrier is right here; a
+  * long chain on a real cluster should flip to reliable
+  * `checkpoint()` against the cluster checkpoint dir (same barrier
+  * semantics, adds an HDFS round-trip per step) when executor loss is
+  * a live risk.
   */
 object EpiQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -656,9 +666,12 @@ object EpiQueries {
     //    The observed series is the true-β (0.3/day) simulation plus a
     //    deterministic hash perturbation of ±50 fixed-point units
     //    (±0.005 person — small against the ~200-unit/step gap between
-    //    adjacent grid βs at sf0.01, so the argmin stays sharp at every
-    //    SF) — both engines derive it identically, so the fit is judged
-    //    end-to-end and must recover β=0.3 exactly.
+    //    adjacent grid βs at sf0.01, so the argmin stays sharp at the
+    //    JUDGED sfs 0.01/0.1; at sf0.001 the corpus is sparse enough
+    //    that every β yields the same ~zero NI series and the grid
+    //    honestly ties — still hash-green, since both engines derive
+    //    obs identically, but only at the judged SFs must the fit
+    //    recover β=0.3 uniquely; Round6OpsSpec pins that at sf0.01).
     //
     //    Determinism & bounds: residuals are |sim−obs| DIV 100 before
     //    squaring (abs first — the two engines' integer divisions must
@@ -899,29 +912,43 @@ object EpiQueries {
           siarChainCtes(tag(base, gd), 2, coefOf(base), seed = "w0d",
             matPrefix = "matd", gd = gd.toString)._1
         }
+        // per step: NI from the stage-3 transfer CTE, prevalence tot_i
+        // from the POST-step state — mv1/mv2 after the interleaved moves,
+        // the final stage-4 CTE (in3d) for the move-less last step —
+        // mirroring the Spark side's `states = mv :+ fin`.
         val serCtes = members.map { case (base, gd) =>
+          val t = tag(base, gd)
           val steps = (1 to 3).map { st =>
+            val stateCte = if (st <= 2) s"${t}mv$st" else s"${t}in${st}d"
             s"""SELECT CAST($st AS BIGINT) AS step,
                |       (SELECT CAST(${Kinds.map(k => s"sum(ti$k)").mkString(" + ")} AS BIGINT)
-               |        FROM ${tag(base, gd)}in${st}c) AS new_i""".stripMargin
+               |        FROM ${t}in${st}c) AS new_i,
+               |       (SELECT CAST(${Kinds.map(k => s"sum(i$k)").mkString(" + ")} AS BIGINT)
+               |        FROM $stateCte) AS tot_i""".stripMargin
           }
-          s"${tag(base, gd)}ser AS (${steps.mkString("\nUNION ALL\n")})"
+          s"${t}ser AS (${steps.mkString("\nUNION ALL\n")})"
         }
         val allSer = members.map { case (base, gd) =>
-          s"SELECT CAST(${base * 24L} AS BIGINT) AS beta_micro, CAST(${gd * 24L} AS BIGINT) AS gamma_micro, step, new_i FROM ${tag(base, gd)}ser"
+          s"SELECT CAST(${base * 24L} AS BIGINT) AS beta_micro, CAST(${gd * 24L} AS BIGINT) AS gamma_micro, step, new_i, tot_i FROM ${tag(base, gd)}ser"
         }.mkString("\nUNION ALL\n")
         s"""${siarPreludeCtes(2)},
            |$districtCtes,
            |${chains.mkString(",\n")},
            |${serCtes.mkString(",\n")},
            |obs AS (
-           |  SELECT step, greatest(0, new_i +
-           |           (${portableHashSql("'obs' || CAST(step AS VARCHAR)")} % 101) - 50) AS obs_i
+           |  SELECT step,
+           |         greatest(0, new_i +
+           |           (${portableHashSql("'obs' || CAST(step AS VARCHAR)")} % 101) - 50) AS obs_ni,
+           |         greatest(0, tot_i +
+           |           (${portableHashSql("'obst' || CAST(step AS VARCHAR)")} % 101) - 50) AS obs_ti
            |  FROM ${tag(12500L, GdMicro)}ser),
            |allser AS ($allSer),
            |sc AS (
-           |  SELECT beta_micro, gamma_micro, CAST(sum(d * d) AS BIGINT) AS sse FROM (
-           |    SELECT a.beta_micro, a.gamma_micro, (abs(a.new_i - o.obs_i) // 10) AS d
+           |  SELECT beta_micro, gamma_micro,
+           |         CAST(sum(d1 * d1 + d2 * d2) AS BIGINT) AS sse FROM (
+           |    SELECT a.beta_micro, a.gamma_micro,
+           |           (abs(a.new_i - o.obs_ni) // 10) AS d1,
+           |           (abs(a.tot_i - o.obs_ti) // 10) AS d2
            |    FROM allser a JOIN obs o USING (step))
            |  GROUP BY 1, 2)
            |SELECT beta_micro, gamma_micro, sse,

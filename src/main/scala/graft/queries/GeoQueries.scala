@@ -39,6 +39,15 @@ object GeoQueries {
     * before the sentinel default (cal_subarea_portion.py:34-76). */
   private val CascadePrecisions = Seq(8, 7, 6, 5, 4, 3, 2)
 
+  /** g18's clustered-write fan-out, derived from row volume: one range
+    * partition per [[ZorderRowsPerFile]] rows (≈ a healthy parquet file
+    * of the 4-col point schema), so the z-ordered layout scales from one
+    * file at sf0.001 to thousands at 100 TB with no code change.
+    * Pinned by `Round7OpsSpec`. */
+  private[graft] val ZorderRowsPerFile = 1L << 21
+  private[graft] def zorderPartitions(rows: Long): Int =
+    math.max(1L, (rows + ZorderRowsPerFile - 1) / ZorderRowsPerFile).toInt
+
   /** g17 window width: absolute hours materialized as wide columns.
     * g17 judges a reviewable 48-column window; g17b judges the
     * reference's literal 744-column month with the same generated code
@@ -800,7 +809,13 @@ object GeoQueries {
           .withColumn("yi", GeoFunctions.latIndexCol(col("lat"), p))
           .withColumn("zkey",
             mortonSpread(col("xi")).bitwiseOR(shiftleft(mortonSpread(col("yi")), 1)))
-        pts.repartitionByRange(8, col("zkey"))
+          .persist()
+        // partition count derives from data volume (rows / target file
+        // rows), never a literal: the clustered-write fan-out must grow
+        // with the corpus or 100 TB funnels through a fixed-width sort.
+        // One count() job over the persisted frame prices the layout.
+        val parts = zorderPartitions(pts.count())
+        pts.repartitionByRange(parts, col("zkey"))
           .sortWithinPartitions(col("zkey"))
           .write.mode("overwrite").parquet(tmp)
         s.read.parquet(tmp)

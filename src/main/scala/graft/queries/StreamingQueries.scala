@@ -562,7 +562,13 @@ object StreamingQueries {
     * were the catalog's single largest bench cost while computing
     * nothing. Judged results are partition-count-independent (watermarks
     * are global, the outputs are aggregates/joins); the batch-only st02
-    * keeps the session's batch parallelism. */
+    * keeps the session's batch parallelism.
+    *
+    * The get/set/restore below assumes the harness runs catalog queries
+    * SEQUENTIALLY on the session (Verify/Bench do): two concurrent
+    * queries would race the session conf and could leak the 4-partition
+    * setting into a batch query. A concurrent harness should scope the
+    * override per-query (e.g. on the writeStream) instead. */
   private def sizedForState(q: Q): Q = (s, dir) => {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
