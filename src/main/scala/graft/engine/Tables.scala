@@ -19,24 +19,61 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as a raw long (legacy conf) and convert to a
-    * microsecond timestamp with exact integer division (`DIV`, no double
-    * rounding). DuckDB keeps nanos; all judged outputs truncate to whole
-    * seconds so the two precisions agree.
+  /** The `events.ts` fixture encoding has drifted once already (rounds
+    * ≤6 shipped parquet TIMESTAMP(NANOS); round 7 regenerated the files
+    * as TIMESTAMP(MICROS, isAdjustedToUTC=false)), so the ingest
+    * dispatches on the SCANNED type instead of hard-coding either:
     *
-    * SESSION-WIDE CONTRACT: `spark.sql.legacy.parquet.nanosAsLong` stays
-    * set for the session's lifetime — Spark consults it again when the
-    * scan executes, so a set/restore scoped to this call would make the
-    * read fail lazily. Any graft session therefore reads EVERY
-    * nanos-timestamp parquet column as a raw long; convert such columns
-    * explicitly (as here) rather than expecting automatic timestamps.
+    *  - `LongType` — a nanos fixture read under the session-wide
+    *    `spark.sql.legacy.parquet.nanosAsLong` conf ([[rawEvents]] sets
+    *    it only after a plain scan rejects the NANOS logical type).
+    *    Convert with exact integer division (`DIV`, no double rounding);
+    *    DuckDB keeps nanos, and all judged outputs truncate to whole
+    *    seconds so the two precisions agree.
+    *  - `TimestampNTZType` — a micros fixture. Reinterpret in the
+    *    session time zone; every graft entrypoint (Verify, Bench,
+    *    SparkSpec) pins `spark.sql.session.timeZone=UTC`, so the cast is
+    *    value-preserving and matches DuckDB's TZ-less reading.
+    *  - `TimestampType` — already the shape downstream expects.
+    *
+    * Anything else fails loudly, naming the drifted type —
+    * `FixtureSchemaSpec` is the earlier, whole-catalog tripwire for the
+    * same class of drift.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case org.apache.spark.sql.types.TimestampType => df
+      case other => throw new IllegalStateException(
+        s"fixtures changed: events.ts is now $other " +
+          "(expected INT64 nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
+
+  /** Scan `events.parquet` WITHOUT normalizing `ts` — streaming queries
+    * need the raw scan schema for `readStream.schema(...)` so the staged
+    * copies parse identically. A NANOS fixture makes the plain scan
+    * throw at footer-schema conversion; only then is the legacy
+    * `nanosAsLong` conf engaged — and it must stay set for the scan's
+    * lifetime, since Spark consults it again at execution time (a
+    * set/restore scoped to this call would make the read fail lazily). */
+  def rawEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    try {
+      val df = spark.read.parquet(path)
+      df.schema // force footer schema conversion while still in the try
+      df
+    } catch {
+      case e: Exception if String.valueOf(e.getMessage).contains("NANOS") =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(path)
+    }
   }
+
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeTs(rawEvents(spark, sfDir))
 
   /** Register all tables as temp views (S11 surface) so `spark.sql` text
     * queries resolve the same names the DuckDB oracle uses. */

@@ -97,7 +97,7 @@ object EpiQueries {
                       Seq(2845L, 9700L, 1103L),
                       Seq(1520L, 4294L, 3114L))
 
-  private def sparkDiv(a: String, b: String) = s"(($a) DIV ($b))"
+  private[graft] def sparkDiv(a: String, b: String) = s"(($a) DIV ($b))"
   private def duckDiv(a: String, b: String) = s"(($a) // ($b))"
 
   /** Seed aggregation (`Info2SIAR`, :72-110): status counts per
@@ -207,6 +207,16 @@ object EpiQueries {
   private def duckRng(key: String): String =
     s"(CAST('0x' || substring(md5($key), 1, 15) AS BIGINT) % 10000)"
 
+  /** The stochastic-rounding draw itself, shared by the infection draws
+    * and the move flows: expectation `e` (×10⁴ fixed point) realizes as
+    * ⌊e/10⁴⌋ + [u < e mod 10⁴] for a residue u ∈ [0,10⁴). Summed over
+    * ALL 10⁴ residues the draws total exactly e — `Round7OpsSpec` pins
+    * that exact unbiasedness — so E[draw] = e/10⁴ under the uniform
+    * keyed hash. */
+  private[graft] def drawExpr(div: (String, String) => String,
+                              e: String, u: String): String =
+    s"(${div(e, "10000")} + CASE WHEN $u < ($e) % 10000 THEN 1 ELSE 0 END)"
+
   /** The stochastic infection step as seven narrow projection stages
     * (same step semantics as [[infectStagesEx]], drawn instead of
     * averaged; the CASE/least clamps mirror the reference's probplace
@@ -216,8 +226,7 @@ object EpiQueries {
                                 st: Int): Seq[Seq[String]] = {
     def key(tag: String) =
       s"concat('g29|', CAST(rep AS STRING), '|$st|$tag|', area)"
-    def draw(e: String, tag: String) =
-      s"(${div(e, "10000")} + CASE WHEN ${rng(key(tag))} < ($e) % 10000 THEN 1 ELSE 0 END)"
+    def draw(e: String, tag: String) = drawExpr(div, e, rng(key(tag)))
     val base = Seq("rep", "area") ++ stateCols
     val s1 = base ++ Kinds.map { k =>
       val num = s"(s$k + i$k + a$k + r$k)"
@@ -262,7 +271,7 @@ object EpiQueries {
     stateCols.map { c =>
       val m4 = div(s"p.$c * coalesce(m.cnt, 1) * 10000", "coalesce(m.tot, 1)")
       val key = s"concat('g29m|', CAST(p.rep AS STRING), '|$st|$c|', p.area, '|', coalesce(m.dst, p.area))"
-      s"CAST(sum(${div(m4, "10000")} + CASE WHEN ${rng(key)} < ($m4) % 10000 THEN 1 ELSE 0 END) AS BIGINT) AS $c"
+      s"CAST(sum(${drawExpr(div, m4, rng(key))}) AS BIGINT) AS $c"
     }
 
   // ───────────────────────── Spark side ─────────────────────────
@@ -306,9 +315,9 @@ object EpiQueries {
     * BOTH the seed and the transition matrices (the g10b sharing
     * pattern); od persists because it feeds the hour ranking AND every
     * matrix. */
-  private def siarInputs(s: SparkSession, dir: String,
-                         nMats: Int = 2,
-                         unit: Long = 10000L): (DataFrame, Int => DataFrame) = {
+  private[graft] def siarInputs(s: SparkSession, dir: String,
+                                nMats: Int = 2,
+                                unit: Long = 10000L): (DataFrame, Int => DataFrame) = {
     val st = Trajectory.hourlyState(Tables.events(s, dir)).persist()
     val od = Trajectory.transitions(st)
       .select(col("hour"), col("src"),

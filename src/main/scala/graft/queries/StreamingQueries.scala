@@ -23,7 +23,6 @@ object StreamingQueries {
     // ── the hourly count query executed BY the streaming engine ──
     ("st01_stream_counts",
       (s: SparkSession, dir: String) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         // the file stream source requires a DIRECTORY; stage the single
         // parquet file into one (at scale the source would already be a
         // date-partitioned directory tree — S6)
@@ -33,9 +32,12 @@ object StreamingQueries {
           java.nio.file.Paths.get(s"$dir/events.parquet"),
           stage.resolve("events.parquet"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        val schema = s.read.parquet(s"$dir/events.parquet").schema
-        val src = s.readStream.schema(schema).parquet(stage.toString)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        // raw scan schema + the shared type-adaptive ts normalization
+        // (Tables.normalizeTs) — the fixture's ts encoding has drifted
+        // once already and the streaming surface must follow batch
+        val schema = Tables.rawEvents(s, dir).schema
+        val src = Tables.normalizeTs(
+          s.readStream.schema(schema).parquet(stage.toString))
         val counts = src
           .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
           .agg(count(lit(1)).as("n"))
@@ -85,16 +87,15 @@ object StreamingQueries {
     //    deterministic regardless of which duplicate row survived. ──
     ("st03_stream_dedup",
       (s: SparkSession, dir: String) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val stage = java.nio.file.Paths.get(Portable.scratchPath("stream_dedup_events"))
         java.nio.file.Files.createDirectories(stage)
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(s"$dir/events.parquet"),
           stage.resolve("events.parquet"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        val schema = s.read.parquet(s"$dir/events.parquet").schema
-        val deduped = s.readStream.schema(schema).parquet(stage.toString)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        val schema = Tables.rawEvents(s, dir).schema
+        val deduped = Tables.normalizeTs(
+            s.readStream.schema(schema).parquet(stage.toString))
           .withColumn("hour", date_trunc("hour", col("ts")))
           .withWatermark("hour", "2 hours")
           .dropDuplicates("user_id", "hour")
@@ -125,16 +126,15 @@ object StreamingQueries {
     //    and the result equals DuckDB's batch interval join exactly. ──
     ("st04_stream_stream_join",
       (s: SparkSession, dir: String) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val stage = java.nio.file.Paths.get(Portable.scratchPath("stream_join_events"))
         java.nio.file.Files.createDirectories(stage)
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(s"$dir/events.parquet"),
           stage.resolve("events.parquet"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        val schema = s.read.parquet(s"$dir/events.parquet").schema
-        def src() = s.readStream.schema(schema).parquet(stage.toString)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        val schema = Tables.rawEvents(s, dir).schema
+        def src() = Tables.normalizeTs(
+          s.readStream.schema(schema).parquet(stage.toString))
         val purchases = src().where(col("event_type") === "purchase")
           .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
           .withWatermark("p_ts", "2 hours")
@@ -174,16 +174,15 @@ object StreamingQueries {
     //    DuckDB running the equivalent batch join. ──
     ("st05_stream_static_join",
       (s: SparkSession, dir: String) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val stage = java.nio.file.Paths.get(Portable.scratchPath("stream_static_events"))
         java.nio.file.Files.createDirectories(stage)
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(s"$dir/events.parquet"),
           stage.resolve("events.parquet"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        val schema = s.read.parquet(s"$dir/events.parquet").schema
-        val src = s.readStream.schema(schema).parquet(stage.toString)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        val schema = Tables.rawEvents(s, dir).schema
+        val src = Tables.normalizeTs(
+          s.readStream.schema(schema).parquet(stage.toString))
         val dim = s.read.parquet(s"$dir/customer.parquet")
           .select(col("c_custkey"), col("c_mktsegment"))
         val enriched = src.join(broadcast(dim),
@@ -217,18 +216,20 @@ object StreamingQueries {
     //    shuffle, so no key ever concentrates. ──
     ("st06_stateful_counts",
       (s: SparkSession, dir: String) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val stage = java.nio.file.Paths.get(Portable.scratchPath("stream_state_events"))
         java.nio.file.Files.createDirectories(stage)
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(s"$dir/events.parquet"),
           stage.resolve("events.parquet"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val schema = Tables.rawEvents(s, dir).schema
         import s.implicits._
-        val src = s.readStream.schema(schema).parquet(stage.toString)
+        // epoch seconds derived from the NORMALIZED timestamp (floor via
+        // unix_timestamp), not from raw fixture integers
+        val src = Tables.normalizeTs(
+            s.readStream.schema(schema).parquet(stage.toString))
           .select(col("user_id").cast("long").as("user_id"),
-            expr("ts DIV 1000000000").cast("long").as("es"))
+            unix_timestamp(col("ts")).as("es"))
           .as[(Long, Long)]
         val updates = src.groupByKey(_._1)
           .mapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
@@ -267,7 +268,6 @@ object StreamingQueries {
     //    two independent stateful engines, one judged answer. ──
     ("st07_transform_with_state",
       (s: SparkSession, dir: String) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val providerKey = "spark.sql.streaming.stateStore.providerClass"
         val prevProvider = s.conf.getOption(providerKey)
         s.conf.set(providerKey,
@@ -279,11 +279,12 @@ object StreamingQueries {
             java.nio.file.Paths.get(s"$dir/events.parquet"),
             stage.resolve("events.parquet"),
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          val schema = s.read.parquet(s"$dir/events.parquet").schema
+          val schema = Tables.rawEvents(s, dir).schema
           import s.implicits._
-          val src = s.readStream.schema(schema).parquet(stage.toString)
+          val src = Tables.normalizeTs(
+              s.readStream.schema(schema).parquet(stage.toString))
             .select(col("user_id").cast("long").as("user_id"),
-              expr("ts DIV 1000000000").cast("long").as("es"))
+              unix_timestamp(col("ts")).as("es"))
             .as[(Long, Long)]
           val updates = src.groupByKey(_._1)
             .transformWithState(new graft.streaming.UserStatsProcessor,
@@ -318,16 +319,15 @@ object StreamingQueries {
     //    starts floor_hour(t) and floor_hour(t) − 1h. ──
     ("st08_sliding_window",
       (s: SparkSession, dir: String) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val stage = java.nio.file.Paths.get(Portable.scratchPath("stream_events_sl"))
         java.nio.file.Files.createDirectories(stage)
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(s"$dir/events.parquet"),
           stage.resolve("events.parquet"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        val schema = s.read.parquet(s"$dir/events.parquet").schema
-        val src = s.readStream.schema(schema).parquet(stage.toString)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        val schema = Tables.rawEvents(s, dir).schema
+        val src = Tables.normalizeTs(
+          s.readStream.schema(schema).parquet(stage.toString))
         val counts = src
           .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
           .agg(count(lit(1)).as("n"))
@@ -358,16 +358,17 @@ object StreamingQueries {
     //    not one lucky batch. Judged on the files re-read from disk. ──
     ("st09_foreach_batch_sink",
       (s: SparkSession, dir: String) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val stage = Portable.scratchPath("stream_fb_events")
-        s.read.parquet(s"$dir/events.parquet")
+        // stage the RAW scan (un-normalized ts) so the staged files keep
+        // the fixture's own encoding; the stream normalizes on read
+        Tables.rawEvents(s, dir)
           .repartition(3)
           .write.mode("overwrite").parquet(stage)
         val out = Portable.scratchPath("stream_fb_out")
         val schema = s.read.parquet(stage).schema
-        val src = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(stage)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        val src = Tables.normalizeTs(
+          s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(stage))
         val counts = src
           .groupBy(to_date(col("ts")).as("day"), col("event_type"))
           .agg(count(lit(1)).as("n"))
@@ -410,10 +411,11 @@ object StreamingQueries {
     //    max(ts), which is exactly what the oracle applies. ──
     ("st10_watermark_late_data",
       (s: SparkSession, dir: String) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val raw = s.read.parquet(s"$dir/events.parquet")
+        // normalized batch read: staged arrival files carry a true
+        // timestamp ts, so the streaming re-read needs no conversion
+        val raw = Tables.events(s, dir)
         val half = pmod(portableHash(col("user_id").cast("string")), lit(2))
-        val tsx = expr("timestamp_micros(ts DIV 1000)")
+        val tsx = col("ts")
         val mx = raw.agg(max(tsx).as("mx"))
         // staged files keep the source schema — the tagging columns are
         // dropped before write
@@ -442,9 +444,9 @@ object StreamingQueries {
         writeArrival(tagged.where(col("__half") === 1 && col("__late")),
           "arrival2", now - 60000)
         val schema = s.read.parquet(stage.toString).schema
-        val src = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(stage.toString)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        val src = Tables.normalizeTs(
+            s.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(stage.toString))
           .withWatermark("ts", "2 hours")
         val counts = src
           .groupBy(window(col("ts"), "1 hour").as("w"))
@@ -492,16 +494,15 @@ object StreamingQueries {
     //    watermark-held tail is judged, not hand-waved. ──
     ("st11_stream_outer_join",
       (s: SparkSession, dir: String) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val stage = java.nio.file.Paths.get(Portable.scratchPath("stream_outer_events"))
         java.nio.file.Files.createDirectories(stage)
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(s"$dir/events.parquet"),
           stage.resolve("events.parquet"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        val schema = s.read.parquet(s"$dir/events.parquet").schema
-        def src() = s.readStream.schema(schema).parquet(stage.toString)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        val schema = Tables.rawEvents(s, dir).schema
+        def src() = Tables.normalizeTs(
+          s.readStream.schema(schema).parquet(stage.toString))
         val purchases = src().where(col("event_type") === "purchase")
           .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
           .withWatermark("p_ts", "2 hours")
