@@ -48,7 +48,7 @@ object Tables {
         df.withColumn("ts", col("ts").cast("timestamp"))
       case org.apache.spark.sql.types.TimestampType => df
       case other => throw new IllegalStateException(
-        s"fixtures changed: events.ts is now $other " +
+        s"fixtures changed: events.ts is now ${other.simpleString} " +
           "(expected INT64 nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
     }
 

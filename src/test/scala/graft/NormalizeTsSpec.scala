@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** Unit pins for the type-adaptive events ingest ([[Tables.normalizeTs]])
+  * across every encoding the fixtures have shipped — the dispatch is the
+  * single point the whole events-reading catalog depends on, so each arm
+  * gets a direct value check, not just an end-to-end hash. */
+class NormalizeTsSpec extends SparkSpec {
+
+  // 2024-01-01 00:00:01.5 UTC, expressed per encoding
+  private val micros = 1704067201500000L
+
+  test("long ts (the nanos fixture read as raw int64) converts by exact division") {
+    val df = spark.range(1).select(lit(micros * 1000L).as("ts"))
+    val out = Tables.normalizeTs(df)
+    assert(out.schema("ts").dataType.simpleString == "timestamp")
+    assert(out.select(unix_timestamp(col("ts"))).head().getLong(0) == 1704067201L)
+    assert(out.select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")).head()
+      .getString(0) == "2024-01-01 00:00:01")
+  }
+
+  test("timestamp_ntz ts (the micros fixture) reinterprets in the UTC session") {
+    val df = spark.range(1)
+      .select(timestamp_micros(lit(micros)).cast("timestamp_ntz").as("ts"))
+    assert(df.schema("ts").dataType.simpleString == "timestamp_ntz")
+    val out = Tables.normalizeTs(df)
+    assert(out.schema("ts").dataType.simpleString == "timestamp")
+    // value-preserving: the session TZ is pinned UTC (SparkSpec)
+    assert(out.select(col("ts").cast("long")).head().getLong(0) == 1704067201L)
+  }
+
+  test("timestamp ts passes through untouched") {
+    val df = spark.range(1).select(timestamp_micros(lit(micros)).as("ts"))
+    assert(Tables.normalizeTs(df).select(col("ts").cast("long")).head()
+      .getLong(0) == 1704067201L)
+  }
+
+  test("an unknown encoding fails loudly, naming the drifted type") {
+    val df = spark.range(1).select(lit("2024-01-01").as("ts"))
+    val e = intercept[IllegalStateException](Tables.normalizeTs(df))
+    assert(e.getMessage.contains("fixtures changed"), e.getMessage)
+    assert(e.getMessage.contains("string"), e.getMessage)
+  }
+
+  test("all three judged SFs scan through events() without error") {
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val n = Tables.events(spark, s"/root/testdata/$sf")
+        .where(col("ts").isNotNull).count()
+      assert(n > 0, s"$sf: events.ts all null after normalization?")
+    }
+  }
+}
