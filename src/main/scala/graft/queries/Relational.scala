@@ -1581,6 +1581,74 @@ object Relational {
          |WHERE ${portableHashSql("CAST(d.doc_id AS VARCHAR)")} % 1000000 < thr.thr
          |ORDER BY d.doc_id""".stripMargin),
 
+    // ── q08: TEMPERATURE data mixing (α = 0.5) with EXACT per-stratum
+    //    quotas — the corpus-mixing step q07's threshold sampler cannot
+    //    express: sampling mass proportional to n_s^α flattens the
+    //    language skew (en is 44% of documents but ~31% of the mixture)
+    //    without erasing it, and each stratum contributes an exact,
+    //    reproducible document set, not a binomial approximation.
+    //    Mechanics: per-stratum counts → integer weights floor(√n_s)
+    //    (α = 0.5 exactly; IEEE sqrt of an exact BIGINT is correctly
+    //    rounded in both engines, so the floor is cross-engine-stable) →
+    //    quota_s = B·w_s DIV Σw clamped by n_s — all-BIGINT arithmetic.
+    //    Selection is hash-ranked: the quota_s docs with the smallest
+    //    content-hash residues win, doc_id tie-break. The rank window
+    //    never sees the corpus: a hash prefilter admits ~4× quota
+    //    candidates per stratum (the smallest residues — a superset of
+    //    every winner by construction), so the per-stratum sort input is
+    //    quota-bounded at ANY corpus size; both engines apply the same
+    //    prefilter, so the judged rowset stays identical even in the
+    //    (4×-margin, negligible) shortfall case. ──
+    ("q08_temperature_mix",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents").select($"doc_id", $"lang")
+        val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n_lang"))
+        val w = counts.select($"lang", $"n_lang",
+          floor(sqrt($"n_lang".cast("double"))).cast("long").as("w"))
+        val quota = w.crossJoin(broadcast(w.agg(sum($"w").as("tw"))))
+          .select($"lang", $"n_lang",
+            least($"n_lang", expr("(200 * w) DIV tw")).as("quota"))
+          .withColumn("thr",
+            least(lit(1000000L), expr("(4 * quota * 1000000) DIV n_lang + 1")))
+          .select($"lang", $"quota", $"thr")
+        docs
+          .withColumn("h6", pmod(
+            portableHash(concat(lit("q08|"), $"doc_id".cast("string"))),
+            lit(1000000L)))
+          .join(broadcast(quota), Seq("lang"))
+          .where($"h6" < $"thr")
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"lang").orderBy($"h6", $"doc_id")))
+          .where($"rk" <= $"quota")
+          .select($"doc_id", $"lang")
+          .orderBy($"doc_id")
+      },
+      s"""WITH counts AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM documents GROUP BY 1),
+         |w AS (
+         |  SELECT lang, n_lang,
+         |         CAST(floor(sqrt(CAST(n_lang AS DOUBLE))) AS BIGINT) AS w
+         |  FROM counts),
+         |quota AS (
+         |  SELECT lang, n_lang,
+         |         least(n_lang, (200 * w) // (SELECT sum(w) FROM w)) AS quota
+         |  FROM w),
+         |q2 AS (
+         |  SELECT lang, quota,
+         |         least(1000000, (4 * quota * 1000000) // n_lang + 1) AS thr
+         |  FROM quota),
+         |cand AS (
+         |  SELECT d.doc_id, d.lang, q2.quota, q2.thr,
+         |         ${portableHashSql("'q08|' || CAST(d.doc_id AS VARCHAR)")} % 1000000 AS h6
+         |  FROM documents d JOIN q2 USING (lang)),
+         |ranked AS (
+         |  SELECT doc_id, lang, quota,
+         |         row_number() OVER (PARTITION BY lang ORDER BY h6, doc_id) AS rk
+         |  FROM cand WHERE h6 < thr)
+         |SELECT doc_id, lang FROM ranked WHERE rk <= quota
+         |ORDER BY doc_id""".stripMargin),
+
     // ── a17: Count-Min frequency sketch — the sketch family member that
     //    IS fully hash-judgeable (pure integer arithmetic, unlike the
     //    engine-specific HLL/quantile sketches a01/a13/a14 that get
