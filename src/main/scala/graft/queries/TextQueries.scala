@@ -1343,7 +1343,49 @@ object TextQueries {
         |SELECT doc_id, n_tok,
         |       round(slnc / CAST(n_tok AS DOUBLE)
         |             - ln(CAST((SELECT n_total FROM tot) AS DOUBLE)), 6) AS avg_logp
-        |FROM folded ORDER BY doc_id""".stripMargin)
+        |FROM folded ORDER BY doc_id""".stripMargin),
+
+    // ── t23: ONE BPE MERGE STEP — tokenizer-vocab induction at corpus
+    //    scale (the inner loop of byte-pair-encoding training: count
+    //    adjacent symbol pairs across word occurrences weighted by word
+    //    frequency; the argmax pair becomes the next vocab entry, the
+    //    corpus re-segments, repeat). Shape is what makes it 100 TB-
+    //    viable: the FIRST aggregation collapses the corpus to its
+    //    word-frequency table (hash-agg with map-side combine —
+    //    |vocab| rows out, corpus rows in), and pairs explode off that
+    //    bounded table, so the pair stage costs vocabulary size
+    //    regardless of corpus size — exactly how production BPE
+    //    trainers structure the count. Judged artifact: the top-12
+    //    merge candidates by weighted count (pair-string tie-break),
+    //    the ranking a trainer consumes. ──
+    ("t23_bpe_merge",
+      (s: SparkSession, dir: String) => {
+        val words = Tables(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
+          .where(length(col("word")) >= 2)
+          .groupBy(col("word")).agg(count(lit(1)).as("wf"))
+        words
+          .select(col("word"), col("wf"),
+            explode(expr("sequence(1, length(word) - 1)")).as("i"))
+          .selectExpr("substring(word, i, 2) AS pair", "wf")
+          .groupBy(col("pair")).agg(sum(col("wf")).cast("long").as("cnt"))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(12)
+      },
+      """WITH words AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS wf FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE length(word) >= 2 GROUP BY 1),
+        |pos AS (
+        |  SELECT word, wf,
+        |         unnest(generate_series(1, length(word) - 1)) AS i
+        |  FROM words),
+        |agg AS (
+        |  SELECT substring(word, CAST(i AS INT), 2) AS pair,
+        |         CAST(sum(wf) AS BIGINT) AS cnt
+        |  FROM pos GROUP BY 1)
+        |SELECT pair, cnt FROM agg
+        |ORDER BY cnt DESC, pair LIMIT 12""".stripMargin)
   )
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap
