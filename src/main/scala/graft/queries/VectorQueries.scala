@@ -250,7 +250,7 @@ object VectorQueries {
   /** Seed-quantizer assignment (persisted — probed twice: query side +
     * cell side): nearest-of-8 centroid by cosine, centroids = the 8
     * lowest-id vectors (deterministic seed set). */
-  private def seedAssigned(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def seedAssigned(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
     val cents = emb.where(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
@@ -1205,7 +1205,69 @@ object VectorQueries {
          |       round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(k.k AS DOUBLE), 4) AS recall
          |FROM (SELECT q_id, CAST(count(*) AS BIGINT) AS k FROM exact GROUP BY 1) k
          |LEFT JOIN hits h ON h.q_id = k.q_id
-         |ORDER BY k.q_id""".stripMargin)
+         |ORDER BY k.q_id""".stripMargin),
+
+    // ── v18: CLUSTER-BALANCED SAMPLING — topic debiasing over embedding
+    //    space: cap dominant semantic clusters so the subsample's topic
+    //    mix flattens (the curation step AFTER clustering; pairs with
+    //    v15's SemDeDup, which removes near-duplicates WITHIN a cell
+    //    while this rebalances ACROSS cells). Mechanics are the q08
+    //    exact-quota temperature machinery (α = 0.5: integer weights
+    //    floor(√n_cell), quotas B·w DIV Σw, smallest-hash-residue
+    //    selection behind a ~4×-quota prefilter) applied to the v05
+    //    seed cell assignment instead of a metadata column — the
+    //    stratum is LEARNED from the vectors, not read from a field.
+    //    One broadcast quantizer pass + one broadcast quota join; the
+    //    rank window input is quota-bounded at any corpus size. ──
+    ("v18_cluster_balanced_sample",
+      (s: SparkSession, dir: String) => {
+        val asg = seedAssigned(s, dir).select(col("vec_id"), col("cell"))
+        val counts = asg.groupBy(col("cell")).agg(count(lit(1)).as("n_cell"))
+        val w = counts.select(col("cell"), col("n_cell"),
+          floor(sqrt(col("n_cell").cast("double"))).cast("long").as("w"))
+        val quota = w.crossJoin(broadcast(w.agg(sum(col("w")).as("tw"))))
+          .select(col("cell"), col("n_cell"),
+            least(col("n_cell"), expr("(100 * w) DIV tw")).as("quota"))
+          .withColumn("thr",
+            least(lit(1000000L), expr("(4 * quota * 1000000) DIV n_cell + 1")))
+          .select(col("cell"), col("quota"), col("thr"))
+        asg
+          .withColumn("h6", pmod(
+            portableHash(concat(lit("v18|"), col("vec_id").cast("string"))),
+            lit(1000000L)))
+          .join(broadcast(quota), Seq("cell"))
+          .where(col("h6") < col("thr"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("cell")).orderBy(col("h6"), col("vec_id"))))
+          .where(col("rk") <= col("quota"))
+          .select(col("vec_id"), col("cell").cast("long").as("cell"))
+          .orderBy(col("vec_id"))
+      },
+      s"""WITH $ivfAssignCtes,
+         |counts AS (
+         |  SELECT cell, CAST(count(*) AS BIGINT) AS n_cell FROM assigned GROUP BY 1),
+         |w AS (
+         |  SELECT cell, n_cell,
+         |         CAST(floor(sqrt(CAST(n_cell AS DOUBLE))) AS BIGINT) AS w
+         |  FROM counts),
+         |quota AS (
+         |  SELECT cell, n_cell,
+         |         least(n_cell, (100 * w) // (SELECT sum(w) FROM w)) AS quota
+         |  FROM w),
+         |q2 AS (
+         |  SELECT cell, quota,
+         |         least(1000000, (4 * quota * 1000000) // n_cell + 1) AS thr
+         |  FROM quota),
+         |vcand AS (
+         |  SELECT a.vec_id, a.cell, q2.quota, q2.thr,
+         |         ${portableHashSql("'v18|' || CAST(a.vec_id AS VARCHAR)")} % 1000000 AS h6
+         |  FROM assigned a JOIN q2 USING (cell)),
+         |vranked AS (
+         |  SELECT vec_id, cell, quota,
+         |         row_number() OVER (PARTITION BY cell ORDER BY h6, vec_id) AS rk
+         |  FROM vcand WHERE h6 < thr)
+         |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM vranked WHERE rk <= quota
+         |ORDER BY vec_id""".stripMargin)
   )
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap

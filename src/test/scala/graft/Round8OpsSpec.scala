@@ -30,6 +30,22 @@ class Round8OpsSpec extends SparkSpec {
       s"alpha=0.5 must not fully flatten: mix $enMix vs balanced ${1.0 / counts.size}")
   }
 
+  test("v18: per-cluster sample sizes equal the temperature quotas over the learned cells") {
+    val big = "/root/testdata/sf0.01"
+    val sampled = SparkEntry.queries("v18_cluster_balanced_sample")(spark, big)
+      .collect().map(_.getAs[Long]("cell"))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val counts = graft.queries.VectorQueries.seedAssigned(spark, big)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Long]("cell") -> r.getAs[Long]("n")).toMap
+    val w = counts.view.mapValues(n => math.sqrt(n.toDouble).toLong).toMap
+    val tw = w.values.sum
+    val quota = counts.map { case (c, n) => c -> math.min(n, 100L * w(c) / tw) }
+    assert(sampled == quota.filter(_._2 > 0),
+      s"sampled sizes $sampled != quotas $quota")
+    spark.catalog.clearCache()
+  }
+
   test("t23: the judged merge ranking equals brute-force pair counting") {
     val texts = graft.engine.Tables(spark, dir, "documents")
       .select(col("text")).collect().map(_.getString(0))
