@@ -411,4 +411,33 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size <= 2, p)
   }
+
+  test("q08/v18: quota joins broadcast; the hash prefilter sits below the rank window") {
+    // the temperature samplers' scale claim: the corpus side joins the
+    // tiny quota table by broadcast (never a shuffle join), and the
+    // h6 < thr prefilter runs BEFORE the per-stratum rank window so the
+    // window input is quota-bounded, not corpus-bounded
+    for (q <- Seq("q08_temperature_mix", "v18_cluster_balanced_sample")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      assert(p.contains("Window"), s"$q:\n$p")
+      val filterAt = p.indexOf("(h6")
+      val windowAt = p.indexOf("Window")
+      assert(filterAt >= 0 && windowAt >= 0 && windowAt < filterAt,
+        s"$q: prefilter must print BELOW (inside) the window's subtree:\n$p")
+    }
+  }
+
+  test("t23: pair counting is two partial-final agg pairs, no window, no corpus sort") {
+    // the BPE count's scale claim: the word-frequency collapse and the
+    // pair aggregation each partial-aggregate map-side (two
+    // HashAggregate pairs = 4 nodes + the final top-12's
+    // TakeOrderedAndProject instead of a global sort)
+    val p = plan("t23_bpe_merge")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 4, p)
+    assert("(?m)^.*\\bSort\\b.*$".r.findAllIn(p).isEmpty, p)
+  }
 }
