@@ -1275,7 +1275,60 @@ object GeoQueries {
          |  HAVING sum(n) >= 3)
          |SELECT ${tsSecSql("hour")} AS hour, cell, level, CAST(n AS BIGINT) AS n_users
          |FROM (SELECT * FROM pass UNION ALL SELECT * FROM gen)
-         |ORDER BY hour, level, cell""".stripMargin)
+         |ORDER BY hour, level, cell""".stripMargin),
+
+    // ── g30: the HOUR-OF-WEEK mobility profile — the 168-slot weekly
+    //    rhythm the reference's simulation is built around (it cycles a
+    //    168-matrix week through the chain, 1108Fit_para_multi.py:
+    //    246-257; the paper's flow "characteristics" are exactly the
+    //    weekday-commute-peak / flat-weekend structure of these slots).
+    //    Transitions fold into (day-of-week, hour-of-day) slots with the
+    //    move/stay split and an EXACT fixed-point move fraction
+    //    (moves·10⁶ DIV total — integer on both engines, no double
+    //    rounding). Day-of-week derives portably from epoch arithmetic
+    //    ((days + 4) mod 7, 0 = Sunday — no engine calendar functions,
+    //    whose week-start conventions differ). The dst = '0' departure
+    //    sentinel keeps mass as a stay (the g09/siar od convention, so
+    //    transition parity is inherited); '0'-src arrival rows drop.
+    //    Output is 168-bounded regardless of corpus size; the single
+    //    shuffle is the slot groupBy with map-side combine. ──
+    ("g30_week_profile",
+      (s: SparkSession, dir: String) => {
+        val od = Trajectory.transitions(Trajectory.hourlyState(Tables.events(s, dir)))
+          .select(col("hour"), col("src"),
+            when(col("dst") === "0", col("src")).otherwise(col("dst")).as("dst"))
+          .where(col("src") =!= "0")
+        od.select(
+            expr("pmod(unix_timestamp(hour) DIV 86400 + 4, 7)").cast("long").as("dow"),
+            hour(col("hour")).cast("long").as("hod"),
+            when(col("src") =!= col("dst"), 1L).otherwise(0L).as("is_move"))
+          .groupBy(col("dow"), col("hod"))
+          .agg(count(lit(1)).as("n_slots"),
+            sum(col("is_move")).as("n_moves"))
+          .select(col("dow"), col("hod"), col("n_slots"), col("n_moves"),
+            expr("(n_moves * 1000000) DIV n_slots").as("move_frac_ppm"))
+          .orderBy(col("dow"), col("hod"))
+      },
+      s"""${Trajectory.trajSqlPrelude},
+         |seq AS (
+         |  SELECT user_id, hour, region,
+         |         lag(region) OVER (PARTITION BY user_id ORDER BY hour) AS src
+         |  FROM traj),
+         |od AS (
+         |  SELECT hour, src,
+         |         CASE WHEN region = '0' THEN src ELSE region END AS dst
+         |  FROM seq WHERE src IS NOT NULL AND src <> '0'),
+         |slots AS (
+         |  SELECT (${epochSecSql("hour")} // 86400 + 4) % 7 AS dow,
+         |         date_part('hour', hour) AS hod,
+         |         CASE WHEN src <> dst THEN 1 ELSE 0 END AS is_move
+         |  FROM od)
+         |SELECT CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod,
+         |       CAST(count(*) AS BIGINT) AS n_slots,
+         |       CAST(sum(is_move) AS BIGINT) AS n_moves,
+         |       (CAST(sum(is_move) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+         |         AS move_frac_ppm
+         |FROM slots GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   )
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap
