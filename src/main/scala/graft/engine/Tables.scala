@@ -43,7 +43,23 @@ object Tables {
   def normalizeTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        // Magnitude guard: this arm assumes the raw int64 is NANOS. A future
+        // regeneration shipping unannotated INT64 micros (or millis) would
+        // otherwise misscale 1000× silently — FixtureSchemaSpec can't catch
+        // it because `bigint` is an accepted ts encoding. Nanos for the
+        // documented fixture era sit near 1.7e18; micros near 1.7e15. The
+        // guard is a codegen'd per-row branch (no extra scan job) that fails
+        // with the same "fixtures changed" message the other arms use.
+        val nanosLo = 1000000000000000000L // 2001-09 as nanos
+        val nanosHi = 4000000000000000000L // 2096-10 as nanos
+        df.withColumn("ts",
+          when(col("ts").isNull, lit(null).cast("timestamp"))
+            .when(col("ts").between(nanosLo, nanosHi),
+              timestamp_micros(expr("ts DIV 1000")))
+            .otherwise(raise_error(concat(
+              lit("fixtures changed: events.ts int64 value "),
+              col("ts").cast("string"),
+              lit(" is outside the nanos-era range (micros/millis regeneration?)")))))
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts", col("ts").cast("timestamp"))
       case org.apache.spark.sql.types.TimestampType => df
@@ -66,10 +82,25 @@ object Tables {
       df.schema // force footer schema conversion while still in the try
       df
     } catch {
-      case e: Exception if String.valueOf(e.getMessage).contains("NANOS") =>
+      case e: Exception if isNanosTypeError(e) =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.read.parquet(path)
     }
+  }
+
+  /** Whether a scan failure is the NANOS-logical-type rejection. Matching
+    * only on the message containing "NANOS" is brittle across Spark
+    * versions, so also accept the error condition / the stable "Illegal
+    * Parquet type" phrasing — a wrong engage is harmless (the retried scan
+    * fails with the original class of error anyway). */
+  private def isNanosTypeError(e: Throwable): Boolean = {
+    val msg = String.valueOf(e.getMessage)
+    val cond = e match {
+      case st: org.apache.spark.SparkThrowable => String.valueOf(st.getCondition)
+      case _ => ""
+    }
+    msg.contains("NANOS") || cond.contains("PARQUET_TYPE_ILLEGAL") ||
+      msg.contains("Illegal Parquet type")
   }
 
   def events(spark: SparkSession, sfDir: String): DataFrame =

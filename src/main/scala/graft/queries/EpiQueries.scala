@@ -818,7 +818,7 @@ object EpiQueries {
            |  FROM w0, (SELECT unnest(generate_series(0, 1)) AS rep)),
            |$chain,
            |meanst AS (
-           |  SELECT area, ${stateCols.map(c => s"(sum($c) // 2) AS $c").mkString(", ")}
+           |  SELECT area, ${stateCols.map(c => s"CAST(sum($c) // 2 AS BIGINT) AS $c").mkString(", ")}
            |  FROM $out GROUP BY 1)
            |${finalSelectSql("meanst")}""".stripMargin
       }),

@@ -120,6 +120,46 @@ object GeoQueries {
        |SELECT DISTINCT gh5, neighbor FROM nb ORDER BY gh5, neighbor""".stripMargin
   }
 
+  private val PrInit = 1000000000000L // unit rank, 1e-12 fixed point
+  private val PrBase = 150000000000L  // (1 - d) · Init, d = 0.85
+
+  /** g19 inputs: the loop-invariant edge/out-weight table, the node dim,
+    * and the unit-rank start state. Exposed so PlanQualitySpec can pin
+    * the shape of ONE iteration without re-running the whole loop. */
+  private[graft] def pagerankInputs(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val edges = Trajectory.transitions(Trajectory.hourlyState(Tables.events(s, dir)))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+      .persist()
+    val nodes = edges.select(col("src").as("region"))
+      .union(edges.select(col("dst").as("region")))
+      .distinct().persist()
+    // the out-weight column is loop-invariant: join it onto the edge
+    // table ONCE (broadcast — outw is region-bounded) and persist,
+    // instead of re-broadcasting outw every round
+    val ew = edges
+      .join(broadcast(edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+        .withColumnRenamed("src", "osrc")), col("src") === col("osrc"))
+      .select(col("src"), col("dst"), col("w"), col("ow"))
+      .persist()
+    (ew, nodes, nodes.select(col("region"), lit(PrInit).as("pr")))
+  }
+
+  /** One g19 PageRank round. Every per-node table (ranks, inc) is bounded
+    * by the region count — broadcastable at ANY corpus size — so each
+    * iteration broadcasts ONE tiny table and its only shuffle is the
+    * partial-agg'd groupBy(dst) over the (possibly large,
+    * stay-partitioned) edge table. */
+  private[graft] def pagerankIterate(ew: DataFrame, nodes: DataFrame, ranks: DataFrame): DataFrame = {
+    val inc = ew
+      .join(broadcast(ranks), col("src") === col("region"))
+      .groupBy(col("dst"))
+      .agg(sum(expr("pr DIV ow") * col("w")).as("inc"))
+    nodes.join(broadcast(inc), nodes("region") === inc("dst"), "left")
+      .select(col("region"),
+        (lit(PrBase) + expr("(85 * coalesce(inc, 0)) DIV 100")).as("pr"))
+  }
+
   val catalog: Seq[(String, Q, String)] = Seq(
 
     // ── F10/D1: geohash encode at precisions 5..8 (region.py:34-40) ──
@@ -923,39 +963,10 @@ object GeoQueries {
     //    source's rank — overflow-safe at any corpus size. ──
     ("g19_region_pagerank",
       (s: SparkSession, dir: String) => {
-        val Init = 1000000000000L // unit rank, 1e-12 fixed point
-        val Base = 150000000000L  // (1 - d) · Init, d = 0.85
-        val edges = Trajectory.transitions(Trajectory.hourlyState(Tables.events(s, dir)))
-          .groupBy(col("src"), col("dst"))
-          .agg(count(lit(1)).as("w"))
-          .persist()
-        val nodes = edges.select(col("src").as("region"))
-          .union(edges.select(col("dst").as("region")))
-          .distinct().persist()
-        // the out-weight column is loop-invariant: join it onto the edge
-        // table ONCE (broadcast — outw is region-bounded) and persist,
-        // instead of re-broadcasting outw every round
-        val ew = edges
-          .join(broadcast(edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
-            .withColumnRenamed("src", "osrc")), col("src") === col("osrc"))
-          .select(col("src"), col("dst"), col("w"), col("ow"))
-          .persist()
-        var ranks = nodes.select(col("region"), lit(Init).as("pr"))
-        // every per-node table (ranks, inc) is bounded by the region
-        // count — broadcastable at ANY corpus size — so each iteration
-        // broadcasts ONE tiny table and its only shuffle is the
-        // partial-agg'd groupBy(dst) over the (possibly large,
-        // stay-partitioned) edge table
-        for (_ <- 1 to 5) {
-          val inc = ew
-            .join(broadcast(ranks), col("src") === col("region"))
-            .groupBy(col("dst"))
-            .agg(sum(expr("pr DIV ow") * col("w")).as("inc"))
-          ranks = nodes.join(broadcast(inc), nodes("region") === inc("dst"), "left")
-            .select(col("region"),
-              (lit(Base) + expr("(85 * coalesce(inc, 0)) DIV 100")).as("pr"))
-            .localCheckpoint()
-        }
+        val (ew, nodes, r0) = pagerankInputs(s, dir)
+        var ranks = r0
+        for (_ <- 1 to 5)
+          ranks = pagerankIterate(ew, nodes, ranks).localCheckpoint()
         ranks.orderBy(col("region"))
       },
       {

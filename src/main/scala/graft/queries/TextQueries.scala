@@ -1385,7 +1385,99 @@ object TextQueries {
         |         CAST(sum(wf) AS BIGINT) AS cnt
         |  FROM pos GROUP BY 1)
         |SELECT pair, cnt FROM agg
-        |ORDER BY cnt DESC, pair LIMIT 12""".stripMargin)
+        |ORDER BY cnt DESC, pair LIMIT 12""".stripMargin),
+
+    // ── t23b: the BPE TRAINING LOOP — t23 iterated. Each merge: count
+    //    adjacent symbol pairs over the word-frequency table (weighted by
+    //    wf), take the argmax (cnt desc, then pair — deterministic
+    //    cross-engine tie-break), RE-SEGMENT every word by greedy
+    //    left-to-right application of that merge, repeat. This is the
+    //    t10/g19 iterative-chain recipe applied to tokenizer induction:
+    //    the loop state is the segmented word-frequency table —
+    //    VOCAB-bounded, never corpus-bounded — `localCheckpoint(true)`
+    //    per merge truncates the per-round lineage exactly as t10's
+    //    label frames do, so merge N costs the same as merge 1 and the
+    //    loop extends to the thousands of merges a production tokenizer
+    //    trains. Re-segmentation is a left FOLD over the symbol list
+    //    with a string accumulator (merge = append WITHOUT the space
+    //    separator) — handles runs exactly ("l l l l" → "ll ll") and
+    //    never interprets symbols as patterns, so it is safe for any
+    //    corpus byte; the full-token test is `acc = a OR acc ends with
+    //    ' '||a`, which cannot false-match a merged or longer symbol.
+    //    The 1-row argmax rides back into the plan as a broadcast cross
+    //    join — no driver collect anywhere; the judged artifact is the
+    //    merge TABLE (step, a, b, cnt), the exact file a trainer ships.
+    //    Oracle: the identical loop unrolled as chained CTEs, the fold
+    //    as list_reduce with a prepended '' accumulator. ──
+    ("t23b_bpe_train",
+      (s: SparkSession, dir: String) => {
+        val words = Tables(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
+          .where(length(col("word")) >= 2)
+          .groupBy(col("word")).agg(count(lit(1)).as("wf"))
+        var seg = words.select(
+          concat_ws(" ", expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))")).as("seg"),
+          col("wf"))
+          .localCheckpoint(true)
+        val merges = Seq.newBuilder[DataFrame]
+        for (step <- 1 to 3) {
+          // argmax pair of the CURRENT segmentation; localCheckpoint pins
+          // the 1-row result so the reseg and the output row can't diverge
+          val best = seg
+            .select(split(col("seg"), " ").as("syms"), col("wf"))
+            .where(size(col("syms")) >= 2)
+            .select(col("wf"), explode(expr(
+              "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS a, syms[i + 1] AS b))")).as("p"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum(col("wf")).cast("long").as("cnt"))
+            .orderBy(col("cnt").desc, col("a"), col("b"))
+            .limit(1)
+            .localCheckpoint(true)
+          merges += best.select(lit(step.toLong).as("step"),
+            col("a"), col("b"), col("cnt"))
+          seg = seg.crossJoin(broadcast(best.select(col("a"), col("b"))))
+            .select(expr(
+              "aggregate(split(seg, ' '), '', (acc, x) -> " +
+                "CASE WHEN acc = '' THEN x " +
+                "WHEN x = b AND (acc = a OR right(acc, length(a) + 1) = ' ' || a) THEN acc || b " +
+                "ELSE acc || ' ' || x END)").as("seg"),
+              col("wf"))
+            .localCheckpoint(true)
+        }
+        merges.result().reduce(_ union _).orderBy(col("step"))
+      },
+      {
+        def stepCtes(i: Int): String =
+          s"""p$i AS (
+             |  SELECT s[i] AS a, s[i + 1] AS b, CAST(sum(wf) AS BIGINT) AS cnt
+             |  FROM (SELECT string_split(seg, ' ') AS s, wf FROM seg${i - 1}),
+             |       LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i)
+             |  GROUP BY 1, 2),
+             |m$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+             |seg$i AS (
+             |  SELECT list_reduce(list_prepend('', string_split(seg, ' ')),
+             |           (acc, x) -> CASE WHEN acc = '' THEN x
+             |                            WHEN x = m.b AND (acc = m.a
+             |                                 OR right(acc, length(m.a) + 1) = ' ' || m.a)
+             |                            THEN acc || m.b
+             |                            ELSE acc || ' ' || x END) AS seg, wf
+             |  FROM seg${i - 1}, m$i m)""".stripMargin
+        s"""WITH words AS (
+           |  SELECT word, CAST(count(*) AS BIGINT) AS wf FROM (
+           |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           |  WHERE length(word) >= 2 GROUP BY 1),
+           |seg0 AS (
+           |  SELECT array_to_string(list_transform(generate_series(1, length(word)),
+           |           i -> substring(word, CAST(i AS INT), 1)), ' ') AS seg, wf
+           |  FROM words),
+           |${(1 to 3).map(stepCtes).mkString(",\n")}
+           |SELECT * FROM (
+           |  SELECT CAST(1 AS BIGINT) AS step, a, b, cnt FROM m1
+           |  UNION ALL SELECT CAST(2 AS BIGINT), a, b, cnt FROM m2
+           |  UNION ALL SELECT CAST(3 AS BIGINT), a, b, cnt FROM m3)
+           |ORDER BY step""".stripMargin
+      })
   )
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap

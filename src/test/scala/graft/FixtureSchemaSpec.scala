@@ -60,29 +60,37 @@ class FixtureSchemaSpec extends SparkSpec {
 
   test("fixtures: every table still carries the contracted columns and types") {
     val drift = Tables.names.flatMap { t =>
-      // the RAW scan, pre-normalization — the tripwire must see what the
-      // parquet files actually carry, not what normalizeTs makes of it
-      val df = if (t == "events") Tables.rawEvents(spark, dir)
-               else spark.read.parquet(s"$dir/$t.parquet")
-      val actual = df.schema.map(f => f.name -> f.dataType.simpleString)
-      val want = expected(t)
-      val wantNames = want.map(_._1).toSet
-      val missing = want.collect {
-        case (c, _) if !actual.exists(_._1 == c) =>
-          s"fixtures changed: $t.$c is MISSING"
+      expected.get(t) match {
+        case None =>
+          // a table added to the catalog but not to this map must still
+          // produce a one-line named diagnosis, not a NoSuchElementException
+          Seq(s"fixtures changed: catalog table $t has no expected schema " +
+            "here — add it to FixtureSchemaSpec")
+        case Some(want) =>
+          // the RAW scan, pre-normalization — the tripwire must see what the
+          // parquet files actually carry, not what normalizeTs makes of it
+          val df = if (t == "events") Tables.rawEvents(spark, dir)
+                   else spark.read.parquet(s"$dir/$t.parquet")
+          val actual = df.schema.map(f => f.name -> f.dataType.simpleString)
+          val wantNames = want.map(_._1).toSet
+          val missing = want.collect {
+            case (c, _) if !actual.exists(_._1 == c) =>
+              s"fixtures changed: $t.$c is MISSING"
+          }
+          val extra = actual.collect {
+            case (c, ty) if !wantNames.contains(c) =>
+              s"fixtures changed: $t has NEW column $c ($ty)"
+          }
+          val retyped = want.flatMap { case (c, ok) =>
+            actual.collectFirst {
+              case (`c`, ty) if !ok.contains(ty) =>
+                s"fixtures changed: $t.$c is now $ty (expected ${ok.mkString(" | ")})"
+            }
+          }
+          missing ++ extra ++ retyped
       }
-      val extra = actual.collect {
-        case (c, ty) if !wantNames.contains(c) =>
-          s"fixtures changed: $t has NEW column $c ($ty)"
-      }
-      val retyped = want.flatMap { case (c, ok) =>
-        actual.collectFirst {
-          case (`c`, ty) if !ok.contains(ty) =>
-            s"fixtures changed: $t.$c is now $ty (expected ${ok.mkString(" | ")})"
-        }
-      }
-      missing ++ extra ++ retyped
-    }
+    } ++ (expected.keySet -- Tables.names.toSet).toSeq.sorted.map(t =>
+      s"fixtures changed: expected table $t is no longer in Tables.names")
     assert(drift.isEmpty, "\n" + drift.mkString("\n"))
   }
 }

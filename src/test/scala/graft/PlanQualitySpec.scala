@@ -429,6 +429,47 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("g19: one PageRank iteration = 2 broadcast joins + exactly 1 shuffle") {
+    // the most expensive catalog query's per-round claim (VERDICT r8 asked
+    // for this pin after a +18% timing drift): with the loop-invariant
+    // inputs materialized, each iteration must broadcast the two
+    // region-bounded frames (ranks in, inc back out) and shuffle ONLY at
+    // the partial-agg'd groupBy(dst) — a SortMergeJoin or second exchange
+    // here multiplies by 5 rounds and by corpus size at 100 TB
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    val (ew0, nodes0, r0raw) = graft.queries.GeoQueries.pagerankInputs(spark, dir)
+    // checkpoint the loop state exactly as the real loop does (ranks IS a
+    // localCheckpoint result from round 2 on) — and it keeps the explain
+    // from expanding the cached prep plan inside InMemoryRelation, which
+    // would double-count the prep's own joins
+    val ew = ew0.localCheckpoint(true)
+    val nodes = nodes0.localCheckpoint(true)
+    val r0 = r0raw.localCheckpoint(true)
+    val p = graft.queries.GeoQueries.pagerankIterate(ew, nodes, r0)
+      .queryExecution.explainString(SimpleMode)
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Scan ExistingRDD"), p) // iterating over pinned state, not re-deriving edges
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
+  test("t23b: the BPE training loop's state is checkpoint-truncated each merge") {
+    // the iterative-chain discipline (t10/g19 recipe): the judged frame's
+    // plan must hang off the LAST checkpointed state — scans of existing
+    // RDDs — never re-derive the corpus (no parquet scan, no window), and
+    // the 3-row output union is driven by TakeOrderedAndProject argmaxes
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    val p = plan("t23b_bpe_train")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("FileScan parquet"), p)
+    assert(!p.contains("Window"), p)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
   test("t23: pair counting is two partial-final agg pairs, no window, no corpus sort") {
     // the BPE count's scale claim: the word-frequency collapse and the
     // pair aggregation each partial-aggregate map-side (two

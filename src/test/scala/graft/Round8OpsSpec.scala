@@ -7,6 +7,15 @@ import org.apache.spark.sql.functions._
 class Round8OpsSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
+  // NOTE on the two quota-equality assertions below: q08/v18's ~4×-quota
+  // hash prefilter (thr = 4·quota·1e6 DIV n + 1, Relational.scala q08)
+  // admits the quota winners with overwhelming probability but not by
+  // construction — hash residues are uniform, not guaranteed. Cross-engine
+  // parity always holds (both engines apply the same prefilter), so a
+  // shortfall can NEVER make the judged row green/red split drift; it can
+  // only make `sampled == quota` here fall short after an unlucky fixture
+  // regeneration. If that happens, the fix is widening the 4× margin in
+  // the query (and its oracle SQL) — not loosening this assertion.
   test("q08: per-stratum sample sizes equal the integer temperature quotas") {
     val big = "/root/testdata/sf0.01"
     val sampled = SparkEntry.queries("q08_temperature_mix")(spark, big)

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics checks for the round-9 operator: the t23b BPE training loop
+  * (merge table + greedy re-segmentation), cross-validated against a
+  * driver-side brute-force trainer. */
+class Round9OpsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Codepoint-level character split — the queries segment with
+    * `substring`, which is codepoint-based in both engines, so the brute
+    * force must not split surrogate pairs. */
+  private def chars(w: String): Vector[String] =
+    w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
+
+  test("t23b: the judged merge table equals brute-force BPE training") {
+    val texts = graft.engine.Tables(spark, dir, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val wf = collection.mutable.Map.empty[String, Long]
+    for (t <- texts; w <- t.split(" ") if w.length >= 2)
+      wf(w) = wf.getOrElse(w, 0L) + 1L
+    var segs: Map[Vector[String], Long] =
+      wf.toSeq.groupBy { case (w, _) => chars(w) }
+        .map { case (k, vs) => k -> vs.map(_._2).sum }
+    val expected = collection.mutable.Buffer.empty[(Long, String, String, Long)]
+    for (step <- 1 to 3) {
+      val pc = collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- segs; i <- 0 until syms.length - 1)
+        pc((syms(i), syms(i + 1))) = pc.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      val ((a, b), c) = pc.minBy { case ((pa, pb), pcnt) => (-pcnt, pa, pb) }
+      expected += ((step.toLong, a, b, c))
+      // greedy left-to-right merge, exactly the fold the queries run
+      segs = segs.toSeq.map { case (syms, f) =>
+        val out = collection.mutable.Buffer.empty[String]
+        for (x <- syms) {
+          if (out.nonEmpty && out.last == a && x == b) out(out.length - 1) = a + b
+          else out += x
+        }
+        out.toVector -> f
+      }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    }
+    val got = SparkEntry.queries("t23b_bpe_train")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("step"), r.getAs[String]("a"),
+        r.getAs[String]("b"), r.getAs[Long]("cnt"))).toSeq
+    assert(got == expected.toSeq, s"got $got expected $expected")
+    // merges 2 and 3 must depend on the re-segmentation being real: at
+    // minimum the merge table has 3 distinct pairs (a repeat would mean
+    // the reseg failed to consume the merged pair's occurrences)
+    assert(got.map(r => (r._2, r._3)).distinct.size == 3)
+  }
+
+  test("t23b: merge 1 agrees with t23's top-ranked pair") {
+    val t23Top = SparkEntry.queries("t23_bpe_merge")(spark, dir)
+      .limit(1).collect().head
+    val m1 = SparkEntry.queries("t23b_bpe_train")(spark, dir)
+      .where(col("step") === 1).collect().head
+    assert(m1.getAs[String]("a") + m1.getAs[String]("b")
+      == t23Top.getAs[String]("pair"))
+    assert(m1.getAs[Long]("cnt") == t23Top.getAs[Long]("cnt"))
+  }
+
+  test("t23b: the greedy fold handles runs and never false-matches a longer symbol") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      ("h e l l o", "h e ll o"),   // plain adjacent merge
+      ("l l l l", "ll ll"),        // run of 4: greedy left-to-right
+      ("l l l", "ll l"),           // odd run: leftmost wins
+      ("a l", "a l"),              // pair absent
+      ("x al l", "x al l"),        // 'al' ends in 'l' but is NOT token 'l'
+      ("ll l l", "ll ll"),         // already-merged symbol is not re-split
+      ("l", "l"))                  // single symbol: fold is identity
+    val got = cases.toDF("seg", "want")
+      .withColumn("a", lit("l")).withColumn("b", lit("l"))
+      .withColumn("merged", expr(
+        "aggregate(split(seg, ' '), '', (acc, x) -> " +
+          "CASE WHEN acc = '' THEN x " +
+          "WHEN x = b AND (acc = a OR right(acc, length(a) + 1) = ' ' || a) THEN acc || b " +
+          "ELSE acc || ' ' || x END)"))
+      .select(col("seg"), col("want"), col("merged")).collect()
+    got.foreach { r =>
+      assert(r.getString(2) == r.getString(1),
+        s"fold(${r.getString(0)}) = ${r.getString(2)}, want ${r.getString(1)}")
+    }
+  }
+}

@@ -63,6 +63,27 @@ def main():
             print(f"FAIL {name}: columns oracle={list(expect.columns)} spark={list(got.columns)}")
             n_bad += 1
             continue
+        # Dtype-kind strictness: the driver renders values before hashing, so a
+        # DuckDB HUGEINT (e.g. an uncast sum(BIGINT)) hashes as `4.0` against
+        # Spark's BIGINT `4` and fails even when every value is equal. Both
+        # sides here pass through the same duckdb→pandas conversion, so an
+        # integer-vs-float kind mismatch means the underlying logical types
+        # differ — fail it locally the way the driver would.
+        kind_bad = None
+        for col in expect.columns:
+            ek = "int" if expect[col].dtype.kind in "iu" else \
+                 "float" if expect[col].dtype.kind == "f" else None
+            gk = "int" if got[col].dtype.kind in "iu" else \
+                 "float" if got[col].dtype.kind == "f" else None
+            if ek and gk and ek != gk:
+                kind_bad = (col, expect[col].dtype, got[col].dtype)
+                break
+        if kind_bad:
+            col, ed, gd = kind_bad
+            print(f"FAIL {name}: dtype kind mismatch col={col} oracle={ed} spark={gd}"
+                  f" (cast the integer aggregate to BIGINT on both sides)")
+            n_bad += 1
+            continue
         if len(expect) != len(got):
             print(f"FAIL {name}: rows oracle={len(expect)} spark={len(got)}")
             n_bad += 1
