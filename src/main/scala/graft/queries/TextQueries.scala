@@ -1411,74 +1411,136 @@ object TextQueries {
     //    as list_reduce with a prepended '' accumulator. ──
     ("t23b_bpe_train",
       (s: SparkSession, dir: String) => {
-        val words = Tables(s, dir, "documents")
-          .select(explode(split(col("text"), " ")).as("word"))
-          .where(length(col("word")) >= 2)
-          .groupBy(col("word")).agg(count(lit(1)).as("wf"))
-        var seg = words.select(
-          concat_ws(" ", expr(
-            "transform(sequence(1, length(word)), i -> substring(word, i, 1))")).as("seg"),
-          col("wf"))
-          .localCheckpoint(true)
-        val merges = Seq.newBuilder[DataFrame]
-        for (step <- 1 to 3) {
-          // argmax pair of the CURRENT segmentation; localCheckpoint pins
-          // the 1-row result so the reseg and the output row can't diverge
-          val best = seg
-            .select(split(col("seg"), " ").as("syms"), col("wf"))
-            .where(size(col("syms")) >= 2)
-            .select(col("wf"), explode(expr(
-              "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS a, syms[i + 1] AS b))")).as("p"))
-            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-            .agg(sum(col("wf")).cast("long").as("cnt"))
-            .orderBy(col("cnt").desc, col("a"), col("b"))
-            .limit(1)
-            .localCheckpoint(true)
-          merges += best.select(lit(step.toLong).as("step"),
-            col("a"), col("b"), col("cnt"))
-          seg = seg.crossJoin(broadcast(best.select(col("a"), col("b"))))
-            .select(expr(
-              "aggregate(split(seg, ' '), '', (acc, x) -> " +
-                "CASE WHEN acc = '' THEN x " +
-                "WHEN x = b AND (acc = a OR right(acc, length(a) + 1) = ' ' || a) THEN acc || b " +
-                "ELSE acc || ' ' || x END)").as("seg"),
-              col("wf"))
-            .localCheckpoint(true)
-        }
-        merges.result().reduce(_ union _).orderBy(col("step"))
+        val (merges, _) = bpeTrain(s, dir, 3)
+        merges.reduce(_ union _).orderBy(col("step"))
       },
-      {
-        def stepCtes(i: Int): String =
-          s"""p$i AS (
-             |  SELECT s[i] AS a, s[i + 1] AS b, CAST(sum(wf) AS BIGINT) AS cnt
-             |  FROM (SELECT string_split(seg, ' ') AS s, wf FROM seg${i - 1}),
-             |       LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i)
-             |  GROUP BY 1, 2),
-             |m$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
-             |seg$i AS (
-             |  SELECT list_reduce(list_prepend('', string_split(seg, ' ')),
-             |           (acc, x) -> CASE WHEN acc = '' THEN x
-             |                            WHEN x = m.b AND (acc = m.a
-             |                                 OR right(acc, length(m.a) + 1) = ' ' || m.a)
-             |                            THEN acc || m.b
-             |                            ELSE acc || ' ' || x END) AS seg, wf
-             |  FROM seg${i - 1}, m$i m)""".stripMargin
-        s"""WITH words AS (
-           |  SELECT word, CAST(count(*) AS BIGINT) AS wf FROM (
-           |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-           |  WHERE length(word) >= 2 GROUP BY 1),
-           |seg0 AS (
-           |  SELECT array_to_string(list_transform(generate_series(1, length(word)),
-           |           i -> substring(word, CAST(i AS INT), 1)), ' ') AS seg, wf
-           |  FROM words),
-           |${(1 to 3).map(stepCtes).mkString(",\n")}
-           |SELECT * FROM (
-           |  SELECT CAST(1 AS BIGINT) AS step, a, b, cnt FROM m1
-           |  UNION ALL SELECT CAST(2 AS BIGINT), a, b, cnt FROM m2
-           |  UNION ALL SELECT CAST(3 AS BIGINT), a, b, cnt FROM m3)
-           |ORDER BY step""".stripMargin
-      })
+      s"""$bpeTrainPrelude
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS step, a, b, cnt FROM m1
+         |  UNION ALL SELECT CAST(2 AS BIGINT), a, b, cnt FROM m2
+         |  UNION ALL SELECT CAST(3 AS BIGINT), a, b, cnt FROM m3)
+         |ORDER BY step""".stripMargin),
+
+    // ── t24: BPE ENCODE — the trained vocabulary applied BACK to the
+    //    corpus (the tokenize step every training-data pipeline runs
+    //    after t23b's train step): per-document token counts under the
+    //    3-merge vocabulary. The scale-defining move is that
+    //    segmentation is computed ONCE PER DISTINCT WORD (the t23b
+    //    loop's final state already holds it) and joined back to the
+    //    exploded corpus by word — exactly how production tokenizers
+    //    amortize encode cost: the fold runs |vocab| times, not once
+    //    per corpus token occurrence. The word join is a plain equi-
+    //    join (vocab-bounded build side; AQE broadcasts it when small,
+    //    shuffles when a 100 TB corpus's vocabulary isn't), and the
+    //    per-doc rollup is one hash-agg with map-side combine. Judged:
+    //    (doc_id, n_words, n_tok) — the before/after compression a
+    //    tokenizer report ships. ──
+    ("t24_bpe_encode",
+      (s: SparkSession, dir: String) => {
+        val (_, seg) = bpeTrain(s, dir, 3)
+        val wtok = seg.select(col("word"),
+          size(split(col("seg"), " ")).cast("long").as("n_tok"))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .where(length(col("word")) >= 2)
+          .join(wtok, "word")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).cast("long").as("n_tok"))
+          .orderBy(col("doc_id"))
+      },
+      s"""$bpeTrainPrelude,
+         |wtok AS (
+         |  SELECT word, CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_tok
+         |  FROM seg3),
+         |docw AS (
+         |  SELECT doc_id, word FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE length(word) >= 2)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(n_tok) AS BIGINT) AS n_tok
+         |FROM docw JOIN wtok USING (word)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin)
   )
+
+  /** The t23b/t24 BPE training loop: collapse the corpus to its word-
+    * frequency table once, then iterate (argmax pair → greedy reseg).
+    * State is (word, seg, wf) — VOCAB-bounded, localCheckpoint'd per
+    * merge (the t10/g19 chain discipline) so merge N costs the same as
+    * merge 1. Returns the per-step 1-row merge frames and the final
+    * segmentation state. The argmax rides back into the plan as a
+    * broadcast cross join — no driver collect anywhere. */
+  private[graft] def bpeTrain(s: SparkSession, dir: String, nMerges: Int): (Seq[DataFrame], DataFrame) = {
+    val words = Tables(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("wf"))
+    var seg = words.select(col("word"),
+      concat_ws(" ", expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")).as("seg"),
+      col("wf"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[DataFrame]
+    for (step <- 1 to nMerges) {
+      // argmax pair of the CURRENT segmentation; localCheckpoint pins
+      // the 1-row result so the reseg and the output row can't diverge
+      val best = seg
+        .select(split(col("seg"), " ").as("syms"), col("wf"))
+        .where(size(col("syms")) >= 2)
+        .select(col("wf"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS a, syms[i + 1] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wf")).cast("long").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .localCheckpoint(true)
+      merges += best.select(lit(step.toLong).as("step"),
+        col("a"), col("b"), col("cnt"))
+      // greedy left-to-right merge as a string-accumulator fold: merge =
+      // append WITHOUT the space separator; the full-token test
+      // (acc = a OR acc ends with ' '||a) cannot false-match a longer or
+      // already-merged symbol, and symbols are never used as patterns
+      seg = seg.crossJoin(broadcast(best.select(col("a"), col("b"))))
+        .select(col("word"), expr(
+          "aggregate(split(seg, ' '), '', (acc, x) -> " +
+            "CASE WHEN acc = '' THEN x " +
+            "WHEN x = b AND (acc = a OR right(acc, length(a) + 1) = ' ' || a) THEN acc || b " +
+            "ELSE acc || ' ' || x END)").as("seg"),
+          col("wf"))
+        .localCheckpoint(true)
+    }
+    (merges.result(), seg)
+  }
+
+  /** The DuckDB mirror of [[bpeTrain]] at 3 merges: words → seg0 → three
+    * (pair-count, argmax, reseg) CTE triples; the fold is list_reduce
+    * with a prepended '' accumulator. Shared by the t23b and t24
+    * oracles. */
+  private def bpeTrainPrelude: String = {
+    def stepCtes(i: Int): String =
+      s"""p$i AS (
+         |  SELECT s[i] AS a, s[i + 1] AS b, CAST(sum(wf) AS BIGINT) AS cnt
+         |  FROM (SELECT string_split(seg, ' ') AS s, wf FROM seg${i - 1}),
+         |       LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i)
+         |  GROUP BY 1, 2),
+         |m$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |seg$i AS (
+         |  SELECT word, list_reduce(list_prepend('', string_split(seg, ' ')),
+         |           (acc, x) -> CASE WHEN acc = '' THEN x
+         |                            WHEN x = m.b AND (acc = m.a
+         |                                 OR right(acc, length(m.a) + 1) = ' ' || m.a)
+         |                            THEN acc || m.b
+         |                            ELSE acc || ' ' || x END) AS seg, wf
+         |  FROM seg${i - 1}, m$i m)""".stripMargin
+    s"""WITH words AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS wf FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) >= 2 GROUP BY 1),
+       |seg0 AS (
+       |  SELECT word, array_to_string(list_transform(generate_series(1, length(word)),
+       |           i -> substring(word, CAST(i AS INT), 1)), ' ') AS seg, wf
+       |  FROM words),
+       |${(1 to 3).map(stepCtes).mkString(",\n")}""".stripMargin
+  }
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap
   def oracle: Map[String, String] = catalog.map { case (n, _, o) => n -> o }.toMap

@@ -50,6 +50,41 @@ class Round9OpsSpec extends SparkSpec {
     assert(got.map(r => (r._2, r._3)).distinct.size == 3)
   }
 
+  test("t24: per-doc token counts equal brute-force encoding under the trained merges") {
+    val docs = graft.engine.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // brute-force train (same as the t23b test): 3 greedy merges over the
+    // word-frequency table
+    val wf = collection.mutable.Map.empty[String, Long]
+    for ((_, t) <- docs; w <- t.split(" ") if w.length >= 2)
+      wf(w) = wf.getOrElse(w, 0L) + 1L
+    var segs: Map[String, Vector[String]] = wf.keys.map(w => w -> chars(w)).toMap
+    for (_ <- 1 to 3) {
+      val pc = collection.mutable.Map.empty[(String, String), Long]
+      for ((w, syms) <- segs; i <- 0 until syms.length - 1)
+        pc((syms(i), syms(i + 1))) = pc.getOrElse((syms(i), syms(i + 1)), 0L) + wf(w)
+      val ((a, b), _) = pc.minBy { case ((pa, pb), pcnt) => (-pcnt, pa, pb) }
+      segs = segs.map { case (w, syms) =>
+        val out = collection.mutable.Buffer.empty[String]
+        for (x <- syms) {
+          if (out.nonEmpty && out.last == a && x == b) out(out.length - 1) = a + b
+          else out += x
+        }
+        w -> out.toVector
+      }
+    }
+    val expected = docs.flatMap { case (id, t) =>
+      val ws = t.split(" ").filter(_.length >= 2)
+      if (ws.isEmpty) None
+      else Some((id, ws.length.toLong, ws.map(w => segs(w).length.toLong).sum))
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("t24_bpe_encode")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_tok"))).toSeq
+    assert(got == expected, s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
+  }
+
   test("t23b: merge 1 agrees with t23's top-ranked pair") {
     val t23Top = SparkEntry.queries("t23_bpe_merge")(spark, dir)
       .limit(1).collect().head
