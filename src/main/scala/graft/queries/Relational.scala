@@ -1649,6 +1649,90 @@ object Relational {
          |SELECT doc_id, lang FROM ranked WHERE rk <= quota
          |ORDER BY doc_id""".stripMargin),
 
+    // ── q09: UniMax CAPPED-UNIFORM mixing — the third member of the
+    //    mixing family (q07 proportional, q08 temperature): the budget
+    //    B water-fills UNIFORMLY across languages, each capped at its
+    //    capacity n_s (UniMax, Chung et al. 2023 — uniform-over-
+    //    languages beats temperature skew for multilingual coverage,
+    //    capping prevents over-epoching the tails). The level L = the
+    //    largest value with Σ min(n_s, L) ≤ B has a closed form over
+    //    the capacity-SORTED strata: with r strata saturated,
+    //    L = (B − C_r) DIV (k − r), valid in exactly one interval
+    //    [c_r, c_{r+1}) — all computed with windows over the LANGUAGE-
+    //    bounded counts frame (k rows, broadcastable at any corpus
+    //    size; the only corpus-wide passes are the count agg and the
+    //    q08-style quota-bounded hash-rank selection). cumex ≤ B is
+    //    required of candidates so the DIV numerator stays
+    //    non-negative — floor (DuckDB //) and truncate (Spark DIV)
+    //    agree on non-negative operands, and the true boundary always
+    //    satisfies it (saturated capacities sum below budget).
+    //    quota_s = min(n_s, L); the ≤ k−r−1 leftover is deliberately
+    //    unassigned (level semantics, deterministic). ──
+    ("q09_unimax_sample",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val B = 300L
+        val docs = Tables(s, dir, "documents").select($"doc_id", $"lang")
+        val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n"))
+        val w = Window.orderBy($"n", $"lang")
+        val level = counts
+          .withColumn("i", row_number().over(w).cast("long"))
+          .withColumn("cumex", coalesce(
+            sum($"n").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("lagn", coalesce(lag($"n", 1).over(w), lit(0L)))
+          .crossJoin(broadcast(counts.agg(count(lit(1)).cast("long").as("k"))))
+          .withColumn("lvl", expr(s"($B - cumex) DIV (k - i + 1)"))
+          .where($"cumex" <= B && $"lvl" >= $"lagn" && $"lvl" < $"n")
+          .select($"lvl")
+        val quota = counts.crossJoin(broadcast(level))
+          .select($"lang", $"n", least($"n", $"lvl").as("quota"))
+          .withColumn("thr",
+            least(lit(1000000L), expr("(4 * quota * 1000000) DIV n + 1")))
+          .select($"lang", $"quota", $"thr")
+        docs
+          .withColumn("h6", pmod(
+            portableHash(concat(lit("q09|"), $"doc_id".cast("string"))),
+            lit(1000000L)))
+          .join(broadcast(quota), Seq("lang"))
+          .where($"h6" < $"thr")
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"lang").orderBy($"h6", $"doc_id")))
+          .where($"rk" <= $"quota")
+          .select($"doc_id", $"lang")
+          .orderBy($"doc_id")
+      },
+      s"""WITH counts AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+         |k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM counts),
+         |ordered AS (
+         |  SELECT lang, n,
+         |         CAST(row_number() OVER (ORDER BY n, lang) AS BIGINT) AS i,
+         |         CAST(COALESCE(sum(n) OVER (ORDER BY n, lang
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumex,
+         |         CAST(COALESCE(lag(n) OVER (ORDER BY n, lang), 0) AS BIGINT) AS lagn
+         |  FROM counts),
+         |lvl AS (
+         |  SELECT (300 - cumex) // (k.k - i + 1) AS lvl
+         |  FROM ordered, k
+         |  WHERE cumex <= 300
+         |    AND (300 - cumex) // (k.k - i + 1) >= lagn
+         |    AND (300 - cumex) // (k.k - i + 1) < n),
+         |quota AS (
+         |  SELECT lang, n, least(n, (SELECT lvl FROM lvl)) AS quota FROM counts),
+         |q2 AS (
+         |  SELECT lang, quota, least(1000000, (4 * quota * 1000000) // n + 1) AS thr
+         |  FROM quota),
+         |cand AS (
+         |  SELECT d.doc_id, d.lang, q2.quota, q2.thr,
+         |         ${portableHashSql("'q09|' || CAST(d.doc_id AS VARCHAR)")} % 1000000 AS h6
+         |  FROM documents d JOIN q2 USING (lang)),
+         |ranked AS (
+         |  SELECT doc_id, lang, quota,
+         |         row_number() OVER (PARTITION BY lang ORDER BY h6, doc_id) AS rk
+         |  FROM cand WHERE h6 < thr)
+         |SELECT doc_id, lang FROM ranked WHERE rk <= quota
+         |ORDER BY doc_id""".stripMargin),
+
     // ── a17: Count-Min frequency sketch — the sketch family member that
     //    IS fully hash-judgeable (pure integer arithmetic, unlike the
     //    engine-specific HLL/quantile sketches a01/a13/a14 that get

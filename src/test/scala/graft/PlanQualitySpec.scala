@@ -417,7 +417,8 @@ class PlanQualitySpec extends SparkSpec {
     // tiny quota table by broadcast (never a shuffle join), and the
     // h6 < thr prefilter runs BEFORE the per-stratum rank window so the
     // window input is quota-bounded, not corpus-bounded
-    for (q <- Seq("q08_temperature_mix", "v18_cluster_balanced_sample")) {
+    for (q <- Seq("q08_temperature_mix", "q09_unimax_sample",
+        "v18_cluster_balanced_sample")) {
       val p = plan(q)
       assert(!p.contains("SortMergeJoin"), s"$q:\n$p")
       assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")

@@ -85,6 +85,31 @@ class Round9OpsSpec extends SparkSpec {
     assert(got == expected, s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
   }
 
+  test("q09: per-language sample sizes equal driver-side water-filling") {
+    val big = "/root/testdata/sf0.01"
+    val B = 300L
+    val counts = graft.engine.Tables(spark, big, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("n")).toMap
+    // precondition the closed form relies on: budget below total capacity
+    assert(counts.values.sum > B, s"fixtures changed: corpus smaller than budget $B")
+    // brute-force water-fill: the largest L with sum(min(n, L)) <= B
+    val lvl = Iterator.from(0)
+      .takeWhile(l => counts.values.map(n => math.min(n, l.toLong)).sum <= B)
+      .toSeq.last.toLong
+    val quota = counts.view.mapValues(n => math.min(n, lvl)).toMap
+    val sampled = SparkEntry.queries("q09_unimax_sample")(spark, big)
+      .collect().map(_.getAs[String]("lang"))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(sampled == quota.filter(_._2 > 0),
+      s"sampled sizes $sampled != water-filled quotas $quota (level $lvl)")
+    // the UniMax property: every unsaturated language gets the SAME
+    // allocation (the level), and saturated ones are fully included
+    quota.foreach { case (l, q) =>
+      assert(q == lvl || q == counts(l), s"$l: quota $q is neither level nor capacity")
+    }
+  }
+
   test("t23b: merge 1 agrees with t23's top-ranked pair") {
     val t23Top = SparkEntry.queries("t23_bpe_merge")(spark, dir)
       .limit(1).collect().head
