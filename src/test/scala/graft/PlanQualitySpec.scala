@@ -471,6 +471,21 @@ class PlanQualitySpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
   }
 
+  test("t24: encode joins the corpus to per-word token counts; no window, no re-train") {
+    // the encode step's scale claim: segmentation comes from the training
+    // loop's checkpointed state (Scan ExistingRDD — never re-derived), the
+    // corpus is scanned ONCE (the documents explode), and the rollup is a
+    // hash-agg, not a window
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    val p = plan("t24_bpe_encode")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Window"), p)
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
   test("t23: pair counting is two partial-final agg pairs, no window, no corpus sort") {
     // the BPE count's scale claim: the word-frequency collapse and the
     // pair aggregation each partial-aggregate map-side (two
