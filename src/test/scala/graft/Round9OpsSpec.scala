@@ -110,6 +110,37 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("q09: the closed-form water-filling level is unique and correct for random capacities") {
+    // the query computes the level via one valid boundary row; this pins
+    // that (for any capacity multiset and any budget BELOW total — the
+    // precondition the spec above asserts of the fixtures) exactly one
+    // row passes the filter and its level equals the brute-force maximum,
+    // so a fixture regeneration can never make the 1-row `level` frame
+    // empty or ambiguous
+    val rnd = new scala.util.Random(9)
+    for (_ <- 1 to 1000) {
+      val k = 1 + rnd.nextInt(8)
+      val caps = Vector.fill(k)(1L + rnd.nextInt(200))
+      val total = caps.sum
+      val b = 1L + rnd.nextInt(total.toInt - 1) // B < total
+      val brute = Iterator.from(0)
+        .takeWhile(l => caps.map(c => math.min(c, l.toLong)).sum <= b)
+        .toSeq.last.toLong
+      val sorted = caps.sorted
+      val candidates = for {
+        i <- 1 to k
+        cumex = sorted.take(i - 1).sum
+        lagn = if (i >= 2) sorted(i - 2) else 0L
+        if cumex <= b
+        l = (b - cumex) / (k - i + 1)
+        if l >= lagn && l < sorted(i - 1)
+      } yield l
+      assert(candidates.size == 1, s"caps=$caps B=$b candidates=$candidates")
+      assert(candidates.head == brute,
+        s"caps=$caps B=$b closed=${candidates.head} brute=$brute")
+    }
+  }
+
   test("t23b: merge 1 agrees with t23's top-ranked pair") {
     val t23Top = SparkEntry.queries("t23_bpe_merge")(spark, dir)
       .limit(1).collect().head
