@@ -21,6 +21,18 @@ class NormalizeTsSpec extends SparkSpec {
       .getString(0) == "2024-01-01 00:00:01")
   }
 
+  test("long ts outside the nanos-era range fails loudly (a micros/millis regeneration)") {
+    // the magnitude guard: a future regeneration shipping unannotated
+    // int64 MICROS would otherwise misscale 1000x silently — the value
+    // below is `micros` itself, 1000x too small for the nanos arm
+    val df = spark.range(1).select(lit(micros).as("ts"))
+    val e = intercept[Exception](
+      Tables.normalizeTs(df).select(col("ts")).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("fixtures changed")), e.toString)
+  }
+
   test("timestamp_ntz ts (the micros fixture) reinterprets in the UTC session") {
     val df = spark.range(1)
       .select(timestamp_micros(lit(micros)).cast("timestamp_ntz").as("ts"))
