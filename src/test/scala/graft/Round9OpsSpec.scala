@@ -151,6 +151,24 @@ class Round9OpsSpec extends SparkSpec {
     assert(m1.getAs[Long]("cnt") == t23Top.getAs[Long]("cnt"))
   }
 
+  test("t23b: state lineage stays truncated — merge 10's plan is as flat as merge 1's") {
+    // the unbounded-N claim behind "extends to the thousands of merges a
+    // production tokenizer trains": after N merges the state frame must
+    // plan as a bare scan of the checkpointed RDD — no accumulated fold
+    // projections, no joins, no corpus rescan. A missing localCheckpoint
+    // would make this plan grow linearly in N and the optimizer cost
+    // quadratic (the r8 t10 lesson).
+    val (merges, seg) = graft.queries.TextQueries.bpeTrain(spark, dir, 10)
+    val p = seg.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("FileScan") && !p.contains("Exchange") && !p.contains("Join"), p)
+    assert(p.linesIterator.size <= 3, s"state plan grew with merge count:\n$p")
+    // and the 10 merges are 10 distinct pairs (re-segmentation is real)
+    val pairs = merges.map(_.collect().head).map(r => (r.getString(1), r.getString(2)))
+    assert(pairs.distinct.size == 10, pairs.toString)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
   test("t23b: the greedy fold handles runs and never false-matches a longer symbol") {
     val s = spark
     import s.implicits._
