@@ -154,9 +154,12 @@ object VectorQueries {
         col("vec_id"), col("adc_us"))
   }
 
-  /** Oracle CTE chain producing v16's (q_id, rank, vec_id, adc_us) as
-    * `pq` — shared verbatim by the v16 and v17 oracles. */
-  private def pqOracleCtes: String =
+  /** Oracle CTE chain for the PQ ENCODE half — seed codebook (`codes`),
+    * per-(vector, subspace) nearest-code assignment (`asg`) and the
+    * query-side ADC lookup table (`qtab`) — shared by the v16/v17
+    * oracles (via [[pqOracleCtes]]) and composed with [[ivfAssignCtes]]
+    * by v19's IVFADC oracle. */
+  private def pqEncodeCtes: String =
     s"""js AS (SELECT unnest(generate_series(0, ${NSub - 1})) AS j),
        |codes AS (
        |  SELECT js.j, vec_id AS code_id, embedding FROM embeddings, js
@@ -174,7 +177,12 @@ object VectorQueries {
        |  SELECT e.vec_id AS q_id, c.j, c.code_id,
        |         CAST(round(${pqD2Sql("e.embedding", "c.embedding", s"c.j * $SubDim")} * 1000000, 0) AS BIGINT) AS ql
        |  FROM embeddings e, codes c
-       |  WHERE e.vec_id >= 10 AND e.vec_id < 20),
+       |  WHERE e.vec_id >= 10 AND e.vec_id < 20)""".stripMargin
+
+  /** Oracle CTE chain producing v16's (q_id, rank, vec_id, adc_us) as
+    * `pq` — shared verbatim by the v16 and v17 oracles. */
+  private def pqOracleCtes: String =
+    s"""$pqEncodeCtes,
        |score AS (
        |  SELECT q.q_id, a.vec_id, CAST(sum(q.ql) AS BIGINT) AS adc_us
        |  FROM asg a JOIN qtab q ON q.j = a.j AND q.code_id = a.code_id
@@ -1267,7 +1275,85 @@ object VectorQueries {
          |         row_number() OVER (PARTITION BY cell ORDER BY h6, vec_id) AS rk
          |  FROM vcand WHERE h6 < thr)
          |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM vranked WHERE rk <= quota
-         |ORDER BY vec_id""".stripMargin)
+         |ORDER BY vec_id""".stripMargin),
+
+    // ── v19: IVF + PQ (IVFADC) — the two halves of the production ANN
+    //    stack COMPOSED, the FAISS IVFADC shape: the v05 coarse
+    //    quantizer prunes the candidate set to the query's cell
+    //    (~n/cells rows instead of n), then the v16 asymmetric-distance
+    //    lookup scores only those survivors from their NSub-byte PQ
+    //    codes. This is the index a 100 TB embedding corpus actually
+    //    serves from: the coarse assignment is a broadcast pass, the
+    //    codebook and per-query ADC tables stay O(queries × codes)
+    //    broadcasts, and ranking touches compressed codes of ONE cell
+    //    per query — the cell key turns what v16 ran as a full
+    //    compressed scan into a hash-join partition probe, so query
+    //    cost scales with cell size, not corpus size. Candidate ADC
+    //    sums keep map-side combine; the corpus never moves
+    //    uncompressed. Judged end-to-end: (q_id, rank, vec_id, adc_us)
+    //    top-5 within the probed cell, micro-unit BIGINTs (the d2
+    //    folds are bit-identical IEEE on both engines) so the compare
+    //    is exact. ──
+    ("v19_ann_ivfpq",
+      (s: SparkSession, dir: String) => {
+        // the index BUILD is one scan-shaped pass: the coarse cell rides
+        // along from the quantizer assignment into the subspace slicing,
+        // so codes and cell land in the same row — exactly how a real
+        // index stores them — and the plan never self-joins the corpus
+        val a = seedAssigned(s, dir)
+        val codes0 = Tables(s, dir, "embeddings").where(col("vec_id") < 8)
+          .select(col("vec_id").as("code_id"), subSlices(col("embedding")).as("e"))
+          .select(col("e.j").as("j"), col("code_id"), col("e.sub").as("csub"))
+        // compressed corpus: each vector's NSub code bytes, tagged with
+        // its coarse cell — the stored index
+        val asg = a
+          .select(col("vec_id"), col("cell"), subSlices(col("embedding")).as("e"))
+          .select(col("vec_id"), col("cell"), col("e.j").as("j"), col("e.sub").as("sub"))
+          .join(broadcast(codes0), Seq("j"))
+          .groupBy(col("vec_id"), col("cell"), col("j"))
+          .agg(min(struct(subD2(col("sub"), col("csub")).as("d2"), col("code_id"))).as("w"))
+          .select(col("vec_id"), col("cell"), col("j"), col("w.code_id").as("code_id"))
+        // per-query ADC lookup table, tagged with the query's cell (the
+        // probe target); 10 queries × NSub × 8 codes — broadcast-sized
+        // at any corpus size
+        val qtab = a.where(col("vec_id") >= 10 && col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("cell"), subSlices(col("embedding")).as("e"))
+          .select(col("q_id"), col("cell"), col("e.j").as("j"), col("e.sub").as("qsub"))
+          .join(broadcast(codes0), Seq("j"))
+          .select(col("q_id"), col("cell"), col("j"), col("code_id"),
+            round(subD2(col("qsub"), col("csub")) * 1000000).cast("long").as("ql"))
+        val wRank = Window.partitionBy(col("q_id"))
+          .orderBy(col("adc_us"), col("vec_id"))
+        asg.join(broadcast(qtab), Seq("cell", "j", "code_id"))
+          .where(col("vec_id") =!= col("q_id"))
+          .groupBy(col("q_id"), col("vec_id"))
+          .agg(sum(col("ql")).as("adc_us"))
+          .withColumn("rank", row_number().over(wRank))
+          .where(col("rank") <= 5)
+          .select(col("q_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("adc_us"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      s"""WITH $ivfAssignCtes,
+         |$pqEncodeCtes,
+         |qcell AS (
+         |  SELECT vec_id AS q_id, cell FROM assigned
+         |  WHERE vec_id >= 10 AND vec_id < 20),
+         |score AS (
+         |  SELECT q.q_id, a.vec_id, CAST(sum(q.ql) AS BIGINT) AS adc_us
+         |  FROM asg a
+         |  JOIN assigned v ON v.vec_id = a.vec_id
+         |  JOIN qcell qc ON qc.cell = v.cell
+         |  JOIN qtab q ON q.q_id = qc.q_id AND q.j = a.j AND q.code_id = a.code_id
+         |  WHERE a.vec_id <> qc.q_id
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, adc_us FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |              ORDER BY adc_us, vec_id) AS rank
+         |    FROM score) WHERE rank <= 5)
+         |SELECT q_id, rank, vec_id, adc_us FROM ranked
+         |ORDER BY q_id, rank""".stripMargin)
   )
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap

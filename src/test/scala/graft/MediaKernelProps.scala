@@ -222,4 +222,56 @@ object MediaKernelProps extends Properties("MediaKernels") {
       MediaKernels.dctBandsOf(img)(0) == 100000000L * img.sum &&
         (MediaKernels.phash60Of(img) >>> 60) == 0L
     }
+
+  private val wav = graft.queries.MultimodalQueries.WavCodec
+
+  property("wav: encoder emits a well-formed RIFF container") =
+    Prop.forAll(payload) { t =>
+      val b = wav.encode(t)
+      val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      new String(b, 0, 4, "ISO-8859-1") == "RIFF" &&
+        new String(b, 8, 4, "ISO-8859-1") == "WAVE" &&
+        8L + (buf.getInt(4).toLong & 0xFFFFFFFFL) == b.length
+    }
+
+  property("wav: walker agrees with an independent java.nio LE reader") =
+    Prop.forAll(payload) { t =>
+      // independent path: the canonical 44-byte header puts every field
+      // at a CLOSED-FORM offset — read them there with a ByteBuffer (no
+      // chunk walking) and require the walker to land on the same values
+      // through the chunk stream.
+      val b = wav.encode(t)
+      val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val rate = buf.getInt(24).toLong & 0xFFFFFFFFL
+      val n = (buf.getInt(40).toLong & 0xFFFFFFFFL) / 2
+      val m = wav.decode(b)
+      m.sample_rate == rate && m.n_samples == n && m.bits == 16L &&
+        m.samples.indices.forall(k => m.samples(k) == buf.getShort(44 + 2 * k).toInt)
+    }
+
+  property("wav: parsed samples are the payload waveform") =
+    Prop.forAll(payload) { t =>
+      val m = wav.decode(wav.encode(t))
+      m.n_samples == math.max(1, t.length) &&
+        m.samples.indices.forall(k => m.samples(k) == wav.sampleAt(t, k))
+    }
+
+  property("wav: a corrupted byteRate fails the fmt cross-check") =
+    Prop.forAll(payload) { t =>
+      val b = wav.encode(t)
+      b(28) = ((b(28) & 0xff) ^ 1).toByte // flip a bit in nAvgBytesPerSec
+      Prop.throws(classOf[IllegalArgumentException])(wav.decode(b))
+    }
+
+  property("wav: frame features match a brute-force reference") =
+    Prop.forAll(payload) { t =>
+      val m = wav.decode(wav.encode(t))
+      val n = math.max(1, t.length)
+      val ref = (0 until n).map(wav.sampleAt(t, _)).grouped(wav.FrameLen).map { fr =>
+        val en = fr.map(s => s.toLong * s).sum
+        val zc = fr.sliding(2).count(p => p.length == 2 && p(0).toLong * p(1) < 0L)
+        (en, zc.toLong)
+      }.toSeq
+      m.samples.length == n && wav.frameFeatures(m).toSeq == ref
+    }
 }

@@ -497,4 +497,33 @@ class PlanQualitySpec extends SparkSpec {
     assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 4, p)
     assert("(?m)^.*\\bSort\\b.*$".r.findAllIn(p).isEmpty, p)
   }
+
+  test("v19: the IVFADC probe broadcasts the ADC table; the corpus codes never sort-merge") {
+    // the composed index's scale claim: the compressed corpus (code
+    // rows) joins the O(queries × codes) ADC lookup table by BROADCAST
+    // on (cell, j, code_id) — a SortMergeJoin here would shuffle the
+    // whole compressed corpus per query batch — and the per-(q, vec)
+    // ADC sum partial-aggregates map-side before the rank window
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    val p = plan("v19_ann_ivfpq")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), p)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
+  test("m08: the audio feature pass is scan-shaped — one pipeline, no shuffle before the sort") {
+    // the modality plumbing claim (m03/m07 discipline): decode + frame
+    // features run inside ONE mapPartitions stage over the documents
+    // scan; the only exchange in the plan is the presentation sort's
+    // range partitioning — any hashpartitioning exchange means the
+    // waveform rows moved before aggregation
+    val p = plan("m08_wav_features")
+    assert(p.contains("MapPartitions"), p)
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert("Exchange rangepartitioning".r.findAllIn(p).size == 1, p)
+  }
 }

@@ -193,4 +193,85 @@ class Round9OpsSpec extends SparkSpec {
         s"fold(${r.getString(0)}) = ${r.getString(2)}, want ${r.getString(1)}")
     }
   }
+
+  test("v19: IVFADC equals the cell-filtered v16 ADC, re-ranked — the composition is exact") {
+    // the pieces are judged elsewhere (v05 coarse cells, v16 ADC); what
+    // v19 adds is their COMPOSITION, so cross-validate exactly that:
+    // collect the coarse assignment and the full (un-pruned) ADC pair
+    // scores from the engine's own building blocks, compose them in the
+    // driver (same-cell filter → (adc, vec_id) top-5), and require the
+    // judged v19 rows to match bit-for-bit.
+    val cells = graft.queries.VectorQueries.seedAssigned(spark, dir)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    val fullAdc = SparkEntry.queries("v16_pq_adc")(spark, dir) // top-5 UNPRUNED
+    // v16 only exposes its top-5; rebuild the full pair-score table from
+    // the same primitives it uses (pqAssignments' seed assignment) so the
+    // driver-side compose sees every same-cell candidate
+    val (asg0, _) = graft.queries.VectorQueries.pqAssignments(spark, dir)
+    val codeOf = asg0.select(col("vec_id"), col("j"), col("code_id")).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("j")) -> r.getAs[Long]("code_id")).toMap
+    val emb = graft.engine.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray).toMap
+    def subD2(q: Array[Float], c: Array[Float], j: Int): Double = {
+      var acc = 0.0
+      var i = j * 8
+      while (i < j * 8 + 8) { // the engines' sequential IEEE fold
+        val d = q(i).toDouble - c(i).toDouble
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+    val qIds = (10L until 20L).filter(emb.contains)
+    val expected = qIds.flatMap { q =>
+      val cand = emb.keys.filter(v => v != q && cells(v) == cells(q))
+      cand.map { v =>
+        val adc = (0 until 8).map { j =>
+          val code = codeOf((v, j))
+          math.round(subD2(emb(q), emb(code), j) * 1000000)
+        }.sum
+        (q, v, adc)
+      }.toSeq.sortBy { case (_, v, adc) => (adc, v) }.take(5).zipWithIndex
+        .map { case ((qq, v, adc), i) => (qq, (i + 1).toLong, v, adc) }
+    }
+    val got = SparkEntry.queries("v19_ann_ivfpq")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Long]("adc_us"))).toSeq
+    assert(got == expected, s"got ${got.take(8)}… expected ${expected.take(8)}…")
+    // and the pruning is real: at least one query's IVFADC top-5 must
+    // differ from the unpruned v16 top-5 (otherwise the cell key joined
+    // nothing away and the test proves less than it claims)
+    val v16Top = fullAdc.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    assert(got.exists { case (q, _, v, _) => !v16Top.contains((q, v)) } ||
+      got.map(g => (g._1, g._3)).toSet != v16Top,
+      "IVF pruning changed nothing — candidate sets identical")
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
+  test("m08: frames tile each document's waveform — counts and total energy are conserved") {
+    val wav = graft.queries.MultimodalQueries.WavCodec
+    val docs = graft.engine.Tables(spark, dir, "documents")
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val rows = SparkEntry.queries("m08_wav_features")(spark, dir).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == docs.keySet)
+    for ((id, fr) <- byDoc) {
+      val n = math.max(1, docs(id).length)
+      assert(fr.length == (n + wav.FrameLen - 1) / wav.FrameLen,
+        s"doc $id: ${fr.length} frames for $n samples")
+      assert(fr.map(_.getAs[Long]("frame_no")).sorted.toSeq == (0L until fr.length).toSeq)
+      assert(fr.forall(_.getAs[Long]("n_samples") == n))
+      assert(fr.forall(_.getAs[Long]("sample_rate") == 8000L))
+      val total = (0 until n).map { i =>
+        val s = wav.sampleAt(docs(id), i).toLong; s * s
+      }.sum
+      assert(fr.map(_.getAs[Long]("energy")).sum == total,
+        s"doc $id: frame energies do not sum to the waveform energy")
+    }
+  }
 }
