@@ -550,7 +550,130 @@ object StreamingQueries {
          |SELECT ${tsSecSql("date_trunc('hour', p_ts)")} AS hour,
          |       CAST(count(*) AS BIGINT) AS n_rows,
          |       CAST(sum(is_null) AS BIGINT) AS n_null
-         |FROM sunk GROUP BY 1 ORDER BY 1""".stripMargin)
+         |FROM sunk GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ── st12: `dropDuplicatesWithinWatermark` — the catalog's one
+    //    previously-documented skip, closed. The operator dedups on a
+    //    key SUBSET (here user_id) while bounding state by event time:
+    //    state stores expiry = firstEventTime + delay (duplicates do
+    //    NOT refresh it), and Spark's two-watermark policy governs the
+    //    rest — in batch k, late INPUT rows drop below the previous
+    //    batch's watermark wmData(k−2), and state EVICTS below the
+    //    current one wmData(k−1) at batch end. All three behaviors were
+    //    pinned empirically (state-store telemetry: eviction counts,
+    //    state totals, emission sets) before this oracle was written.
+    //    Determinism is BY CONSTRUCTION: arrivals are weekly files (the
+    //    production daily-ingest shape) and the watermark column is the
+    //    week TRUNCATED, so every row in a batch shares one event time
+    //    — which row of a key wins sets the same expiry regardless of
+    //    partition processing order. Two straggler groups then make
+    //    each watermark behavior judged and visible:
+    //    · users uh3==0 have their LAST week held back to arrival 5 —
+    //      their week-0 state (expiry w0+10d) is evicted at the end of
+    //      batch 4 (wmData(3) = w3−10d > w0+10d), so the held rows
+    //      RE-EMIT: the judged second (user, week) row;
+    //    · users uh5==1 have their MID week (index 2) held to arrival 6
+    //      — by then the late watermark wmData(4) = w4−10d sits above
+    //      w2, so the rows are LATE-DROPPED: judged as the absence of
+    //      the re-emission they would otherwise produce;
+    //    · everyone else dedups to exactly their first active week
+    //      (the state outlives the 5-week window: w_{j−2}−w0 ≤ 20d).
+    //    The closed-form oracle is that case analysis; the 5-week grid
+    //    it assumes is guarded loudly in the staging. At 100 TB the
+    //    shape is unchanged: state is keys × ~40 bytes regardless of
+    //    stream length, and eviction is what keeps it there. ──
+    ("st12_dropdup_within_watermark",
+      (s: SparkSession, dir: String) => {
+        val raw = Tables.events(s, dir)
+        val week = date_trunc("week", col("ts"))
+        val uh3 = pmod(portableHash(col("user_id").cast("string")), lit(3))
+        val uh5 = pmod(portableHash(col("user_id").cast("string")), lit(5))
+        val srcCols = raw.columns.map(col).toSeq
+        val stage = java.nio.file.Paths.get(Portable.scratchPath("stream_wmdedup_events"))
+        java.nio.file.Files.createDirectories(stage)
+        def writeArrival(df: DataFrame, name: String, mtime: Long): Unit = {
+          val tmp = Portable.scratchPath(s"stream_wmdedup_stage_$name")
+          df.select(srcCols: _*).coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val target = stage.resolve(s"$name.parquet")
+          java.nio.file.Files.copy(part.toPath, target,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          target.toFile.setLastModified(mtime): Unit
+        }
+        // the week grid is fixture-bounded (one month); this collect is
+        // staging-only scalars, the t10b discipline — and the closed-form
+        // oracle below assumes exactly this grid, so fail loudly if the
+        // fixtures ever change shape
+        val weeks = raw.select(week.as("w")).distinct().orderBy(col("w"))
+          .collect().map(_.getTimestamp(0))
+        require(weeks.length == 5,
+          s"fixtures changed: st12's closed-form oracle assumes a 5-week " +
+            s"event span, got ${weeks.length} — re-derive the case analysis")
+        val wMid = weeks(2)
+        val wLast = weeks(4)
+        val heldA = uh3 === 0 && week === lit(wLast)
+        val heldB = uh5 === 1 && week === lit(wMid)
+        val now = System.currentTimeMillis()
+        weeks.zipWithIndex.foreach { case (w, i) =>
+          writeArrival(raw.where(week === lit(w) && !heldA && !heldB),
+            s"arrival$i", now - (9 - i) * 60000)
+        }
+        writeArrival(raw.where(heldA), "arrival5_last_week_stragglers", now - 3 * 60000)
+        writeArrival(raw.where(heldB), "arrival6_mid_week_stragglers", now - 2 * 60000)
+        val schema = s.read.parquet(stage.toString).schema
+        val src = Tables.normalizeTs(
+            s.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(stage.toString))
+          .withColumn("week", date_trunc("week", col("ts")))
+          .withWatermark("week", "10 days")
+          .dropDuplicatesWithinWatermark("user_id")
+          .select(col("user_id"), col("week"))
+        val q = src.writeStream.format("memory").queryName("st12_mem")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table("st12_mem")
+          .select(col("user_id"), tsSec(col("week")).as("week"))
+          .orderBy(col("user_id"), col("week"))
+      },
+      s"""WITH ev AS (
+         |  SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS week,
+         |         ${portableHashSql("CAST(user_id AS VARCHAR)")} % 3 AS uh3,
+         |         ${portableHashSql("CAST(user_id AS VARCHAR)")} % 5 AS uh5
+         |  FROM events),
+         |wk AS (
+         |  SELECT week, row_number() OVER (ORDER BY week) - 1 AS i
+         |  FROM (SELECT DISTINCT week FROM ev)),
+         |g AS (
+         |  SELECT min(CASE WHEN i = 2 THEN week END) AS w_mid,
+         |         min(CASE WHEN i = 3 THEN week END) AS w3,
+         |         min(CASE WHEN i = 4 THEN week END) AS w_last
+         |  FROM wk),
+         |act AS (SELECT DISTINCT user_id, week, uh3, uh5 FROM ev),
+         |fe AS (
+         |  -- first arrival among the weekly (non-held) batches: always
+         |  -- admitted, always the first emission
+         |  SELECT a.user_id, min(a.week) AS fe
+         |  FROM act a, g
+         |  WHERE NOT (a.uh3 = 0 AND a.week = g.w_last)
+         |    AND NOT (a.uh5 = 1 AND a.week = g.w_mid)
+         |  GROUP BY 1),
+         |emit1 AS (SELECT user_id, fe AS week FROM fe),
+         |emit2 AS (
+         |  -- arrival-5 re-emission: a held last-week row emits iff the
+         |  -- user's state is dead by then — evicted (expiry fe+10d below
+         |  -- the batch's eviction watermark w3-10d) or never created
+         |  SELECT a.user_id, g.w_last AS week
+         |  FROM act a
+         |  JOIN g ON a.week = g.w_last
+         |  LEFT JOIN fe ON fe.user_id = a.user_id
+         |  WHERE a.uh3 = 0
+         |    AND (fe.fe IS NULL OR fe.fe + INTERVAL 20 DAY < g.w3))
+         |-- arrival 6 (held mid-week rows) never emits: w_mid sits below
+         |-- that batch's late watermark w_last - 10 days
+         |SELECT user_id, ${tsSecSql("week")} AS week FROM (
+         |  SELECT * FROM emit1 UNION ALL SELECT * FROM emit2)
+         |ORDER BY user_id, week""".stripMargin)
   )
 
   /** State-store partition sizing: a stateful streaming query FIXES its

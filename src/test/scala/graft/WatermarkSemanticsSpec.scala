@@ -69,4 +69,62 @@ class WatermarkSemanticsSpec extends SparkSpec {
       }
     }
   }
+
+  test("dropDuplicatesWithinWatermark: no expiry refresh, evict-then-re-emit, lagged late filter") {
+    // the three behaviors st12's closed-form oracle encodes, pinned on
+    // MemoryStream so a Spark semantics change fails HERE by name:
+    // 1. a deduped duplicate does NOT refresh the state expiry (the
+    //    10:45 dup would push expiry to 10:55 and survive eviction at
+    //    10:50 if it did — then b3 would dedup instead of re-emit);
+    // 2. state eviction uses the current batch's watermark at batch END
+    //    (the 10:45 dup is still deduped by the state evicted in the
+    //    same batch), and an evicted key RE-EMITS on its next row;
+    // 3. the late-input filter lags eviction by one batch (the 09:00
+    //    row in b4 is dropped by the caught-up 10:50 filter).
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    val in = MemoryStream[(Long, Timestamp)]
+    val deduped = in.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id")
+    val q = deduped.writeStream.format("memory").queryName("wm_dedup_probe")
+      .outputMode("append").start()
+    try {
+      // b0: first occurrence — emits; state expiry 10:10
+      in.addData((1L, ts("2019-07-01 10:00:00"))); q.processAllAvailable()
+      // b1: new key — emits; advances max event time to 11:00
+      in.addData((2L, ts("2019-07-01 11:00:00"))); q.processAllAvailable()
+      // b2: duplicate of key 1 — deduped (state live during the batch);
+      // at batch END the eviction wm is 10:50 (b1's max − delay) and the
+      // UNREFRESHED expiry 10:10 sits below it → state evicted
+      in.addData((1L, ts("2019-07-01 10:45:00"))); q.processAllAvailable()
+      // b3: key 1 again, above the (lagging) 10:50 late filter — state
+      // is gone, so the row RE-EMITS
+      in.addData((1L, ts("2019-07-01 10:58:00"))); q.processAllAvailable()
+      // b4: the late filter has caught up to 10:50 — dropped on input
+      in.addData((1L, ts("2019-07-01 09:00:00"))); q.processAllAvailable()
+
+      val rows = s.sql("SELECT user_id, ts FROM wm_dedup_probe")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSeq.sorted
+      assert(rows == Seq(
+        (1L, ts("2019-07-01 10:00:00")),
+        (1L, ts("2019-07-01 10:58:00")),
+        (2L, ts("2019-07-01 11:00:00"))),
+        s"expected first-emit + re-emit + second key, got: $rows")
+      val drops = q.recentProgress.toSeq.flatMap(p =>
+        Option(p.stateOperators).toSeq.flatMap(_.toSeq.map(_.numRowsDroppedByWatermark)))
+      assert(drops.sum == 1,
+        s"exactly b4's row must be dropped by the late filter; per-batch drops: $drops")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
 }
