@@ -1295,66 +1295,132 @@ object VectorQueries {
     //    folds are bit-identical IEEE on both engines) so the compare
     //    is exact. ──
     ("v19_ann_ivfpq",
+      (s: SparkSession, dir: String) =>
+        ivfPqTopK(s, dir).orderBy(col("q_id"), col("rank")),
+      s"""WITH $ivfPqOracleCtes
+         |SELECT q_id, rank, vec_id, adc_us FROM ivfpq
+         |ORDER BY q_id, rank""".stripMargin),
+
+    // ── v20: the IVFADC index's in-pipeline quality evaluation — the
+    //    v10/v12/v14/v17 discipline applied to v19, completing the
+    //    eval symmetry (every ANN variant in the catalog ships with its
+    //    judged recall row): per-query recall@5 of the cell-pruned ADC
+    //    top-5 against the EXACT full-vector squared-L2 top-5
+    //    (micro-unit BIGINTs, bit-exact on both engines). This is the
+    //    number an index tuner actually watches when trading nprobe and
+    //    code size against recall — and it is itself one relational
+    //    query, so the 100 TB evaluation runs where the index lives
+    //    instead of exporting candidates to a driver script. ──
+    ("v20_ann_recall_ivfpq",
       (s: SparkSession, dir: String) => {
-        // the index BUILD is one scan-shaped pass: the coarse cell rides
-        // along from the quantizer assignment into the subspace slicing,
-        // so codes and cell land in the same row — exactly how a real
-        // index stores them — and the plan never self-joins the corpus
-        val a = seedAssigned(s, dir)
-        val codes0 = Tables(s, dir, "embeddings").where(col("vec_id") < 8)
-          .select(col("vec_id").as("code_id"), subSlices(col("embedding")).as("e"))
-          .select(col("e.j").as("j"), col("code_id"), col("e.sub").as("csub"))
-        // compressed corpus: each vector's NSub code bytes, tagged with
-        // its coarse cell — the stored index
-        val asg = a
-          .select(col("vec_id"), col("cell"), subSlices(col("embedding")).as("e"))
-          .select(col("vec_id"), col("cell"), col("e.j").as("j"), col("e.sub").as("sub"))
-          .join(broadcast(codes0), Seq("j"))
-          .groupBy(col("vec_id"), col("cell"), col("j"))
-          .agg(min(struct(subD2(col("sub"), col("csub")).as("d2"), col("code_id"))).as("w"))
-          .select(col("vec_id"), col("cell"), col("j"), col("w.code_id").as("code_id"))
-        // per-query ADC lookup table, tagged with the query's cell (the
-        // probe target); 10 queries × NSub × 8 codes — broadcast-sized
-        // at any corpus size
-        val qtab = a.where(col("vec_id") >= 10 && col("vec_id") < 20)
-          .select(col("vec_id").as("q_id"), col("cell"), subSlices(col("embedding")).as("e"))
-          .select(col("q_id"), col("cell"), col("e.j").as("j"), col("e.sub").as("qsub"))
-          .join(broadcast(codes0), Seq("j"))
-          .select(col("q_id"), col("cell"), col("j"), col("code_id"),
-            round(subD2(col("qsub"), col("csub")) * 1000000).cast("long").as("ql"))
-        val wRank = Window.partitionBy(col("q_id"))
-          .orderBy(col("adc_us"), col("vec_id"))
-        asg.join(broadcast(qtab), Seq("cell", "j", "code_id"))
+        val emb = Tables(s, dir, "embeddings")
+        val approx = ivfPqTopK(s, dir).select(col("q_id"), col("vec_id"))
+        val qs = emb.where(col("vec_id") >= 10 && col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val wq = Window.partitionBy(col("q_id"))
+          .orderBy(col("d2_us"), col("vec_id"))
+        val exact = broadcast(qs).crossJoin(emb)
           .where(col("vec_id") =!= col("q_id"))
-          .groupBy(col("q_id"), col("vec_id"))
-          .agg(sum(col("ql")).as("adc_us"))
-          .withColumn("rank", row_number().over(wRank))
+          .withColumn("d2_us",
+            round(subD2(col("q_emb"), col("embedding")) * 1000000).cast("long"))
+          .withColumn("rank", row_number().over(wq))
           .where(col("rank") <= 5)
-          .select(col("q_id"), col("rank").cast("long").as("rank"),
-            col("vec_id"), col("adc_us"))
-          .orderBy(col("q_id"), col("rank"))
+          .select(col("q_id"), col("vec_id"))
+        val hits = approx.join(exact, Seq("q_id", "vec_id"), "left_semi")
+          .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+        exact.groupBy(col("q_id")).agg(count(lit(1)).as("k"))
+          .join(hits, Seq("q_id"), "left")
+          .select(col("q_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("k"),
+            round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("k").cast("double"), 4)
+              .as("recall"))
+          .orderBy(col("q_id"))
       },
-      s"""WITH $ivfAssignCtes,
-         |$pqEncodeCtes,
-         |qcell AS (
-         |  SELECT vec_id AS q_id, cell FROM assigned
-         |  WHERE vec_id >= 10 AND vec_id < 20),
-         |score AS (
-         |  SELECT q.q_id, a.vec_id, CAST(sum(q.ql) AS BIGINT) AS adc_us
-         |  FROM asg a
-         |  JOIN assigned v ON v.vec_id = a.vec_id
-         |  JOIN qcell qc ON qc.cell = v.cell
-         |  JOIN qtab q ON q.q_id = qc.q_id AND q.j = a.j AND q.code_id = a.code_id
-         |  WHERE a.vec_id <> qc.q_id
-         |  GROUP BY 1, 2),
-         |ranked AS (
-         |  SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, adc_us FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY q_id
-         |              ORDER BY adc_us, vec_id) AS rank
-         |    FROM score) WHERE rank <= 5)
-         |SELECT q_id, rank, vec_id, adc_us FROM ranked
-         |ORDER BY q_id, rank""".stripMargin)
+      s"""WITH $ivfPqOracleCtes,
+         |exact AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.vec_id AS q_id, e.vec_id,
+         |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |             CAST(round(${pqD2Sql("q.embedding", "e.embedding", "0", Dim)} * 1000000, 0) AS BIGINT),
+         |             e.vec_id) AS rank
+         |    FROM embeddings q, embeddings e
+         |    WHERE q.vec_id >= 10 AND q.vec_id < 20 AND e.vec_id <> q.vec_id)
+         |  WHERE rank <= 5),
+         |hits AS (
+         |  SELECT a.q_id, CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM ivfpq a WHERE EXISTS (
+         |    SELECT 1 FROM exact x WHERE x.q_id = a.q_id AND x.vec_id = a.vec_id)
+         |  GROUP BY 1)
+         |SELECT k.q_id, coalesce(h.n_hit, 0) AS n_hit, k.k,
+         |       round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(k.k AS DOUBLE), 4) AS recall
+         |FROM (SELECT q_id, CAST(count(*) AS BIGINT) AS k FROM exact GROUP BY 1) k
+         |LEFT JOIN hits h ON h.q_id = k.q_id
+         |ORDER BY k.q_id""".stripMargin)
   )
+
+  /** v19's IVFADC probe (the v05 coarse quantizer composed with the v16
+    * PQ/ADC scorer), shared with the v20 recall evaluation. The index
+    * BUILD is one scan-shaped pass: the coarse cell rides along from the
+    * quantizer assignment into the subspace slicing, so codes and cell
+    * land in the same row — exactly how a real index stores them — and
+    * the plan never self-joins the corpus. Returns (q_id, rank, vec_id,
+    * adc_us), unordered — judged callers add their own orderBy. */
+  private def ivfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val a = seedAssigned(s, dir)
+    val codes0 = Tables(s, dir, "embeddings").where(col("vec_id") < 8)
+      .select(col("vec_id").as("code_id"), subSlices(col("embedding")).as("e"))
+      .select(col("e.j").as("j"), col("code_id"), col("e.sub").as("csub"))
+    // compressed corpus: each vector's NSub code bytes, tagged with its
+    // coarse cell — the stored index
+    val asg = a
+      .select(col("vec_id"), col("cell"), subSlices(col("embedding")).as("e"))
+      .select(col("vec_id"), col("cell"), col("e.j").as("j"), col("e.sub").as("sub"))
+      .join(broadcast(codes0), Seq("j"))
+      .groupBy(col("vec_id"), col("cell"), col("j"))
+      .agg(min(struct(subD2(col("sub"), col("csub")).as("d2"), col("code_id"))).as("w"))
+      .select(col("vec_id"), col("cell"), col("j"), col("w.code_id").as("code_id"))
+    // per-query ADC lookup table, tagged with the query's cell (the
+    // probe target); 10 queries × NSub × 8 codes — broadcast-sized at
+    // any corpus size
+    val qtab = a.where(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("cell"), subSlices(col("embedding")).as("e"))
+      .select(col("q_id"), col("cell"), col("e.j").as("j"), col("e.sub").as("qsub"))
+      .join(broadcast(codes0), Seq("j"))
+      .select(col("q_id"), col("cell"), col("j"), col("code_id"),
+        round(subD2(col("qsub"), col("csub")) * 1000000).cast("long").as("ql"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_us"), col("vec_id"))
+    asg.join(broadcast(qtab), Seq("cell", "j", "code_id"))
+      .where(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("ql")).as("adc_us"))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= 5)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("adc_us"))
+  }
+
+  /** Oracle CTE chain producing v19's (q_id, rank, vec_id, adc_us) as
+    * `ivfpq` — [[ivfAssignCtes]] + [[pqEncodeCtes]] + the cell-pruned
+    * ADC score; shared by the v19 and v20 oracles. */
+  private def ivfPqOracleCtes: String =
+    s"""$ivfAssignCtes,
+       |$pqEncodeCtes,
+       |qcell AS (
+       |  SELECT vec_id AS q_id, cell FROM assigned
+       |  WHERE vec_id >= 10 AND vec_id < 20),
+       |score AS (
+       |  SELECT q.q_id, a.vec_id, CAST(sum(q.ql) AS BIGINT) AS adc_us
+       |  FROM asg a
+       |  JOIN assigned v ON v.vec_id = a.vec_id
+       |  JOIN qcell qc ON qc.cell = v.cell
+       |  JOIN qtab q ON q.q_id = qc.q_id AND q.j = a.j AND q.code_id = a.code_id
+       |  WHERE a.vec_id <> qc.q_id
+       |  GROUP BY 1, 2),
+       |ivfpq AS (
+       |  SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, adc_us FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |              ORDER BY adc_us, vec_id) AS rank
+       |    FROM score) WHERE rank <= 5)""".stripMargin
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap
   def oracle: Map[String, String] = catalog.map { case (n, _, o) => n -> o }.toMap
