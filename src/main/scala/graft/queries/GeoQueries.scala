@@ -1339,7 +1339,132 @@ object GeoQueries {
          |       CAST(sum(is_move) AS BIGINT) AS n_moves,
          |       (CAST(sum(is_move) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
          |         AS move_frac_ppm
-         |FROM slots GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+         |FROM slots GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // ── g31: gravity-model distance decay — fit the power-law exponent
+    //    of OD flow vs distance (flow ∝ dist^(-c), the canonical
+    //    mobility-science statistic the reference's OD matrices feed:
+    //    log-log OLS of aggregate flow on inter-centroid distance).
+    //    Everything is one aggregation tree: region centroids are exact
+    //    scaled-long means of fix coordinates, flows come from the g09
+    //    transition generator, and the regression reduces to FIVE
+    //    integer sums (Σx, Σy, Σxy, Σx², Σy² as round(·×1e6) BIGINTs —
+    //    exact and order-independent, so a 1000-executor shuffle sums
+    //    them bit-identically) followed by one closed-form Cramer solve
+    //    on the single reduced row. No driver loop, no gradient
+    //    iterations, no collect: the fit costs one pass over the OD
+    //    pairs regardless of corpus size, and the pair table itself is
+    //    region²-bounded. ln() may differ by ≤1 ulp across engines;
+    //    the ×1e6 rounding makes a cross-engine mismatch need a value
+    //    within ~1e-8 of a .5 boundary (the Portable haversine-class
+    //    tolerance). ──
+    ("g31_distance_decay",
+      (s: SparkSession, dir: String) => {
+        val k = fixKey(col("user_id"), col("ts"))
+        val lat = latFromKey(k)
+        val lon = lonFromKey(k)
+        val cent = Tables.events(s, dir)
+          .select(GeoFunctions.geohashCol(lat, lon, 3).as("region"),
+            round(lat * 10).cast("long").as("lat10"),
+            round(lon * 10).cast("long").as("lon10"))
+          .groupBy(col("region"))
+          .agg(sum(col("lat10")).as("slat"), sum(col("lon10")).as("slon"),
+            count(lit(1)).as("nfx"))
+          .select(col("region"),
+            ((col("slat").cast("double") / 10.0) / col("nfx").cast("double")).as("clat"),
+            ((col("slon").cast("double") / 10.0) / col("nfx").cast("double")).as("clon"))
+        val flows = Trajectory.transitions(Trajectory.hourlyState(Tables.events(s, dir)))
+          .where(col("src") =!= "0" && col("dst") =!= "0" && col("src") =!= col("dst"))
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("flow"))
+        val pairs = flows
+          .join(broadcast(cent.select(col("region").as("src"),
+            col("clat").as("s_lat"), col("clon").as("s_lon"))), Seq("src"))
+          .join(broadcast(cent.select(col("region").as("dst"),
+            col("clat").as("d_lat"), col("clon").as("d_lon"))), Seq("dst"))
+          .withColumn("dist_m", round(GeoFunctions.haversineCol(
+            col("s_lat"), col("s_lon"), col("d_lat"), col("d_lon")), 1))
+          .where(col("dist_m") > 0.0)
+          .withColumn("lxs", round(log(col("dist_m")) * 1000000).cast("long"))
+          .withColumn("lys", round(log(col("flow").cast("double")) * 1000000).cast("long"))
+          .withColumn("x", col("lxs").cast("double") / 1000000.0)
+          .withColumn("y", col("lys").cast("double") / 1000000.0)
+        val sums = pairs.agg(
+          count(lit(1)).as("n"),
+          sum(col("lxs")).as("sx"), sum(col("lys")).as("sy"),
+          sum(round(col("x") * col("y") * 1000000).cast("long")).as("sxy"),
+          sum(round(col("x") * col("x") * 1000000).cast("long")).as("sxx"),
+          sum(round(col("y") * col("y") * 1000000).cast("long")).as("syy"))
+        val nf = col("n").cast("double")
+        def d(c: String) = col(c).cast("double") / 1000000.0
+        val cov = nf * d("sxy") - d("sx") * d("sy")
+        val varx = nf * d("sxx") - d("sx") * d("sx")
+        val vary = nf * d("syy") - d("sy") * d("sy")
+        sums.select(col("n").as("n_pairs"),
+          round(cov / varx, 6).as("decay_exp"),
+          round((d("sy") - cov / varx * d("sx")) / nf, 6).as("intercept"),
+          round(cov * cov / (varx * vary), 6).as("r2"))
+      }, {
+        val k = fixKeySql("user_id", "ts")
+        val latS = latFromKeySql(k)
+        val lonS = lonFromKeySql(k)
+        s"""${Trajectory.trajSqlPrelude},
+           |seq AS (
+           |  SELECT user_id, hour, region,
+           |         lag(region) OVER (PARTITION BY user_id ORDER BY hour) AS src
+           |  FROM traj),
+           |flows AS (
+           |  SELECT src, region AS dst, CAST(count(*) AS BIGINT) AS flow
+           |  FROM seq
+           |  WHERE src IS NOT NULL AND src <> '0' AND region <> '0' AND src <> region
+           |  GROUP BY 1, 2),
+           |cfx AS (
+           |  SELECT ${geohashSql(latS, lonS, 3)} AS region,
+           |         CAST(round(($latS) * 10, 0) AS BIGINT) AS lat10,
+           |         CAST(round(($lonS) * 10, 0) AS BIGINT) AS lon10
+           |  FROM events),
+           |cent AS (
+           |  SELECT region,
+           |         (CAST(sum(lat10) AS DOUBLE) / 10.0) / CAST(count(*) AS DOUBLE) AS clat,
+           |         (CAST(sum(lon10) AS DOUBLE) / 10.0) / CAST(count(*) AS DOUBLE) AS clon
+           |  FROM cfx GROUP BY 1),
+           |dpairs AS (
+           |  SELECT f.flow,
+           |         round(${haversineSql("cs.clat", "cs.clon", "cd.clat", "cd.clon")}, 1) AS dist_m
+           |  FROM flows f
+           |  JOIN cent cs ON cs.region = f.src
+           |  JOIN cent cd ON cd.region = f.dst),
+           |lv AS (
+           |  SELECT lxs, lys,
+           |         CAST(lxs AS DOUBLE) / 1000000.0 AS x,
+           |         CAST(lys AS DOUBLE) / 1000000.0 AS y
+           |  FROM (
+           |    SELECT CAST(round(ln(dist_m) * 1000000, 0) AS BIGINT) AS lxs,
+           |           CAST(round(ln(CAST(flow AS DOUBLE)) * 1000000, 0) AS BIGINT) AS lys
+           |    FROM dpairs WHERE dist_m > 0)),
+           |sums AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |         CAST(sum(lxs) AS BIGINT) AS sx,
+           |         CAST(sum(lys) AS BIGINT) AS sy,
+           |         CAST(sum(CAST(round(x * y * 1000000, 0) AS BIGINT)) AS BIGINT) AS sxy,
+           |         CAST(sum(CAST(round(x * x * 1000000, 0) AS BIGINT)) AS BIGINT) AS sxx,
+           |         CAST(sum(CAST(round(y * y * 1000000, 0) AS BIGINT)) AS BIGINT) AS syy
+           |  FROM lv),
+           |fin AS (
+           |  SELECT n, CAST(n AS DOUBLE) AS nf,
+           |         CAST(sx AS DOUBLE) / 1000000.0 AS dsx,
+           |         CAST(sy AS DOUBLE) / 1000000.0 AS dsy,
+           |         CAST(sxy AS DOUBLE) / 1000000.0 AS dsxy,
+           |         CAST(sxx AS DOUBLE) / 1000000.0 AS dsxx,
+           |         CAST(syy AS DOUBLE) / 1000000.0 AS dsyy
+           |  FROM sums)
+           |SELECT n AS n_pairs,
+           |       round((nf * dsxy - dsx * dsy) / (nf * dsxx - dsx * dsx), 6) AS decay_exp,
+           |       round((dsy - (nf * dsxy - dsx * dsy) / (nf * dsxx - dsx * dsx) * dsx) / nf, 6)
+           |         AS intercept,
+           |       round((nf * dsxy - dsx * dsy) * (nf * dsxy - dsx * dsy)
+           |             / ((nf * dsxx - dsx * dsx) * (nf * dsyy - dsy * dsy)), 6) AS r2
+           |FROM fin""".stripMargin
+      })
   )
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap

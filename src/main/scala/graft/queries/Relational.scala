@@ -1317,6 +1317,37 @@ object Relational {
          |       CAST(count(*) AS BIGINT) AS n_events
          |FROM f GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ── w09: ntile k-fold assignment — equal-depth cross-validation
+    //    folds per language, ordered by the portable hash (so folds are
+    //    pseudo-random yet deterministic and engine-independent; the
+    //    doc_id tiebreak makes the total order unique). ntile is the
+    //    one ranking window the catalog didn't cover; the partition key
+    //    is the BOUNDED lang column — per-partition sort state is
+    //    corpus-fraction-sized, never global (the unbounded-split path
+    //    is q02's pure hash-mod, which needs no sort at all — w09 is
+    //    the exact-equal-depth variant you pay a sort for). ──
+    ("w09_ntile_folds",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val w = Window.partitionBy($"lang")
+          .orderBy(Portable.portableHash($"doc_id".cast("string")), $"doc_id")
+        Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+          .withColumn("fold", ntile(5).over(w).cast("long"))
+          .groupBy($"lang", $"fold")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+          .orderBy($"lang", $"fold")
+      },
+      s"""WITH f AS (
+         |  SELECT lang, n_chars,
+         |         ntile(5) OVER (PARTITION BY lang ORDER BY
+         |           ${Portable.portableHashSql("CAST(doc_id AS VARCHAR)")}, doc_id) AS fold
+         |  FROM documents)
+         |SELECT lang, CAST(fold AS BIGINT) AS fold,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
     // ── W4: dense_rank ID minting (region.py:51-52; small dim only —
     //    the single-partition hazard is documented in SURVEY §4.2) ──
     ("w04_dense_rank",
@@ -1732,6 +1763,77 @@ object Relational {
          |  FROM cand WHERE h6 < thr)
          |SELECT doc_id, lang FROM ranked WHERE rk <= quota
          |ORDER BY doc_id""".stripMargin),
+
+    // ── q10: DSIR data selection (Xie et al. 2023) — importance ranking
+    //    of raw docs toward a target domain via hashed n-gram features:
+    //    bucket token unigrams into 64 hash buckets, estimate
+    //    Laplace-smoothed bucket distributions for the target (lang =
+    //    'en') and the raw corpus, and score each doc by its
+    //    log-importance Σ_b c_doc,b · (ln p̂_tgt(b) − ln p̂_raw(b)). The
+    //    pretraining-data-selection shape, 100 TB-safe at every step:
+    //    both distributions are 64-row hash aggs with map-side combine,
+    //    the per-bucket log-ratio TERM table is rounded ONCE to ×1e6
+    //    BIGINTs (deterministic doubles in, exact integers out) and
+    //    broadcast, so every per-doc score is an exact integer dot
+    //    product — order-independent under any shuffle — and the final
+    //    judged top-40 is a TakeOrderedAndProject, never a global sort.
+    //    (Full DSIR resamples by Gumbel-perturbed weights; the judged
+    //    form is the deterministic importance ranking — the stochastic
+    //    draw would thread the g29 counter-based RNG on top.) ──
+    ("q10_dsir_select",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val B = 64L
+        val toks = Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", explode(split($"text", " ")).as("w"))
+          .where(length($"w") > 0)
+          .select($"doc_id", $"lang", pmod(portableHash($"w"), lit(B)).as("b"))
+        val docBuckets = toks.groupBy($"doc_id", $"lang", $"b")
+          .agg(count(lit(1)).as("c"))
+        val rawB = toks.groupBy($"b").agg(count(lit(1)).as("rc"))
+        val tgtB = toks.where($"lang" === "en")
+          .groupBy($"b").agg(count(lit(1)).as("tc"))
+        val buckets = rawB.join(tgtB, Seq("b"), "left").na.fill(0L, Seq("tc"))
+        val totals = buckets.agg(sum($"rc").as("tot_r"), sum($"tc").as("tot_t"))
+        val terms = buckets.crossJoin(broadcast(totals))
+          .select($"b", round((
+            log(($"tc" + 1L).cast("double") / ($"tot_t" + B).cast("double")) -
+              log(($"rc" + 1L).cast("double") / ($"tot_r" + B).cast("double"))
+            ) * 1000000).cast("long").as("t"))
+        docBuckets.join(broadcast(terms), Seq("b"))
+          .groupBy($"doc_id", $"lang")
+          .agg(sum($"c" * $"t").as("w_ppm"))
+          .orderBy($"w_ppm".desc, $"doc_id")
+          .limit(40)
+      },
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, ${portableHashSql("w")} % 64 AS b
+         |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+         |        FROM documents)
+         |  WHERE length(w) > 0),
+         |db AS (
+         |  SELECT doc_id, lang, b, CAST(count(*) AS BIGINT) AS c
+         |  FROM toks GROUP BY 1, 2, 3),
+         |rawb AS (SELECT b, CAST(count(*) AS BIGINT) AS rc FROM toks GROUP BY 1),
+         |tgtb AS (
+         |  SELECT b, CAST(count(*) AS BIGINT) AS tc FROM toks
+         |  WHERE lang = 'en' GROUP BY 1),
+         |bk AS (
+         |  SELECT r.b, r.rc, coalesce(t.tc, 0) AS tc
+         |  FROM rawb r LEFT JOIN tgtb t USING (b)),
+         |tot AS (
+         |  SELECT CAST(sum(rc) AS BIGINT) AS tot_r,
+         |         CAST(sum(tc) AS BIGINT) AS tot_t FROM bk),
+         |terms AS (
+         |  SELECT b, CAST(round((
+         |           ln(CAST(tc + 1 AS DOUBLE) / CAST(tot_t + 64 AS DOUBLE))
+         |         - ln(CAST(rc + 1 AS DOUBLE) / CAST(tot_r + 64 AS DOUBLE))
+         |         ) * 1000000, 0) AS BIGINT) AS t
+         |  FROM bk, tot)
+         |SELECT d.doc_id, d.lang, CAST(sum(d.c * tm.t) AS BIGINT) AS w_ppm
+         |FROM db d JOIN terms tm USING (b)
+         |GROUP BY 1, 2
+         |ORDER BY w_ppm DESC, d.doc_id LIMIT 40""".stripMargin),
 
     // ── a17: Count-Min frequency sketch — the sketch family member that
     //    IS fully hash-judgeable (pure integer arithmetic, unlike the

@@ -30,6 +30,14 @@ object VectorQueries {
   private val Dim = 64
   private val NPlanes = 4
 
+  /** v21's prefix-truncation geometry: stage 1 folds only the first
+    * [[MrlDim]] of [[Dim]] elements; the rerank set is [[Shortlist]]
+    * rows per query. (Declared up here with [[Dim]]: the catalog's
+    * oracle strings interpolate these at object-init time, so a
+    * declaration after `catalog` would read as 0.) */
+  private val MrlDim = 16
+  private val Shortlist = 16
+
   /** Skew guard for the v04 pair-generating bucket self-join (the t06
     * `BandCap` pattern): a bucket holding n vectors makes n²/2 candidate
     * pairs, and the 8-plane bucket space is FIXED (256 values), so at
@@ -1354,8 +1362,148 @@ object VectorQueries {
          |       round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(k.k AS DOUBLE), 4) AS recall
          |FROM (SELECT q_id, CAST(count(*) AS BIGINT) AS k FROM exact GROUP BY 1) k
          |LEFT JOIN hits h ON h.q_id = k.q_id
-         |ORDER BY k.q_id""".stripMargin)
+         |ORDER BY k.q_id""".stripMargin),
+
+    // ── v21: Matryoshka (MRL) two-stage funnel — stage 1 scores every
+    //    candidate on the FIRST MrlDim dims only (MRL-trained embeddings
+    //    nest: any prefix is itself a valid lower-dim embedding of the
+    //    same object), keeps a Shortlist-wide candidate set per query,
+    //    stage 2 rescores just that shortlist at full Dim precision.
+    //    The production coarse-to-fine rerank shape: stage-1 fold cost
+    //    per candidate drops Dim/MrlDim = 4×, and stage-2 cost is
+    //    shortlist-bounded (16 rows per query) at ANY corpus size. The
+    //    stage-1 sweep composes with any candidate generator in the
+    //    catalog (v05/v11 cells, v19 ADC) — judged here over the full
+    //    corpus so the funnel itself, not the generator, is what the
+    //    oracle checks. ──
+    ("v21_mrl_funnel",
+      (s: SparkSession, dir: String) =>
+        mrlFunnel(s, dir).orderBy(col("q_id"), col("rank")),
+      s"""WITH $mrlOracleCtes
+         |SELECT q_id, rank, vec_id, cos FROM mrl
+         |ORDER BY q_id, rank""".stripMargin),
+
+    // ── v22: the funnel's judged recall@3 vs the exact full-dim top-3
+    //    (the v10/v12/v14/v17/v20 discipline — every retrieval variant
+    //    ships with its in-pipeline quality row). This is the number
+    //    that prices the Matryoshka trade: how much of the exact
+    //    neighborhood survives scoring 4×-cheaper prefixes first. ──
+    ("v22_ann_recall_mrl",
+      (s: SparkSession, dir: String) => recallOf(mrlFunnel(s, dir), s, dir),
+      s"""WITH $mrlOracleCtes,
+         |${recallTailSql("mrl")}""".stripMargin),
+
+    // ── v23: hard-negative mining — the contrastive-training data-prep
+    //    step (DPR/Contriever recipe): for each anchor, the top-3 most
+    //    cosine-similar vectors with a DIFFERENT label. Same sweep
+    //    shape as v01 (broadcast anchors × corpus, one pass), with the
+    //    label inequality pushed into the join condition so same-class
+    //    candidates never reach the rank window; at scale the sweep
+    //    swaps for any catalog candidate generator and the label filter
+    //    rides along unchanged. ──
+    ("v23_hard_negatives",
+      (s: SparkSession, dir: String) => {
+        val emb = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            col("embedding"), normCol(col("embedding")).as("nrm"))
+        val anchors = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+            col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        broadcast(anchors).crossJoin(emb)
+          .where(col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+          .withColumn("cos", cosPre(dotNative(col("q_emb"), col("embedding")),
+            col("q_nrm"), col("nrm")))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 3)
+          .select(col("q_id"), col("q_label"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("label").as("neg_label"), col("cos"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
+         |         ${normSql("embedding")} AS nrm FROM embeddings),
+         |q AS (
+         |  SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb,
+         |         nrm AS q_nrm FROM e WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.q_id, q.q_label, e.vec_id, e.label AS neg_label,
+         |         ${cosPreSql(dotFoldSql("q.q_emb", "e.embedding", 64), "q.q_nrm", "e.nrm")} AS cos
+         |  FROM q, e WHERE e.vec_id <> q.q_id AND e.label <> q.q_label),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |            ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM scored)
+         |SELECT q_id, q_label, CAST(rank AS BIGINT) AS rank, vec_id,
+         |       neg_label, cos
+         |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)
   )
+
+  /** v21's two-stage funnel, shared with the v22 recall evaluation.
+    * Stage 1 is the v01 broadcast-queries × corpus sweep but folding
+    * [[MrlDim]]-length prefixes (`slice` keeps the fold order identical
+    * to the oracle's `generate_series(1, 16)` fold); stage 2 rescores
+    * the per-query shortlist with the full-width native fold. Both
+    * ranks tie-break on vec_id, so the shortlist and the final top-3
+    * are deterministic on both engines. Returns (q_id, rank, vec_id,
+    * cos), unordered — judged callers add their own orderBy. */
+  private def mrlFunnel(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        slice(col("embedding"), 1, MrlDim).as("pfx"))
+      .select(col("vec_id"), col("embedding"), col("pfx"),
+        normCol(col("embedding")).as("nrm"),
+        sqrt(dotNative(col("pfx"), col("pfx"))).as("pnrm"))
+    val qs = emb.where(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("pfx").as("q_pfx"), col("nrm").as("q_nrm"), col("pnrm").as("q_pnrm"))
+    val wP = Window.partitionBy(col("q_id"))
+      .orderBy(col("pcos").desc, col("vec_id").asc)
+    val wF = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    broadcast(qs).crossJoin(emb)
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("pcos", cosPre(dotNative(col("q_pfx"), col("pfx")),
+        col("q_pnrm"), col("pnrm")))
+      .withColumn("prank", row_number().over(wP))
+      .where(col("prank") <= Shortlist)
+      .withColumn("cos", cosPre(dotNative(col("q_emb"), col("embedding")),
+        col("q_nrm"), col("nrm")))
+      .withColumn("rank", row_number().over(wF))
+      .where(col("rank") <= 3)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("cos"))
+  }
+
+  /** Oracle CTE chain producing v21's (q_id, rank, vec_id, cos) as
+    * `mrl` — prefix-fold shortlist, full-fold rerank; shared by the
+    * v21 and v22 oracles. CTE names are m-prefixed so [[recallTailSql]]
+    * can append its own `e`/`bq`/... chain without collision. */
+  private def mrlOracleCtes: String =
+    s"""me AS (
+       |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+       |         sqrt(${dotFoldSql("embedding", "embedding", MrlDim)}) AS pnrm
+       |  FROM embeddings),
+       |mq AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, pnrm AS q_pnrm
+       |  FROM me WHERE vec_id >= 10 AND vec_id < 20),
+       |mshort AS (
+       |  SELECT q_id, vec_id, q_emb, q_nrm, embedding, nrm FROM (
+       |    SELECT mq.q_id, x.vec_id, mq.q_emb, mq.q_nrm, x.embedding, x.nrm,
+       |           row_number() OVER (PARTITION BY mq.q_id ORDER BY
+       |             ${cosPreSql(dotFoldSql("mq.q_emb", "x.embedding", MrlDim), "mq.q_pnrm", "x.pnrm")} DESC,
+       |             x.vec_id ASC) AS prank
+       |    FROM mq, me x WHERE x.vec_id <> mq.q_id)
+       |  WHERE prank <= $Shortlist),
+       |mrl AS (
+       |  SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos FROM (
+       |    SELECT q_id, vec_id,
+       |           ${cosPreSql(dotFoldSql("q_emb", "embedding", Dim), "q_nrm", "nrm")} AS cos,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY
+       |             ${cosPreSql(dotFoldSql("q_emb", "embedding", Dim), "q_nrm", "nrm")} DESC,
+       |             vec_id ASC) AS rank
+       |    FROM mshort) WHERE rank <= 3)""".stripMargin
 
   /** v19's IVFADC probe (the v05 coarse quantizer composed with the v16
     * PQ/ADC scorer), shared with the v20 recall evaluation. The index

@@ -526,4 +526,56 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p)
     assert("Exchange rangepartitioning".r.findAllIn(p).size == 1, p)
   }
+
+  test("v21: funnel stage 1 broadcasts the queries; stage 2 never rejoins the corpus") {
+    // the funnel's scale claim: ONE broadcast-nested-loop sweep (10
+    // queries against the corpus scan) feeds both stages — the rerank
+    // is a second window over the 16-row-per-query shortlist, NOT a
+    // second corpus join, so full-width fold cost is shortlist-bounded
+    val p = plan("v21_mrl_funnel")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert("Window \\[row_number".r.findAllIn(p).size == 2, p)
+    assert("FileScan parquet".r.findAllIn(p).size == 2, p)
+    // stage 1's rank<=16 plans a PARTIAL WindowGroupLimit below the
+    // exchange: each map task ships at most 16 candidates per query,
+    // so the shuffle is shortlist-sized, not corpus-sized
+    assert(p.contains("row_number(), 16, Partial"), p)
+  }
+
+  test("g31: centroid joins broadcast; the regression is one partial-aggregated reduce") {
+    // the fit's scale claim: the region-centroid table joins the
+    // region²-bounded flow table by BROADCAST (twice — src and dst
+    // side), and the five OLS sums partial-aggregate map-side into a
+    // single reduced row — no driver loop, no global sort, no
+    // SortMergeJoin anywhere in the fit
+    val p = plan("g31_distance_decay")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q10: DSIR terms broadcast onto doc buckets; top-40 is TakeOrdered, no global sort") {
+    // the selection's scale claim: the 64-row log-ratio term table
+    // BROADCASTS onto the per-doc bucket counts (a SortMergeJoin here
+    // would shuffle the whole bucketed corpus), the integer dot product
+    // partial-aggregates map-side, and the judged top-40 plans as
+    // TakeOrderedAndProject — no corpus-wide sort at any scale
+    val p = plan("q10_dsir_select")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("w09: ntile folds need exactly one shuffle — the bounded lang partition") {
+    // equal-depth folds pay ONE hashpartitioning exchange (the lang
+    // window sort); the per-(lang, fold) aggregation reuses that
+    // partitioning (lang ⊆ grouping keys), so no second shuffle before
+    // the presentation sort
+    val p = plan("w09_ntile_folds")
+    assert("Window".r.findAllIn(p).size == 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert("Exchange rangepartitioning".r.findAllIn(p).size == 1, p)
+  }
 }

@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics checks for the round-9 additions: the v21 Matryoshka funnel
+  * (driver-side brute-force cross-check), the g31 distance-decay fit
+  * (plain-double OLS vs the judged scaled-long form), and w09's
+  * equal-depth fold invariants. */
+class Round9bOpsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("v21: funnel top-3 equals a driver-side brute-force two-stage rerank") {
+    val embs = graft.engine.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def dot(a: Array[Float], b: Array[Float], n: Int): Double = {
+      var s = 0.0; var i = 0
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    val expected = embs.filter { case (id, _) => id >= 10 && id < 20 }
+      .sortBy(_._1).flatMap { case (qid, q) =>
+        val qn = math.sqrt(dot(q, q, 64)); val qpn = math.sqrt(dot(q, q, 16))
+        val short = embs.filter(_._1 != qid)
+          .map { case (id, e) =>
+            (id, e, round6(dot(q, e, 16) / (qpn * math.sqrt(dot(e, e, 16)))))
+          }
+          .sortBy { case (id, _, pcos) => (-pcos, id) }.take(16)
+        short
+          .map { case (id, e, _) =>
+            (id, round6(dot(q, e, 64) / (qn * math.sqrt(dot(e, e, 64)))))
+          }
+          .sortBy { case (id, cos) => (-cos, id) }.take(3).zipWithIndex
+          .map { case ((id, cos), i) => (qid, (i + 1).toLong, id, cos) }
+      }.toSeq
+    val got = SparkEntry.queries("v21_mrl_funnel")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toSeq
+    assert(got.map(t => (t._1, t._2, t._3)) == expected.map(t => (t._1, t._2, t._3)),
+      s"got $got expected $expected")
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._4 - e._4) < 1e-9, s"cos drift: $g vs $e")
+    }
+  }
+
+  test("v22: funnel recall is in (0, 1] and the funnel can only lose vs exact") {
+    val rows = SparkEntry.queries("v22_ann_recall_mrl")(spark, dir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val recall = r.getAs[Double]("recall")
+      val nHit = r.getAs[Long]("n_hit"); val k = r.getAs[Long]("k")
+      assert(k == 3L && nHit >= 0L && nHit <= k, r.toString)
+      assert(recall >= 0.0 && recall <= 1.0, r.toString)
+    }
+    // the 16-wide shortlist must beat chance by orders of magnitude
+    // (chance = 16/corpus ≈ 1%). The synthetic embeddings are random,
+    // not MRL-trained — prefixes carry only 16/64 of the signal — so a
+    // trained-model recall bar (0.9+) would be wrong here; 0.2 proves
+    // the prefix stage is really ranking, not sampling.
+    val total = rows.map(_.getAs[Long]("n_hit")).sum.toDouble /
+      rows.map(_.getAs[Long]("k")).sum.toDouble
+    assert(total >= 0.2, s"funnel recall collapsed: $total")
+  }
+
+  test("g31: the scaled-long OLS equals a plain-double driver-side fit") {
+    // flows re-derived from the independently judged g09 OD matrix
+    val flows = SparkEntry.queries("g09_mobility_od")(spark, dir)
+      .groupBy(col("src"), col("dst")).agg(sum(col("cnt")).as("flow"))
+      .where(col("src") =!= "0" && col("dst") =!= "0" && col("src") =!= col("dst"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // centroids re-derived with plain double means (no scaled-long sums)
+    val k = graft.queries.Portable.fixKey(col("user_id"), col("ts"))
+    val cent = graft.engine.Tables(spark, dir, "events")
+      .select(graft.functions.GeoFunctions.geohashCol(
+          graft.queries.Portable.latFromKey(k),
+          graft.queries.Portable.lonFromKey(k), 3).as("region"),
+        graft.queries.Portable.latFromKey(k).as("lat"),
+        graft.queries.Portable.lonFromKey(k).as("lon"))
+      .collect().groupBy(_.getString(0))
+      .map { case (rg, rows) =>
+        rg -> (rows.map(_.getDouble(1)).sum / rows.length,
+               rows.map(_.getDouble(2)).sum / rows.length)
+      }
+    def hav(la1: Double, lo1: Double, la2: Double, lo2: Double): Double = {
+      val dLat = math.toRadians(la2 - la1); val dLon = math.toRadians(lo2 - lo1)
+      val a = math.sin(dLat / 2) * math.sin(dLat / 2) +
+        math.cos(math.toRadians(la1)) * math.cos(math.toRadians(la2)) *
+          math.sin(dLon / 2) * math.sin(dLon / 2)
+      2 * 6372800.0 * math.atan2(math.sqrt(a), math.sqrt(1 - a))
+    }
+    val xy = flows.flatMap { case (srcRg, dstRg, flow) =>
+      for ((sLat, sLon) <- cent.get(srcRg); (dLat, dLon) <- cent.get(dstRg);
+           d = hav(sLat, sLon, dLat, dLon) if d > 0.05)
+        yield (math.log(d), math.log(flow.toDouble))
+    }
+    val n = xy.length.toDouble
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxy = xy.map(t => t._1 * t._2).sum; val sxx = xy.map(t => t._1 * t._1).sum
+    val syy = xy.map(t => t._2 * t._2).sum
+    val cov = n * sxy - sx * sy; val varx = n * sxx - sx * sx
+    val vary = n * syy - sy * sy
+    val row = SparkEntry.queries("g31_distance_decay")(spark, dir).collect().head
+    assert(row.getAs[Long]("n_pairs") == xy.length.toLong, row.toString)
+    assert(math.abs(row.getAs[Double]("decay_exp") - cov / varx) < 1e-3, row.toString)
+    assert(math.abs(row.getAs[Double]("intercept") - (sy - cov / varx * sx) / n) < 1e-3,
+      row.toString)
+    assert(math.abs(row.getAs[Double]("r2") - cov * cov / (varx * vary)) < 1e-3,
+      row.toString)
+    val r2 = row.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0, s"r2 out of range: $r2")
+  }
+
+  test("v23: hard negatives always cross labels and are the best cross-label candidates") {
+    val embs = graft.engine.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2).toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < 64) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    val got = SparkEntry.queries("v23_hard_negatives")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("q_label"),
+        r.getAs[Long]("rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("neg_label"), r.getAs[Double]("cos")))
+    assert(got.length == 30)
+    val byId = embs.map(e => e._1 -> e).toMap
+    got.foreach { case (qid, qLabel, _, vid, negLabel, _) =>
+      assert(byId(qid)._2 == qLabel && byId(vid)._2 == negLabel, s"$qid/$vid")
+      assert(negLabel != qLabel, s"same-label negative for anchor $qid: $vid")
+    }
+    // rank-1 negative = the brute-force best cross-label candidate
+    got.filter(_._3 == 1L).foreach { case (qid, qLabel, _, vid, _, _) =>
+      val q = byId(qid)._3
+      val qn = math.sqrt(dot(q, q))
+      val best = embs.filter(e => e._1 != qid && e._2 != qLabel)
+        .map(e => (e._1, round6(dot(q, e._3) / (qn * math.sqrt(dot(e._3, e._3))))))
+        .minBy { case (id, c) => (-c, id) }._1
+      assert(vid == best, s"anchor $qid: got $vid expected $best")
+    }
+  }
+
+  test("q10: DSIR importance scores equal a driver-side hashed-ngram recompute") {
+    val docs = graft.engine.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // driver-side twin of the portable hash → bucket
+    val hashed = graft.engine.Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .select(col("doc_id"),
+        pmod(graft.queries.Portable.portableHash(col("w")), lit(64L)).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lang = docs.map(d => d._1 -> d._2).toMap
+    val rawB = hashed.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val tgtB = hashed.filter(h => lang(h._1) == "en")
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val totR = rawB.values.sum; val totT = tgtB.values.sum
+    val term: Map[Long, Long] = rawB.map { case (b, rc) =>
+      val tc = tgtB.getOrElse(b, 0L)
+      val lt = math.log((tc + 1).toDouble / (totT + 64).toDouble)
+      val lr = math.log((rc + 1).toDouble / (totR + 64).toDouble)
+      b -> BigDecimal((lt - lr) * 1000000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val weights = hashed.groupBy(_._1).view.mapValues { hs =>
+      hs.groupBy(_._2).map { case (b, g) => g.length.toLong * term(b) }.sum
+    }.toMap
+    val expected = weights.toSeq.map { case (id, w) => (id, lang(id), w) }
+      .sortBy { case (id, _, w) => (-w, id) }.take(40)
+    val got = SparkEntry.queries("q10_dsir_select")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("w_ppm"))).toSeq
+    assert(got == expected, s"got ${got.take(5)}... expected ${expected.take(5)}...")
+    // the target-domain docs must actually rank up: the top-40 should be
+    // majority-'en' (that is the entire point of the importance weight)
+    assert(got.count(_._2 == "en") > 20, got.map(_._2).mkString(","))
+  }
+
+  test("w09: folds are 1..5, equal-depth within ±1, and partition each language exactly") {
+    val langTotals = graft.engine.Tables(spark, dir, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = SparkEntry.queries("w09_ntile_folds")(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("fold"), r.getAs[Long]("n_docs")))
+    rows.groupBy(_._1).foreach { case (lang, fs) =>
+      assert(fs.map(_._2).sorted.toSeq == (1L to math.min(5L, langTotals(lang))).toSeq, lang)
+      assert(fs.map(_._3).sum == langTotals(lang), lang)
+      val sizes = fs.map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"$lang folds unbalanced: ${fs.toSeq}")
+    }
+    assert(rows.map(_._1).toSet == langTotals.keySet)
+  }
+}
