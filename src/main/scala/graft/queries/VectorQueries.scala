@@ -1437,8 +1437,98 @@ object VectorQueries {
          |  FROM scored)
          |SELECT q_id, q_label, CAST(rank AS BIGINT) AS rank, vec_id,
          |       neg_label, cos
-         |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)
+         |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin),
+
+    // ── v24: top principal direction by matrix-free power iteration —
+    //    distributed linear algebra with no driver-side matrix and no
+    //    collect: each round is ONE corpus pass computing u = Σ_rows
+    //    (e·v)·e as 64 exact scaled-long sums (round(·×1e6) BIGINTs —
+    //    order-independent, so a 1000-executor shuffle reduces them
+    //    bit-identically), then a 64-row normalize; the new direction
+    //    re-enters the plan as a broadcast array and the 64-row state
+    //    frame is localCheckpoint'd per round (the t10/g19/t23b
+    //    iterative-chain discipline — per-round cost is independent of
+    //    how many rounds preceded it). Three unrolled rounds judge
+    //    against the oracle's identical CTE chain — the fixed-point
+    //    rounding at each hand-off keeps the chained doubles
+    //    bit-identical across engines, where float PCA never could.
+    //    Output: the direction plus the Rayleigh-style eigenvalue
+    //    estimate |u|₂ of the final round. The per-row e·v uses the
+    //    interpreted double fold (v is array<double>; the codegen'd
+    //    dot_fold kernel is float-typed) — the reduction explode
+    //    dominates the pass, and quantizing v to float to reach the
+    //    native kernel would break oracle parity. ──
+    ("v24_pca_power",
+      (s: SparkSession, dir: String) => powerIteration(s, dir),
+      s"""WITH v0 AS (
+         |  SELECT unnest(generate_series(1, $Dim)) AS pos, 0.125 AS val),
+         |${powerIterCtes(1, "v0")},
+         |${powerIterCtes(2, "v1")},
+         |${powerIterCtes(3, "v2")}
+         |SELECT CAST(pos AS BIGINT) AS pos, val AS loading,
+         |       round(n3.nrm, 6) AS lambda
+         |FROM v3, n3 ORDER BY pos""".stripMargin)
   )
+
+  /** v24's three power-iteration rounds. v₀ = 1/8 everywhere — exactly
+    * unit norm (64·(1/8)² = 1) and an exact double on both engines. Each
+    * round: dot per row → per-position scaled-long contribution sums
+    * (the ONLY corpus-sized stage, localCheckpoint'd) → norm → rounded
+    * re-normalized direction. */
+  private def powerIteration(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings").select(col("embedding"))
+    var v: DataFrame = s.range(1, Dim + 1)
+      .select(col("id").as("pos"), lit(0.125).as("val"))
+    var lastNrm: DataFrame = null
+    for (_ <- 1 to 3) {
+      val varr = v
+        .agg(array_sort(collect_list(struct(col("pos"), col("val")))).as("pm"))
+        .select(transform(col("pm"), x => x.getField("val")).as("v"))
+      val u = emb.crossJoin(broadcast(varr))
+        .select(col("embedding"),
+          Portable.dotFold(col("embedding"), col("v")).as("dot"))
+        .select(explode(transform(sequence(lit(1), lit(Dim)), i =>
+          struct(i.cast("long").as("pos"),
+            round(col("dot") * element_at(col("embedding"), i).cast("double") * 1000000)
+              .cast("long").as("c")))).as("e"))
+        .groupBy(col("e.pos").as("pos"))
+        .agg(sum(col("e.c")).as("sc"))
+        .select(col("pos"), (col("sc").cast("double") / 1000000.0).as("u"))
+        .localCheckpoint()
+      val nrm = u.agg(
+        sqrt(sum(round(col("u") * col("u") * 1000000).cast("long")).cast("double")
+          / 1000000.0).as("nrm"))
+      lastNrm = nrm
+      v = u.crossJoin(broadcast(nrm))
+        .select(col("pos"),
+          (round(col("u") / col("nrm") * 1000000).cast("long").cast("double")
+            / 1000000.0).as("val"))
+    }
+    v.crossJoin(broadcast(lastNrm))
+      .select(col("pos"), col("val").as("loading"), round(col("nrm"), 6).as("lambda"))
+      .orderBy(col("pos"))
+  }
+
+  /** One unrolled power-iteration round as oracle CTEs: direction `prev`
+    * (pos, val) → `v$k` (pos, val) + `n$k` (nrm) — the 1:1 twin of one
+    * [[powerIteration]] loop body. */
+  private def powerIterCtes(k: Int, prev: String): String =
+    s"""a$k AS (SELECT list(val ORDER BY pos) AS v FROM $prev),
+       |d$k AS (
+       |  SELECT e.embedding, ${dotFoldSql("e.embedding", "a.v", Dim)} AS dot
+       |  FROM embeddings e, a$k a),
+       |c$k AS (
+       |  SELECT i AS pos,
+       |         CAST(sum(CAST(round(dot * CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000, 0) AS BIGINT)) AS BIGINT) AS sc
+       |  FROM d$k, (SELECT unnest(generate_series(1, $Dim)) AS i)
+       |  GROUP BY 1),
+       |u$k AS (SELECT pos, CAST(sc AS DOUBLE) / 1000000.0 AS u FROM c$k),
+       |n$k AS (
+       |  SELECT sqrt(CAST(sum(CAST(round(u * u * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000.0) AS nrm
+       |  FROM u$k),
+       |v$k AS (
+       |  SELECT pos, CAST(CAST(round(u / n$k.nrm * 1000000, 0) AS BIGINT) AS DOUBLE) / 1000000.0 AS val
+       |  FROM u$k, n$k)""".stripMargin
 
   /** v21's two-stage funnel, shared with the v22 recall evaluation.
     * Stage 1 is the v01 broadcast-queries × corpus sweep but folding

@@ -568,6 +568,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("v24: the power-iteration chain is checkpoint-truncated — judged plan never rescans the corpus") {
+    // the iterative-chain discipline applied to linear algebra: each
+    // round's corpus pass lands eagerly in a localCheckpoint'd 64-row
+    // state frame, so the judged output plans off Scan ExistingRDD —
+    // re-deriving round 3 through rounds 1-2 would rescan parquet here
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    val p = plan("v24_pca_power")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("FileScan parquet"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
   test("w09: ntile folds need exactly one shuffle — the bounded lang partition") {
     // equal-depth folds pay ONE hashpartitioning exchange (the lang
     // window sort); the per-(lang, fold) aggregation reuses that

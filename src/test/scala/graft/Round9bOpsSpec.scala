@@ -178,6 +178,45 @@ class Round9bOpsSpec extends SparkSpec {
     assert(got.count(_._2 == "en") > 20, got.map(_._2).mkString(","))
   }
 
+  test("v24: three judged rounds equal a driver-side fixed-point power iteration, with monotone lambda") {
+    val embs = graft.engine.Tables(spark, dir, "embeddings")
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+    def r0(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    var v = Array.fill(64)(0.125)
+    val lambdas = collection.mutable.Buffer.empty[Double]
+    for (_ <- 1 to 3) {
+      // u = Σ_rows (e·v)·e via the same round(·×1e6)-long sums
+      val sc = Array.fill(64)(0L)
+      embs.foreach { e =>
+        var dot = 0.0; var i = 0
+        while (i < 64) { dot += e(i).toDouble * v(i); i += 1 }
+        i = 0
+        while (i < 64) { sc(i) += r0(dot * e(i).toDouble * 1000000); i += 1 }
+      }
+      val u = sc.map(_.toDouble / 1000000.0)
+      val nrm = math.sqrt(u.map(x => r0(x * x * 1000000)).sum.toDouble / 1000000.0)
+      lambdas += nrm
+      v = u.map(x => r0(x / nrm * 1000000).toDouble / 1000000.0)
+    }
+    val got = SparkEntry.queries("v24_pca_power")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("pos"), r.getAs[Double]("loading"),
+        r.getAs[Double]("lambda")))
+    assert(got.length == 64)
+    got.foreach { case (pos, loading, lambda) =>
+      assert(loading == v((pos - 1).toInt), s"pos $pos: $loading vs ${v((pos - 1).toInt)}")
+      assert(math.abs(lambda - BigDecimal(lambdas.last).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, s"lambda $lambda")
+    }
+    // power iteration's Rayleigh estimate is non-decreasing round over
+    // round (up to the 1e-6 fixed-point hand-off)
+    assert(lambdas(1) >= lambdas(0) - 1e-4 && lambdas(2) >= lambdas(1) - 1e-4,
+      lambdas.mkString(","))
+    // and the judged direction is genuinely unit-norm
+    val n2 = got.map(t => t._2 * t._2).sum
+    assert(math.abs(n2 - 1.0) < 1e-4, s"norm² = $n2")
+  }
+
   test("w09: folds are 1..5, equal-depth within ±1, and partition each language exactly") {
     val langTotals = graft.engine.Tables(spark, dir, "documents")
       .groupBy(col("lang")).agg(count(lit(1)).as("n"))
