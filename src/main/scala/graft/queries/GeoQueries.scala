@@ -1360,22 +1360,9 @@ object GeoQueries {
     //    tolerance). ──
     ("g31_distance_decay",
       (s: SparkSession, dir: String) => {
-        val k = fixKey(col("user_id"), col("ts"))
-        val lat = latFromKey(k)
-        val lon = lonFromKey(k)
-        val cent = Tables.events(s, dir)
-          .select(GeoFunctions.geohashCol(lat, lon, 3).as("region"),
-            round(lat * 10).cast("long").as("lat10"),
-            round(lon * 10).cast("long").as("lon10"))
-          .groupBy(col("region"))
-          .agg(sum(col("lat10")).as("slat"), sum(col("lon10")).as("slon"),
-            count(lit(1)).as("nfx"))
-          .select(col("region"),
-            ((col("slat").cast("double") / 10.0) / col("nfx").cast("double")).as("clat"),
-            ((col("slon").cast("double") / 10.0) / col("nfx").cast("double")).as("clon"))
-        val flows = Trajectory.transitions(Trajectory.hourlyState(Tables.events(s, dir)))
-          .where(col("src") =!= "0" && col("dst") =!= "0" && col("src") =!= col("dst"))
-          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("flow"))
+        val cent = regionCentroids(s, dir)
+          .select(col("region"), col("clat"), col("clon"))
+        val flows = regionFlows(s, dir)
         val pairs = flows
           .join(broadcast(cent.select(col("region").as("src"),
             col("clat").as("s_lat"), col("clon").as("s_lon"))), Seq("src"))
@@ -1464,8 +1451,134 @@ object GeoQueries {
            |       round((nf * dsxy - dsx * dsy) * (nf * dsxy - dsx * dsy)
            |             / ((nf * dsxx - dsx * dsx) * (nf * dsyy - dsy * dsy)), 6) AS r2
            |FROM fin""".stripMargin
+      }),
+
+    // ── g32: radiation model — the parameter-free OD prediction (Simini
+    //    et al. 2012) the gravity fit (g31) is always benchmarked
+    //    against: T̂_ij = T_i · m_i·n_j / ((m_i+s_ij)(m_i+n_j+s_ij)),
+    //    where s_ij is the population inside the circle of radius
+    //    d(i,j) around i, excluding the endpoints. Judged on the top-50
+    //    observed flow corridors (deterministic flow/src/dst
+    //    tie-break), so the interior-mass sweep is 50 × |regions| at
+    //    ANY corpus size — the region table broadcasts (it is the
+    //    bounded dimension), every distance is the rounded portable
+    //    haversine, masses are exact BIGINT counts, and the one double
+    //    expression (the prediction) is a fixed parse tree over exact
+    //    integers, rounded to 6. Observed vs predicted side by side is
+    //    the model-validation artifact a mobility study actually
+    //    publishes. ──
+    ("g32_radiation_model",
+      (s: SparkSession, dir: String) => {
+        val cm = regionCentroids(s, dir)
+        val flows = regionFlows(s, dir)
+        val tOut = flows.groupBy(col("src")).agg(sum(col("flow")).as("t_out"))
+        val top = flows.orderBy(col("flow").desc, col("src"), col("dst")).limit(50)
+          .join(broadcast(cm.select(col("region").as("src"), col("clat").as("s_lat"),
+            col("clon").as("s_lon"), col("m").as("m_src"))), Seq("src"))
+          .join(broadcast(cm.select(col("region").as("dst"), col("clat").as("d_lat"),
+            col("clon").as("d_lon"), col("m").as("n_dst"))), Seq("dst"))
+          .join(broadcast(tOut), Seq("src"))
+          .withColumn("dist_ij", round(GeoFunctions.haversineCol(
+            col("s_lat"), col("s_lon"), col("d_lat"), col("d_lon")), 1))
+        val sMass = top
+          .select(col("src"), col("dst"), col("s_lat"), col("s_lon"), col("dist_ij"))
+          .crossJoin(broadcast(cm.select(col("region").as("k"),
+            col("clat").as("k_lat"), col("clon").as("k_lon"), col("m").as("k_m"))))
+          .where(col("k") =!= col("src") && col("k") =!= col("dst") &&
+            round(GeoFunctions.haversineCol(col("s_lat"), col("s_lon"),
+              col("k_lat"), col("k_lon")), 1) < col("dist_ij"))
+          .groupBy(col("src"), col("dst")).agg(sum(col("k_m")).as("s_between"))
+        top.join(broadcast(sMass), Seq("src", "dst"), "left")
+          .na.fill(0L, Seq("s_between"))
+          .select(col("src"), col("dst"), col("flow"), col("m_src"), col("n_dst"),
+            col("s_between"),
+            round(col("t_out").cast("double") *
+              ((col("m_src").cast("double") * col("n_dst").cast("double")) /
+                ((col("m_src") + col("s_between")).cast("double") *
+                  (col("m_src") + col("n_dst") + col("s_between")).cast("double"))), 6)
+              .as("pred_flow"))
+          .orderBy(col("src"), col("dst"))
+      }, {
+        val k = fixKeySql("user_id", "ts")
+        val latS = latFromKeySql(k)
+        val lonS = lonFromKeySql(k)
+        s"""${Trajectory.trajSqlPrelude},
+           |seq AS (
+           |  SELECT user_id, hour, region,
+           |         lag(region) OVER (PARTITION BY user_id ORDER BY hour) AS src
+           |  FROM traj),
+           |flows AS (
+           |  SELECT src, region AS dst, CAST(count(*) AS BIGINT) AS flow
+           |  FROM seq
+           |  WHERE src IS NOT NULL AND src <> '0' AND region <> '0' AND src <> region
+           |  GROUP BY 1, 2),
+           |tout AS (SELECT src, CAST(sum(flow) AS BIGINT) AS t_out FROM flows GROUP BY 1),
+           |cfx AS (
+           |  SELECT ${geohashSql(latS, lonS, 3)} AS region,
+           |         CAST(round(($latS) * 10, 0) AS BIGINT) AS lat10,
+           |         CAST(round(($lonS) * 10, 0) AS BIGINT) AS lon10
+           |  FROM events),
+           |cm AS (
+           |  SELECT region,
+           |         (CAST(sum(lat10) AS DOUBLE) / 10.0) / CAST(count(*) AS DOUBLE) AS clat,
+           |         (CAST(sum(lon10) AS DOUBLE) / 10.0) / CAST(count(*) AS DOUBLE) AS clon,
+           |         CAST(count(*) AS BIGINT) AS m
+           |  FROM cfx GROUP BY 1),
+           |top AS (
+           |  SELECT src, dst, flow FROM flows
+           |  ORDER BY flow DESC, src, dst LIMIT 50),
+           |tj AS (
+           |  SELECT t.src, t.dst, t.flow, cs.clat AS s_lat, cs.clon AS s_lon,
+           |         cs.m AS m_src, cd.m AS n_dst, o.t_out,
+           |         round(${haversineSql("cs.clat", "cs.clon", "cd.clat", "cd.clon")}, 1) AS dist_ij
+           |  FROM top t
+           |  JOIN cm cs ON cs.region = t.src
+           |  JOIN cm cd ON cd.region = t.dst
+           |  JOIN tout o ON o.src = t.src),
+           |sm AS (
+           |  SELECT tj.src, tj.dst, CAST(sum(kk.m) AS BIGINT) AS s_between
+           |  FROM tj, cm kk
+           |  WHERE kk.region <> tj.src AND kk.region <> tj.dst
+           |    AND round(${haversineSql("tj.s_lat", "tj.s_lon", "kk.clat", "kk.clon")}, 1) < tj.dist_ij
+           |  GROUP BY 1, 2)
+           |SELECT tj.src, tj.dst, tj.flow, tj.m_src, tj.n_dst,
+           |       CAST(coalesce(sm.s_between, 0) AS BIGINT) AS s_between,
+           |       round(CAST(tj.t_out AS DOUBLE) *
+           |             ((CAST(tj.m_src AS DOUBLE) * CAST(tj.n_dst AS DOUBLE)) /
+           |              (CAST(tj.m_src + coalesce(sm.s_between, 0) AS DOUBLE) *
+           |               CAST(tj.m_src + tj.n_dst + coalesce(sm.s_between, 0) AS DOUBLE))), 6)
+           |         AS pred_flow
+           |FROM tj LEFT JOIN sm ON sm.src = tj.src AND sm.dst = tj.dst
+           |ORDER BY tj.src, tj.dst""".stripMargin
       })
   )
+
+  /** Per-region exact centroid + mass: scaled-long means of the fix
+    * coordinates and the fix count — the shared dimension table of the
+    * g31 gravity fit and the g32 radiation model. */
+  private[graft] def regionCentroids(s: SparkSession, dir: String): DataFrame = {
+    val k = fixKey(col("user_id"), col("ts"))
+    val lat = latFromKey(k)
+    val lon = lonFromKey(k)
+    Tables.events(s, dir)
+      .select(GeoFunctions.geohashCol(lat, lon, 3).as("region"),
+        round(lat * 10).cast("long").as("lat10"),
+        round(lon * 10).cast("long").as("lon10"))
+      .groupBy(col("region"))
+      .agg(sum(col("lat10")).as("slat"), sum(col("lon10")).as("slon"),
+        count(lit(1)).as("m"))
+      .select(col("region"),
+        ((col("slat").cast("double") / 10.0) / col("m").cast("double")).as("clat"),
+        ((col("slon").cast("double") / 10.0) / col("m").cast("double")).as("clon"),
+        col("m"))
+  }
+
+  /** Aggregate inter-region OD flows with the sentinel region and
+    * self-loops dropped — shared by g31/g32. */
+  private[graft] def regionFlows(s: SparkSession, dir: String): DataFrame =
+    Trajectory.transitions(Trajectory.hourlyState(Tables.events(s, dir)))
+      .where(col("src") =!= "0" && col("dst") =!= "0" && col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("flow"))
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap
   def oracle: Map[String, String] = catalog.map { case (n, _, o) => n -> o }.toMap

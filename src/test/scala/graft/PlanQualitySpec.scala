@@ -568,6 +568,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("g32: the region dimension broadcasts everywhere; the circle sweep is corridor × broadcast") {
+    // the radiation model's scale claim: every join against the region
+    // centroid/mass table is a broadcast (it is the bounded dimension),
+    // and the interior-mass circle test is ONE BroadcastNestedLoopJoin
+    // of the 50 judged corridors against that broadcast table — never a
+    // SortMergeJoin or an unbroadcast cartesian over corpus-sized data
+    val p = plan("g32_radiation_model")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("v24: the power-iteration chain is checkpoint-truncated — judged plan never rescans the corpus") {
     // the iterative-chain discipline applied to linear algebra: each
     // round's corpus pass lands eagerly in a localCheckpoint'd 64-row

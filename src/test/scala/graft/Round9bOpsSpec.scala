@@ -178,6 +178,43 @@ class Round9bOpsSpec extends SparkSpec {
     assert(got.count(_._2 == "en") > 20, got.map(_._2).mkString(","))
   }
 
+  test("g32: interior masses and radiation predictions equal a driver-side recompute") {
+    val cm = graft.queries.GeoQueries.regionCentroids(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    val flows = graft.queries.GeoQueries.regionFlows(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    def hav(la1: Double, lo1: Double, la2: Double, lo2: Double): Double = {
+      val dLat = math.toRadians(la2 - la1); val dLon = math.toRadians(lo2 - lo1)
+      val a = math.sin(dLat / 2) * math.sin(dLat / 2) +
+        math.cos(math.toRadians(la1)) * math.cos(math.toRadians(la2)) *
+          math.sin(dLon / 2) * math.sin(dLon / 2)
+      BigDecimal(2 * 6372800.0 * math.atan2(math.sqrt(a), math.sqrt(1 - a)))
+        .setScale(1, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byRegion = cm.map(c => c._1 -> c).toMap
+    val tOut = flows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val top = flows.sortBy { case (s, d, f) => (-f, s, d) }.take(50)
+    val expected = top.map { case (srcRg, dstRg, flow) =>
+      val (_, sLat, sLon, mSrc) = byRegion(srcRg)
+      val (_, dLat, dLon, nDst) = byRegion(dstRg)
+      val dij = hav(sLat, sLon, dLat, dLon)
+      val sBetween = cm.filter(c => c._1 != srcRg && c._1 != dstRg &&
+        hav(sLat, sLon, c._2, c._3) < dij).map(_._4).sum
+      val pred = tOut(srcRg).toDouble * ((mSrc.toDouble * nDst.toDouble) /
+        ((mSrc + sBetween).toDouble * (mSrc + nDst + sBetween).toDouble))
+      (srcRg, dstRg, flow, mSrc, nDst, sBetween,
+        BigDecimal(pred).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("g32_radiation_model")(spark, dir).collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[String]("dst"),
+        r.getAs[Long]("flow"), r.getAs[Long]("m_src"), r.getAs[Long]("n_dst"),
+        r.getAs[Long]("s_between"), r.getAs[Double]("pred_flow"))).toSeq
+    assert(got == expected.toSeq, s"first diff: ${
+      got.zip(expected).find { case (g, e) => g != e }}")
+    // the model must actually bind: some corridor has interior mass
+    assert(got.exists(_._6 > 0L), "no corridor had interior regions")
+  }
+
   test("v24: three judged rounds equal a driver-side fixed-point power iteration, with monotone lambda") {
     val embs = graft.engine.Tables(spark, dir, "embeddings")
       .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
