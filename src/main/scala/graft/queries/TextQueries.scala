@@ -705,6 +705,92 @@ object TextQueries {
          |WHERE jac >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin),
 
+    // ── t25: the near-dedup family's judged quality row — the
+    //    v10/v20-for-ANN discipline applied to MinHash-LSH: recall of
+    //    the banded candidate generator against the EXACT Jaccard pair
+    //    set (the t08 inverted-index chain at the t06 threshold, same
+    //    seeded corpus, same capped index), plus candidate precision
+    //    (what fraction of generated candidates are true duplicates —
+    //    the "wasted confirm work" a dedup pipeline tuner actually
+    //    budgets when trading bands × rows against recall). One
+    //    relational query, so the 100 TB evaluation runs where the
+    //    dedup runs; all three counts reduce to broadcast single-row
+    //    frames. The exact side is source-blocked and df-capped exactly
+    //    like t08 — at judged SFs neither guard binds, so recall is
+    //    measured against the full truth set. ──
+    ("t25_dedup_recall_eval",
+      (s: SparkSession, dir: String) => {
+        val wH = Window.partitionBy(col("h"), col("source"))
+        val idxAll = shingleIndex(seededDocs(s, dir)).persist()
+        val kept = idxAll.withColumn("df", count(lit(1)).over(wH))
+          .where(col("df") <= DfCap).drop("df").persist()
+        val inter = kept.as("a").join(kept.as("b"),
+            col("a.h") === col("b.h") && col("a.source") === col("b.source")
+              && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("ninter"))
+        val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val exact = inter
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+          .where(round(col("ninter").cast("double") /
+            (col("na") + col("nb") - col("ninter")).cast("double"), 6) >= 0.3)
+          .select(col("doc_a"), col("doc_b"))
+          .persist()
+        val cand = lshCandidates(lshBands(idxAll)).persist()
+        val hit = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+        exact.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+          .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+          .select(col("n_exact"), col("n_cand"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("n_exact").cast("double"), 4)
+              .as("recall"),
+            round(col("n_hit").cast("double") / col("n_cand").cast("double"), 4)
+              .as("cand_precision"))
+      },
+      s"""WITH $seededDocsSql,
+         |${hashedShinglesSql("seeded")},
+         |sig AS (
+         |  SELECT doc_id, s,
+         |         $sigSqlCols
+         |  FROM sh),
+         |$cappedBandsSql,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |ex AS (SELECT doc_id, source, unnest(s) AS h FROM sh),
+         |kept AS (
+         |  SELECT doc_id, source, h FROM ex
+         |  QUALIFY count(*) OVER (PARTITION BY h, source) <= $DfCap),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ninter
+         |  FROM kept a JOIN kept b
+         |    ON a.h = b.h AND a.source = b.source AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |exact AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b,
+         |           round(CAST(ninter AS DOUBLE)
+         |                 / CAST(na.n + nb.n - ninter AS DOUBLE), 6) AS jac
+         |    FROM inter
+         |    JOIN sizes na ON inter.doc_a = na.doc_id
+         |    JOIN sizes nb ON inter.doc_b = nb.doc_id)
+         |  WHERE jac >= 0.3),
+         |hit AS (
+         |  SELECT e.doc_a, e.doc_b FROM exact e WHERE EXISTS (
+         |    SELECT 1 FROM cand c
+         |    WHERE c.doc_a = e.doc_a AND c.doc_b = e.doc_b)),
+         |agg AS (
+         |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit)
+         |SELECT n_exact, n_cand, n_hit,
+         |       round(CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE), 4) AS recall,
+         |       round(CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE), 4) AS cand_precision
+         |FROM agg""".stripMargin),
+
     // ── dup-pair CLUSTERING: connected components over the LSH candidate
     //    graph — the step after pair generation that a dedup pipeline
     //    actually ships: every doc gets a cluster id (the component's min

@@ -581,6 +581,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("t25: dedup eval generates pairs only through equi-joins; only the 1-row folds nest-loop") {
+    // the eval inherits t06/t08's scale shape: candidate and exact pair
+    // generation are hash equi-joins on band keys / shingle hashes —
+    // never an all-pairs product — and the only nested-loop joins are
+    // the two broadcast folds of single-row count frames
+    val p = plan("t25_dedup_recall_eval")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 2, p)
+  }
+
   test("v24: the power-iteration chain is checkpoint-truncated — judged plan never rescans the corpus") {
     // the iterative-chain discipline applied to linear algebra: each
     // round's corpus pass lands eagerly in a localCheckpoint'd 64-row

@@ -254,6 +254,22 @@ class Round9bOpsSpec extends SparkSpec {
     assert(math.abs(n2 - 1.0) < 1e-4, s"norm² = $n2")
   }
 
+  test("t25: the dedup eval row is internally consistent and the seeded copies all collide") {
+    val row = SparkEntry.queries("t25_dedup_recall_eval")(spark, dir).collect().head
+    val nExact = row.getAs[Long]("n_exact"); val nCand = row.getAs[Long]("n_cand")
+    val nHit = row.getAs[Long]("n_hit")
+    assert(nHit <= nExact && nHit <= nCand, row.toString)
+    // the 10 seeded exact copies (J = 1.0) have identical signatures, so
+    // they collide in EVERY band — they are guaranteed hits
+    assert(nExact >= 10L && nHit >= 10L, row.toString)
+    assert(row.getAs[Double]("recall") ==
+      BigDecimal(nHit.toDouble / nExact.toDouble)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, row.toString)
+    assert(row.getAs[Double]("cand_precision") ==
+      BigDecimal(nHit.toDouble / nCand.toDouble)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, row.toString)
+  }
+
   test("w09: folds are 1..5, equal-depth within ±1, and partition each language exactly") {
     val langTotals = graft.engine.Tables(spark, dir, "documents")
       .groupBy(col("lang")).agg(count(lit(1)).as("n"))
