@@ -591,6 +591,19 @@ class PlanQualitySpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 2, p)
   }
 
+  test("v25: the Hamming probe is pure-integer codegen with a partial top-3 below the shuffle") {
+    // the binary index's scale claims: one broadcast sweep (the 10
+    // query codes against the 16-byte/vector code scan), the rank<=3
+    // prunes map-side via a PARTIAL WindowGroupLimit, and no float
+    // arithmetic survives past the sign test — popcount(xor) is all
+    // integer ops inside whole-stage codegen
+    val p = plan("v25_binary_hamming")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("row_number(), 3, Partial"), p)
+    assert(p.contains("bit_count"), p)
+  }
+
   test("v24: the power-iteration chain is checkpoint-truncated — judged plan never rescans the corpus") {
     // the iterative-chain discipline applied to linear algebra: each
     // round's corpus pass lands eagerly in a localCheckpoint'd 64-row

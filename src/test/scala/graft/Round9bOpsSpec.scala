@@ -270,6 +270,35 @@ class Round9bOpsSpec extends SparkSpec {
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, row.toString)
   }
 
+  test("v25: Hamming top-3 equals a driver-side sign-code recompute") {
+    val embs = graft.engine.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def code(e: Array[Float], from: Int): Long =
+      (from until from + 32).map(i =>
+        if (e(i - 1) >= 0f) 1L << (i - from) else 0L).sum
+    val codes = embs.map { case (id, e) => (id, code(e, 1), code(e, 33)) }
+    val expected = codes.filter(c => c._1 >= 10 && c._1 < 20).sortBy(_._1)
+      .flatMap { case (qid, qlo, qhi) =>
+        codes.filter(_._1 != qid)
+          .map { case (id, lo, hi) =>
+            (id, java.lang.Long.bitCount(lo ^ qlo).toLong +
+              java.lang.Long.bitCount(hi ^ qhi).toLong)
+          }
+          .sortBy { case (id, h) => (h, id) }.take(3).zipWithIndex
+          .map { case ((id, h), i) => (qid, (i + 1).toLong, id, h) }
+      }.toSeq
+    val got = SparkEntry.queries("v25_binary_hamming")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Long]("hamming"))).toSeq
+    assert(got == expected, s"got ${got.take(6)} expected ${expected.take(6)}")
+    // codes must use exactly 32 bits per half — a bit outside [0, 2^32)
+    // means the shift layout drifted
+    codes.foreach { case (id, lo, hi) =>
+      assert(lo >= 0L && lo < (1L << 32) && hi >= 0L && hi < (1L << 32), s"vec $id")
+    }
+  }
+
   test("w09: folds are 1..5, equal-depth within ±1, and partition each language exactly") {
     val langTotals = graft.engine.Tables(spark, dir, "documents")
       .groupBy(col("lang")).agg(count(lit(1)).as("n"))
