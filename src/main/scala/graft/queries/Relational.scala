@@ -1348,6 +1348,66 @@ object Relational {
          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
+    // ── w10: ordered funnel conversion — the product-analytics staple:
+    //    how many users did view → click → purchase IN THAT ORDER, each
+    //    step within 24 hours of the previous (the windowed-funnel form —
+    //    an unbounded funnel saturates on any active-enough corpus).
+    //    Each step is a per-user min-timestamp aggregation (map-side
+    //    combine) over only that step's type-filtered slice, joined to
+    //    the previous step's survivors with a strict ts > prev
+    //    predicate — so step k's work is proportional to step k's
+    //    event slice times the (shrinking) survivor set, and the three
+    //    counts fold to broadcast single-row frames. Conversion rates
+    //    are exact integer ppm (DIV), with a CASE guard so an empty
+    //    step yields 0 instead of engine-divergent division-by-zero
+    //    behavior. ──
+    ("w10_funnel_conversion",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir).select($"user_id", $"ts", $"event_type")
+        val s1 = ev.where($"event_type" === "view")
+          .groupBy($"user_id").agg(min($"ts").as("t1"))
+        val s2 = ev.where($"event_type" === "click").join(s1, "user_id")
+          .where($"ts" > $"t1" && $"ts" <= $"t1" + expr("INTERVAL 24 HOURS"))
+          .groupBy($"user_id").agg(min($"ts").as("t2"))
+        val s3 = ev.where($"event_type" === "purchase").join(s2, "user_id")
+          .where($"ts" > $"t2" && $"ts" <= $"t2" + expr("INTERVAL 24 HOURS"))
+          .groupBy($"user_id").agg(min($"ts").as("t3"))
+        s1.agg(count(lit(1)).as("n_view"))
+          .crossJoin(broadcast(s2.agg(count(lit(1)).as("n_click"))))
+          .crossJoin(broadcast(s3.agg(count(lit(1)).as("n_purchase"))))
+          .select($"n_view", $"n_click", $"n_purchase",
+            when($"n_view" === 0L, 0L)
+              .otherwise(expr("(n_click * 1000000) DIV n_view")).as("conv1_ppm"),
+            when($"n_click" === 0L, 0L)
+              .otherwise(expr("(n_purchase * 1000000) DIV n_click")).as("conv2_ppm"))
+      },
+      s"""WITH s1 AS (
+         |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1 FROM events
+         |  WHERE event_type = 'view' GROUP BY 1),
+         |s2 AS (
+         |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+         |  FROM events e JOIN s1 USING (user_id)
+         |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t1
+         |    AND CAST(e.ts AS TIMESTAMP) <= s1.t1 + INTERVAL 24 HOURS
+         |  GROUP BY 1),
+         |s3 AS (
+         |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
+         |  FROM events e JOIN s2 USING (user_id)
+         |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t2
+         |    AND CAST(e.ts AS TIMESTAMP) <= s2.t2 + INTERVAL 24 HOURS
+         |  GROUP BY 1),
+         |c AS (
+         |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_view,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_click,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase)
+         |SELECT n_view, n_click, n_purchase,
+         |       CASE WHEN n_view = 0 THEN 0
+         |            ELSE (n_click * 1000000) // n_view END AS conv1_ppm,
+         |       CASE WHEN n_click = 0 THEN 0
+         |            ELSE (n_purchase * 1000000) // n_click END AS conv2_ppm
+         |FROM c""".stripMargin),
+
     // ── W4: dense_rank ID minting (region.py:51-52; small dim only —
     //    the single-partition hazard is documented in SURVEY §4.2) ──
     ("w04_dense_rank",
@@ -2040,6 +2100,54 @@ object Relational {
         |          ORDER BY seq DESC) = 1)
         |SELECT user_id, state, val, src FROM latest
         |WHERE state <> 'error' ORDER BY user_id""".stripMargin),
+
+    // ── u04: SCD type-2 history — the warehouse-dimension pattern u03's
+    //    latest-wins upsert discards: every value CHANGE becomes a
+    //    versioned validity interval [valid_from, valid_to) with an
+    //    is_current flag and an open-ended sentinel on the newest row.
+    //    Two window passes (change-detect via lag, then interval close
+    //    via lead) share the ONE user_id exchange — the second window's
+    //    requirement is satisfied by the first's partitioning, so the
+    //    compaction costs no extra shuffle. Judged on users < 50 to
+    //    keep the artifact reviewable; the plan is identical at any
+    //    user count because everything is user-keyed. ──
+    ("u04_scd2_history",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val changes = Tables.events(s, dir)
+          .where($"user_id" < 50)
+          .select($"user_id", $"ts", $"event_id", round($"value", 2).as("val"))
+          .withColumn("prev", lag($"val", 1).over(w))
+          .where($"prev".isNull || $"val" =!= $"prev")
+        val w2 = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        changes
+          .withColumn("version", row_number().over(w2).cast("long"))
+          .withColumn("next_ts", lead($"ts", 1).over(w2))
+          .select($"user_id", $"version", tsSec($"ts").as("valid_from"),
+            coalesce(tsSec($"next_ts"), lit("9999-12-31 00:00:00")).as("valid_to"),
+            $"next_ts".isNull.as("is_current"), $"val")
+          .orderBy($"user_id", $"version")
+      },
+      s"""WITH src AS (
+         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         |         round(value, 2) AS val
+         |  FROM events WHERE user_id < 50),
+         |changes AS (
+         |  SELECT user_id, ts, event_id, val FROM (
+         |    SELECT *, lag(val) OVER (PARTITION BY user_id
+         |              ORDER BY ts, event_id) AS prev
+         |    FROM src)
+         |  WHERE prev IS NULL OR val <> prev),
+         |versioned AS (
+         |  SELECT user_id, ts, val,
+         |         CAST(row_number() OVER w AS BIGINT) AS version,
+         |         lead(ts) OVER w AS next_ts
+         |  FROM changes WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT user_id, version, ${tsSecSql("ts")} AS valid_from,
+         |       coalesce(${tsSecSql("next_ts")}, '9999-12-31 00:00:00') AS valid_to,
+         |       next_ts IS NULL AS is_current, val
+         |FROM versioned ORDER BY user_id, version""".stripMargin),
 
     // ── q05: one-pass dataset profiling (the Deequ/Great-Expectations
     //    shape): the pre-training data-quality report — row count,

@@ -299,6 +299,67 @@ class Round9bOpsSpec extends SparkSpec {
     }
   }
 
+  test("w10: funnel counts equal a driver-side ordered-step recompute") {
+    val ev = graft.engine.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getString(2)))
+    val byUser = ev.groupBy(_._1)
+    val win = 24L * 3600 * 1000
+    def next(es: Array[(Long, Long, String)], tpe: String, after: Long): Option[Long] = {
+      val c = es.filter(e => e._3 == tpe && e._2 > after && e._2 <= after + win)
+      if (c.isEmpty) None else Some(c.map(_._2).min)
+    }
+    var nView = 0L; var nClick = 0L; var nPurchase = 0L
+    byUser.foreach { case (_, es) =>
+      val views = es.filter(_._3 == "view")
+      if (views.nonEmpty) {
+        nView += 1
+        val t1 = views.map(_._2).min
+        next(es, "click", t1).foreach { t2 =>
+          nClick += 1
+          next(es, "purchase", t2).foreach(_ => nPurchase += 1)
+        }
+      }
+    }
+    val row = SparkEntry.queries("w10_funnel_conversion")(spark, dir).collect().head
+    assert(row.getAs[Long]("n_view") == nView, row.toString)
+    assert(row.getAs[Long]("n_click") == nClick, row.toString)
+    assert(row.getAs[Long]("n_purchase") == nPurchase, row.toString)
+    assert(row.getAs[Long]("conv1_ppm") ==
+      (if (nView == 0) 0L else nClick * 1000000 / nView), row.toString)
+    // the funnel must actually narrow — otherwise the step predicate
+    // is not binding on this corpus
+    assert(nClick < nView, s"step 2 did not filter: $nView -> $nClick")
+  }
+
+  test("u04: SCD2 intervals chain per user with exactly one current version") {
+    val rows = SparkEntry.queries("u04_scd2_history")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("version"),
+        r.getAs[String]("valid_from"), r.getAs[String]("valid_to"),
+        r.getAs[Boolean]("is_current")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (u, vs) =>
+      val sorted = vs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to vs.length).toSeq, s"user $u versions")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 == b._3, s"user $u: interval ${a._2} does not close at ${b._2}'s open")
+        case _ =>
+      }
+      assert(sorted.count(_._5) == 1 && sorted.last._5, s"user $u current flag")
+      assert(sorted.last._4 == "9999-12-31 00:00:00", s"user $u sentinel")
+    }
+    // change-compaction: consecutive versions never carry the same value
+    val full = SparkEntry.queries("u04_scd2_history")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("version"), r.getAs[Double]("val")))
+    full.groupBy(_._1).foreach { case (u, vs) =>
+      vs.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(a._3 != b._3, s"user $u kept an unchanged version")
+        case _ =>
+      }
+    }
+  }
+
   test("w09: folds are 1..5, equal-depth within ±1, and partition each language exactly") {
     val langTotals = graft.engine.Tables(spark, dir, "documents")
       .groupBy(col("lang")).agg(count(lit(1)).as("n"))
