@@ -1545,7 +1545,47 @@ object TextQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
          |       CAST(sum(n_tok) AS BIGINT) AS n_tok
          |FROM docw JOIN wtok USING (word)
-         |GROUP BY 1 ORDER BY doc_id""".stripMargin)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin),
+
+    // ── t26: tokenizer FERTILITY by language — the standard
+    //    multilingual tokenizer-eval table (tokens per word under the
+    //    trained vocabulary, the number a tokenizer report leads with:
+    //    high fertility on a language means its text costs more
+    //    sequence length per word). Completes the BPE family's
+    //    train (t23b) → encode (t24) → evaluate arc the same way
+    //    v10/v20/v26/t25 close their families. Same amortized shape as
+    //    t24 — the fold ran once per distinct word in the training
+    //    loop; this is one equi-join plus a 5-row language rollup —
+    //    and fertility is an exact integer ppm, no float division. ──
+    ("t26_bpe_fertility",
+      (s: SparkSession, dir: String) => {
+        val (_, seg) = bpeTrain(s, dir, 3)
+        val wtok = seg.select(col("word"),
+          size(split(col("seg"), " ")).cast("long").as("n_tok"))
+        Tables(s, dir, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+          .where(length(col("word")) >= 2)
+          .join(wtok, "word")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).cast("long").as("n_tok"))
+          .select(col("lang"), col("n_words"), col("n_tok"),
+            expr("(n_tok * 1000000) DIV n_words").as("fertility_ppm"))
+          .orderBy(col("lang"))
+      },
+      s"""$bpeTrainPrelude,
+         |wtok AS (
+         |  SELECT word, CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_tok
+         |  FROM seg3),
+         |docw AS (
+         |  SELECT lang, word FROM (
+         |    SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE length(word) >= 2)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(n_tok) AS BIGINT) AS n_tok,
+         |       (CAST(sum(n_tok) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+         |         AS fertility_ppm
+         |FROM docw JOIN wtok USING (word)
+         |GROUP BY 1 ORDER BY lang""".stripMargin)
   )
 
   /** The t23b/t24 BPE training loop: collapse the corpus to its word-

@@ -360,6 +360,23 @@ class Round9bOpsSpec extends SparkSpec {
     }
   }
 
+  test("t26: fertility aggregates are consistent with t24's per-doc encode") {
+    val byLang = SparkEntry.queries("t26_bpe_fertility")(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_tok"), r.getAs[Long]("fertility_ppm")))
+    val byDoc = SparkEntry.queries("t24_bpe_encode")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("n_words"), r.getAs[Long]("n_tok")))
+    // the two rollups partition the same join result: totals must agree
+    assert(byLang.map(_._2).sum == byDoc.map(_._1).sum, "word totals diverge")
+    assert(byLang.map(_._3).sum == byDoc.map(_._2).sum, "token totals diverge")
+    byLang.foreach { case (lang, nw, nt, f) =>
+      assert(nt >= nw, s"$lang: fewer tokens than words")
+      assert(f == nt * 1000000 / nw, s"$lang: fertility inconsistent")
+      // with only 3 trained merges almost every word stays multi-token
+      assert(f > 1000000L, s"$lang: fertility at the 1-token floor")
+    }
+  }
+
   test("w09: folds are 1..5, equal-depth within ±1, and partition each language exactly") {
     val langTotals = graft.engine.Tables(spark, dir, "documents")
       .groupBy(col("lang")).agg(count(lit(1)).as("n"))
