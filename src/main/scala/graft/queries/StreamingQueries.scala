@@ -673,7 +673,104 @@ object StreamingQueries {
          |-- that batch's late watermark w_last - 10 days
          |SELECT user_id, ${tsSecSql("week")} AS week FROM (
          |  SELECT * FROM emit1 UNION ALL SELECT * FROM emit2)
-         |ORDER BY user_id, week""".stripMargin)
+         |ORDER BY user_id, week""".stripMargin),
+
+    // ── st13: streaming ordered funnel — a MULTI-STAGE state machine on
+    //    `transformWithState` (st06/st07 fold monotone counters; this
+    //    one carries stage-dependent transition rules: view → click
+    //    within 24h → purchase within 24h, the batch w10 semantics run
+    //    incrementally). The correctness precondition is per-user time
+    //    order, provided by mtime-ordered weekly arrival files under
+    //    maxFilesPerTrigger=1 plus an in-batch (ts, event_id) sort in
+    //    the processor — under it, first-seen equals min and the
+    //    machine's strict >/closed ≤ predicates reproduce the batch
+    //    oracle exactly. Emitted stages are monotone per user, so the
+    //    memory sink's per-key max is the final stage regardless of how
+    //    AvailableNow sliced the input. ──
+    ("st13_stream_funnel",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // transformWithState needs multi-column-family state — RocksDB
+        // only (the st07 provider dance, restored in finally)
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val prevProvider = s.conf.getOption(providerKey)
+        s.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+        val raw = Tables.events(s, dir)
+        val week = date_trunc("week", col("ts"))
+        val srcCols = raw.columns.map(col).toSeq
+        val stage = java.nio.file.Paths.get(Portable.scratchPath("stream_funnel_events"))
+        java.nio.file.Files.createDirectories(stage)
+        def writeArrival(df: DataFrame, name: String, mtime: Long): Unit = {
+          val tmp = Portable.scratchPath(s"stream_funnel_stage_$name")
+          df.select(srcCols: _*).coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val target = stage.resolve(s"$name.parquet")
+          java.nio.file.Files.copy(part.toPath, target,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          target.toFile.setLastModified(mtime): Unit
+        }
+        // weekly arrival batches in chronological mtime order (staging-
+        // only scalars, the t10b/st12 discipline)
+        val weeks = raw.select(week.as("w")).distinct().orderBy(col("w"))
+          .collect().map(_.getTimestamp(0))
+        val now = System.currentTimeMillis()
+        weeks.zipWithIndex.foreach { case (w, i) =>
+          writeArrival(raw.where(week === lit(w)), s"arrival$i",
+            now - (weeks.length + 2 - i) * 60000)
+        }
+        val schema = s.read.parquet(stage.toString).schema
+        val src = Tables.normalizeTs(
+            s.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(stage.toString))
+          .select(col("user_id").cast("long").as("user_id"),
+            unix_micros(col("ts")).as("tsu"),
+            col("event_id").cast("long").as("event_id"),
+            col("event_type").as("tpe"))
+          .as[(Long, Long, Long, String)]
+        val updates = src.groupByKey(_._1)
+          .transformWithState(new graft.streaming.FunnelProcessor,
+            TimeMode.None(), OutputMode.Update())
+        val q = updates.toDF("user_id", "stage")
+          .writeStream.format("memory").queryName("st13_mem")
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        } finally {
+          prevProvider match {
+            case Some(p) => s.conf.set(providerKey, p)
+            case None => s.conf.unset(providerKey)
+          }
+        }
+        s.table("st13_mem")
+          .groupBy(col("user_id")).agg(max(col("stage")).as("stage"))
+          .where(col("stage") >= 1L)
+          .orderBy(col("user_id"))
+      },
+      s"""WITH s1 AS (
+         |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1 FROM events
+         |  WHERE event_type = 'view' GROUP BY 1),
+         |s2 AS (
+         |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+         |  FROM events e JOIN s1 USING (user_id)
+         |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t1
+         |    AND CAST(e.ts AS TIMESTAMP) <= s1.t1 + INTERVAL 24 HOURS
+         |  GROUP BY 1),
+         |s3 AS (
+         |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
+         |  FROM events e JOIN s2 USING (user_id)
+         |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t2
+         |    AND CAST(e.ts AS TIMESTAMP) <= s2.t2 + INTERVAL 24 HOURS
+         |  GROUP BY 1)
+         |SELECT s1.user_id,
+         |       CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+         |                 WHEN s2.user_id IS NOT NULL THEN 2
+         |                 ELSE 1 END AS BIGINT) AS stage
+         |FROM s1
+         |LEFT JOIN s2 ON s2.user_id = s1.user_id
+         |LEFT JOIN s3 ON s3.user_id = s1.user_id
+         |ORDER BY s1.user_id""".stripMargin)
   )
 
   /** State-store partition sizing: a stateful streaming query FIXES its

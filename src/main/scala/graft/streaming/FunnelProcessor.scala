@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
+
+/** Ordered-funnel state machine on `transformWithState` — the multi-stage
+  * sibling of [[UserStatsProcessor]]'s monotone fold (judged `st13`
+  * against the batch `w10` funnel semantics).
+  *
+  * State per user is the (t1, t2, t3) step-timestamp triple (micros,
+  * 0 = not reached): first view, first qualifying click (within `Win`
+  * after t1), first qualifying purchase (within `Win` after t2). The
+  * fold REQUIRES events in global per-user time order to make
+  * first-seen equal min — the judged query guarantees that by staging
+  * mtime-ordered weekly arrival files (cross-batch order) and sorting
+  * each batch's rows by (ts, event_id) before folding (in-batch order).
+  * Under that precondition the machine reproduces the batch definition
+  * exactly: t1 = min view ts, t2 = min click in (t1, t1+Win], t3 = min
+  * purchase in (t2, t2+Win] — strict lower bounds, closed upper bounds,
+  * identical to the w10 oracle's predicates. The emitted stage is
+  * monotone per key, so the memory sink's per-key max over however many
+  * microbatches AvailableNow produces is the final stage — which is
+  * what lets a batch oracle judge the streaming run. */
+class FunnelProcessor
+    extends StatefulProcessor[Long, (Long, Long, Long, String), (Long, Long)] {
+
+  private val Win = 24L * 3600 * 1000000L // step window, micros
+
+  @transient private var st: ValueState[(Long, Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long, Long)]("funnel",
+      Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long, String)],
+      timerValues: TimerValues): Iterator[(Long, Long)] = {
+    var (t1, t2, t3) = if (st.exists()) st.get() else (0L, 0L, 0L)
+    rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, _, tpe) =>
+      if (t1 == 0L && tpe == "view") t1 = ts
+      else if (t1 != 0L && t2 == 0L && tpe == "click" &&
+        ts > t1 && ts <= t1 + Win) t2 = ts
+      else if (t2 != 0L && t3 == 0L && tpe == "purchase" &&
+        ts > t2 && ts <= t2 + Win) t3 = ts
+    }
+    st.update((t1, t2, t3))
+    val stage = if (t3 != 0L) 3L else if (t2 != 0L) 2L else if (t1 != 0L) 1L else 0L
+    Iterator.single((key, stage))
+  }
+}

@@ -377,6 +377,18 @@ class Round9bOpsSpec extends SparkSpec {
     }
   }
 
+  test("st13: the streaming funnel's stage distribution equals the batch w10 funnel") {
+    val stages = SparkEntry.queries("st13_stream_funnel")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("stage")))
+    val w10 = SparkEntry.queries("w10_funnel_conversion")(spark, dir).collect().head
+    assert(stages.map(_._1).distinct.length == stages.length, "duplicate users")
+    assert(stages.length.toLong == w10.getAs[Long]("n_view"), "stage>=1 vs n_view")
+    assert(stages.count(_._2 >= 2L).toLong == w10.getAs[Long]("n_click"),
+      "stage>=2 vs n_click")
+    assert(stages.count(_._2 == 3L).toLong == w10.getAs[Long]("n_purchase"),
+      "stage=3 vs n_purchase")
+  }
+
   test("w09: folds are 1..5, equal-depth within ±1, and partition each language exactly") {
     val langTotals = graft.engine.Tables(spark, dir, "documents")
       .groupBy(col("lang")).agg(count(lit(1)).as("n"))
