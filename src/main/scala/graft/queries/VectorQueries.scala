@@ -1493,7 +1493,112 @@ object VectorQueries {
     ("v26_ann_recall_binary",
       (s: SparkSession, dir: String) => recallOf(binaryTopK(s, dir), s, dir),
       s"""WITH $binaryOracleCtes,
-         |${recallTailSql("bin")}""".stripMargin)
+         |${recallTailSql("bin")}""".stripMargin),
+
+    // ── v27: the nprobe/recall TUNING CURVE as one relational query —
+    //    the g28b sweep-as-rows discipline applied to index tuning:
+    //    every nprobe ∈ {1,2,3} of the trained IVF evaluated in a
+    //    single plan. A probe row with cell-rank r serves every
+    //    nprobe ≥ r, so the probe set EXPLODES to its (nprobe, cell)
+    //    memberships (≤ 3× ten query rows — broadcast-sized at any
+    //    corpus size) and one cell equi-join + one (nprobe, q_id) rank
+    //    window scores all three operating points; adding candidates
+    //    adds rows, not stages. Output: aggregate recall@3 per nprobe —
+    //    the exact curve an index tuner plots before picking the
+    //    latency/recall trade. Candidate sets nest by construction, so
+    //    recall is non-decreasing in nprobe (pinned in
+    //    `Round9bOpsSpec`). ──
+    ("v27_multiprobe_recall_curve",
+      (s: SparkSession, dir: String) => {
+        val ranked = trainedRanked(s, dir)
+        val assigned = ranked.where(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"),
+            col("nrm"))
+        val probes = ranked
+          .where(col("vec_id") >= 10 && col("vec_id") < 20 && col("rn") <= 3)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("cent_id").as("cell"), col("nrm").as("q_nrm"), col("rn"))
+          .withColumn("p", explode(expr("sequence(rn, 3)")))
+        val wRank = Window.partitionBy(col("p"), col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        val approx = broadcast(probes).join(assigned, Seq("cell"))
+          .where(col("vec_id") =!= col("q_id"))
+          .withColumn("cos", cosPre(dotNative(col("q_emb"), col("embedding")),
+            col("q_nrm"), col("nrm")))
+          .withColumn("rank", row_number().over(wRank))
+          .where(col("rank") <= 3)
+          .select(col("p"), col("q_id"), col("vec_id"))
+        val emb = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), normCol(col("embedding")).as("nrm"))
+        val qs = emb.where(col("vec_id") >= 10 && col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("nrm").as("q_nrm"))
+        val wq = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        val exact = broadcast(qs).crossJoin(emb)
+          .where(col("vec_id") =!= col("q_id"))
+          .withColumn("cos", cosPre(dotNative(col("q_emb"), col("embedding")),
+            col("q_nrm"), col("nrm")))
+          .withColumn("rank", row_number().over(wq))
+          .where(col("rank") <= 3)
+          .select(col("q_id"), col("vec_id"))
+          .persist()
+        val hits = approx.join(exact, Seq("q_id", "vec_id"), "left_semi")
+          .groupBy(col("p")).agg(count(lit(1)).as("n_hit"))
+        s.range(1, 4).select(col("id").as("p"))
+          .join(hits, Seq("p"), "left")
+          .crossJoin(broadcast(exact.agg(count(lit(1)).as("k"))))
+          .select(col("p").as("nprobe"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("k"),
+            round(coalesce(col("n_hit"), lit(0L)).cast("double")
+              / col("k").cast("double"), 4).as("recall"))
+          .orderBy(col("nprobe"))
+      },
+      s"""WITH $ivfAssignCtes,
+         |$ivfTrainedCtes,
+         |probes AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb, cent_id AS cell,
+         |         nrm AS q_nrm, unnest(generate_series(rn, 3)) AS p
+         |  FROM ranked1 WHERE vec_id >= 10 AND vec_id < 20 AND rn <= 3),
+         |candp AS (
+         |  SELECT pr.p, pr.q_id, e.vec_id,
+         |         ${cosPreSql(dotFoldSql("pr.q_emb", "e.embedding", 64), "pr.q_nrm", "e.nrm")} AS cos
+         |  FROM probes pr JOIN assigned1 e
+         |    ON pr.cell = e.cell AND e.vec_id <> pr.q_id),
+         |topp AS (
+         |  SELECT p, q_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY p, q_id
+         |              ORDER BY cos DESC, vec_id ASC) AS rank
+         |    FROM candp) WHERE rank <= 3),
+         |e9 AS (
+         |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+         |bq9 AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e9
+         |  WHERE vec_id >= 10 AND vec_id < 20),
+         |bs9 AS (
+         |  SELECT bq9.q_id, e9.vec_id,
+         |         ${cosPreSql(dotFoldSql("bq9.q_emb", "e9.embedding", 64), "bq9.q_nrm", "e9.nrm")} AS cos
+         |  FROM bq9, e9 WHERE e9.vec_id <> bq9.q_id),
+         |exact9 AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |              ORDER BY cos DESC, vec_id ASC) AS rank
+         |    FROM bs9) WHERE rank <= 3),
+         |ks9 AS (SELECT CAST(count(*) AS BIGINT) AS k FROM exact9),
+         |hits9 AS (
+         |  SELECT t.p, CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM topp t WHERE EXISTS (
+         |    SELECT 1 FROM exact9 x
+         |    WHERE x.q_id = t.q_id AND x.vec_id = t.vec_id)
+         |  GROUP BY 1),
+         |spine AS (SELECT unnest(generate_series(1, 3)) AS p)
+         |SELECT CAST(s.p AS BIGINT) AS nprobe,
+         |       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit, ks9.k,
+         |       round(CAST(coalesce(h.n_hit, 0) AS DOUBLE)
+         |             / CAST(ks9.k AS DOUBLE), 4) AS recall
+         |FROM spine s CROSS JOIN ks9
+         |LEFT JOIN hits9 h ON h.p = s.p
+         |ORDER BY nprobe""".stripMargin)
   )
 
   /** v25's sign binarization: dims 1..32 → bits 0..31 of `lo`, dims

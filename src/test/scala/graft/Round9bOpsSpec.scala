@@ -389,6 +389,25 @@ class Round9bOpsSpec extends SparkSpec {
       "stage=3 vs n_purchase")
   }
 
+  test("v27: the nprobe curve is monotone and its points equal the judged v12/v14 aggregates") {
+    val curve = SparkEntry.queries("v27_multiprobe_recall_curve")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("nprobe"), r.getAs[Long]("n_hit"),
+        r.getAs[Long]("k"))).sortBy(_._1)
+    assert(curve.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    // candidate sets nest, so recall can only grow with nprobe
+    assert(curve(0)._2 <= curve(1)._2 && curve(1)._2 <= curve(2)._2,
+      curve.mkString(","))
+    // nprobe=1 IS the judged v12 single-probe eval; nprobe=2 IS v14's
+    // two-cell multiprobe — the curve must reproduce both aggregates
+    val v12 = SparkEntry.queries("v12_ann_recall_trained")(spark, dir)
+      .collect().map(_.getAs[Long]("n_hit")).sum
+    val v14 = SparkEntry.queries("v14_ann_recall_trained_multiprobe")(spark, dir)
+      .collect().map(_.getAs[Long]("n_hit")).sum
+    assert(curve(0)._2 == v12, s"nprobe=1 ${curve(0)._2} != v12 $v12")
+    assert(curve(1)._2 == v14, s"nprobe=2 ${curve(1)._2} != v14 $v14")
+    assert(curve.forall(_._3 == curve.head._3), "k differs across points")
+  }
+
   test("w09: folds are 1..5, equal-depth within ±1, and partition each language exactly") {
     val langTotals = graft.engine.Tables(spark, dir, "documents")
       .groupBy(col("lang")).agg(count(lit(1)).as("n"))
