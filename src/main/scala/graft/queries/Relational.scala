@@ -1895,6 +1895,47 @@ object Relational {
          |GROUP BY 1, 2
          |ORDER BY w_ppm DESC, d.doc_id LIMIT 40""".stripMargin),
 
+    // ── q11: weighted sampling without replacement (Efraimidis-Spirakis
+    //    A-ES) — the sampling family's weighted member (q02/q03 uniform,
+    //    q08/q09 quota, q10 importance-ranked): select 20 docs per
+    //    language with probability proportional to length. A-ES key =
+    //    u^(1/w) ranked descending ⟺ ln(u)/w ranked descending (w > 0);
+    //    u derives from the portable hash (exact integer → one exact
+    //    division, identical doubles both engines), and the KEY IS
+    //    ROUNDED to a ×1e9 BIGINT so the rank order is integer-exact
+    //    cross-engine — a raw-double key could flip a boundary rank on
+    //    a ulp, the scaled-long key cannot (doc_id breaks exact ties).
+    //    One scan, one bounded-partition (lang) rank window, no rand()
+    //    anywhere — rerunnable and judged like every sampler here. ──
+    ("q11_weighted_sample",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val u = (pmod(portableHash(concat(lit("q11|"), $"doc_id".cast("string"))),
+          lit(1000000L)) + 1L).cast("double") / 1000001.0
+        val w = Window.partitionBy($"lang").orderBy($"key".desc, $"doc_id")
+        Tables(s, dir, "documents")
+          .where($"n_chars" > 0L)
+          .select($"doc_id", $"lang", $"n_chars",
+            round(log(u) / $"n_chars".cast("double") * 1000000000L).cast("long")
+              .as("key"))
+          .withColumn("rk", row_number().over(w))
+          .where($"rk" <= 20)
+          .select($"doc_id", $"lang", $"n_chars")
+          .orderBy($"lang", $"doc_id")
+      },
+      s"""WITH keyed AS (
+         |  SELECT doc_id, lang, n_chars,
+         |         CAST(round(ln(CAST(${portableHashSql("'q11|' || CAST(doc_id AS VARCHAR)")} % 1000000 + 1 AS DOUBLE) / 1000001.0)
+         |               / CAST(n_chars AS DOUBLE) * 1000000000, 0) AS BIGINT) AS key
+         |  FROM documents WHERE n_chars > 0),
+         |ranked AS (
+         |  SELECT doc_id, lang, n_chars,
+         |         row_number() OVER (PARTITION BY lang
+         |                            ORDER BY key DESC, doc_id) AS rk
+         |  FROM keyed)
+         |SELECT doc_id, lang, n_chars FROM ranked
+         |WHERE rk <= 20 ORDER BY lang, doc_id""".stripMargin),
+
     // ── a17: Count-Min frequency sketch — the sketch family member that
     //    IS fully hash-judgeable (pure integer arithmetic, unlike the
     //    engine-specific HLL/quantile sketches a01/a13/a14 that get
@@ -1991,6 +2032,81 @@ object Relational {
          |            ELSE 'both' END AS side
          |FROM p FULL OUTER JOIN c ON p.user_id = c.user_id AND p.hour = c.hour
          |ORDER BY user_id, hour""".stripMargin),
+
+    // ── j13: fuzzy (edit-distance-1) self-join via DELETION-NEIGHBORHOOD
+    //    blocking — the typo/variant matcher every text pipeline needs
+    //    without an O(|vocab|²) product: a word's block keys are itself
+    //    plus its one-char-deletion variants, and ANY two words at edit
+    //    distance 1 (sub/ins/del) share a key, so a hash equi-join on
+    //    the variant generates a complete candidate set ~(len+1)×|vocab|
+    //    rows wide; `levenshtein` (built-in, codegen'd in Spark,
+    //    identical in DuckDB on the [a-z]-filtered vocabulary) confirms.
+    //    Hot variants cap at 256 (the t06 BandCap discipline, mirrored
+    //    via QUALIFY) so a degenerate key can never go quadratic at any
+    //    corpus size. The template vocabulary has no natural distance-1
+    //    pairs, so the vocab is SEEDED with one deterministic
+    //    second-char-deletion typo per word (freq 1) — the t06/t08
+    //    seeding discipline: the judged pair set is non-empty by
+    //    construction at every SF while natural pairs still flow. ──
+    ("j13_fuzzy_join",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val base = Tables(s, dir, "documents")
+          .select(explode(split($"text", " ")).as("w"))
+          .where(length($"w") >= 3 && length($"w") <= 15 && $"w".rlike("^[a-z]+$"))
+          .groupBy($"w").agg(count(lit(1)).as("freq"))
+        val typos = base.where(length($"w") >= 4)
+          .select(concat(substring($"w", 1, 1),
+            expr("substring(w, 3, length(w) - 2)")).as("w"), lit(1L).as("freq"))
+        val words = base.unionByName(typos)
+          .groupBy($"w").agg(sum($"freq").cast("long").as("freq"))
+        val wV = Window.partitionBy($"v")
+        val variants = words
+          .select($"w", $"freq", explode(concat(array($"w"), expr(
+            "transform(sequence(1, length(w)), i -> " +
+              "concat(substring(w, 1, i - 1), substring(w, i + 1, length(w) - i)))")))
+            .as("v"))
+          .distinct()
+          .withColumn("nv", count(lit(1)).over(wV))
+          .where($"nv" <= 256).drop("nv")
+        variants.as("a").join(variants.as("b"),
+            col("a.v") === col("b.v") && col("a.w") < col("b.w"))
+          .select(col("a.w").as("w1"), col("b.w").as("w2"),
+            col("a.freq").as("f1"), col("b.freq").as("f2"))
+          .distinct()
+          .where(levenshtein($"w1", $"w2") === 1)
+          .orderBy($"w1", $"w2")
+      },
+      s"""WITH base AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) >= 3 AND length(w) <= 15
+         |    AND regexp_full_match(w, '[a-z]+')
+         |  GROUP BY 1),
+         |words AS (
+         |  SELECT w, CAST(sum(freq) AS BIGINT) AS freq FROM (
+         |    SELECT w, freq FROM base
+         |    UNION ALL
+         |    SELECT substring(w, 1, 1) || substring(w, 3, length(w) - 2),
+         |           CAST(1 AS BIGINT)
+         |    FROM base WHERE length(w) >= 4)
+         |  GROUP BY 1),
+         |vars AS (
+         |  SELECT DISTINCT w, freq, v FROM (
+         |    SELECT w, freq,
+         |           unnest(list_prepend(w, list_transform(
+         |             generate_series(1, length(w)),
+         |             i -> substring(w, 1, CAST(i AS INT) - 1)
+         |                  || substring(w, CAST(i AS INT) + 1, length(w) - CAST(i AS INT))))) AS v
+         |    FROM words)),
+         |capped AS (
+         |  SELECT * FROM vars
+         |  QUALIFY count(*) OVER (PARTITION BY v) <= 256),
+         |cand AS (
+         |  SELECT DISTINCT a.w AS w1, b.w AS w2, a.freq AS f1, b.freq AS f2
+         |  FROM capped a JOIN capped b ON a.v = b.v AND a.w < b.w)
+         |SELECT w1, w2, f1, f2 FROM cand
+         |WHERE levenshtein(w1, w2) = 1 ORDER BY w1, w2""".stripMargin),
 
     // ── a16: UNPIVOT (melt) — the inverse of the judged pivots (a07/g14/
     //    g17): a wide per-flag summary melted back to long-form

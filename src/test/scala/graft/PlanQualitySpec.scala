@@ -622,6 +622,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q11: weighted sampling is one scan + one bounded-lang rank window, no joins") {
+    val p = plan("q11_weighted_sample")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("j13: fuzzy candidates come from a variant equi-join, never an all-pairs product") {
+    val p = plan("j13_fuzzy_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("levenshtein"), p)
+  }
+
   test("v24: the power-iteration chain is checkpoint-truncated — judged plan never rescans the corpus") {
     // the iterative-chain discipline applied to linear algebra: each
     // round's corpus pass lands eagerly in a localCheckpoint'd 64-row

@@ -408,6 +408,69 @@ class Round9bOpsSpec extends SparkSpec {
     assert(curve.forall(_._3 == curve.head._3), "k differs across points")
   }
 
+  test("q11: A-ES selection equals a driver-side recompute and skews toward long docs") {
+    val docs = graft.engine.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .filter(_._3 > 0)
+    val hashed = graft.engine.Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        pmod(graft.queries.Portable.portableHash(
+          concat(lit("q11|"), col("doc_id").cast("string"))), lit(1000000L)).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def key(id: Long, w: Long): Long = {
+      val u = (hashed(id) + 1).toDouble / 1000001.0
+      BigDecimal(math.log(u) / w.toDouble * 1000000000L)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (_, ds) =>
+      ds.sortBy(d => (-key(d._1, d._3), d._1)).take(20).toSeq
+    }.map(d => (d._1, d._2)).toSet
+    val got = SparkEntry.queries("q11_weighted_sample")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang")))
+    assert(got.toSet == expected, s"selection diverged: ${got.toSet.diff(expected)}")
+    // length-weighting must bind: the sampled mean length beats the
+    // corpus mean (deterministic on the fixed fixture + fixed hash)
+    val sampledMean = got.map(g => docs.find(_._1 == g._1).get._3).sum.toDouble / got.length
+    val corpusMean = docs.map(_._3).sum.toDouble / docs.length
+    assert(sampledMean > corpusMean,
+      s"weighting did not bind: sampled $sampledMean vs corpus $corpusMean")
+  }
+
+  test("j13: deletion-neighborhood blocking finds exactly the brute-force distance-1 pairs") {
+    val vocab = {
+      val base = graft.engine.Tables(spark, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) >= 3 && length(col("w")) <= 15 &&
+          col("w").rlike("^[a-z]+$"))
+        .groupBy(col("w")).agg(count(lit(1)).as("f")).collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      val typos = base.filter(_._1.length >= 4)
+        .map { case (w, _) => (w.substring(0, 1) + w.substring(2)) -> 1L }
+      (base ++ typos).groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val ws = vocab.keys.toSeq.sorted
+    val expected = (for {
+      i <- ws.indices; j <- (i + 1) until ws.length
+      if lev(ws(i), ws(j)) == 1
+    } yield (ws(i), ws(j), vocab(ws(i)), vocab(ws(j)))).toSet
+    val got = SparkEntry.queries("j13_fuzzy_join")(spark, dir).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("f1"), r.getAs[Long]("f2"))).toSet
+    assert(got == expected,
+      s"missing: ${expected.diff(got)}; extra: ${got.diff(expected)}")
+    assert(got.nonEmpty, "seeding failed to produce any distance-1 pair")
+  }
+
   test("w09: folds are 1..5, equal-depth within ±1, and partition each language exactly") {
     val langTotals = graft.engine.Tables(spark, dir, "documents")
       .groupBy(col("lang")).agg(count(lit(1)).as("n"))
