@@ -1550,8 +1550,61 @@ object GeoQueries {
            |         AS pred_flow
            |FROM tj LEFT JOIN sm ON sm.src = tj.src AND sm.dst = tj.dst
            |ORDER BY tj.src, tj.dst""".stripMargin
-      })
+      }),
+
+    // ── g33: multi-round BFS hop distance — the graph family's FRONTIER
+    //    pattern beside min-label components (t10), fixed-point rank
+    //    flow (g19), and oriented wedge counting (g20): hop distance
+    //    from the min-id seed region over the undirected transition
+    //    graph, 4 rounds. Each round is one edge equi-join against the
+    //    BROADCAST reached set folded by a min-hop agg (per-node state
+    //    is region-bounded at any corpus size), localCheckpoint'd per
+    //    round — the t10/g19 chain discipline, so round N costs the
+    //    same as round 1 and the loop extends to any diameter. Pure
+    //    integer state, judged against DuckDB's recursive-CTE BFS. ──
+    ("g33_bfs_hops",
+      (s: SparkSession, dir: String) => {
+        val ed0 = Trajectory.transitions(Trajectory.hourlyState(Tables.events(s, dir)))
+          .where(col("src") =!= "0" && col("dst") =!= "0" && col("src") =!= col("dst"))
+          .select(col("src").as("a"), col("dst").as("b")).distinct()
+        val edges = ed0
+          .union(ed0.select(col("b").as("a"), col("a").as("b")))
+          .distinct().persist()
+        var reached = edges.agg(min(col("a")).as("region"))
+          .select(col("region"), lit(0L).as("dist"))
+        for (k <- 1 to 4)
+          reached = bfsRound(edges, reached, k).localCheckpoint()
+        reached.orderBy(col("region"))
+      },
+      s"""WITH RECURSIVE ${Trajectory.trajSqlPrelude.stripPrefix("WITH ")},
+         |seq AS (
+         |  SELECT user_id, hour, region,
+         |         lag(region) OVER (PARTITION BY user_id ORDER BY hour) AS src
+         |  FROM traj),
+         |ed0 AS (
+         |  SELECT DISTINCT src AS a, region AS b FROM seq
+         |  WHERE src IS NOT NULL AND src <> '0' AND region <> '0' AND src <> region),
+         |edges AS (SELECT a, b FROM ed0 UNION SELECT b, a FROM ed0),
+         |seed AS (SELECT min(a) AS r FROM edges),
+         |reach(region, dist) AS (
+         |  SELECT r, 0 FROM seed
+         |  UNION
+         |  SELECT e.b, rc.dist + 1
+         |  FROM reach rc JOIN edges e ON e.a = rc.region
+         |  WHERE rc.dist < 4)
+         |SELECT region, CAST(min(dist) AS BIGINT) AS dist
+         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)
   )
+
+  /** g33's BFS state advance: one frontier expansion (edge join against
+    * the broadcast reached set) folded into the reached set by min-hop.
+    * Every per-node table is region-bounded — broadcastable at ANY
+    * corpus size — so each round's only shuffle is the min-agg. */
+  private def bfsRound(edges: DataFrame, reached: DataFrame, k: Int): DataFrame =
+    reached.union(
+        edges.join(broadcast(reached), col("a") === col("region"))
+          .select(col("b").as("region"), lit(k.toLong).as("dist")))
+      .groupBy(col("region")).agg(min(col("dist")).as("dist"))
 
   /** Per-region exact centroid + mass: scaled-long means of the fix
     * coordinates and the fix count — the shared dimension table of the

@@ -167,6 +167,42 @@ object Relational {
          |       ${moneySumSql("c_acctbal")} AS sum_bal
          |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ── s14: schema evolution — the lakehouse reality every 100 TB
+    //    table lives with: files written BEFORE a column existed sit
+    //    beside files written after. Half the events are written with
+    //    the v1 schema (no value column), half with v2 (value added);
+    //    the mergeSchema read must union the footers and surface the
+    //    missing column as NULL in v1 rows. The judged aggregate counts
+    //    those nulls explicitly and money-sums the surviving values, so
+    //    a wrong fill (default instead of NULL, or column misalignment)
+    //    breaks the hash. Oracle recomputes from the original table
+    //    with the writer-split predicate — the roundtrip is Spark-side,
+    //    the truth is the source. ──
+    ("s14_schema_evolution",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+        val out = scratchPath("s14_evolved")
+        ev.where($"user_id" % 2 === 0)
+          .select($"user_id", $"event_type")
+          .write.mode("overwrite").parquet(s"$out/gen=1")
+        ev.where($"user_id" % 2 === 1)
+          .select($"user_id", $"event_type", round($"value", 2).as("value"))
+          .write.mode("overwrite").parquet(s"$out/gen=2")
+        s.read.option("mergeSchema", "true").parquet(s"$out/gen=1", s"$out/gen=2")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when($"value".isNull, 1L).otherwise(0L)).as("n_null"),
+            moneySum(coalesce($"value", lit(0.0))).as("sum_val"))
+          .orderBy($"event_type")
+      },
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_null,
+         |       ${moneySumSql("CASE WHEN user_id % 2 = 1 THEN round(value, 2) ELSE 0 END")}
+         |         AS sum_val
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ── S6/S4: hive-partitioned parquet sink → partition-pruned scan
     //    (ppl_days.py:23 writes partitionBy(date); cal_mobility_matrix.py:
     //    27-29 reads back WHERE date=... — pruning must reach the scan) ──

@@ -471,6 +471,47 @@ class Round9bOpsSpec extends SparkSpec {
     assert(got.nonEmpty, "seeding failed to produce any distance-1 pair")
   }
 
+  test("g33: the 4-round frontier equals a driver-side BFS and distances are tight") {
+    val edges = SparkEntry.queries("g09_mobility_od")(spark, dir)
+      .where(col("src") =!= "0" && col("dst") =!= "0" && col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct().collect()
+      .flatMap(r => Seq(r.getString(0) -> r.getString(1), r.getString(1) -> r.getString(0)))
+      .toSet
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seed = edges.map(_._1).min
+    var dist = Map(seed -> 0L)
+    for (k <- 1 to 4) {
+      val frontier = dist.filter(_._2 == k - 1).keys
+      frontier.foreach { r =>
+        adj.getOrElse(r, Set.empty).foreach { n =>
+          if (!dist.contains(n)) dist += n -> k.toLong
+        }
+      }
+    }
+    val got = SparkEntry.queries("g33_bfs_hops")(spark, dir).collect()
+      .map(r => r.getAs[String]("region") -> r.getAs[Long]("dist")).toMap
+    assert(got == dist, s"missing: ${dist.toSet.diff(got.toSet)}; extra: ${got.toSet.diff(dist.toSet)}")
+    // every non-seed distance is witnessed by a neighbor one hop closer
+    got.filter(_._2 > 0).foreach { case (r, d) =>
+      assert(adj(r).exists(n => got.get(n).contains(d - 1)), s"$r at $d has no witness")
+    }
+  }
+
+  test("s14: merged-schema read fills exactly the v1 rows with NULLs") {
+    val rows = SparkEntry.queries("s14_schema_evolution")(spark, dir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"), r.getAs[Long]("n_null")))
+    val ev = graft.engine.Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byType = ev.groupBy(_._1)
+    assert(rows.map(_._1).toSet == byType.keySet)
+    rows.foreach { case (tpe, n, nNull) =>
+      assert(n == byType(tpe).length.toLong, s"$tpe count")
+      assert(nNull == byType(tpe).count(_._2 % 2 == 0).toLong, s"$tpe null count")
+      assert(nNull > 0 && nNull < n, s"$tpe: evolution did not bind")
+    }
+  }
+
   test("w09: folds are 1..5, equal-depth within ±1, and partition each language exactly") {
     val langTotals = graft.engine.Tables(spark, dir, "documents")
       .groupBy(col("lang")).agg(count(lit(1)).as("n"))
