@@ -1931,6 +1931,51 @@ object Relational {
          |GROUP BY 1, 2
          |ORDER BY w_ppm DESC, d.doc_id LIMIT 40""".stripMargin),
 
+    // ── w11: weekly cohort retention — the other product-analytics
+    //    staple beside the w10 funnel: users cohorted by first-activity
+    //    week, retention = the share of each cohort active k weeks
+    //    later. Two hash aggs (first-week per user, distinct user-weeks)
+    //    joined on user (the first-week table is user-bounded), week
+    //    offsets by exact epoch integer arithmetic (no calendar
+    //    function drift can touch the judged hash), cohort sizes
+    //    broadcast back, rates as exact integer ppm. The (cohort,
+    //    offset) output is week²-bounded at any corpus size. ──
+    ("w11_retention_cohorts",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val weeks = Tables.events(s, dir)
+          .select($"user_id", date_trunc("week", $"ts").as("week"))
+          .distinct()
+        val first = weeks.groupBy($"user_id").agg(min($"week").as("cw"))
+        val cohortSize = first.groupBy($"cw").agg(count(lit(1)).as("n_cohort"))
+        weeks.join(first, "user_id")
+          .select($"cw",
+            expr("(unix_timestamp(week) - unix_timestamp(cw)) DIV 604800").as("off"))
+          .groupBy($"cw", $"off").agg(count(lit(1)).as("n_active"))
+          .join(broadcast(cohortSize), Seq("cw"))
+          .select(tsSec($"cw").as("cohort_week"), $"off", $"n_active", $"n_cohort",
+            expr("(n_active * 1000000) DIV n_cohort").as("retention_ppm"))
+          .orderBy($"cohort_week", $"off")
+      },
+      s"""WITH weeks AS (
+         |  SELECT DISTINCT user_id,
+         |         date_trunc('week', CAST(ts AS TIMESTAMP)) AS week
+         |  FROM events),
+         |first AS (SELECT user_id, min(week) AS cw FROM weeks GROUP BY 1),
+         |csize AS (SELECT cw, CAST(count(*) AS BIGINT) AS n_cohort
+         |          FROM first GROUP BY 1),
+         |act AS (
+         |  SELECT f.cw,
+         |         (${epochSecSql("w.week")} - ${epochSecSql("f.cw")}) // 604800 AS off,
+         |         CAST(count(*) AS BIGINT) AS n_active
+         |  FROM weeks w JOIN first f USING (user_id)
+         |  GROUP BY 1, 2)
+         |SELECT ${tsSecSql("act.cw")} AS cohort_week, CAST(off AS BIGINT) AS off,
+         |       n_active, csize.n_cohort,
+         |       (n_active * 1000000) // csize.n_cohort AS retention_ppm
+         |FROM act JOIN csize ON csize.cw = act.cw
+         |ORDER BY cohort_week, off""".stripMargin),
+
     // ── q11: weighted sampling without replacement (Efraimidis-Spirakis
     //    A-ES) — the sampling family's weighted member (q02/q03 uniform,
     //    q08/q09 quota, q10 importance-ranked): select 20 docs per

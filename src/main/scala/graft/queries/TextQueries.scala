@@ -174,12 +174,69 @@ object TextQueries {
        |  $bandRowsSql)
        |  QUALIFY count(*) OVER (PARTITION BY band, key) <= $BandCap)""".stripMargin
 
+  /** t10's converged min-label propagation over the LSH duplicate
+    * edges — (doc_id, cluster) for every doc touching at least one
+    * candidate edge; shared by t10 (cluster table) and t27 (apply).
+    * The convergence counter is a driver-side scalar (the t10b
+    * discipline); all cluster state stays distributed. */
+  private[graft] def dupLabels(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+
+        val bands = lshBands(
+          shingleIndex(seededDocs(s, dir)).drop("source")).persist()
+        val edges = lshCandidates(bands)
+        // both directions from ONE pass over the pair join (a two-branch
+        // union would run the band self-join twice)
+        val sym = edges.select(explode(array(
+            struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+            struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+          .persist()
+        // Per-round lineage truncation is load-bearing: persist() caches
+        // rows but Catalyst still re-optimizes the whole accumulated plan
+        // every round (it doubles per iteration — round 4 spent 6x round
+        // 1 purely in the optimizer). localCheckpoint(eager) pins the
+        // rows AND cuts the plan; on a real cluster use checkpoint() to
+        // reliable storage for fault tolerance.
+        var labels = sym.select(col("src").as("doc_id")).distinct()
+          .select(col("doc_id"), col("doc_id").as("cluster"))
+          .localCheckpoint(true)
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0 && rounds < 25) {
+          val nmin = sym
+            .join(labels.select(col("doc_id").as("dst"), col("cluster").as("ncl")), "dst")
+            .groupBy(col("src")).agg(min(col("ncl")).as("nmin"))
+          val next = labels
+            .join(nmin.select(col("src").as("doc_id"), col("nmin")), Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+            .localCheckpoint(true)
+          changed = next
+            .join(labels.select(col("doc_id"), col("cluster").as("old")), "doc_id")
+            .where(col("cluster") =!= col("old")).count()
+          labels = next
+          rounds += 1
+        }
+        // a silent round-cap exit would return plausible but WRONG
+        // labels for a component of diameter > the cap — fail loudly
+        require(changed == 0,
+          s"t10 label propagation not converged after $rounds rounds")
+        labels
+  }
+
   /** One oracle, two judged engines: the recursive-CTE transitive
     * closure over the LSH candidate edge set labels every doc with its
     * component's min doc_id — judged against BOTH t10 (min-label
     * propagation) and t10b (small-star/large-star), so the two
     * distributed algorithms are pinned to identical cluster output. */
   private def dupClustersOracleSql: String =
+    s"""$dupClustersCtes
+       |SELECT doc_id, cluster, doc_id = cluster AS is_rep
+       |FROM labels ORDER BY doc_id""".stripMargin
+
+  /** The cluster chain alone (through `labels`) — shared by the t10/t10b
+    * oracle and t27's apply oracle. */
+  private def dupClustersCtes: String =
     s"""WITH RECURSIVE $seededDocsSql,
        |${hashedShinglesSql("seeded")},
        |sig AS (
@@ -202,9 +259,7 @@ object TextQueries {
        |  WHERE s2.dst <> r.src),
        |labels AS (
        |  SELECT src AS doc_id, least(src, min(dst)) AS cluster
-       |  FROM reach GROUP BY src)
-       |SELECT doc_id, cluster, doc_id = cluster AS is_rep
-       |FROM labels ORDER BY doc_id""".stripMargin
+       |  FROM reach GROUP BY src)""".stripMargin
 
   /** Jaccard between two hashed-shingle lists (oracle side; the Spark
     * side derives the same value from inverted-index match counts). */
@@ -805,53 +860,45 @@ object TextQueries {
     //    oracle is a recursive-CTE transitive closure over the identical
     //    edge set. Seeded corpus, so components exist at every SF. ──
     ("t10_dup_clusters",
-      (s: SparkSession, dir: String) => {
-        val bands = lshBands(
-          shingleIndex(seededDocs(s, dir)).drop("source")).persist()
-        val edges = lshCandidates(bands)
-        // both directions from ONE pass over the pair join (a two-branch
-        // union would run the band self-join twice)
-        val sym = edges.select(explode(array(
-            struct(col("doc_a").as("src"), col("doc_b").as("dst")),
-            struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
-          .select(col("e.src").as("src"), col("e.dst").as("dst"))
-          .persist()
-        // Per-round lineage truncation is load-bearing: persist() caches
-        // rows but Catalyst still re-optimizes the whole accumulated plan
-        // every round (it doubles per iteration — round 4 spent 6x round
-        // 1 purely in the optimizer). localCheckpoint(eager) pins the
-        // rows AND cuts the plan; on a real cluster use checkpoint() to
-        // reliable storage for fault tolerance.
-        var labels = sym.select(col("src").as("doc_id")).distinct()
-          .select(col("doc_id"), col("doc_id").as("cluster"))
-          .localCheckpoint(true)
-        var changed = 1L
-        var rounds = 0
-        while (changed > 0 && rounds < 25) {
-          val nmin = sym
-            .join(labels.select(col("doc_id").as("dst"), col("cluster").as("ncl")), "dst")
-            .groupBy(col("src")).agg(min(col("ncl")).as("nmin"))
-          val next = labels
-            .join(nmin.select(col("src").as("doc_id"), col("nmin")), Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-            .localCheckpoint(true)
-          changed = next
-            .join(labels.select(col("doc_id"), col("cluster").as("old")), "doc_id")
-            .where(col("cluster") =!= col("old")).count()
-          labels = next
-          rounds += 1
-        }
-        // a silent round-cap exit would return plausible but WRONG
-        // labels for a component of diameter > the cap — fail loudly
-        require(changed == 0,
-          s"t10 label propagation not converged after $rounds rounds")
-        labels
+      (s: SparkSession, dir: String) =>
+        dupLabels(s, dir)
           .select(col("doc_id"), col("cluster"),
             (col("doc_id") === col("cluster")).as("is_rep"))
-          .orderBy(col("doc_id"))
-      },
+          .orderBy(col("doc_id")),
       dupClustersOracleSql),
+
+    // ── t27: dedup APPLY — the step that turns t10's clusters into the
+    //    deduplicated corpus (find → cluster → APPLY): every doc either
+    //    keeps (it is its cluster's min-id representative, or it touches
+    //    no duplicate edge at all) or is removed. One left join of the
+    //    corpus against the converged label frame plus one per-source
+    //    rollup — the kept/removed report a dedup pipeline publishes,
+    //    judged against the same recursive-CTE cluster oracle so the
+    //    apply semantics are pinned to the judged clustering, not to a
+    //    re-derivation. ──
+    ("t27_dedup_apply",
+      (s: SparkSession, dir: String) => {
+        val labels = dupLabels(s, dir)
+        seededDocs(s, dir).select(col("doc_id"), col("source"))
+          .join(labels.select(col("doc_id"), col("cluster")), Seq("doc_id"), "left")
+          .select(col("source"),
+            (col("cluster").isNull || col("cluster") === col("doc_id")).as("keep"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"))
+          .orderBy(col("source"))
+      },
+      s"""$dupClustersCtes,
+         |tagged AS (
+         |  SELECT d.doc_id, d.source,
+         |         (l.cluster IS NULL OR l.cluster = d.doc_id) AS keep
+         |  FROM seeded d LEFT JOIN labels l ON l.doc_id = d.doc_id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+         |FROM tagged GROUP BY 1 ORDER BY 1""".stripMargin),
+
 
     // ── dup-pair clustering, small-star/large-star form: the documented
     //    graduation of t10's min-label propagation. Label propagation

@@ -512,6 +512,35 @@ class Round9bOpsSpec extends SparkSpec {
     }
   }
 
+  test("w11: cohort retention invariants hold and offset-0 is definitionally full") {
+    val rows = SparkEntry.queries("w11_retention_cohorts")(spark, dir).collect()
+      .map(r => (r.getAs[String]("cohort_week"), r.getAs[Long]("off"),
+        r.getAs[Long]("n_active"), r.getAs[Long]("n_cohort"),
+        r.getAs[Long]("retention_ppm")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, off, nActive, nCohort, ppm) =>
+      assert(nActive <= nCohort && nActive > 0, s"off $off")
+      assert(ppm == nActive * 1000000 / nCohort, s"off $off ppm")
+      if (off == 0L) assert(nActive == nCohort, "cohort not fully active at offset 0")
+    }
+    // per-cohort activity totals reconcile with the distinct user-week count
+    val userWeeks = graft.engine.Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts"))).distinct().count()
+    assert(rows.map(_._3).sum == userWeeks, "activity totals diverge")
+  }
+
+  test("t27: apply conserves the corpus and removes exactly t10's non-representatives") {
+    val rows = SparkEntry.queries("t27_dedup_apply")(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("n_removed")))
+    rows.foreach { case (src, n, k, rm) => assert(k + rm == n, src) }
+    val t10 = SparkEntry.queries("t10_dup_clusters")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("is_rep")))
+    assert(rows.map(_._4).sum == t10.count(!_._2).toLong,
+      "removed count diverges from t10's non-representatives")
+    assert(rows.map(_._4).sum > 0, "the seeded duplicates did not remove anything")
+  }
+
   test("w09: folds are 1..5, equal-depth within ±1, and partition each language exactly") {
     val langTotals = graft.engine.Tables(spark, dir, "documents")
       .groupBy(col("lang")).agg(count(lit(1)).as("n"))
