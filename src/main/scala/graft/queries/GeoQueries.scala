@@ -1593,7 +1593,92 @@ object GeoQueries {
          |  FROM reach rc JOIN edges e ON e.a = rc.region
          |  WHERE rc.dist < 4)
          |SELECT region, CAST(min(dist) AS BIGINT) AS dist
-         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)
+         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ── g34: corridor flow anomaly — the monitoring query a mobility
+    //    platform runs weekly: densify every observed corridor over the
+    //    week grid (the 5-row week spine broadcasts; absent weeks are
+    //    REAL zeros, not missing rows — an anomaly detector that only
+    //    sees observed weeks inflates its baseline), baseline the first
+    //    4 weeks, z-score week 5. Flow counts are BIGINTs, so the
+    //    baseline moments n·Σx² − (Σx)² are EXACT integers (no scaled
+    //    rounding needed anywhere before the final sqrt/divide), and
+    //    the judged flag |z| ≥ 2 with σ > 0 is decided on one
+    //    deterministic double expression. Output is corridor-bounded;
+    //    every join is broadcast. ──
+    ("g34_flow_anomaly",
+      (s: SparkSession, dir: String) => {
+        val wk = Trajectory.transitions(Trajectory.hourlyState(Tables.events(s, dir)))
+          .where(col("src") =!= "0" && col("dst") =!= "0" && col("src") =!= col("dst"))
+          .select(date_trunc("week", col("hour")).as("week"), col("src"), col("dst"))
+        val flows = wk.groupBy(col("week"), col("src"), col("dst"))
+          .agg(count(lit(1)).as("flow")).persist()
+        val spine = flows.select(col("week")).distinct()
+          .withColumn("wi", row_number().over(
+            Window.orderBy(col("week"))).cast("long"))
+        val dense = flows.select(col("src"), col("dst")).distinct()
+          .crossJoin(broadcast(spine))
+          .join(flows, Seq("week", "src", "dst"), "left")
+          .na.fill(0L, Seq("flow"))
+        val base = dense.where(col("wi") <= 4)
+          .groupBy(col("src"), col("dst"))
+          .agg(count(lit(1)).as("n"), sum(col("flow")).as("sx"),
+            sum(col("flow") * col("flow")).as("sxx"))
+        val test = dense.where(col("wi") === 5)
+          .select(col("src"), col("dst"), col("flow").as("x5"))
+        val nf = col("n").cast("double")
+        val varTerm = (nf * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")) /
+          (nf * (nf - lit(1.0)))
+        test.join(broadcast(base), Seq("src", "dst"))
+          .withColumn("mean", col("sx").cast("double") / nf)
+          .withColumn("sd", sqrt(varTerm))
+          .where(col("sd") > 0.0)
+          .withColumn("z", round((col("x5").cast("double") - col("mean")) / col("sd"), 4))
+          .where(abs(col("z")) >= 2.0)
+          .select(col("src"), col("dst"), col("x5"),
+            round(col("mean"), 4).as("base_mean"), round(col("sd"), 4).as("base_sd"),
+            col("z"))
+          .orderBy(col("src"), col("dst"))
+      },
+      s"""${Trajectory.trajSqlPrelude},
+         |seq AS (
+         |  SELECT user_id, hour, region,
+         |         lag(region) OVER (PARTITION BY user_id ORDER BY hour) AS src
+         |  FROM traj),
+         |flows AS (
+         |  SELECT date_trunc('week', hour) AS week, src, region AS dst,
+         |         CAST(count(*) AS BIGINT) AS flow
+         |  FROM seq
+         |  WHERE src IS NOT NULL AND src <> '0' AND region <> '0' AND src <> region
+         |  GROUP BY 1, 2, 3),
+         |spine AS (
+         |  SELECT week, CAST(row_number() OVER (ORDER BY week) AS BIGINT) AS wi
+         |  FROM (SELECT DISTINCT week FROM flows)),
+         |dense AS (
+         |  SELECT c.src, c.dst, s.week, s.wi, coalesce(f.flow, 0) AS flow
+         |  FROM (SELECT DISTINCT src, dst FROM flows) c
+         |  CROSS JOIN spine s
+         |  LEFT JOIN flows f ON f.week = s.week AND f.src = c.src AND f.dst = c.dst),
+         |base AS (
+         |  SELECT src, dst, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(flow) AS BIGINT) AS sx,
+         |         CAST(sum(flow * flow) AS BIGINT) AS sxx
+         |  FROM dense WHERE wi <= 4 GROUP BY 1, 2),
+         |test AS (SELECT src, dst, flow AS x5 FROM dense WHERE wi = 5),
+         |scored AS (
+         |  SELECT t.src, t.dst, t.x5,
+         |         CAST(b.sx AS DOUBLE) / CAST(b.n AS DOUBLE) AS mean,
+         |         sqrt((CAST(b.n AS DOUBLE) * CAST(b.sxx AS DOUBLE)
+         |               - CAST(b.sx AS DOUBLE) * CAST(b.sx AS DOUBLE))
+         |              / (CAST(b.n AS DOUBLE) * (CAST(b.n AS DOUBLE) - 1.0))) AS sd
+         |  FROM test t JOIN base b ON b.src = t.src AND b.dst = t.dst)
+         |SELECT src, dst, CAST(x5 AS BIGINT) AS x5,
+         |       round(mean, 4) AS base_mean, round(sd, 4) AS base_sd,
+         |       round((CAST(x5 AS DOUBLE) - mean) / sd, 4) AS z
+         |FROM scored
+         |WHERE sd > 0 AND abs(round((CAST(x5 AS DOUBLE) - mean) / sd, 4)) >= 2
+         |ORDER BY src, dst""".stripMargin)
   )
 
   /** g33's BFS state advance: one frontier expansion (edge join against

@@ -2017,6 +2017,56 @@ object Relational {
          |SELECT doc_id, lang, n_chars FROM ranked
          |WHERE rk <= 20 ORDER BY lang, doc_id""".stripMargin),
 
+    // ── q12: differentially-private release — the OTHER privacy gate
+    //    beside g27's k-anonymity: per-region distinct-user counts
+    //    released with integer Laplace noise (b = 2, i.e. ε = 0.5 for
+    //    the ±1-user neighboring-datasets sensitivity of a distinct
+    //    count), clamped at 0. Noise comes from the inverse-CDF over a
+    //    counter-derived uniform (the g29 counter-based-RNG discipline:
+    //    u = (hash(region)+0.5)/1e6, noise = −b·sgn(t)·ln(1−2|t|)) —
+    //    DETERMINISTIC on purpose so the release is judged exactly and
+    //    rerunnable; a production deployment swaps the portable hash
+    //    for a secret-seeded counter RNG and the judged mechanism shape
+    //    (per-key independent noise, integer rounding, zero clamp) is
+    //    unchanged. One distinct-agg and one codegen'd expression —
+    //    nothing about the mechanism costs more than the count. ──
+    ("q12_dp_release",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val k = fixKey($"user_id", $"ts")
+        val counts = Tables.events(s, dir)
+          .select(graft.functions.GeoFunctions
+            .geohashCol(latFromKey(k), lonFromKey(k), 3).as("region"), $"user_id")
+          .distinct()
+          .groupBy($"region").agg(count(lit(1)).as("n"))
+        val t = ((pmod(portableHash(concat(lit("q12|"), $"region")), lit(1000000L))
+          .cast("double") + 0.5) / 1000000.0) - 0.5
+        val noise = when(t >= 0.0, -lit(2.0) * log(lit(1.0) - lit(2.0) * t))
+          .otherwise(lit(2.0) * log(lit(1.0) + lit(2.0) * t))
+        counts
+          .select($"region", $"n",
+            greatest(lit(0L), $"n" + round(noise).cast("long")).as("released"))
+          .orderBy($"region")
+      }, {
+        val kSql = fixKeySql("user_id", "ts")
+        val regionSql = geohashSql(latFromKeySql(kSql), lonFromKeySql(kSql), 3)
+        val tSql = s"((CAST(${portableHashSql("'q12|' || region")} % 1000000 AS DOUBLE) + 0.5) / 1000000.0) - 0.5"
+        s"""WITH counts AS (
+           |  SELECT region, CAST(count(*) AS BIGINT) AS n FROM (
+           |    SELECT DISTINCT $regionSql AS region, user_id FROM events)
+           |  GROUP BY 1),
+           |noised AS (
+           |  SELECT region, n,
+           |         CASE WHEN $tSql >= 0.0
+           |              THEN -2.0 * ln(1.0 - 2.0 * ($tSql))
+           |              ELSE 2.0 * ln(1.0 + 2.0 * ($tSql)) END AS noise
+           |  FROM counts)
+           |SELECT region, n,
+           |       greatest(CAST(0 AS BIGINT),
+           |                n + CAST(round(noise, 0) AS BIGINT)) AS released
+           |FROM noised ORDER BY region""".stripMargin
+      }),
+
     // ── a17: Count-Min frequency sketch — the sketch family member that
     //    IS fully hash-judgeable (pure integer arithmetic, unlike the
     //    engine-specific HLL/quantile sketches a01/a13/a14 that get

@@ -541,6 +541,59 @@ class Round9bOpsSpec extends SparkSpec {
     assert(rows.map(_._4).sum > 0, "the seeded duplicates did not remove anything")
   }
 
+  test("g34: the z-score flags equal a driver-side recompute over the densified grid") {
+    val flows = SparkEntry.queries("g09_mobility_od")(spark, dir)
+      .where(col("src") =!= "0" && col("dst") =!= "0" && col("src") =!= col("dst"))
+      .select(date_trunc("week", to_timestamp(col("hour"))).as("week"),
+        col("src"), col("dst"), col("cnt"))
+      .groupBy(col("week"), col("src"), col("dst")).agg(sum(col("cnt")).as("flow"))
+      .collect().map(r => ((r.getTimestamp(0).getTime, r.getString(1),
+        r.getString(2)), r.getLong(3)))
+    val weeks = flows.map(_._1._1).distinct.sorted
+    val corridors = flows.map(t => (t._1._2, t._1._3)).distinct
+    val byKey = flows.toMap
+    val expected = corridors.flatMap { case (srcRg, dstRg) =>
+      val xs = weeks.map(w => byKey.getOrElse((w, srcRg, dstRg), 0L))
+      val base = xs.dropRight(1); val x5 = xs.last
+      val n = base.length.toDouble
+      val sx = base.sum.toDouble; val sxx = base.map(x => x * x).sum.toDouble
+      val sd = math.sqrt((n * sxx - sx * sx) / (n * (n - 1.0)))
+      if (sd <= 0) None else {
+        val z = BigDecimal((x5.toDouble - sx / n) / sd)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (math.abs(z) >= 2.0) Some(((srcRg, dstRg), (x5, z))) else None
+      }
+    }.toMap
+    val got = SparkEntry.queries("g34_flow_anomaly")(spark, dir).collect()
+      .map(r => ((r.getAs[String]("src"), r.getAs[String]("dst")),
+        (r.getAs[Long]("x5"), r.getAs[Double]("z")))).toMap
+    assert(got == expected,
+      s"missing ${expected.keySet.diff(got.keySet)}; extra ${got.keySet.diff(expected.keySet)}")
+    assert(weeks.length == 5, s"fixture week grid changed: ${weeks.length}")
+  }
+
+  test("q12: the DP release applies exactly the documented Laplace mechanism") {
+    val rows = SparkEntry.queries("q12_dp_release")(spark, dir).collect()
+      .map(r => (r.getAs[String]("region"), r.getAs[Long]("n"), r.getAs[Long]("released")))
+    assert(rows.nonEmpty)
+    val hashes = spark.createDataFrame(rows.map(r => Tuple1(r._1)).toSeq)
+      .toDF("region")
+      .select(col("region"), pmod(graft.queries.Portable.portableHash(
+        concat(lit("q12|"), col("region"))), lit(1000000L)).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    var nonzeroNoise = 0
+    rows.foreach { case (region, n, released) =>
+      val t = ((hashes(region).toDouble + 0.5) / 1000000.0) - 0.5
+      val noise = if (t >= 0) -2.0 * math.log(1.0 - 2.0 * t)
+        else 2.0 * math.log(1.0 + 2.0 * t)
+      val expected = math.max(0L, n + BigDecimal(noise)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      assert(released == expected, s"$region: $released vs $expected")
+      if (released != n) nonzeroNoise += 1
+    }
+    assert(nonzeroNoise > 0, "the mechanism never perturbed anything")
+  }
+
   test("w09: folds are 1..5, equal-depth within ±1, and partition each language exactly") {
     val langTotals = graft.engine.Tables(spark, dir, "documents")
       .groupBy(col("lang")).agg(count(lit(1)).as("n"))
