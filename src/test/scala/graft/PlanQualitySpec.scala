@@ -635,6 +635,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("levenshtein"), p)
   }
 
+  test("g33: the BFS chain is checkpoint-truncated — the judged plan never rescans parquet") {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    val p = plan("g33_bfs_hops")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("FileScan parquet"), p)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
+  test("q12: the DP mechanism costs one distinct-agg — noise is a codegen'd projection") {
+    // the release's scale claim: the Laplace expression rides the
+    // count's projection (no join, no window, no extra shuffle beyond
+    // the two-phase distinct count)
+    val p = plan("q12_dp_release")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert("Exchange rangepartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("v24: the power-iteration chain is checkpoint-truncated — judged plan never rescans the corpus") {
     // the iterative-chain discipline applied to linear algebra: each
     // round's corpus pass lands eagerly in a localCheckpoint'd 64-row
