@@ -1508,6 +1508,64 @@ object VectorQueries {
     //    latency/recall trade. Candidate sets nest by construction, so
     //    recall is non-decreasing in nprobe (pinned in
     //    `Round9bOpsSpec`). ──
+    // ── v28: greedy k-center coreset — the farthest-point-first data
+    //    selection classic (Gonzalez 1985; the 2-approximation behind
+    //    coreset selection and active-learning batch picks): start from
+    //    the min-id point, then 5× pick the point FARTHEST from the
+    //    chosen set and fold its distances into the per-point min.
+    //    Every quantity is an exact micro-unit BIGINT (squared L2 ×1e6
+    //    with the vec_id argmax tie-break), so the chain of argmaxes is
+    //    bit-stable on both engines — a float farthest-point chain
+    //    would fork at the first ulp. The iterative-chain discipline:
+    //    per-round state is ONE (vec_id, dmin) frame updated by a
+    //    broadcast of the single new center and localCheckpoint'd, so
+    //    round N costs the same corpus pass as round 1 and selection
+    //    extends to any k. The judged artifact is the center table with
+    //    its NON-INCREASING coverage radii — the curve a data-selection
+    //    pipeline uses to choose k. ──
+    ("v28_kcenter_coreset",
+      (s: SparkSession, dir: String) => {
+        val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val c1 = emb.join(broadcast(emb.agg(min(col("vec_id")).as("vec_id"))), "vec_id")
+          .persist()
+        var dmin = emb.crossJoin(broadcast(c1.select(col("embedding").as("c_emb"))))
+          .select(col("vec_id"),
+            round(subD2(col("embedding"), col("c_emb")) * 1000000).cast("long").as("dmin"))
+          .localCheckpoint()
+        var rows = Seq(c1.select(lit(1L).as("round"),
+          col("vec_id").as("center_id"), lit(0L).as("radius_us")))
+        for (k <- 2 to 6) {
+          val pick = dmin.orderBy(col("dmin").desc, col("vec_id")).limit(1)
+          val ck = emb.join(broadcast(pick.select(col("vec_id"),
+            col("dmin").as("radius"))), "vec_id").persist()
+          rows = rows :+ ck.select(lit(k.toLong).as("round"),
+            col("vec_id").as("center_id"), col("radius").as("radius_us"))
+          dmin = dmin.join(emb, "vec_id")
+            .crossJoin(broadcast(ck.select(col("embedding").as("c_emb"))))
+            .select(col("vec_id"),
+              least(col("dmin"),
+                round(subD2(col("embedding"), col("c_emb")) * 1000000).cast("long"))
+                .as("dmin"))
+            .localCheckpoint()
+        }
+        rows.reduce(_ union _).orderBy(col("round"))
+      },
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |c1 AS (
+         |  SELECT vec_id, embedding FROM e
+         |  WHERE vec_id = (SELECT min(vec_id) FROM e)),
+         |d1 AS (
+         |  SELECT e.vec_id,
+         |         CAST(round(${pqD2Sql("e.embedding", "c.embedding", "0", Dim)} * 1000000, 0) AS BIGINT) AS dmin
+         |  FROM e, c1 c),
+         |${(2 to 6).map(kcRoundCtes).mkString(",\n")}
+         |SELECT CAST(1 AS BIGINT) AS round, vec_id AS center_id,
+         |       CAST(0 AS BIGINT) AS radius_us FROM c1
+         |${(2 to 6).map(k =>
+            s"UNION ALL SELECT CAST($k AS BIGINT), vec_id, CAST(radius AS BIGINT) FROM c$k")
+            .mkString("\n")}
+         |ORDER BY round""".stripMargin),
+
     ("v27_multiprobe_recall_curve",
       (s: SparkSession, dir: String) => {
         val ranked = trainedRanked(s, dir)
@@ -1661,6 +1719,20 @@ object VectorQueries {
        |    SELECT *, row_number() OVER (PARTITION BY q_id
        |              ORDER BY hamming ASC, vec_id ASC) AS rank
        |    FROM hsc) WHERE rank <= 3)""".stripMargin
+
+  /** One v28 greedy round as oracle CTEs: argmax of `d{k-1}` (dmin DESC,
+    * vec_id tie-break) → center `c$k` with its radius → folded min-
+    * distance frame `d$k`. */
+  private def kcRoundCtes(k: Int): String =
+    s"""p$k AS (SELECT vec_id, dmin FROM d${k - 1} ORDER BY dmin DESC, vec_id LIMIT 1),
+       |c$k AS (
+       |  SELECT e.vec_id, e.embedding, p.dmin AS radius
+       |  FROM e JOIN p$k p USING (vec_id)),
+       |d$k AS (
+       |  SELECT d.vec_id,
+       |         least(d.dmin,
+       |               CAST(round(${pqD2Sql("e.embedding", "c.embedding", "0", Dim)} * 1000000, 0) AS BIGINT)) AS dmin
+       |  FROM d${k - 1} d JOIN e ON e.vec_id = d.vec_id, c$k c)""".stripMargin
 
   /** v24's three power-iteration rounds. v₀ = 1/8 everywhere — exactly
     * unit norm (64·(1/8)² = 1) and an exact double on both engines. Each

@@ -594,6 +594,38 @@ class Round9bOpsSpec extends SparkSpec {
     assert(nonzeroNoise > 0, "the mechanism never perturbed anything")
   }
 
+  test("v28: the greedy chain equals a driver-side farthest-point recompute; radii non-increasing") {
+    val embs = graft.engine.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    def d2us(a: Array[Float], b: Array[Float]): Long = {
+      var s = 0.0; var i = 0
+      while (i < 64) {
+        val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
+      }
+      BigDecimal(s * 1000000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    var centers = Vector((1L, embs.head._1, 0L))
+    var dmin = embs.map { case (id, e) => id -> d2us(e, embs.head._2) }.toMap
+    val byId = embs.toMap
+    for (k <- 2 to 6) {
+      val (pid, pd) = dmin.toSeq.sortBy { case (id, d) => (-d, id) }.head
+      centers :+= ((k.toLong, pid, pd))
+      val ce = byId(pid)
+      dmin = dmin.map { case (id, d) => id -> math.min(d, d2us(byId(id), ce)) }
+    }
+    val got = SparkEntry.queries("v28_kcenter_coreset")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[Long]("center_id"),
+        r.getAs[Long]("radius_us"))).toVector.sortBy(_._1)
+    assert(got == centers, s"got $got expected $centers")
+    // coverage radius can only shrink as centers are added
+    got.drop(1).sliding(2).foreach {
+      case Vector(a, b) => assert(b._3 <= a._3, s"radius grew: $a -> $b")
+      case _ =>
+    }
+    assert(got.map(_._2).distinct.length == 6, "a center repeated")
+  }
+
   test("w09: folds are 1..5, equal-depth within ±1, and partition each language exactly") {
     val langTotals = graft.engine.Tables(spark, dir, "documents")
       .groupBy(col("lang")).agg(count(lit(1)).as("n"))
