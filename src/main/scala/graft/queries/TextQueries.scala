@@ -1594,6 +1594,52 @@ object TextQueries {
          |FROM docw JOIN wtok USING (word)
          |GROUP BY 1 ORDER BY doc_id""".stripMargin),
 
+    // ── t28: trained-model scoring as a relational projection — the
+    //    pipeline step every quality-filtered corpus ends with: a
+    //    linear classifier (logistic head over stopword ratio and mean
+    //    word length, weights as plan literals the way a production
+    //    scorer broadcasts its coefficients) applied to every doc
+    //    INSIDE whole-stage codegen — no UDF, no model server, the
+    //    score is just one more projected column. The sigmoid output
+    //    is rounded once to a ×1e6 BIGINT and the keep decision
+    //    compares INTEGERS (p6 ≥ 500000), so the judged kept-counts
+    //    can't flip on a float boundary; per-language keep rates and
+    //    mean scores aggregate with map-side combine. ──
+    ("t28_quality_model",
+      (s: SparkSession, dir: String) => {
+        val words = split(col("text"), " ")
+        val stopArr = array(Seq("the", "a", "of", "and", "to", "in", "is",
+          "it", "on", "for").map(lit): _*)
+        val nw = size(words).cast("double")
+        val swr = size(filter(words, w => array_contains(stopArr, w)))
+          .cast("double") / nw
+        val mwl = (length(col("text")) - (size(words) - lit(1))).cast("double") / nw
+        val score = lit(-1.0) + lit(20.0) * swr + lit(0.1) * (mwl - lit(4.5))
+        val p6 = round((lit(1.0) / (lit(1.0) + exp(-score))) * 1000000).cast("long")
+        Tables(s, dir, "documents")
+          .select(col("lang"), p6.as("p6"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("p6") >= 500000L, 1L).otherwise(0L)).as("n_kept"),
+            sum(col("p6")).as("sp6"))
+          .select(col("lang"), col("n_docs"), col("n_kept"),
+            expr("sp6 DIV n_docs").as("avg_p_ppm"))
+          .orderBy(col("lang"))
+      }, {
+        val nwSql = "len(string_split(text, ' '))"
+        val swrSql = s"CAST(len(list_filter(string_split(text, ' '), w -> list_contains(['the','a','of','and','to','in','is','it','on','for'], w))) AS DOUBLE) / CAST($nwSql AS DOUBLE)"
+        val mwlSql = s"CAST(length(text) - ($nwSql - 1) AS DOUBLE) / CAST($nwSql AS DOUBLE)"
+        val scoreSql = s"-1.0 + 20.0 * ($swrSql) + 0.1 * (($mwlSql) - 4.5)"
+        s"""WITH f AS (
+           |  SELECT lang,
+           |         CAST(round((1.0 / (1.0 + exp(-($scoreSql)))) * 1000000, 0) AS BIGINT) AS p6
+           |  FROM documents)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(CASE WHEN p6 >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |       CAST(sum(p6) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_p_ppm
+           |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
     // ── t26: tokenizer FERTILITY by language — the standard
     //    multilingual tokenizer-eval table (tokens per word under the
     //    trained vocabulary, the number a tokenizer report leads with:

@@ -626,6 +626,36 @@ class Round9bOpsSpec extends SparkSpec {
     assert(got.map(_._2).distinct.length == 6, "a center repeated")
   }
 
+  test("t28: model scoring equals a driver-side sigmoid recompute and the gate discriminates") {
+    val stop = Set("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+    val docs = graft.engine.Tables(spark, dir, "documents")
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.map { case (lang, text) =>
+      val words = text.split(" ", -1)
+      val nw = words.length.toDouble
+      val swr = words.count(stop.contains).toDouble / nw
+      val mwl = (text.length - (words.length - 1)).toDouble / nw
+      val score = -1.0 + 20.0 * swr + 0.1 * (mwl - 4.5)
+      val p6 = BigDecimal(1.0 / (1.0 + math.exp(-score)) * 1000000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      (lang, p6)
+    }
+    val byLang = expected.groupBy(_._1)
+    val got = SparkEntry.queries("t28_quality_model")(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("avg_p_ppm")))
+    assert(got.map(_._1).toSet == byLang.keySet)
+    got.foreach { case (lang, n, kept, avg) =>
+      val ps = byLang(lang).map(_._2)
+      assert(n == ps.length.toLong, s"$lang n")
+      assert(kept == ps.count(_ >= 500000L).toLong, s"$lang kept")
+      assert(avg == ps.sum / ps.length, s"$lang avg")
+      // the gate must actually separate: neither everything nor nothing
+      assert(kept > 0 && kept < n, s"$lang gate degenerate: $kept/$n")
+    }
+  }
+
   test("w09: folds are 1..5, equal-depth within ±1, and partition each language exactly") {
     val langTotals = graft.engine.Tables(spark, dir, "documents")
       .groupBy(col("lang")).agg(count(lit(1)).as("n"))
