@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.{RegionAssign, Tables, Trajectory}
@@ -1678,7 +1678,61 @@ object GeoQueries {
          |       round((CAST(x5 AS DOUBLE) - mean) / sd, 4) AS z
          |FROM scored
          |WHERE sd > 0 AND abs(round((CAST(x5 AS DOUBLE) - mean) / sd, 4)) >= 2
-         |ORDER BY src, dst""".stripMargin)
+         |ORDER BY src, dst""".stripMargin),
+
+    // ── g35: the commute matrix — the reference's end-product framing
+    //    (its dataset IS commuter pedestrian flow): anchor every user to
+    //    a HOME region (night-hours presence mode, the g06 predicate)
+    //    and a WORK region (10:00–16:00 presence mode), then aggregate
+    //    the (home, work) pairs of genuine commuters (home ≠ work) into
+    //    the matrix an urban-planning study publishes. One trajectory
+    //    pass feeds both anchors (two conditional aggs over the same
+    //    completed frame), the user-level join is user-keyed, and the
+    //    output is region²-bounded at any corpus size. Both modes use
+    //    the deterministic (cnt DESC, region ASC) tie-break, so the
+    //    matrix is exact cross-engine. ──
+    ("g35_commute_matrix",
+      (s: SparkSession, dir: String) => {
+        val traj = Trajectory.complete(Tables.events(s, dir)).persist()
+        def anchor(pred: Column, name: String): DataFrame = {
+          val w = Window.partitionBy(col("user_id"))
+            .orderBy(col("cnt").desc, col("region").asc)
+          traj.where(pred)
+            .groupBy(col("user_id"), col("region"))
+            .agg(count(lit(1)).as("cnt"))
+            .withColumn("rn", row_number().over(w))
+            .where(col("rn") === 1)
+            .select(col("user_id"), col("region").as(name))
+        }
+        val home = anchor(hour(col("hour")) >= 19 || hour(col("hour")) <= 8, "home")
+        val work = anchor(hour(col("hour")) >= 10 && hour(col("hour")) <= 16, "work")
+        home.join(work, "user_id")
+          .where(col("home") =!= col("work"))
+          .groupBy(col("home"), col("work"))
+          .agg(count(lit(1)).as("n_commuters"))
+          .orderBy(col("home"), col("work"))
+      },
+      s"""${Trajectory.trajSqlPrelude},
+         |home AS (
+         |  SELECT user_id, region AS home FROM (
+         |    SELECT user_id, region,
+         |           row_number() OVER (PARTITION BY user_id
+         |             ORDER BY count(*) DESC, region ASC) AS rn
+         |    FROM traj WHERE hour(hour) >= 19 OR hour(hour) <= 8
+         |    GROUP BY user_id, region)
+         |  WHERE rn = 1),
+         |work AS (
+         |  SELECT user_id, region AS work FROM (
+         |    SELECT user_id, region,
+         |           row_number() OVER (PARTITION BY user_id
+         |             ORDER BY count(*) DESC, region ASC) AS rn
+         |    FROM traj WHERE hour(hour) >= 10 AND hour(hour) <= 16
+         |    GROUP BY user_id, region)
+         |  WHERE rn = 1)
+         |SELECT h.home, w.work, CAST(count(*) AS BIGINT) AS n_commuters
+         |FROM home h JOIN work w USING (user_id)
+         |WHERE h.home <> w.work
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   )
 
   /** g33's BFS state advance: one frontier expansion (edge join against

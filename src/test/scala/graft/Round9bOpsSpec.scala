@@ -656,6 +656,30 @@ class Round9bOpsSpec extends SparkSpec {
     }
   }
 
+  test("g35: the commute matrix is consistent with the judged g06 home anchors") {
+    val homes = SparkEntry.queries("g06_home_region")(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[String]("home_region")).toMap
+    // recompute the work anchor driver-side from the completed trajectory
+    val traj = graft.engine.Trajectory
+      .complete(graft.engine.Tables.events(spark, dir))
+      .select(col("user_id"), hour(col("hour")).as("h"), col("region")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val works = traj.filter(t => t._2 >= 10 && t._2 <= 16)
+      .groupBy(_._1).view.mapValues { rows =>
+        rows.groupBy(_._3).toSeq.map { case (rg, g) => (rg, g.length) }
+          .sortBy { case (rg, c) => (-c, rg) }.head._1
+      }.toMap
+    val expected = homes.keySet.intersect(works.keySet).toSeq
+      .map(u => (homes(u), works(u))).filter { case (h, w) => h != w }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = SparkEntry.queries("g35_commute_matrix")(spark, dir).collect()
+      .map(r => ((r.getAs[String]("home"), r.getAs[String]("work")),
+        r.getAs[Long]("n_commuters"))).toMap
+    assert(got == expected,
+      s"missing ${expected.keySet.diff(got.keySet)}; extra ${got.keySet.diff(expected.keySet)}")
+    assert(got.values.sum > 0, "no commuters — the day/night split did not bind")
+  }
+
   test("w09: folds are 1..5, equal-depth within ±1, and partition each language exactly") {
     val langTotals = graft.engine.Tables(spark, dir, "documents")
       .groupBy(col("lang")).agg(count(lit(1)).as("n"))
