@@ -1976,6 +1976,39 @@ object Relational {
          |FROM act JOIN csize ON csize.cw = act.cw
          |ORDER BY cohort_week, off""".stripMargin),
 
+    // ── a18: log₂-bucket histogram — the observability staple (latency/
+    //    value histograms with exponentially-growing buckets, the HDR/
+    //    Prometheus shape) computed EXACTLY: values go to money-style
+    //    ×100 BIGINTs, and the bucket index floor(log₂(v+1)) is derived
+    //    from the INTEGER binary-string length (`length(bin(n)) − 1`,
+    //    identical in both engines) — a float log2 would misbucket
+    //    exact powers of two on a ulp. One hash agg with map-side
+    //    combine; output bounded at types × 64 buckets at any corpus
+    //    size, and the per-bucket min/max/sum are exact BIGINTs a
+    //    percentile estimator can consume directly. ──
+    ("a18_log_histogram",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .select($"event_type", round($"value" * 100).cast("long").as("v100"))
+          .withColumn("bucket", (length(bin($"v100" + 1L)) - 1).cast("long"))
+          .groupBy($"event_type", $"bucket")
+          .agg(count(lit(1)).as("n"), min($"v100").as("min_v100"),
+            max($"v100").as("max_v100"), sum($"v100").as("sum_v100"))
+          .orderBy($"event_type", $"bucket")
+      },
+      s"""WITH v AS (
+         |  SELECT event_type,
+         |         CAST(round(value * 100, 0) AS BIGINT) AS v100
+         |  FROM events)
+         |SELECT event_type,
+         |       CAST(length(bin(v100 + 1)) - 1 AS BIGINT) AS bucket,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       CAST(min(v100) AS BIGINT) AS min_v100,
+         |       CAST(max(v100) AS BIGINT) AS max_v100,
+         |       CAST(sum(v100) AS BIGINT) AS sum_v100
+         |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
     // ── q11: weighted sampling without replacement (Efraimidis-Spirakis
     //    A-ES) — the sampling family's weighted member (q02/q03 uniform,
     //    q08/q09 quota, q10 importance-ranked): select 20 docs per

@@ -680,6 +680,20 @@ class Round9bOpsSpec extends SparkSpec {
     assert(got.values.sum > 0, "no commuters — the day/night split did not bind")
   }
 
+  test("a18: every bucket's min/max sit inside its exact power-of-two range") {
+    val rows = SparkEntry.queries("a18_log_histogram")(spark, dir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bucket"),
+        r.getAs[Long]("n"), r.getAs[Long]("min_v100"), r.getAs[Long]("max_v100")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (tpe, b, n, mn, mx) =>
+      assert((1L << b) <= mn + 1 && mx + 1 < (1L << (b + 1)),
+        s"$tpe bucket $b: [$mn, $mx] outside [${(1L << b) - 1}, ${(1L << (b + 1)) - 2}]")
+      assert(n > 0 && mn <= mx, s"$tpe bucket $b")
+    }
+    val total = graft.engine.Tables.events(spark, dir).count()
+    assert(rows.map(_._3).sum == total, "histogram does not partition the events")
+  }
+
   test("w09: folds are 1..5, equal-depth within ±1, and partition each language exactly") {
     val langTotals = graft.engine.Tables(spark, dir, "documents")
       .groupBy(col("lang")).agg(count(lit(1)).as("n"))
