@@ -1508,6 +1508,69 @@ object VectorQueries {
     //    latency/recall trade. Candidate sets nest by construction, so
     //    recall is non-decreasing in nprobe (pinned in
     //    `Round9bOpsSpec`). ──
+    // ── v29: MMR diversity rerank (Carbonell & Goldstein 1998) — the
+    //    retrieval-augmentation staple that turns a similarity top-k
+    //    into a RELEVANT-AND-DIVERSE top-k: greedily pick argmax of
+    //    λ·rel − (1−λ)·max-sim-to-already-picked (λ = 0.7) over the
+    //    query's 50-strong candidate shortlist. Same exact-integer
+    //    greedy-chain recipe as v28: relevance and similarity are
+    //    micro-unit BIGINT cosines, the MMR score 7·rel − 3·smax is
+    //    pure integer arithmetic with the vec_id argmax tie-break, and
+    //    the per-candidate max-sim state folds one broadcast pick per
+    //    round — so the judged 5-row rerank is bit-stable where float
+    //    MMR would fork at the first ulp. Shortlist-bounded: rounds
+    //    cost 50 rows each regardless of corpus size, because the
+    //    candidate generator (here the exact top-50; any catalog ANN
+    //    swaps in) already did the corpus-sized work. ──
+    ("v29_mmr_rerank",
+      (s: SparkSession, dir: String) => {
+        val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val q = emb.where(col("vec_id") === 10)
+          .select(col("embedding").as("q_emb"))
+        val cand = emb.where(col("vec_id") =!= 10)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), col("embedding"),
+            round(cosine(col("q_emb"), col("embedding")) * 1000000).cast("long")
+              .as("rel_us"))
+          .orderBy(col("rel_us").desc, col("vec_id")).limit(50)
+          .persist()
+        var state = cand.select(col("vec_id"), col("embedding"), col("rel_us"),
+          lit(0L).as("smax_us"))
+        var rows = Seq.empty[DataFrame]
+        for (k <- 1 to 5) {
+          val pick = state
+            .select(col("vec_id"), col("embedding"), col("rel_us"),
+              (lit(7L) * col("rel_us") - lit(3L) * col("smax_us")).as("mmr"))
+            .orderBy(col("mmr").desc, col("vec_id")).limit(1).persist()
+          rows = rows :+ pick.select(lit(k.toLong).as("rank"), col("vec_id"),
+            col("rel_us"), col("mmr").as("mmr_score"))
+          state = state
+            .join(broadcast(pick.select(col("vec_id").as("p_id"))),
+              col("vec_id") === col("p_id"), "left_anti")
+            .crossJoin(broadcast(pick.select(col("embedding").as("p_emb"))))
+            .select(col("vec_id"), col("embedding"), col("rel_us"),
+              greatest(col("smax_us"),
+                round(cosine(col("p_emb"), col("embedding")) * 1000000).cast("long"))
+                .as("smax_us"))
+            .localCheckpoint()
+        }
+        rows.reduce(_ union _).orderBy(col("rank"))
+      },
+      s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 10),
+         |cand AS (
+         |  SELECT e.vec_id, e.embedding,
+         |         CAST(round(${cosineSql("q.q_emb", "e.embedding")} * 1000000, 0) AS BIGINT) AS rel_us
+         |  FROM embeddings e, q WHERE e.vec_id <> 10
+         |  ORDER BY rel_us DESC, e.vec_id LIMIT 50),
+         |s0 AS (SELECT vec_id, embedding, rel_us,
+         |              CAST(0 AS BIGINT) AS smax_us FROM cand),
+         |${(1 to 5).map(mmrRoundCtes).mkString(",\n")}
+         |SELECT rank, vec_id, rel_us, mmr_score FROM (
+         |  ${(1 to 5).map(k =>
+              s"SELECT CAST($k AS BIGINT) AS rank, vec_id, rel_us, mmr AS mmr_score FROM pk$k")
+              .mkString("\n  UNION ALL ")}
+         |) ORDER BY rank""".stripMargin),
+
     // ── v28: greedy k-center coreset — the farthest-point-first data
     //    selection classic (Gonzalez 1985; the 2-approximation behind
     //    coreset selection and active-learning batch picks): start from
@@ -1719,6 +1782,21 @@ object VectorQueries {
        |    SELECT *, row_number() OVER (PARTITION BY q_id
        |              ORDER BY hamming ASC, vec_id ASC) AS rank
        |    FROM hsc) WHERE rank <= 3)""".stripMargin
+
+  /** One v29 MMR round as oracle CTEs: argmax of 7·rel − 3·smax over
+    * state `s{k-1}` → pick `pk$k` → state `s$k` with the picked row
+    * dropped and every survivor's max-sim folded. */
+  private def mmrRoundCtes(k: Int): String =
+    s"""pk$k AS (
+       |  SELECT vec_id, embedding, rel_us, 7 * rel_us - 3 * smax_us AS mmr
+       |  FROM s${k - 1}
+       |  ORDER BY mmr DESC, vec_id LIMIT 1),
+       |s$k AS (
+       |  SELECT s.vec_id, s.embedding, s.rel_us,
+       |         greatest(s.smax_us,
+       |                  CAST(round(${cosineSql("p.embedding", "s.embedding")} * 1000000, 0) AS BIGINT)) AS smax_us
+       |  FROM s${k - 1} s, pk$k p
+       |  WHERE s.vec_id <> p.vec_id)""".stripMargin
 
   /** One v28 greedy round as oracle CTEs: argmax of `d{k-1}` (dmin DESC,
     * vec_id tie-break) → center `c$k` with its radius → folded min-

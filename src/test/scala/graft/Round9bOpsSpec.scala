@@ -694,6 +694,45 @@ class Round9bOpsSpec extends SparkSpec {
     assert(rows.map(_._3).sum == total, "histogram does not partition the events")
   }
 
+  test("v29: the MMR chain equals a driver-side greedy recompute and diversity binds") {
+    val embs = graft.engine.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cosUs(a: Array[Float], b: Array[Float]): Long = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < 64) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      val c = BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      BigDecimal(c * 1000000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val q = embs(10L)
+    val cand = embs.toSeq.filter(_._1 != 10L)
+      .map { case (id, e) => (id, e, cosUs(q, e)) }
+      .sortBy { case (id, _, r) => (-r, id) }.take(50)
+    var state = cand.map { case (id, e, r) => (id, e, r, 0L) }
+    val expected = (1 to 5).map { k =>
+      val (pid, pe, prel, _) = state
+        .map { case (id, e, r, sm) => (id, e, r, 7 * r - 3 * sm) }
+        .sortBy { case (id, _, _, m) => (-m, id) }
+        .map { case (id, e, r, m) => (id, e, r, m) }.head
+      state = state.filter(_._1 != pid)
+        .map { case (id, e, r, sm) => (id, e, r, math.max(sm, cosUs(pe, e))) }
+      (k.toLong, pid, prel)
+    }
+    val got = SparkEntry.queries("v29_mmr_rerank")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("rel_us"))).toSeq
+    assert(got == expected, s"got $got expected $expected")
+    // diversity must bind: MMR's 5 picks differ from the pure-relevance
+    // top-5 (otherwise the penalty term did nothing on this corpus)
+    val pureTop5 = cand.take(5).map(_._1)
+    assert(got.map(_._2) != pureTop5, "MMR degenerated to pure relevance")
+  }
+
   test("w09: folds are 1..5, equal-depth within ±1, and partition each language exactly") {
     val langTotals = graft.engine.Tables(spark, dir, "documents")
       .groupBy(col("lang")).agg(count(lit(1)).as("n"))
