@@ -1976,6 +1976,44 @@ object Relational {
          |FROM act JOIN csize ON csize.cw = act.cw
          |ORDER BY cohort_week, off""".stripMargin),
 
+    // ── f16: date-spine generation — the warehouse densify primitive
+    //    every calendar report needs: the day dimension GENERATED
+    //    IN-PLAN (sequence/explode between the corpus' min and max day,
+    //    broadcast back), so days with zero events appear as REAL zero
+    //    rows instead of silently missing — the same absent-row
+    //    discipline g34's anomaly baseline depends on. Day-of-week by
+    //    exact epoch arithmetic (no engine calendar convention touches
+    //    the judged hash); the spine is span-bounded at any corpus
+    //    size and the one join against it broadcasts. ──
+    ("f16_date_spine",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .select(date_trunc("day", $"ts").as("day"))
+        val bounds = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+        val spine = bounds
+          .select(explode(expr("sequence(d0, d1, INTERVAL 1 DAY)")).as("day"))
+        val counts = ev.groupBy($"day").agg(count(lit(1)).as("n"))
+        spine.join(counts, Seq("day"), "left")
+          .na.fill(0L, Seq("n"))
+          .select(tsSec($"day").as("day"),
+            expr("pmod(unix_timestamp(day) DIV 86400 + 4, 7)").cast("long").as("dow"),
+            $"n")
+          .orderBy($"day")
+      },
+      s"""WITH ev AS (
+         |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),
+         |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+         |spine AS (
+         |  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+         |  FROM bounds),
+         |counts AS (SELECT day, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY 1)
+         |SELECT ${tsSecSql("s.day")} AS day,
+         |       CAST((${epochSecSql("s.day")} // 86400 + 4) % 7 AS BIGINT) AS dow,
+         |       CAST(coalesce(c.n, 0) AS BIGINT) AS n
+         |FROM spine s LEFT JOIN counts c ON c.day = s.day
+         |ORDER BY day""".stripMargin),
+
     // ── a18: log₂-bucket histogram — the observability staple (latency/
     //    value histograms with exponentially-growing buckets, the HDR/
     //    Prometheus shape) computed EXACTLY: values go to money-style

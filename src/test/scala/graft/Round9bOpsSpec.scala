@@ -733,6 +733,23 @@ class Round9bOpsSpec extends SparkSpec {
     assert(got.map(_._2) != pureTop5, "MMR degenerated to pure relevance")
   }
 
+  test("f16: the date spine is contiguous, dow cycles, and counts conserve the corpus") {
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val rows = SparkEntry.queries("f16_date_spine")(spark, dir).collect()
+      .map(r => (fmt.parse(r.getAs[String]("day")).getTime / 1000,
+        r.getAs[Long]("dow"), r.getAs[Long]("n")))
+    assert(rows.length >= 2)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._1 - a._1 == 86400L, s"spine gap: ${a._1} -> ${b._1}")
+        assert(b._2 == (a._2 + 1) % 7, s"dow broke: ${a._2} -> ${b._2}")
+      case _ =>
+    }
+    val total = graft.engine.Tables.events(spark, dir).count()
+    assert(rows.map(_._3).sum == total, "spine counts do not conserve the corpus")
+  }
+
   test("w09: folds are 1..5, equal-depth within ±1, and partition each language exactly") {
     val langTotals = graft.engine.Tables(spark, dir, "documents")
       .groupBy(col("lang")).agg(count(lit(1)).as("n"))
