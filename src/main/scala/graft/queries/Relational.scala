@@ -2100,7 +2100,11 @@ object Relational {
     //    for a secret-seeded counter RNG and the judged mechanism shape
     //    (per-key independent noise, integer rounding, zero clamp) is
     //    unchanged. One distinct-agg and one codegen'd expression —
-    //    nothing about the mechanism costs more than the count. ──
+    //    nothing about the mechanism costs more than the count. The
+    //    released artifact carries ONLY the noisy value — the true
+    //    count never leaves the plan (the r9 advisor's point: a release
+    //    that prints n beside it is not a release); tests recompute n
+    //    independently to verify the mechanism. ──
     ("q12_dp_release",
       (s: SparkSession, dir: String) => {
         import s.implicits._
@@ -2115,7 +2119,7 @@ object Relational {
         val noise = when(t >= 0.0, -lit(2.0) * log(lit(1.0) - lit(2.0) * t))
           .otherwise(lit(2.0) * log(lit(1.0) + lit(2.0) * t))
         counts
-          .select($"region", $"n",
+          .select($"region",
             greatest(lit(0L), $"n" + round(noise).cast("long")).as("released"))
           .orderBy($"region")
       }, {
@@ -2132,7 +2136,7 @@ object Relational {
            |              THEN -2.0 * ln(1.0 - 2.0 * ($tSql))
            |              ELSE 2.0 * ln(1.0 + 2.0 * ($tSql)) END AS noise
            |  FROM counts)
-           |SELECT region, n,
+           |SELECT region,
            |       greatest(CAST(0 AS BIGINT),
            |                n + CAST(round(noise, 0) AS BIGINT)) AS released
            |FROM noised ORDER BY region""".stripMargin

@@ -435,7 +435,12 @@ object StreamingQueries {
           val target = stage.resolve(s"$name.parquet")
           java.nio.file.Files.copy(part.toPath, target,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          target.toFile.setLastModified(mtime): Unit
+          // mtime ORDER is the arrival order contract — a filesystem
+          // that rejects the update would ingest out of order and
+          // silently diverge from the closed-form oracle; fail loudly
+          require(target.toFile.setLastModified(mtime),
+            s"mtime update failed for $name — arrival staging cannot " +
+              "guarantee ingestion order on this filesystem")
         }
         val now = System.currentTimeMillis()
         writeArrival(tagged.where(col("__half") === 0), "arrival0", now - 180000)
@@ -599,7 +604,12 @@ object StreamingQueries {
           val target = stage.resolve(s"$name.parquet")
           java.nio.file.Files.copy(part.toPath, target,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          target.toFile.setLastModified(mtime): Unit
+          // mtime ORDER is the arrival order contract — a filesystem
+          // that rejects the update would ingest out of order and
+          // silently diverge from the closed-form oracle; fail loudly
+          require(target.toFile.setLastModified(mtime),
+            s"mtime update failed for $name — arrival staging cannot " +
+              "guarantee ingestion order on this filesystem")
         }
         // the week grid is fixture-bounded (one month); this collect is
         // staging-only scalars, the t10b discipline — and the closed-form
@@ -710,7 +720,12 @@ object StreamingQueries {
           val target = stage.resolve(s"$name.parquet")
           java.nio.file.Files.copy(part.toPath, target,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          target.toFile.setLastModified(mtime): Unit
+          // mtime ORDER is the arrival order contract — a filesystem
+          // that rejects the update would ingest out of order and
+          // silently diverge from the closed-form oracle; fail loudly
+          require(target.toFile.setLastModified(mtime),
+            s"mtime update failed for $name — arrival staging cannot " +
+              "guarantee ingestion order on this filesystem")
         }
         // weekly arrival batches in chronological mtime order (staging-
         // only scalars, the t10b/st12 discipline)

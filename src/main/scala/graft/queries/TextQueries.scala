@@ -1277,6 +1277,99 @@ object TextQueries {
          |FROM w LEFT JOIN rebuilt r USING (doc_id)
          |ORDER BY w.doc_id""".stripMargin),
 
+    // ── t29: variable-length duplicated-substring detection — the
+    //    Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    //    Models Better") longest-duplicated-substring shape, judged as
+    //    a relational approximation: a suffix array finds duplicated
+    //    substrings of ANY length; this lattice finds them at lengths
+    //    {10, 20, 40} words on a 10-word start grid, then keeps only
+    //    the MAXIMAL hits (a duplicated span is suppressed when a
+    //    longer duplicated span of the same document contains it —
+    //    span-length precedence, pinned in Round10OpsSpec). Built for
+    //    100 TB like t18: spans slice each doc's own word array (one
+    //    projection, no self-join); "duplicated corpus-wide" is a
+    //    (len, span) hash-agg with map-side combine, filtered to
+    //    multiplicity ≥ 2 BEFORE the location-attach equi-join (the
+    //    rejoined side carries only actual duplicates); containment is
+    //    NOT a theta-join — on the grid a span at start s has ≤ 6
+    //    possible covering starts, so suppression explodes those
+    //    candidates and resolves them with one semi + one anti
+    //    equi-join. Never all-pairs, never a window over span text.
+    //    The seeded twins make every full span of the seed docs
+    //    duplicated at every level (non-vacuous at every SF); the
+    //    generator's partial near-dups are what survive at short
+    //    lengths (4 maximal 10-word hits vs 311 raw at sf0.01 — the
+    //    suppression does real work). ──
+    ("t29_substring_dedup",
+      (s: SparkSession, dir: String) => {
+        val docs = seededDocs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        val wl = docs
+          .select(col("doc_id"), col("ws"),
+            explode(array(lit(10), lit(20), lit(40))).as("len_w"))
+          .where(size(col("ws")) >= col("len_w"))
+        val sp = wl.select(col("doc_id"), col("len_w"),
+          explode(transform(
+            sequence(lit(0L),
+              floor((size(col("ws")) - col("len_w")).cast("double") / 10.0)
+                .cast("long")),
+            i => struct((i * 10L).as("start_w"),
+              array_join(slice(col("ws"), (i * 10 + 1).cast("int"), col("len_w")),
+                " ").as("span")))).as("e"))
+          .select(col("doc_id"), col("len_w").cast("long").as("len_w"),
+            col("e.start_w").as("start_w"), col("e.span").as("span"))
+        val dupKeys = sp.groupBy(col("len_w"), col("span"))
+          .agg(count(lit(1)).as("n_loc"))
+          .where(col("n_loc") >= 2)
+        val d = sp.join(dupKeys, Seq("len_w", "span"))
+          .select(col("doc_id"), col("len_w"), col("start_w"), col("n_loc"))
+          .persist()
+        def parent(pLen: Long, off: Long) =
+          struct(lit(pLen).as("p_len"), (col("start_w") - off).as("p_start"))
+        val cand10 = array(parent(20, 10), parent(20, 0),
+          parent(40, 30), parent(40, 20), parent(40, 10), parent(40, 0))
+        val cand20 = array(parent(40, 20), parent(40, 10), parent(40, 0))
+        val suppressed = d.where(col("len_w") < 40)
+          .select(col("doc_id"), col("len_w"), col("start_w"),
+            explode(when(col("len_w") === 10, cand10).otherwise(cand20)).as("c"))
+          .where(col("c.p_start") >= 0)
+          .join(d.select(col("doc_id").as("p_doc"), col("len_w").as("p_len"),
+            col("start_w").as("p_start")),
+            col("doc_id") === col("p_doc") &&
+              col("c.p_len") === col("p_len") &&
+              col("c.p_start") === col("p_start"), "left_semi")
+          .select(col("doc_id"), col("len_w"), col("start_w")).distinct()
+        d.join(suppressed, Seq("doc_id", "len_w", "start_w"), "left_anti")
+          .select(col("doc_id"), col("start_w"), col("len_w"), col("n_loc"))
+          .orderBy(col("doc_id"), col("start_w"), col("len_w"))
+      },
+      s"""WITH $seededDocsSql,
+         |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM seeded),
+         |lv AS (SELECT CAST(unnest([10, 20, 40]) AS BIGINT) AS len_w),
+         |wl AS (
+         |  SELECT w.doc_id, w.ws, lv.len_w
+         |  FROM w JOIN lv ON len(w.ws) >= lv.len_w),
+         |sp AS (
+         |  SELECT doc_id, len_w, i * 10 AS start_w,
+         |         array_to_string(ws[(CAST(i AS INT)*10+1):(CAST(i AS INT)*10+CAST(len_w AS INT))], ' ') AS span
+         |  FROM wl, LATERAL (SELECT unnest(generate_series(
+         |    0, CAST(floor((len(ws) - len_w) / 10.0) AS BIGINT))) AS i)),
+         |k AS (
+         |  SELECT len_w, span, CAST(count(*) AS BIGINT) AS n_loc
+         |  FROM sp GROUP BY 1, 2 HAVING count(*) >= 2),
+         |d AS (
+         |  SELECT sp.doc_id, sp.len_w, CAST(sp.start_w AS BIGINT) AS start_w,
+         |         k.n_loc
+         |  FROM sp JOIN k USING (len_w, span))
+         |SELECT doc_id, start_w, len_w, n_loc
+         |FROM d x
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM d p
+         |  WHERE p.doc_id = x.doc_id AND p.len_w > x.len_w
+         |    AND p.start_w <= x.start_w
+         |    AND x.start_w + x.len_w <= p.start_w + p.len_w)
+         |ORDER BY doc_id, start_w, len_w""".stripMargin),
+
     // ── t19: sliding-window chunking — the RAG/embedding-prep step
     //    (split every document into overlapping fixed-size windows, here
     //    16 words with stride 8, so each boundary appears mid-chunk in

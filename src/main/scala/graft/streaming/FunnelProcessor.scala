@@ -9,12 +9,18 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   * against the batch `w10` funnel semantics).
   *
   * State per user is the (t1, t2, t3) step-timestamp triple (micros,
-  * 0 = not reached): first view, first qualifying click (within `Win`
-  * after t1), first qualifying purchase (within `Win` after t2). The
-  * fold REQUIRES events in global per-user time order to make
-  * first-seen equal min — the judged query guarantees that by staging
-  * mtime-ordered weekly arrival files (cross-batch order) and sorting
-  * each batch's rows by (ts, event_id) before folding (in-batch order).
+  * `Unset` = Long.MinValue = not reached — NOT 0, which is a real
+  * timestamp, the 1970 epoch): first view, first qualifying click
+  * (within `Win` after t1), first qualifying purchase (within `Win`
+  * after t2). The fold REQUIRES events in global per-user time order
+  * to make first-seen equal min — the judged query guarantees that by
+  * staging mtime-ordered weekly arrival files (cross-batch order) and
+  * sorting each batch's rows by (ts, event_id) before folding
+  * (in-batch order). That in-batch sort materializes ONE USER's slice
+  * of ONE microbatch in executor memory — bounded by the weekly-file
+  * trigger here (a user's events within one week); reusing this
+  * processor under a trigger that can deliver unbounded per-user
+  * batches needs a size guard or an external sort first.
   * Under that precondition the machine reproduces the batch definition
   * exactly: t1 = min view ts, t2 = min click in (t1, t1+Win], t3 = min
   * purchase in (t2, t2+Win] — strict lower bounds, closed upper bounds,
@@ -26,6 +32,7 @@ class FunnelProcessor
     extends StatefulProcessor[Long, (Long, Long, Long, String), (Long, Long)] {
 
   private val Win = 24L * 3600 * 1000000L // step window, micros
+  private val Unset = Long.MinValue // 0L is a REAL timestamp (1970 epoch)
 
   @transient private var st: ValueState[(Long, Long, Long)] = _
 
@@ -35,16 +42,17 @@ class FunnelProcessor
 
   override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long, String)],
       timerValues: TimerValues): Iterator[(Long, Long)] = {
-    var (t1, t2, t3) = if (st.exists()) st.get() else (0L, 0L, 0L)
+    var (t1, t2, t3) = if (st.exists()) st.get() else (Unset, Unset, Unset)
     rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, _, tpe) =>
-      if (t1 == 0L && tpe == "view") t1 = ts
-      else if (t1 != 0L && t2 == 0L && tpe == "click" &&
+      if (t1 == Unset && tpe == "view") t1 = ts
+      else if (t1 != Unset && t2 == Unset && tpe == "click" &&
         ts > t1 && ts <= t1 + Win) t2 = ts
-      else if (t2 != 0L && t3 == 0L && tpe == "purchase" &&
+      else if (t2 != Unset && t3 == Unset && tpe == "purchase" &&
         ts > t2 && ts <= t2 + Win) t3 = ts
     }
     st.update((t1, t2, t3))
-    val stage = if (t3 != 0L) 3L else if (t2 != 0L) 2L else if (t1 != 0L) 1L else 0L
+    val stage =
+      if (t3 != Unset) 3L else if (t2 != Unset) 2L else if (t1 != Unset) 1L else 0L
     Iterator.single((key, stage))
   }
 }

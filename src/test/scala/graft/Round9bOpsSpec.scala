@@ -498,6 +498,20 @@ class Round9bOpsSpec extends SparkSpec {
   }
 
   test("s14: merged-schema read fills exactly the v1 rows with NULLs") {
+    // the oracle equates "value IS NULL after mergeSchema" with
+    // "user_id % 2 = 0" — valid ONLY while the fixture has no NULL
+    // value and no negative user_id (Scala % is signed). Assert both
+    // invariants so a fixture regeneration that breaks them fails HERE
+    // with a named cause, not as an opaque oracle hash mismatch.
+    val fixtureGuard = graft.engine.Tables.events(spark, dir)
+      .agg(sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null_value"),
+        min(col("user_id")).as("min_uid")).collect()(0)
+    assert(fixtureGuard.getLong(0) == 0L,
+      "fixture drift: events.value now has NULLs — the s14 oracle's " +
+        "'NULL iff v1 writer' equivalence no longer holds")
+    assert(fixtureGuard.getLong(1) >= 0L,
+      "fixture drift: events.user_id went negative — the s14 oracle's " +
+        "user_id % 2 writer-split predicate no longer matches Spark's signed %")
     val rows = SparkEntry.queries("s14_schema_evolution")(spark, dir).collect()
       .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"), r.getAs[Long]("n_null")))
     val ev = graft.engine.Tables.events(spark, dir)
@@ -573,8 +587,23 @@ class Round9bOpsSpec extends SparkSpec {
   }
 
   test("q12: the DP release applies exactly the documented Laplace mechanism") {
-    val rows = SparkEntry.queries("q12_dp_release")(spark, dir).collect()
-      .map(r => (r.getAs[String]("region"), r.getAs[Long]("n"), r.getAs[Long]("released")))
+    // the judged artifact carries ONLY (region, released) — the true
+    // count must never appear in the release (r9 advisor). Recompute n
+    // here, independently, to verify the mechanism.
+    val released = SparkEntry.queries("q12_dp_release")(spark, dir).collect()
+      .map(r => r.getAs[String]("region") -> r.getAs[Long]("released")).toMap
+    assert(!SparkEntry.queries("q12_dp_release")(spark, dir)
+      .columns.contains("n"), "the true count leaked into the release")
+    val trueN = graft.engine.Tables(spark, dir, "events")
+      .select(graft.functions.GeoFunctions.geohashCol(
+        graft.queries.Portable.latFromKey(
+          graft.queries.Portable.fixKey(col("user_id"), col("ts"))),
+        graft.queries.Portable.lonFromKey(
+          graft.queries.Portable.fixKey(col("user_id"), col("ts"))), 3).as("region"),
+        col("user_id"))
+      .distinct().groupBy("region").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = released.toSeq.map { case (region, rel) => (region, trueN(region), rel) }
     assert(rows.nonEmpty)
     val hashes = spark.createDataFrame(rows.map(r => Tuple1(r._1)).toSeq)
       .toDF("region")
