@@ -997,6 +997,75 @@ object GeoQueries {
            |SELECT region, CAST(pr AS BIGINT) AS pr FROM r5 ORDER BY region""".stripMargin
       }),
 
+    // ── g36: weighted label propagation — community detection on the
+    //    region transition graph (Raghavan et al. 2007), completing the
+    //    graph family (g20 triangles, g19 pagerank, g33 bfs, t10
+    //    connected components). Three SYNCHRONOUS rounds: every region
+    //    adopts the label carrying the largest incident edge weight,
+    //    ties broken (max weight, then min label) so the argmax chain is
+    //    bit-stable — synchronous + fixed rounds is what makes LPA
+    //    judgeable at all (asynchronous LPA is order-dependent by
+    //    construction). The scale shape: the weighted adjacency is the
+    //    OD matrix aggregated once (region²-bounded, independent of raw
+    //    row count); per round the label frame rides a BROADCAST into
+    //    the adjacency join, and the vote is two nested hash-aggs whose
+    //    second (per-v argmax as min(struct(-w, lbl))) reuses the
+    //    first's (v, lbl) partitioning — one shuffle per round, no
+    //    window sort, localCheckpoint truncating the chain. ──
+    ("g36_label_communities",
+      (s: SparkSession, dir: String) => {
+        val trans = Trajectory.transitions(Trajectory.hourlyState(Tables.events(s, dir)))
+          .where(col("src") =!= col("dst") && col("src") =!= "0" && col("dst") =!= "0")
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+        val adj = trans.select(col("src").as("v"), col("dst").as("u"), col("w"))
+          .unionByName(trans.select(col("dst").as("v"), col("src").as("u"), col("w")))
+          .groupBy(col("v"), col("u")).agg(sum(col("w")).as("w"))
+          .persist()
+        var labels = adj.select(col("v")).distinct()
+          .select(col("v"), col("v").as("lbl"))
+        for (_ <- 1 to 3) {
+          labels = adj
+            .join(broadcast(labels.select(col("v").as("u"), col("lbl"))), "u")
+            .groupBy(col("v"), col("lbl")).agg(sum(col("w")).as("wsum"))
+            .groupBy(col("v"))
+            .agg(min(struct((-col("wsum")).as("nw"), col("lbl").as("lbl"))).as("m"))
+            .select(col("v"), col("m.lbl").as("lbl"))
+            .localCheckpoint()
+        }
+        labels.select(col("v").as("region"), col("lbl").as("community"))
+          .orderBy(col("region"))
+      },
+      {
+        def iter(prev: String) =
+          s"""SELECT v, lbl FROM (
+             |  SELECT v, lbl, row_number() OVER (
+             |      PARTITION BY v ORDER BY wsum DESC, lbl ASC) AS rn
+             |  FROM (
+             |    SELECT a.v, l.lbl, sum(a.w) AS wsum
+             |    FROM adj a JOIN $prev l ON l.v = a.u
+             |    GROUP BY 1, 2)) WHERE rn = 1""".stripMargin
+        s"""${Trajectory.trajSqlPrelude},
+           |seq AS (
+           |  SELECT user_id, hour, region,
+           |         lag(region) OVER (PARTITION BY user_id ORDER BY hour) AS src
+           |  FROM traj),
+           |tr AS (
+           |  SELECT src, region AS dst, CAST(count(*) AS BIGINT) AS w
+           |  FROM seq
+           |  WHERE src IS NOT NULL AND src <> region AND src <> '0' AND region <> '0'
+           |  GROUP BY 1, 2),
+           |adj AS (
+           |  SELECT v, u, CAST(sum(w) AS BIGINT) AS w FROM (
+           |    SELECT src AS v, dst AS u, w FROM tr
+           |    UNION ALL SELECT dst, src, w FROM tr)
+           |  GROUP BY 1, 2),
+           |l0 AS (SELECT DISTINCT v, v AS lbl FROM adj),
+           |l1 AS (${iter("l0")}),
+           |l2 AS (${iter("l1")}),
+           |l3 AS (${iter("l2")})
+           |SELECT v AS region, lbl AS community FROM l3 ORDER BY region""".stripMargin
+      }),
+
     // ── w04b: dense ID minting at REAL key cardinality — the scale-safe
     //    form of region.py:51-52 (dense_rank over a constant key: a
     //    single-partition sort of every distinct cell — the exact hazard

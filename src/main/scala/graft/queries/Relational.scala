@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
@@ -202,6 +202,62 @@ object Relational {
          |       ${moneySumSql("CASE WHEN user_id % 2 = 1 THEN round(value, 2) ELSE 0 END")}
          |         AS sum_val
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ── s15: snapshot diff — the CDC/data-versioning primitive every
+    //    lakehouse pipeline needs: reconcile two table versions into the
+    //    (key, added|removed|changed) change set. Two deterministic
+    //    snapshots are derived from orders (v1 misses keys ≡0 mod 7; v2
+    //    misses keys ≡3 mod 11 and bumps the price of keys ≡0 mod 5), then
+    //    diffed with ONE full-outer join on the key comparing a single
+    //    md5 FINGERPRINT of the non-key columns — the 100 TB posture:
+    //    unchanged rows never leave the join (the output is the change
+    //    set, not the table), N-column comparison collapses to one
+    //    digest equality, and with both snapshots bucketed by key the
+    //    join runs exchange-free. Doubles enter the fingerprint as exact
+    //    cents and timestamps as formatted strings, so fingerprint
+    //    equality is value equality, not representation luck. ──
+    ("s15_snapshot_diff",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val orders = Tables(s, dir, "orders")
+        def fp(price: Column): Column = md5(concat_ws("|",
+          $"o_custkey", $"o_orderstatus",
+          round(price * 100).cast("long"),
+          tsSec($"o_orderdate"), $"o_orderpriority"))
+        val v1 = orders.where($"o_orderkey" % 7 =!= 0)
+          .select($"o_orderkey", fp($"o_totalprice").as("fp1"))
+        val v2 = orders.where($"o_orderkey" % 11 =!= 3)
+          .select($"o_orderkey",
+            fp(when($"o_orderkey" % 5 === 0, $"o_totalprice" + 1.0)
+              .otherwise($"o_totalprice")).as("fp2"))
+        v1.join(v2, Seq("o_orderkey"), "full_outer")
+          .withColumn("change",
+            when($"fp1".isNull, "added")
+              .when($"fp2".isNull, "removed")
+              .when($"fp1" =!= $"fp2", "changed"))
+          .where($"change".isNotNull)
+          .select($"o_orderkey", $"change")
+          .orderBy($"o_orderkey")
+      },
+      s"""WITH v1 AS (
+         |  SELECT o_orderkey, md5(concat_ws('|', o_custkey, o_orderstatus,
+         |           CAST(round(o_totalprice * 100, 0) AS BIGINT),
+         |           ${tsSecSql("o_orderdate")}, o_orderpriority)) AS fp1
+         |  FROM orders WHERE o_orderkey % 7 <> 0),
+         |v2 AS (
+         |  SELECT o_orderkey, md5(concat_ws('|', o_custkey, o_orderstatus,
+         |           CAST(round(CASE WHEN o_orderkey % 5 = 0
+         |                           THEN o_totalprice + 1.0
+         |                           ELSE o_totalprice END * 100, 0) AS BIGINT),
+         |           ${tsSecSql("o_orderdate")}, o_orderpriority)) AS fp2
+         |  FROM orders WHERE o_orderkey % 11 <> 3)
+         |SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+         |       CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+         |            WHEN v2.o_orderkey IS NULL THEN 'removed'
+         |            WHEN fp1 <> fp2 THEN 'changed' END AS change
+         |FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+         |WHERE (v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL OR fp1 <> fp2)
+         |ORDER BY o_orderkey""".stripMargin),
 
     // ── S6/S4: hive-partitioned parquet sink → partition-pruned scan
     //    (ppl_days.py:23 writes partitionBy(date); cal_mobility_matrix.py:

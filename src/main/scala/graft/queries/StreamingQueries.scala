@@ -785,7 +785,143 @@ object StreamingQueries {
          |FROM s1
          |LEFT JOIN s2 ON s2.user_id = s1.user_id
          |LEFT JOIN s3 ON s3.user_id = s1.user_id
-         |ORDER BY s1.user_id""".stripMargin)
+         |ORDER BY s1.user_id""".stripMargin),
+
+    // ── st14: event-time STATE TIMEOUT — the engine's last previously
+    //    spec-only streaming behavior, judged. A per-user session closes
+    //    when the event-time watermark crosses `last event + 10 days`
+    //    with no newer activity: `SessionTimeoutProcessor` keeps ONE
+    //    event-time timer per key (reschedule = delete + register) and
+    //    emits (user, last_ts, n_events) from `handleExpiredTimer`. The
+    //    deterministic case analysis under the weekly mtime-staged
+    //    arrival grid (w0..w4, 7 days apart, watermark delay 1h):
+    //    · Spark processes a batch's INPUT rows before firing its
+    //      expired timers, and fires against the watermark computed at
+    //      the END of the PREVIOUS batch — so the timer set at week w_i
+    //      (expiry w_i+10d) fires in batch i+3, the first whose opening
+    //      watermark w_{i+2}−1h exceeds it, UNLESS the user was active
+    //      in any of weeks i+1..i+3 (an arrival in the firing batch
+    //      itself reschedules FIRST and swallows the session — the
+    //      watermark-lag merge rule, pinned in WatermarkSemanticsSpec);
+    //    · AvailableNow runs one final NO-DATA batch after the last
+    //      file because the watermark advanced (w4−1h), which is what
+    //      fires week-2 sessions; week-3/4 sessions outlive the stream
+    //      and are judged by their absence;
+    //    · weeks 0..i (i ≤ 2) always merge into one session (any gap
+    //      ≤ 14d re-arrives before its timer can fire), so an emitted
+    //      session's count is the user's FULL event count through w_i.
+    //    The closed-form oracle is exactly that analysis. At 100 TB the
+    //    posture is the point of the operator: state + its timer are
+    //    O(1) per key sharded by grouping hash, and expiry is what keeps
+    //    the store bounded by ACTIVE keys instead of stream length. ──
+    ("st14_session_timeout",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // transformWithState is RocksDB-only (timers are a second column
+        // family) — the st07/st13 provider dance, restored in finally
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val prevProvider = s.conf.getOption(providerKey)
+        s.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+        val week = date_trunc("week", col("ts"))
+        // the fixture's users are active nearly every week, so sessions
+        // would never time out — thin the stream with a deterministic
+        // per-(user, week) coin (the oracle applies the identical one)
+        // so genuine multi-week silences exist for timers to cross
+        val cellCoin = pmod(portableHash(concat(
+          col("user_id").cast("string"), lit(":"),
+          date_format(week, "yyyy-MM-dd"))), lit(3))
+        val raw = Tables.events(s, dir).where(cellCoin =!= 0)
+        val srcCols = raw.columns.map(col).toSeq
+        val stage = java.nio.file.Paths.get(Portable.scratchPath("stream_timeout_events"))
+        java.nio.file.Files.createDirectories(stage)
+        def writeArrival(df: DataFrame, name: String, mtime: Long): Unit = {
+          val tmp = Portable.scratchPath(s"stream_timeout_stage_$name")
+          df.select(srcCols: _*).coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val target = stage.resolve(s"$name.parquet")
+          java.nio.file.Files.copy(part.toPath, target,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // mtime ORDER is the arrival order contract — a filesystem
+          // that rejects the update would ingest out of order and
+          // silently diverge from the closed-form oracle; fail loudly
+          require(target.toFile.setLastModified(mtime),
+            s"mtime update failed for $name — arrival staging cannot " +
+              "guarantee ingestion order on this filesystem")
+        }
+        // weekly arrival grid (staging-only scalars, the t10b/st12
+        // discipline); the oracle's batch-index arithmetic assumes it
+        val weeks = raw.select(week.as("w")).distinct().orderBy(col("w"))
+          .collect().map(_.getTimestamp(0))
+        require(weeks.length == 5,
+          s"fixtures changed: st14's closed-form oracle assumes a 5-week " +
+            s"event span, got ${weeks.length} — re-derive the case analysis")
+        val now = System.currentTimeMillis()
+        weeks.zipWithIndex.foreach { case (w, i) =>
+          writeArrival(raw.where(week === lit(w)), s"arrival$i",
+            now - (weeks.length + 2 - i) * 60000)
+        }
+        val schema = s.read.parquet(stage.toString).schema
+        val src = Tables.normalizeTs(
+            s.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(stage.toString))
+          .withColumn("week", date_trunc("week", col("ts")))
+          .withWatermark("week", "1 hour")
+          .select(col("user_id").cast("long").as("user_id"),
+            unix_micros(col("week")).as("wku"))
+          .as[(Long, Long)]
+        val sessions = src.groupByKey(_._1)
+          .transformWithState(
+            new graft.streaming.SessionTimeoutProcessor(10L * 24 * 3600 * 1000),
+            TimeMode.EventTime(), OutputMode.Append())
+        val q = sessions.toDF("user_id", "last_wku", "n_events")
+          .writeStream.format("memory").queryName("st14_mem")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        } finally {
+          prevProvider match {
+            case Some(p) => s.conf.set(providerKey, p)
+            case None => s.conf.unset(providerKey)
+          }
+        }
+        s.table("st14_mem")
+          .select(col("user_id"),
+            tsSec(timestamp_micros(col("last_wku"))).as("session_end"),
+            col("n_events"))
+          .orderBy(col("user_id"))
+      },
+      s"""WITH ev AS (
+         |  -- the same deterministic per-(user, week) thinning coin the
+         |  -- streaming side applies before staging
+         |  SELECT user_id, week FROM (
+         |    SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS week
+         |    FROM events)
+         |  WHERE ${portableHashSql(
+                "CAST(user_id AS VARCHAR) || ':' || strftime(week, '%Y-%m-%d')")}
+         |        % 3 <> 0),
+         |wk AS (
+         |  SELECT week, row_number() OVER (ORDER BY week) - 1 AS i
+         |  FROM (SELECT DISTINCT week FROM ev)),
+         |act AS (
+         |  SELECT e.user_id, w.i, w.week, count(*) AS n
+         |  FROM ev e JOIN wk w USING (week) GROUP BY 1, 2, 3),
+         |-- a session ending at week i emits iff its timer (w_i + 10d)
+         |-- fires before the stream ends: firing batch is i+3 (watermark
+         |-- lag), the final no-data batch is batch 5, so i <= 2 — and no
+         |-- activity in weeks i+1..i+3 reschedules it away
+         |ends AS (
+         |  SELECT a.user_id, a.i, a.week FROM act a
+         |  WHERE a.i <= 2 AND NOT EXISTS (
+         |    SELECT 1 FROM act b
+         |    WHERE b.user_id = a.user_id AND b.i > a.i AND b.i <= a.i + 3))
+         |-- gaps <= 14d re-arrive before their timer fires, so weeks
+         |-- 0..i always merge: the session count is the full count
+         |SELECT e.user_id, ${tsSecSql("e.week")} AS session_end,
+         |       (SELECT CAST(sum(a.n) AS BIGINT) FROM act a
+         |        WHERE a.user_id = e.user_id AND a.i <= e.i) AS n_events
+         |FROM ends e ORDER BY e.user_id""".stripMargin)
   )
 
   /** State-store partition sizing: a stateful streaming query FIXES its

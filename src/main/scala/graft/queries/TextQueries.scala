@@ -658,6 +658,67 @@ object TextQueries {
          |SELECT doc_a, doc_b, hamming FROM pairs
          |WHERE hamming <= 2 ORDER BY doc_a, doc_b""".stripMargin),
 
+    // ── t30: BM25 ranked retrieval — the scoring function behind
+    //    retrieval-based quality filtering and dedup-by-retrieval in
+    //    training-data pipelines (Robertson k1=1.2, b=0.75). The access
+    //    path is the scale story: tokens are SEMI-FILTERED to the query's
+    //    terms before any aggregation (the inverted-index read pattern —
+    //    cost is the postings of 3 terms, not the corpus vocabulary), df
+    //    and the corpus totals ride broadcasts, and the only
+    //    corpus-bounded relation is the per-doc length table every
+    //    retrieval system precomputes. The rational core of the score is
+    //    EXACT INTEGER arithmetic: with k1=6/5, b=3/4 the saturation
+    //    term tf·(k1+1)/(tf + k1·(1−b+b·dl·n/t)) reduces to
+    //    44·tf·t / (20·tf·t + 6·t + 18·dl·n) over BIGINTs, so the only
+    //    float is one ln((2n+2)/(2df+1)) per (doc, term), rounded to
+    //    micro-units past the ~1-ulp libm/JVM divergence and SUMMED AS
+    //    BIGINT — the chain of integer sums is bit-stable where a
+    //    float-summed score would fork on add order. ──
+    ("t30_bm25_retrieval",
+      (s: SparkSession, dir: String) => {
+        val qTerms = Seq("scan", "join", "merge")
+        val tok = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val totals = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+        val tf = tok.where(col("word").isin(qTerms: _*))
+          .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+        tf.join(broadcast(dfreq), "word")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(totals))
+          .withColumn("term_us", round(
+            log((lit(2) * col("n") + 2).cast("double")
+              / (lit(2) * col("df") + 1).cast("double"))
+            * (lit(44) * col("tf") * col("t")).cast("double")
+            / (lit(20) * col("tf") * col("t") + lit(6) * col("t")
+               + lit(18) * col("dl") * col("n")).cast("double")
+            * 1000000).cast("long"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_terms"), sum(col("term_us")).as("score_us"))
+          .orderBy(col("score_us").desc, col("doc_id")).limit(10)
+          .select(col("doc_id"), col("n_terms"), col("score_us"))
+      },
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl),
+        |tf AS (
+        |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tok
+        |  WHERE word IN ('scan', 'join', 'merge') GROUP BY 1, 2),
+        |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |         CAST(round(ln(CAST(2 * tot.n + 2 AS DOUBLE) / CAST(2 * dfq.df + 1 AS DOUBLE))
+        |           * CAST(44 * tf.tf * tot.t AS DOUBLE)
+        |           / CAST(20 * tf.tf * tot.t + 6 * tot.t + 18 * dl.dl * tot.n AS DOUBLE)
+        |           * 1000000, 0) AS BIGINT) AS term_us
+        |  FROM tf JOIN dfq USING (word) JOIN dl USING (doc_id), tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |       CAST(sum(term_us) AS BIGINT) AS score_us
+        |FROM scored GROUP BY doc_id
+        |ORDER BY score_us DESC, doc_id LIMIT 10""".stripMargin),
+
     // ── TF-IDF: top-3 terms per doc. All from ONE (doc, word, tf)
     //    relation: df re-aggregates it per word, N is a broadcast scalar;
     //    idf = ln((N+1)/(df+1)), score rounded past the ~1-ulp libm/JVM

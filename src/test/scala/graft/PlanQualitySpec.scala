@@ -667,6 +667,57 @@ class PlanQualitySpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
   }
 
+  test("v28: the k-center chain is checkpoint-truncated — no recursive dmin re-derivation") {
+    // the "round N costs round 1" claim: each round's farthest-point
+    // argmax plans off the localCheckpoint'd dmin frame (Scan
+    // ExistingRDD), and parquet appears ONLY in the k-bounded
+    // center-row joins (2 scans for the seed row, 1 per later round =
+    // 7 at k=6). Dropping the checkpoint re-derives dmin recursively —
+    // each round reads the previous TWICE (argmax broadcast + state
+    // update), so the scan count explodes exponentially with k and
+    // this bound fails loudly. (The explain text prints each cached
+    // child twice, so the structural 7 scans — 2 for the seed + 1 per
+    // later round — appear as 14.)
+    val p = plan("v28_kcenter_coreset")
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 5, p)
+    assert("FileScan parquet".r.findAllIn(p).size <= 14, p)
+  }
+
+  test("v29: the MMR greedy chain is checkpoint-truncated and shortlist-bounded") {
+    // same discipline for the rerank loop: every round-k pick plans off
+    // the checkpointed 50-row state of round k-1, so the judged union
+    // touches parquet only through the ONE persisted shortlist frame (2
+    // scans: candidates + the broadcast query row) — an un-truncated
+    // chain would nest the shortlist 2^5 times deep here. (Print
+    // doubling per cached-plan nesting level turns the 2 structural
+    // scans — candidates + broadcast query row, reached only through
+    // round 1's pick — into 8 in the explain text.)
+    val p = plan("v29_mmr_rerank")
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 4, p)
+    assert("FileScan parquet".r.findAllIn(p).size <= 8, p)
+  }
+
+  test("g36: the LPA chain is checkpoint-truncated — judged labels never rescan parquet") {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    val p = plan("g36_label_communities")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("FileScan parquet"), p)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
+  test("t30: BM25 takes the inverted-index path — term filter below the aggs, dims broadcast") {
+    // the postings filter must sit under the tf aggregation (cost =
+    // three terms' postings, not the vocabulary), df and the corpus
+    // totals must ride broadcasts, and the only sort-merge-scale join
+    // is on doc_id against the per-doc length table
+    val p = plan("t30_bm25_retrieval")
+    assert(p.contains("word#") && p.contains("scan,join,merge"), p)
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("w09: ntile folds need exactly one shuffle — the bounded lang partition") {
     // equal-depth folds pay ONE hashpartitioning exchange (the lang
     // window sort); the per-(lang, fold) aggregation reuses that

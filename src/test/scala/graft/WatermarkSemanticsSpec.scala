@@ -127,4 +127,115 @@ class WatermarkSemanticsSpec extends SparkSpec {
       }
     }
   }
+
+  private def withRocksDb[T](body: => T): T = {
+    val s = spark
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally {
+      prevProvider match {
+        case Some(p) => s.conf.set(providerKey, p)
+        case None => s.conf.unset(providerKey)
+      }
+    }
+  }
+
+  private def timeoutSessions(in: MemoryStream[(Long, Timestamp)], name: String) = {
+    val s = spark
+    import s.implicits._
+    in.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new graft.streaming.SessionTimeoutProcessor(10 * 60 * 1000L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .toDF("user_id", "last_tsu", "n_events")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+  }
+
+  test("event-time timers: previous-batch watermark, input-before-timers, reschedule swallows") {
+    // the three timer behaviors st14's closed-form oracle encodes:
+    // 1. a batch fires timers against the watermark computed at the END
+    //    of the PREVIOUS batch (the one-batch lag — k3 below would fire
+    //    under a current-batch watermark and must not);
+    // 2. input rows process BEFORE expired timers, so an arrival in the
+    //    firing batch reschedules first and the old timer never fires
+    //    (k1's 10:10 timer is expired vs b2's 10:50 watermark, but its
+    //    b2 arrival swallows it — the watermark-lag merge rule);
+    // 3. reschedule = delete + register keeps ONE timer per key (k1
+    //    emits once with the merged count, never twice).
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    withRocksDb {
+      val in = MemoryStream[(Long, Timestamp)]
+      val q = timeoutSessions(in, "timer_probe")
+      try {
+        // b0: k1@10:00 → timer 10:10; wm after b0 = 09:50
+        in.addData((1L, ts("2019-07-01 10:00:00"))); q.processAllAvailable()
+        // b1: k2@11:00 → fires vs 09:50: none; k2 timer 11:10; wm → 10:50
+        in.addData((2L, ts("2019-07-01 11:00:00"))); q.processAllAvailable()
+        // b2: k1@11:02 — k1's 10:10 timer IS expired vs this batch's
+        // 10:50 watermark, but the arrival processes first: state merges
+        // to (11:02, 2) and the timer moves to 11:12. No emission.
+        in.addData((1L, ts("2019-07-01 11:02:00"))); q.processAllAvailable()
+        // b3: k3@12:30 → fires vs 10:52: none; wm → 12:20
+        in.addData((3L, ts("2019-07-01 12:30:00"))); q.processAllAvailable()
+        // b4: k4@13:30 → fires vs 12:20 (NOT this batch's 13:20): k1
+        // (11:12) and k2 (11:10) emit; k3 (12:40) must NOT — under a
+        // current-batch watermark it would
+        in.addData((4L, ts("2019-07-01 13:30:00"))); q.processAllAvailable()
+
+        val rows = s.sql("SELECT user_id, last_tsu, n_events FROM timer_probe")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+        def us(t: String): Long = ts(t).getTime * 1000L
+        assert(rows == Seq(
+          (1L, us("2019-07-01 11:02:00"), 2L),
+          (2L, us("2019-07-01 11:00:00"), 1L)),
+          s"expected k1 merged-then-fired + k2 fired, k3/k4 still live: $rows")
+      } finally {
+        q.stop()
+        prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      }
+    }
+  }
+
+  test("no-data microbatch fires expired event-time timers without new input") {
+    // st14's week-2 sessions emit from the AvailableNow run's final
+    // no-data batch: a watermark advance alone — no further input —
+    // must fire timers. Pinned here on MemoryStream with no-data
+    // batches at their default (enabled).
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    withRocksDb {
+      val in = MemoryStream[(Long, Timestamp)]
+      val q = timeoutSessions(in, "nodata_timer_probe")
+      try {
+        // b0: k1@10:00 → timer 10:10; wm 09:50 — nothing fires
+        in.addData((1L, ts("2019-07-01 10:00:00"))); q.processAllAvailable()
+        // b1: k2@11:00 advances the watermark to 10:50; the no-data
+        // batch that follows (processAllAvailable drains it) is the
+        // ONLY place k1's 10:10 timer can fire — no third addData
+        in.addData((2L, ts("2019-07-01 11:00:00"))); q.processAllAvailable()
+
+        val rows = s.sql("SELECT user_id, last_tsu, n_events FROM nodata_timer_probe")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        assert(rows == Seq((1L, ts("2019-07-01 10:00:00").getTime * 1000L, 1L)),
+          s"k1 must emit from the watermark-advance no-data batch: $rows")
+      } finally q.stop()
+    }
+  }
 }
