@@ -660,7 +660,10 @@ object TextQueries {
 
     // ── t30: BM25 ranked retrieval — the scoring function behind
     //    retrieval-based quality filtering and dedup-by-retrieval in
-    //    training-data pipelines (Robertson k1=1.2, b=0.75). The access
+    //    training-data pipelines (k1=1.2, b=0.75; the idf is the
+    //    NON-NEGATIVE SMOOTHED variant ln((n+1)/(df+0.5)) — the
+    //    Lucene-style form, not Robertson's ln((n−df+0.5)/(df+0.5)),
+    //    which can go negative for df > n/2). The access
     //    path is the scale story: tokens are SEMI-FILTERED to the query's
     //    terms before any aggregation (the inverted-index read pattern —
     //    cost is the postings of 3 terms, not the corpus vocabulary), df

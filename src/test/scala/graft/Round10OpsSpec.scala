@@ -14,7 +14,7 @@ class Round10OpsSpec extends SparkSpec {
     val qTerms = Set("scan", "join", "merge")
     val docs = graft.engine.Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text")).collect()
-      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
     val n = docs.length.toLong
     val t = docs.map(_._2.length.toLong).sum
     val dl = docs.map { case (id, ws) => id -> ws.length.toLong }.toMap

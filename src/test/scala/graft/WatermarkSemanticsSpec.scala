@@ -175,8 +175,13 @@ class WatermarkSemanticsSpec extends SparkSpec {
     implicit val sqlCtx = s.sqlContext
     val key = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = s.conf.getOption(key)
-    s.conf.set(key, "false")
-    withRocksDb {
+    // conf restore wraps EVERYTHING after the capture: a throw from
+    // MemoryStream/timeoutSessions setup must not leak the disabled
+    // no-data-batch setting into the next test, which depends on the
+    // default (enabled) semantics.
+    try {
+      s.conf.set(key, "false")
+      withRocksDb {
       val in = MemoryStream[(Long, Timestamp)]
       val q = timeoutSessions(in, "timer_probe")
       try {
@@ -202,12 +207,12 @@ class WatermarkSemanticsSpec extends SparkSpec {
           (1L, us("2019-07-01 11:02:00"), 2L),
           (2L, us("2019-07-01 11:00:00"), 1L)),
           s"expected k1 merged-then-fired + k2 fired, k3/k4 still live: $rows")
-      } finally {
-        q.stop()
-        prev match {
-          case Some(v) => s.conf.set(key, v)
-          case None => s.conf.unset(key)
-        }
+      } finally q.stop()
+      }
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
       }
     }
   }
