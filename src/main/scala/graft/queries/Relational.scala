@@ -2527,6 +2527,74 @@ object Relational {
          |       next_ts IS NULL AS is_current, val
          |FROM versioned ORDER BY user_id, version""".stripMargin),
 
+    // ── u05: incremental view maintenance — the lakehouse refresh
+    //    pattern u03/u04/s15 still lacked: a MATERIALIZED per-customer
+    //    aggregate (order count + exact-cents price sum) maintained from
+    //    an s15-style v1→v2 changelog WITHOUT rescanning the base.
+    //    Fixture construction materializes the v1 aggregate and the
+    //    row-level changelog to scratch parquet once; the returned
+    //    MAINTENANCE plan then scans ONLY those two artifacts — the
+    //    orders table never appears in it (PlanQualitySpec pins the
+    //    scan set). Each changelog row carries its old and new
+    //    contribution; retraction (−1, −old_cents) and application
+    //    (+1, +new_cents) explode from it, union with the materialized
+    //    state, and ONE map-side-combinable hash agg folds them; keys
+    //    whose count reaches 0 drop. At 100 TB the cost is
+    //    O(|changelog| + |state|), not O(|base|) — and with state and
+    //    changelog both bucketed by key even the state side needs no
+    //    exchange. Judged against DuckDB's FULL RECOMPUTE over v2: the
+    //    incremental result must equal the rescan, which is the
+    //    operator's defining property. Sums fold exact BIGINT cents
+    //    (the s15 fingerprint discipline), so retraction is lossless —
+    //    float sums would drift under add-order here. ──
+    ("u05_incremental_agg",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val orders = Tables(s, dir, "orders")
+        val v1 = orders.where($"o_orderkey" % 7 =!= 0)
+          .select($"o_orderkey", $"o_custkey",
+            round($"o_totalprice" * 100).cast("long").as("cents"))
+        val v2 = orders.where($"o_orderkey" % 11 =!= 3)
+          .select($"o_orderkey", $"o_custkey",
+            round(when($"o_orderkey" % 5 === 0, $"o_totalprice" + 1.0)
+              .otherwise($"o_totalprice") * 100).cast("long").as("cents"))
+        val aggPath = scratchPath("u05_agg_v1")
+        v1.groupBy($"o_custkey")
+          .agg(count(lit(1)).as("n_orders"), sum($"cents").as("sum_cents"))
+          .write.mode("overwrite").parquet(aggPath)
+        val logPath = scratchPath("u05_changelog")
+        v1.select($"o_orderkey", $"o_custkey".as("k1"), $"cents".as("c1"))
+          .join(v2.select($"o_orderkey", $"o_custkey".as("k2"), $"cents".as("c2")),
+            Seq("o_orderkey"), "full_outer")
+          .where($"k1".isNull || $"k2".isNull || $"c1" =!= $"c2")
+          .write.mode("overwrite").parquet(logPath)
+        // ── maintenance plan: materialized state + changelog ONLY ──
+        val state = s.read.parquet(aggPath)
+        val deltas = s.read.parquet(logPath)
+          .select(explode(array(
+            struct($"k1".as("o_custkey"), lit(-1L).as("dn"),
+              coalesce(-$"c1", lit(0L)).as("dc")),
+            struct($"k2".as("o_custkey"), lit(1L).as("dn"),
+              coalesce($"c2", lit(0L)).as("dc")))).as("d"))
+          .select($"d.o_custkey", $"d.dn", $"d.dc")
+          .where($"o_custkey".isNotNull) // added rows have no retraction leg
+        state.select($"o_custkey", $"n_orders".as("dn"), $"sum_cents".as("dc"))
+          .unionByName(deltas)
+          .groupBy($"o_custkey")
+          .agg(sum($"dn").as("n_orders"), sum($"dc").as("sum_cents"))
+          .where($"n_orders" > 0)
+          .orderBy($"o_custkey")
+      },
+      // full recompute over v2 — equality with the incremental plan is
+      // the judged property
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(round(CASE WHEN o_orderkey % 5 = 0
+        |                                THEN o_totalprice + 1.0
+        |                                ELSE o_totalprice END * 100, 0)
+        |                     AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders WHERE o_orderkey % 11 <> 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ── q05: one-pass dataset profiling (the Deequ/Great-Expectations
     //    shape): the pre-training data-quality report — row count,
     //    null counts, distinct cardinalities, numeric min/max/mean —

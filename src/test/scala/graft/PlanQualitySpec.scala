@@ -718,6 +718,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("u05: the maintenance plan scans state + changelog only — never the base table") {
+    // the operator's defining cost bound: refresh = O(|changelog| +
+    // |state|), not O(|base|). The returned plan's file scans must be
+    // exactly the two materialized artifacts; an orders.parquet scan
+    // here means the "incremental" path quietly rescans the base.
+    val p = plan("u05_incremental_agg")
+    assert(p.contains("u05_agg_v1"), p)
+    assert(p.contains("u05_changelog"), p)
+    assert(!p.contains("orders.parquet"), p)
+    assert("FileScan parquet".r.findAllIn(p).size == 2, p)
+    // one fold: state ∪ deltas feeds a single hash aggregation (plus
+    // its partial map-side half), never a join against the base
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
   test("w09: ntile folds need exactly one shuffle — the bounded lang partition") {
     // equal-depth folds pay ONE hashpartitioning exchange (the lang
     // window sort); the per-(lang, fold) aggregation reuses that
