@@ -921,7 +921,101 @@ object StreamingQueries {
          |SELECT e.user_id, ${tsSecSql("e.week")} AS session_end,
          |       (SELECT CAST(sum(a.n) AS BIGINT) FROM act a
          |        WHERE a.user_id = e.user_id AND a.i <= e.i) AS n_events
-         |FROM ends e ORDER BY e.user_id""".stripMargin)
+         |FROM ends e ORDER BY e.user_id""".stripMargin),
+
+    // ── st15: stateful-operator COMPOSITION — the st04 stream-stream
+    //    interval join feeding the st14 timer machine in ONE streaming
+    //    query (two state stores, one watermark). Every streaming
+    //    primitive is judged in isolation above; this is the remaining
+    //    production shape: join matches (purchase × same-user click in
+    //    the preceding hour) flow into `transformWithState`, which keeps
+    //    ONE event-time timer per user at last_match + 1h and emits the
+    //    (user, last match, match count) session when the watermark
+    //    crosses it. Chained stateful operators make watermark
+    //    PROPAGATION the semantics under test: Spark simulates a
+    //    per-operator watermark, and the join DELAYS its output
+    //    watermark by the interval bound (1h here — a buffered click
+    //    may still pair with a future purchase, so downstream may not
+    //    advance past it); timers therefore fire against
+    //    min(max p_ts, max c_ts) − 2h(source delay) − 1h(join delay),
+    //    with the previous-batch lag and strict `<` expiry pinned in
+    //    WatermarkSemanticsSpec. AvailableNow over one staged file = one
+    //    input batch + the final no-data batch, so the emitted set is
+    //    closed-form: users whose last match sits more than [timeout +
+    //    join delay + source delay] before the stream max. State is
+    //    O(keys) in both operators; the join evicts by the interval
+    //    bound — nothing buffers the stream. ──
+    ("st15_join_then_timeout",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val prevProvider = s.conf.getOption(providerKey)
+        s.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val stage = java.nio.file.Paths.get(Portable.scratchPath("st15_events"))
+          java.nio.file.Files.createDirectories(stage)
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$dir/events.parquet"),
+            stage.resolve("events.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          val schema = Tables.rawEvents(s, dir).schema
+          def src() = Tables.normalizeTs(
+            s.readStream.schema(schema).parquet(stage.toString))
+          val purchases = src().where(col("event_type") === "purchase")
+            .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+            .withWatermark("p_ts", "2 hours")
+          val clicks = src().where(col("event_type") === "click")
+            .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+            .withWatermark("c_ts", "2 hours")
+          val matches = purchases.join(clicks,
+              col("p_user") === col("c_user") &&
+                col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+                col("c_ts") <= col("p_ts"))
+            .select(col("p_user").cast("long").as("user_id"),
+              unix_micros(col("p_ts")).as("tsu"))
+            .as[(Long, Long)]
+          val sessions = matches.groupByKey(_._1)
+            .transformWithState(
+              new graft.streaming.SessionTimeoutProcessor(3600L * 1000),
+              TimeMode.EventTime(), OutputMode.Append())
+          val q = sessions.toDF("user_id", "last_tsu", "n_matches")
+            .writeStream.format("memory").queryName("st15_mem")
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        } finally {
+          prevProvider match {
+            case Some(p) => s.conf.set(providerKey, p)
+            case None => s.conf.unset(providerKey)
+          }
+        }
+        s.table("st15_mem")
+          .select(col("user_id"),
+            tsSec(timestamp_micros(col("last_tsu"))).as("last_match"),
+            col("n_matches"))
+          .orderBy(col("user_id"))
+      },
+      s"""WITH pairs AS (
+         |  SELECT p.user_id, CAST(p.ts AS TIMESTAMP) AS p_ts
+         |  FROM events p JOIN events c
+         |    ON p.user_id = c.user_id
+         |   AND p.event_type = 'purchase' AND c.event_type = 'click'
+         |   AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts),
+         |agg AS (
+         |  SELECT user_id, max(p_ts) AS last_ts,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM pairs GROUP BY 1),
+         |wm AS (
+         |  SELECT least(
+         |    (SELECT max(CAST(ts AS TIMESTAMP)) FROM events
+         |     WHERE event_type = 'purchase'),
+         |    (SELECT max(CAST(ts AS TIMESTAMP)) FROM events
+         |     WHERE event_type = 'click'))
+         |    - INTERVAL 2 HOUR - INTERVAL 1 HOUR AS w)
+         |SELECT user_id, ${tsSecSql("last_ts")} AS last_match, n AS n_matches
+         |FROM agg, wm
+         |WHERE last_ts + INTERVAL 1 HOUR < wm.w
+         |ORDER BY user_id""".stripMargin)
   )
 
   /** State-store partition sizing: a stateful streaming query FIXES its

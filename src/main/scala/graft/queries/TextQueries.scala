@@ -824,6 +824,85 @@ object TextQueries {
          |WHERE jac >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin),
 
+    // ── j14: set-similarity JOIN with prefix filtering — the join-shaped
+    //    twin of t08's pairwise n-gram Jaccard and the "fuzzy join at
+    //    scale" member beyond j13's edit-distance-1 blocking: the
+    //    Vernica-et-al. MapReduce shape over the SHINGLE-hash sets (word
+    //    sets are degenerate on this corpus: a 31-word vocabulary makes
+    //    nearly every doc pair 0.6-similar, while shingle sets separate
+    //    — one natural pair at ≈0.97, the rest ≤0.03). Each doc's set
+    //    contributes only its ℓ = ⌊(1−τ)·|s|⌋+1 RAREST elements (global
+    //    (df, h) order, evaluated per doc by a doc-partitioned window)
+    //    as block keys, so candidate generation is an EQUI-join on the
+    //    prefix element — provably complete at J ≥ τ (sets with
+    //    Jaccard ≥ τ must overlap within those prefixes; the spec pins
+    //    completeness against brute force), and rarest-first ordering is
+    //    itself the hot-key defense: corpus-wide shingles never enter a
+    //    prefix, so no block fans out quadratically (t08's DfCap solves
+    //    the same problem by dropping; prefix filtering solves it
+    //    without losing pairs). Candidates verify EXACTLY —
+    //    intersection counts via two equi-joins back through the
+    //    element index, then the τ = 3/5 test in pure BIGINTs
+    //    (8·|A∩B| ≥ 3·(|A|+|B|)), never a float Jaccard. df is
+    //    dictionary-sized (broadcastable); the window rides one doc_id
+    //    exchange. Input is the seeded corpus so the judged pair set is
+    //    non-empty by construction. ──
+    ("j14_set_similarity_join",
+      (s: SparkSession, dir: String) => {
+        val idx = shingleIndex(seededDocs(s, dir))
+          .select(col("doc_id"), col("h")) // global join — no source blocks
+          .persist()
+        val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val dfreq = idx.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+        val prefix = idx.join(dfreq, "h").join(sizes, "doc_id")
+          .withColumn("rn", row_number().over(wDoc))
+          .where(col("rn") <= floor(col("sz") * 2 / 5) + 1)
+          .select(col("doc_id"), col("h"))
+        val cand = prefix.as("a").join(prefix.as("b"),
+            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val inter = cand
+          .join(idx.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+          .join(idx.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_int"))
+        inter
+          .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+          .where(col("n_int") * 8 >= (col("sz_a") + col("sz_b")) * 3)
+          .select(col("doc_a"), col("doc_b"), col("n_int"),
+            col("sz_a"), col("sz_b"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      s"""WITH $seededDocsSql,
+         |${hashedShinglesSql("seeded")},
+         |idx AS (SELECT doc_id, unnest(s) AS h FROM sh),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM idx GROUP BY 1),
+         |dfreq AS (SELECT h, count(*) AS df FROM idx GROUP BY 1),
+         |pfx AS (
+         |  SELECT doc_id, h FROM (
+         |    SELECT t.doc_id, t.h, s.sz,
+         |           row_number() OVER (PARTITION BY t.doc_id
+         |                              ORDER BY d.df, t.h) AS rn
+         |    FROM idx t JOIN dfreq d USING (h) JOIN sizes s USING (doc_id))
+         |  WHERE rn <= sz * 2 // 5 + 1),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM pfx a JOIN pfx b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_int
+         |  FROM cand c
+         |  JOIN idx ta ON ta.doc_id = c.doc_a
+         |  JOIN idx tb ON tb.doc_id = c.doc_b AND tb.h = ta.h
+         |  GROUP BY 1, 2)
+         |SELECT i.doc_a, i.doc_b, i.n_int, sa.sz AS sz_a, sb.sz AS sz_b
+         |FROM inter i
+         |JOIN sizes sa ON sa.doc_id = i.doc_a
+         |JOIN sizes sb ON sb.doc_id = i.doc_b
+         |WHERE i.n_int * 8 >= (sa.sz + sb.sz) * 3
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
     // ── t25: the near-dedup family's judged quality row — the
     //    v10/v20-for-ANN discipline applied to MinHash-LSH: recall of
     //    the banded candidate generator against the EXACT Jaccard pair

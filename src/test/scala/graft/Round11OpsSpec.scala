@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Portable
+
+/** Semantics checks for the round-11 additions: j14's prefix-filtered
+  * set-similarity join against a driver-side brute-force all-pairs
+  * recompute (the COMPLETENESS property the judged oracle cannot see —
+  * both engines share the prefix-filter plan, so a lost pair would pass
+  * the hash compare), u05's changelog non-vacuity (all three change
+  * kinds must exist or the maintenance path is judged on a trivial
+  * delta), and st15's closed-form emission rule replayed as a batch
+  * recompute with the WatermarkSemanticsSpec-pinned watermark
+  * arithmetic. */
+class Round11OpsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  // driver twins of TextQueries' portable hash + shingle construction
+  // (restated independently on purpose: a bug shared by query and spec
+  // helper would be invisible)
+  private def pHash(str: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(str.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(8).map("%02x".format(_)).mkString.substring(0, 15), 16)
+  }
+
+  private def shingleSet(text: String): Set[Long] = {
+    val ws = text.split(" ", -1) // Spark split keeps trailing empties
+    val n = ws.length
+    (0 to math.max(n - 3, 0)).map { i =>
+      val w1 = if (i + 1 < n) ws(i + 1) else ""
+      val w2 = if (i + 2 < n) ws(i + 2) else ""
+      pHash(s"${ws(i)} $w1 $w2") % 1000003L
+    }.toSet
+  }
+
+  test("j14: prefix-filtered join equals brute-force all-pairs Jaccard at τ = 3/5") {
+    val docs = graft.engine.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val seeded = docs ++ docs.filter(_._1 < 10L)
+      .map { case (id, t) => (id + 1000000000000L, t) }
+    val sets = seeded.map { case (id, t) => (id, shingleSet(t)) }
+    val expected = (for {
+      i <- sets.indices
+      j <- sets.indices
+      if sets(i)._1 < sets(j)._1
+      (ida, a) = sets(i)
+      (idb, b) = sets(j)
+      nInt = (a & b).size
+      if nInt * 8 >= (a.size + b.size) * 3
+    } yield (ida, idb, nInt.toLong, a.size.toLong, b.size.toLong))
+      .sortBy(x => (x._1, x._2))
+    assert(expected.nonEmpty, "fixture drift: no τ ≥ 3/5 pairs — j14 vacuous")
+    val got = SparkEntry.queries("j14_set_similarity_join")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected,
+      s"prefix filtering lost or fabricated pairs:\n got      $got\n expected $expected")
+  }
+
+  test("u05: the changelog exercises all three change kinds") {
+    // the maintenance path folds added/removed/changed deltas; a fixture
+    // drift that empties any kind would leave that leg of the fold
+    // judged-green but untested. s15 shares u05's changelog construction.
+    val kinds = SparkEntry.queries("s15_snapshot_diff")(spark, dir)
+      .groupBy(col("change")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("added", "removed", "changed").foreach { k =>
+      assert(kinds.getOrElse(k, 0L) > 0L,
+        s"fixture drift: changelog has no '$k' rows — u05's $k leg is vacuous ($kinds)")
+    }
+  }
+
+  test("u05: incremental maintenance equals a direct recompute over v2") {
+    val s = spark
+    import s.implicits._
+    val orders = graft.engine.Tables(spark, dir, "orders")
+    val direct = orders.where($"o_orderkey" % 11 =!= 3)
+      .select($"o_custkey",
+        round(when($"o_orderkey" % 5 === 0, $"o_totalprice" + 1.0)
+          .otherwise($"o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"), sum($"cents").as("sum_cents"))
+      .orderBy($"o_custkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val inc = SparkEntry.queries("u05_incremental_agg")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(inc == direct, s"incremental ≠ recompute:\n inc    $inc\n direct $direct")
+  }
+
+  test("st15: streaming emissions equal the batch recompute under the pinned watermark rule") {
+    // rule (pinned in WatermarkSemanticsSpec "chained join → timers"):
+    // emitted ⟺ last_match + timeout < min(max p_ts, max c_ts)
+    //           − 2h source delay − 1h join-interval delay, strict <
+    val s = spark
+    import s.implicits._
+    val ev = graft.engine.Tables.events(spark, dir)
+    val p = ev.where($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"))
+    val c = ev.where($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"))
+    val pairs = p.join(c, $"p_user" === $"c_user" &&
+      $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") && $"c_ts" <= $"p_ts")
+    val wmUs = math.min(
+      p.agg(max(unix_micros($"p_ts"))).head().getLong(0),
+      c.agg(max(unix_micros($"c_ts"))).head().getLong(0)) - 3L * 3600 * 1000000
+    val expected = pairs.groupBy($"p_user")
+      .agg(max(unix_micros($"p_ts")).as("last_us"), count(lit(1)).as("n"))
+      .where($"last_us" + 3600L * 1000000 < wmUs)
+      .select($"p_user",
+        Portable.tsSec(timestamp_micros($"last_us")).as("last_match"), $"n")
+      .orderBy($"p_user")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(expected.nonEmpty, "fixture drift: st15 emits nothing at sf0.001")
+    val got = SparkEntry.queries("st15_join_then_timeout")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected, s"\n got      $got\n expected $expected")
+  }
+}

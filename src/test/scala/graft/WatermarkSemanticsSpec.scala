@@ -217,6 +217,92 @@ class WatermarkSemanticsSpec extends SparkSpec {
     }
   }
 
+  private def joinThenTimeout(p: MemoryStream[(Long, Timestamp)],
+      c: MemoryStream[(Long, Timestamp)], name: String) = {
+    val s = spark
+    import s.implicits._
+    val purchases = p.toDF().toDF("user_id", "p_ts")
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = c.toDF().toDF("c_user", "c_ts")
+      .withWatermark("c_ts", "10 minutes")
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("user_id"), unix_micros(col("p_ts")).as("tsu"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new graft.streaming.SessionTimeoutProcessor(10 * 60 * 1000L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .toDF("user_id", "last_tsu", "n_matches")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+  }
+
+  test("chained join → timers: the interval join delays the downstream watermark by its bound; expiry is strict") {
+    // the st15 composition's oracle arithmetic, pinned on MemoryStream:
+    // 1. the downstream transformWithState sees the JOIN's output
+    //    watermark = source watermark − 1h (the c_ts ∈ [p_ts−1h, p_ts]
+    //    bound: a buffered click may still match a future purchase, so
+    //    the simulator subtracts the interval) — NOT the raw source
+    //    watermark;
+    // 2. timers still fire against the PREVIOUS batch's value (the st14
+    //    one-batch lag), here of that delayed watermark;
+    // 3. expiry is STRICT: a timer exactly AT the effective watermark
+    //    does not fire.
+    // b2 below discriminates all three: under an undelayed watermark u1
+    // would fire there, and under non-strict expiry too — the oracle's
+    // "− 1h join delay, strict <" encoding fails HERE by name if Spark
+    // changes either rule.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = s.conf.getOption(key)
+    try {
+      s.conf.set(key, "false")
+      withRocksDb {
+        val p = MemoryStream[(Long, Timestamp)]
+        val c = MemoryStream[(Long, Timestamp)]
+        val q = joinThenTimeout(p, c, "join_timer_probe")
+        def add(u: Long, t: String): Unit = {
+          p.addData((u, ts(t))); c.addData((u, ts(t))); q.processAllAvailable()
+        }
+        try {
+          // b0: u1@10:00 matches itself → timer 10:10; src wm → 09:50
+          add(1L, "2019-07-01 10:00:00")
+          // b1: u2@11:20 → timer 11:30; timers fire vs b0's effective
+          //     wm (09:50 − 1h): none. src wm → 11:10
+          add(2L, "2019-07-01 11:20:00")
+          // b2: u3@12:30 → timer 12:40; timers fire vs b1's effective
+          //     wm = 11:10 − 1h = 10:10 — EXACTLY u1's timer. Strict
+          //     expiry + the 1h join delay ⇒ nothing fires (an
+          //     undelayed wm of 11:10 would fire u1; so would <=).
+          add(3L, "2019-07-01 12:30:00")
+          val afterB2 = s.sql("SELECT user_id FROM join_timer_probe")
+            .collect().map(_.getLong(0)).toSeq
+          assert(afterB2.isEmpty,
+            s"u1's 10:10 timer must NOT fire at effective wm 10:10 " +
+              s"(join-delayed, strict): emitted $afterB2")
+          // b3: u4@13:30 → timers fire vs b2's effective wm = 12:20 −
+          //     1h = 11:20: u1 (10:10) fires, u2 (11:30) does not
+          add(4L, "2019-07-01 13:30:00")
+          val rows = s.sql("SELECT user_id, last_tsu, n_matches FROM join_timer_probe")
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+          assert(rows == Seq((1L, ts("2019-07-01 10:00:00").getTime * 1000L, 1L)),
+            s"only u1 may have fired by b3 (u2's 11:30 > 11:20): $rows")
+        } finally q.stop()
+      }
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
+
   test("no-data microbatch fires expired event-time timers without new input") {
     // st14's week-2 sessions emit from the AvailableNow run's final
     // no-data batch: a watermark advance alone — no further input —
