@@ -852,24 +852,28 @@ object TextQueries {
         val idx = shingleIndex(seededDocs(s, dir))
           .select(col("doc_id"), col("h")) // global join — no source blocks
           .persist()
-        val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
         val dfreq = idx.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        // rn and sz ride ONE doc_id exchange (same partitioning, two window
+        // operators), and sz travels with each prefix row so the pair sizes
+        // arrive at the verify filter via the candidate keys — no separate
+        // sizes aggregate, no post-verify size joins (sz is functionally
+        // dependent on doc_id, so widening the grouping key is free)
         val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
-        val prefix = idx.join(dfreq, "h").join(sizes, "doc_id")
+        val prefix = idx.join(dfreq, "h")
           .withColumn("rn", row_number().over(wDoc))
+          .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
           .where(col("rn") <= floor(col("sz") * 2 / 5) + 1)
-          .select(col("doc_id"), col("h"))
+          .select(col("doc_id"), col("h"), col("sz"))
         val cand = prefix.as("a").join(prefix.as("b"),
             col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
           .distinct()
-        val inter = cand
+        cand
           .join(idx.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
           .join(idx.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
-          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_int"))
-        inter
-          .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
-          .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+          .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+          .agg(count(lit(1)).as("n_int"))
           .where(col("n_int") * 8 >= (col("sz_a") + col("sz_b")) * 3)
           .select(col("doc_a"), col("doc_b"), col("n_int"),
             col("sz_a"), col("sz_b"))
