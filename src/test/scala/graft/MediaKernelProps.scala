@@ -274,4 +274,66 @@ object MediaKernelProps extends Properties("MediaKernels") {
       }.toSeq
       m.samples.length == n && wav.frameFeatures(m).toSeq == ref
     }
+
+  private val png = graft.queries.MultimodalQueries.PngCodec
+
+  /** The formula plane every PNG property checks against: pixel i of the
+    * w×h grid is payload code unit i mod 256, zero-padded. */
+  private def pngPlane(t: String): (Int, Int, Seq[Int]) = {
+    val n = t.length
+    val w = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val h = math.max(1, (n + w - 1) / w)
+    (w, h, (0 until w * h).map(i => if (i < n) t.charAt(i) % 256 else 0))
+  }
+
+  property("png: round-trip through deflate + all five filters is exact") =
+    Prop.forAll(payload) { t =>
+      val (w, h, plane) = pngPlane(t)
+      val m = png.decode(png.encode(t))
+      m.width == w && m.height == h && m.bit_depth == 8L &&
+        m.color_type == 0L && m.n_chunks == 3L &&
+        m.raw_len == h.toLong * (w + 1) && m.pixels.toSeq == plane
+    }
+
+  property("png: ImageIO (independent decoder) reads our encoder's output") =
+    Prop.forAll(payload) { t =>
+      val (w, h, plane) = pngPlane(t)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png.encode(t)))
+      img.getWidth == w && img.getHeight == h &&
+        (0 until w * h).forall { i =>
+          img.getRaster.getSample(i % w, i / w, 0) == plane(i)
+        }
+    }
+
+  property("png: our decoder reads ImageIO's (independent encoder) output") =
+    Prop.forAll(payload) { t =>
+      val (w, h, plane) = pngPlane(t)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      plane.indices.foreach(i => img.getRaster.setSample(i % w, i / w, 0, plane(i)))
+      val os = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", os)
+      val m = png.decode(os.toByteArray)
+      // ImageIO picks its own filters/chunking — the decoded plane must
+      // still be exact, and chunk count is whatever the foreign encoder
+      // emitted (>= 3)
+      m.width == w && m.height == h && m.n_chunks >= 3L &&
+        m.pixels.toSeq == plane
+    }
+
+  property("png: a corrupted IDAT byte fails the CRC check, never decodes") =
+    Prop.forAll(nonEmpty) { t =>
+      val b = png.encode(t)
+      // last IDAT data byte: 12 (IEND) + 4 (IDAT crc) + 1 from the end
+      b(b.length - 17) = ((b(b.length - 17) & 0xff) ^ 0x40).toByte
+      Prop.throws(classOf[IllegalArgumentException])(png.decode(b))
+    }
+
+  property("png: a truncated stream fails validation, never AIOOBE") =
+    Prop.forAll(nonEmpty) { t =>
+      val b = png.encode(t)
+      val cut = java.util.Arrays.copyOf(b, b.length - 13) // into the IDAT crc
+      Prop.throws(classOf[IllegalArgumentException])(png.decode(cut))
+    }
 }
