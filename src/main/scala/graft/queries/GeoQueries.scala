@@ -1801,7 +1801,59 @@ object GeoQueries {
          |SELECT h.home, w.work, CAST(count(*) AS BIGINT) AS n_commuters
          |FROM home h JOIN work w USING (user_id)
          |WHERE h.home <> w.work
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // ── g38: WEIGHTED single-source shortest paths — the missing member
+    //    between g33's unweighted BFS hops and g19's pagerank: routing
+    //    over the region transition graph with a per-corridor travel
+    //    cost. Edge weight w = 1 + 1000 div flow (integer "resistance":
+    //    busy corridors are cheap, rare ones expensive — exact BIGINT in
+    //    both engines, `div`/`//`). The iteration is Bellman-Ford
+    //    relaxation, K = 6 synchronous rounds: d_{k+1}(v) = min(d_k(v),
+    //    min over in-edges d_k(u) + w(u,v)) — each round ONE broadcast
+    //    join (the distance vector is region-bounded, broadcastable at
+    //    any corpus size) + ONE min-agg shuffle, localCheckpoint-
+    //    truncated like g19/g33 so the plan stays round-sized. Both
+    //    engines run the SAME K-round recurrence, so the judged rows
+    //    agree independent of convergence; `Round11OpsSpec` pins d6 ==
+    //    d5 at test SFs, i.e. K covers the weighted diameter and the
+    //    judged vector IS the shortest-path solution there. ──
+    ("g38_shortest_path",
+      (s: SparkSession, dir: String) => {
+        val edges = Trajectory.transitions(Trajectory.hourlyState(Tables.events(s, dir)))
+          .where(col("src") =!= "0" && col("dst") =!= "0" && col("src") =!= col("dst"))
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("flow"))
+          .select(col("src"), col("dst"),
+            expr("CAST(1 + 1000 div flow AS BIGINT)").as("w"))
+          .persist()
+        var dist = edges.agg(min(col("src")).as("region"))
+          .select(col("region"), lit(0L).as("dist"))
+        for (_ <- 1 to 6)
+          dist = relaxRound(edges, dist).localCheckpoint()
+        dist.orderBy(col("region"))
+      },
+      s"""${Trajectory.trajSqlPrelude},
+         |seq AS (
+         |  SELECT user_id, hour, region,
+         |         lag(region) OVER (PARTITION BY user_id ORDER BY hour) AS src
+         |  FROM traj),
+         |wedges AS (
+         |  SELECT src, region AS dst,
+         |         CAST(1 + 1000 // count(*) AS BIGINT) AS w
+         |  FROM seq
+         |  WHERE src IS NOT NULL AND src <> '0' AND region <> '0' AND src <> region
+         |  GROUP BY 1, 2),
+         |d0 AS (SELECT min(src) AS region, CAST(0 AS BIGINT) AS dist FROM wedges),
+         |${(1 to 6).map(k =>
+            s"""d$k AS (
+               |  SELECT region, min(dist) AS dist FROM (
+               |    SELECT region, dist FROM d${k - 1}
+               |    UNION ALL
+               |    SELECT e.dst, d.dist + e.w FROM d${k - 1} d
+               |    JOIN wedges e ON e.src = d.region)
+               |  GROUP BY 1)""".stripMargin).mkString(",\n")}
+         |SELECT region, CAST(dist AS BIGINT) AS dist
+         |FROM d6 ORDER BY region""".stripMargin)
   )
 
   /** g33's BFS state advance: one frontier expansion (edge join against
@@ -1812,6 +1864,17 @@ object GeoQueries {
     reached.union(
         edges.join(broadcast(reached), col("a") === col("region"))
           .select(col("b").as("region"), lit(k.toLong).as("dist")))
+      .groupBy(col("region")).agg(min(col("dist")).as("dist"))
+
+  /** g38's Bellman-Ford state advance: one relaxation sweep — every
+    * weighted in-edge proposes d(u) + w against the standing vector,
+    * folded by min. Same scale shape as [[bfsRound]]: the distance
+    * vector is region-bounded (broadcast side), so each round's only
+    * shuffle is the min-agg. */
+  private def relaxRound(edges: DataFrame, dist: DataFrame): DataFrame =
+    dist.union(
+        edges.join(broadcast(dist), col("src") === col("region"))
+          .select(col("dst").as("region"), (col("dist") + col("w")).as("dist")))
       .groupBy(col("region")).agg(min(col("dist")).as("dist"))
 
   /** Per-region exact centroid + mass: scaled-long means of the fix

@@ -2595,6 +2595,107 @@ object Relational {
         |FROM orders WHERE o_orderkey % 11 <> 3
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ── u06: incremental JOIN-view maintenance — the counting-algebra
+    //    twin of u05 for the other materialized-view shape: V = orders
+    //    ⋈ customer maintained under CDC changelogs on BOTH sides via
+    //    the exact multiset identity V2 − V1 = ΔO⋈C1 + O1⋈ΔC + ΔO⋈ΔC
+    //    (signed multiplicities MULTIPLY across a join — the counting
+    //    algorithm of the IVM literature). Unlike u05's aggregate,
+    //    where state alone absorbs deltas, join IVM fundamentally needs
+    //    the other side's old snapshot for the mixed terms; the 100 TB
+    //    posture is that every delta term is a LOOKUP join — both
+    //    changelogs broadcast, so the base-snapshot scans are
+    //    delta-key-prunable and shuffle-free — and the v2 definitions
+    //    appear NOWHERE in the maintenance plan (PlanQualitySpec pins
+    //    the scan set to the five materialized artifacts and the
+    //    broadcast shape). The fold sums signed multiplicities per view
+    //    row and keeps m > 0; with unique keys per snapshot the net is
+    //    0/1, so the incremental result must EQUAL DuckDB's full
+    //    recompute over v2 — the operator's defining property. Deletes
+    //    on the customer side cascade through the mixed term (an
+    //    order whose customer vanishes retracts via O1⋈ΔC even though
+    //    the order itself never changed). ──
+    ("u06_incremental_join",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val orders = Tables(s, dir, "orders")
+        val customer = Tables(s, dir, "customer")
+        val o1 = orders.where($"o_orderkey" % 7 =!= 0)
+          .select($"o_orderkey", $"o_custkey",
+            round($"o_totalprice" * 100).cast("long").as("cents"))
+        val o2 = orders.where($"o_orderkey" % 11 =!= 3)
+          .select($"o_orderkey", $"o_custkey",
+            round(when($"o_orderkey" % 5 === 0, $"o_totalprice" + 1.0)
+              .otherwise($"o_totalprice") * 100).cast("long").as("cents"))
+        val c1 = customer.select($"c_custkey", $"c_mktsegment")
+        val c2 = customer.where($"c_custkey" % 17 =!= 5)
+          .select($"c_custkey",
+            when($"c_custkey" % 13 === 2, lit("REMAPPED"))
+              .otherwise($"c_mktsegment").as("c_mktsegment"))
+        val v1Path = scratchPath("u06_view_v1")
+        o1.join(c1, $"o_custkey" === $"c_custkey")
+          .select($"o_orderkey", $"o_custkey", $"cents", $"c_mktsegment")
+          .write.mode("overwrite").parquet(v1Path)
+        val o1Path = scratchPath("u06_orders_v1")
+        o1.write.mode("overwrite").parquet(o1Path)
+        val c1Path = scratchPath("u06_customer_v1")
+        c1.write.mode("overwrite").parquet(c1Path)
+        val dOPath = scratchPath("u06_orders_delta")
+        o1.select($"o_orderkey", $"o_custkey".as("k1"), $"cents".as("v1c"))
+          .join(o2.select($"o_orderkey", $"o_custkey".as("k2"), $"cents".as("v2c")),
+            Seq("o_orderkey"), "full_outer")
+          .where($"k1".isNull || $"k2".isNull || $"v1c" =!= $"v2c")
+          .select($"o_orderkey", explode(array(
+            struct($"k1".as("o_custkey"), $"v1c".as("cents"), lit(-1L).as("m")),
+            struct($"k2".as("o_custkey"), $"v2c".as("cents"), lit(1L).as("m")))).as("d"))
+          .select($"o_orderkey", $"d.o_custkey", $"d.cents", $"d.m")
+          .where($"o_custkey".isNotNull) // an add has no retraction leg
+          .write.mode("overwrite").parquet(dOPath)
+        val dCPath = scratchPath("u06_customer_delta")
+        c1.select($"c_custkey", $"c_mktsegment".as("s1"))
+          .join(c2.select($"c_custkey", $"c_mktsegment".as("s2")),
+            Seq("c_custkey"), "full_outer")
+          .where($"s1".isNull || $"s2".isNull || $"s1" =!= $"s2")
+          .select($"c_custkey", explode(array(
+            struct($"s1".as("c_mktsegment"), lit(-1L).as("m")),
+            struct($"s2".as("c_mktsegment"), lit(1L).as("m")))).as("d"))
+          .select($"c_custkey", $"d.c_mktsegment", $"d.m")
+          .where($"c_mktsegment".isNotNull)
+          .write.mode("overwrite").parquet(dCPath)
+        // ── maintenance plan: the five artifacts ONLY ──
+        val v1 = s.read.parquet(v1Path)
+        val bO = s.read.parquet(o1Path)
+        val bC = s.read.parquet(c1Path)
+        val dO = s.read.parquet(dOPath)
+        val dC = s.read.parquet(dCPath).withColumnRenamed("m", "mc")
+        val t1 = broadcast(dO).join(bC, $"o_custkey" === $"c_custkey")
+          .select($"o_orderkey", $"o_custkey", $"cents", $"c_mktsegment", $"m")
+        val t2 = bO.join(broadcast(dC), $"o_custkey" === $"c_custkey")
+          .select($"o_orderkey", $"o_custkey", $"cents", $"c_mktsegment",
+            $"mc".as("m"))
+        val t3 = broadcast(dO).join(broadcast(dC), $"o_custkey" === $"c_custkey")
+          .select($"o_orderkey", $"o_custkey", $"cents", $"c_mktsegment",
+            ($"m" * $"mc").as("m"))
+        v1.withColumn("m", lit(1L))
+          .unionByName(t1).unionByName(t2).unionByName(t3)
+          .groupBy($"o_orderkey", $"o_custkey", $"cents", $"c_mktsegment")
+          .agg(sum($"m").as("net"))
+          .where($"net" > 0)
+          .select($"o_orderkey", $"o_custkey", $"cents", $"c_mktsegment")
+          .orderBy($"o_orderkey")
+      },
+      // full recompute of the v2 join — equality with the incremental
+      // plan is the judged property
+      """SELECT o.o_orderkey, o.o_custkey,
+        |       CAST(round(CASE WHEN o.o_orderkey % 5 = 0
+        |                       THEN o.o_totalprice + 1.0
+        |                       ELSE o.o_totalprice END * 100, 0) AS BIGINT) AS cents,
+        |       CASE WHEN c.c_custkey % 13 = 2 THEN 'REMAPPED'
+        |            ELSE c.c_mktsegment END AS c_mktsegment
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderkey % 11 <> 3 AND c.c_custkey % 17 <> 5
+        |ORDER BY o_orderkey""".stripMargin),
+
     // ── q05: one-pass dataset profiling (the Deequ/Great-Expectations
     //    shape): the pre-training data-quality report — row count,
     //    null counts, distinct cardinalities, numeric min/max/mean —

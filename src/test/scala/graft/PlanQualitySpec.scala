@@ -733,6 +733,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
   }
 
+  test("u06: the join-IVM plan scans the five artifacts, deltas broadcast, never the live base") {
+    // the counting-algebra identity V2−V1 = ΔO⋈C1 + O1⋈ΔC + ΔO⋈ΔC:
+    // maintenance reads the materialized view, both old snapshots, and
+    // both changelogs — the v2 definitions (live orders/customer scans)
+    // must appear nowhere, and every delta term must be a broadcast
+    // (lookup-shaped) join so the base-snapshot sides stay shuffle-free
+    val p = plan("u06_incremental_join")
+    for (a <- Seq("u06_view_v1", "u06_orders_v1", "u06_customer_v1",
+        "u06_orders_delta", "u06_customer_delta"))
+      assert(p.contains(a), s"missing artifact scan $a\n$p")
+    assert(!p.contains("orders.parquet") && !p.contains("customer.parquet"), p)
+    // 7 scans over the 5 artifacts: each changelog feeds two delta terms
+    assert("FileScan parquet".r.findAllIn(p).size == 7, p)
+    // all four joins in the maintenance plan are the three delta terms
+    // + nothing else, each broadcast-hinted on its changelog side
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3, p)
+  }
+
   test("w09: ntile folds need exactly one shuffle — the bounded lang partition") {
     // equal-depth folds pay ONE hashpartitioning exchange (the lang
     // window sort); the per-(lang, fold) aggregation reuses that

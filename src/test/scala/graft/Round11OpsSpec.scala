@@ -11,7 +11,9 @@ import graft.queries.Portable
   * kinds must exist or the maintenance path is judged on a trivial
   * delta), and st15's closed-form emission rule replayed as a batch
   * recompute with the WatermarkSemanticsSpec-pinned watermark
-  * arithmetic. */
+  * arithmetic — plus u06's four-change-kind + delete-cascade fixture
+  * pin and g38's Bellman-Ford convergence pin (round 7 must be a
+  * fixpoint of round 6). */
 class Round11OpsSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
@@ -118,5 +120,57 @@ class Round11OpsSpec extends SparkSpec {
     val got = SparkEntry.queries("st15_join_then_timeout")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
     assert(got == expected, s"\n got      $got\n expected $expected")
+  }
+
+  test("u06: the changelog exercises all four change kinds, and deletes cascade") {
+    val s = spark
+    import s.implicits._
+    // the join-IVM path is only meaningfully judged if the fixture
+    // contains order adds, order deletes, order modifications, AND
+    // customer-side changes whose effect cascades to unmodified orders
+    val orders = graft.engine.Tables(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adds = orders.count { case (k, _) => k % 7 == 0 && k % 11 != 3 }
+    val dels = orders.count { case (k, _) => k % 7 != 0 && k % 11 == 3 }
+    val mods = orders.count { case (k, _) => k % 7 != 0 && k % 11 != 3 && k % 5 == 0 }
+    // an order present and UNCHANGED in both snapshots whose customer
+    // is deleted in v2 — it must leave the view purely via O1 ⋈ ΔC
+    val cascades = orders.count { case (k, c) =>
+      k % 7 != 0 && k % 11 != 3 && k % 5 != 0 && c % 17 == 5 }
+    assert(adds > 0 && dels > 0 && mods > 0 && cascades > 0,
+      s"fixture drift: adds=$adds dels=$dels mods=$mods cascades=$cascades")
+    // and the cascade actually happens: no surviving view row references
+    // a deleted customer
+    val got = SparkEntry.queries("u06_incremental_join")(spark, dir)
+    assert(got.where($"o_custkey" % 17 === 5).count() == 0L)
+  }
+
+  test("g38: 6 Bellman-Ford rounds cover the weighted diameter at test SF") {
+    val s = spark
+    import s.implicits._
+    // the judged query and oracle run the SAME K=6-round recurrence, so
+    // they agree regardless of convergence; this pin is what makes the
+    // judged vector THE shortest-path solution — one more round must be
+    // a fixpoint. Re-run the judged query's own rounds plus a seventh.
+    val q = SparkEntry.queries("g38_shortest_path")
+    val d6 = q(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // seventh round: relax d6 once more over the same weighted edges
+    val tr = graft.engine.Trajectory
+    val edges = tr.transitions(tr.hourlyState(
+        graft.engine.Tables.events(spark, dir)))
+      .where($"src" =!= "0" && $"dst" =!= "0" && $"src" =!= $"dst")
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("flow"))
+      .select($"src", $"dst", expr("CAST(1 + 1000 div flow AS BIGINT)").as("w"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val d7 = d6 ++ edges.flatMap { case (s0, d0, w) =>
+      d6.get(s0).map(du => d0 -> (du + w))
+    }.groupBy(_._1).map { case (n, xs) =>
+      n -> math.min(xs.map(_._2).min, d6.getOrElse(n, Long.MaxValue))
+    }
+    assert(d6 == d7, "round 7 still relaxed an edge — raise K in g38")
+    assert(d6.size > 1 && d6.values.exists(_ > 1L),
+      "fixture drift: the weighted graph is trivial at test SF")
   }
 }
