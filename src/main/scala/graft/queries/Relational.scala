@@ -259,6 +259,37 @@ object Relational {
          |WHERE (v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL OR fp1 <> fp2)
          |ORDER BY o_orderkey""".stripMargin),
 
+    // ── s16: the custom DataSource V2 connector end-to-end — documents
+    //    written to the graft-ledger binary format (one stats-stamped
+    //    file per range partition) through the connector's BatchWrite,
+    //    read back through its Batch scan with a doc_id interval pushed
+    //    down (two bounds accepted by pushFilters, compiled to the
+    //    KeyBounds file-skip test against each file's min/max header —
+    //    the range layout makes most files never become partitions) and
+    //    judged against DuckDB over the ORIGINAL parquet, so the
+    //    binary encode, stats fold, file skip, pruned decode, and
+    //    row-level pushed filtering must all be lossless.
+    //    [[graft.sources.LedgerSource]]; LedgerSourceSpec pins the
+    //    connector contract (skip counts, truncate, plan-visible
+    //    pushdown) on controlled layouts. ──
+    ("s16_ledger_roundtrip",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val out = scratchPath("s16_ledger")
+        Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+          .repartitionByRange(8, $"doc_id")
+          .write.format("graft-ledger").mode("overwrite").save(out)
+        s.read.format("graft-ledger").load(out)
+          .where($"doc_id" >= 100L && $"doc_id" < 400L)
+          .select($"doc_id", $"lang", $"n_chars")
+          .orderBy($"doc_id")
+      },
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents
+        |WHERE doc_id >= 100 AND doc_id < 400
+        |ORDER BY doc_id""".stripMargin),
+
     // ── S6/S4: hive-partitioned parquet sink → partition-pruned scan
     //    (ppl_days.py:23 writes partitionBy(date); cal_mobility_matrix.py:
     //    27-29 reads back WHERE date=... — pruning must reach the scan) ──

@@ -1,0 +1,326 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream, EOFException, File, FileInputStream, FileOutputStream}
+import java.util.UUID
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A complete DataSource V2 connector for the "graft ledger" format — a
+  * length-delimited binary record file with per-file key statistics.
+  * This is the library's custom-source credential: not a wrapper over a
+  * built-in format but the full connector surface implemented directly
+  * against the `org.apache.spark.sql.connector` API —
+  *
+  *   - **batch write** (`DataWriterFactory`/`DataWriter`): one file per
+  *     task, records streamed through a small buffer, per-file min/max
+  *     doc_id + row count folded as rows pass and stamped into the
+  *     fixed-offset stats header on close; `SupportsTruncate` makes
+  *     `mode("overwrite")` work by having commit remove every ledger
+  *     file not in the committed set (task files are UUID-suffixed, so
+  *     concurrent attempts never collide and abort can delete its own
+  *     output precisely);
+  *   - **batch read** (`Batch`/`PartitionReader`): one input partition
+  *     per file — the scan parallelism IS the file layout;
+  *   - **column pruning** (`SupportsPushDownRequiredColumns`): the
+  *     reader materializes only the pruned schema (a skipped string
+  *     field is `skipBytes`, never decoded to UTF-8);
+  *   - **filter pushdown** (`SupportsPushDownFilters`): comparison
+  *     predicates on the `doc_id` key are accepted, evaluated
+  *     row-level in the reader, AND — the real scale lever — compiled
+  *     to a key interval that prunes WHOLE FILES against the stats
+  *     header in `planInputPartitions` (the parquet row-group-skip
+  *     idea at file granularity). Pushed filters are still returned to
+  *     Spark for re-evaluation, the standard belt-and-braces contract
+  *     (`pushFilters` returns its argument), and the scan's
+  *     `description` advertises them so `.explain` shows the pushdown.
+  *
+  * File layout (all little-endian via DataOutput's big-endian writers —
+  * endianness is internal to the format, symmetric on read):
+  * magic "GLF1" | minDocId i64 | maxDocId i64 | nRows i64 | records…
+  * record: doc_id i64 | flags u8 (bit0 lang null, bit1 n_chars null) |
+  *         langLen i32 + UTF-8 bytes (if lang non-null) | n_chars i64.
+  *
+  * Schema is the fixed documents-ledger projection (doc_id BIGINT,
+  * lang STRING, n_chars BIGINT) — a single-relation connector, like a
+  * system's feed-format reader. `LedgerSourceSpec` pins the file-skip
+  * count, the pruned decode, and the plan-visible pushdown;
+  * `s16_ledger_roundtrip` judges the full write→read path against
+  * DuckDB over the original parquet. */
+class LedgerSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-ledger"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    LedgerSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new LedgerTable(properties.get("path"))
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object LedgerSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("lang", StringType, nullable = true),
+    StructField("n_chars", LongType, nullable = true)))
+  private[sources] val Magic = 0x474C4631 // "GLF1"
+  private[sources] val StatsOffset = 4L
+
+  private[graft] def ledgerFiles(dir: String): Array[File] = {
+    val d = new File(dir)
+    if (!d.isDirectory) Array.empty
+    else d.listFiles().filter(f => f.isFile && f.getName.endsWith(".gl"))
+      .sortBy(_.getName)
+  }
+}
+
+final class LedgerTable(path: String) extends Table
+    with SupportsRead with SupportsWrite {
+  require(path != null, "graft-ledger requires a path")
+  override def name(): String = s"graft-ledger:$path"
+  override def schema(): StructType = LedgerSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LedgerScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new LedgerWriteBuilder(path)
+}
+
+// ───────────────────────────── read path ─────────────────────────────
+
+final class LedgerScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var required: StructType = LedgerSource.Schema
+  private var pushed: Array[Filter] = Array.empty
+
+  /** Accept doc_id comparisons; everything else stays Spark-side. The
+    * accepted ones are STILL returned for Spark re-evaluation (the
+    * conservative contract), so reader-level filtering is a pure
+    * optimization and can never change results. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case EqualTo("doc_id", _: java.lang.Long) => true
+      case GreaterThan("doc_id", _: java.lang.Long) => true
+      case GreaterThanOrEqual("doc_id", _: java.lang.Long) => true
+      case LessThan("doc_id", _: java.lang.Long) => true
+      case LessThanOrEqual("doc_id", _: java.lang.Long) => true
+      case _ => false
+    }
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new LedgerScan(path, required, pushed)
+}
+
+/** The pushed doc_id predicates folded to one closed interval — the
+  * file-skip test is then two long comparisons against the stats
+  * header. */
+private[sources] final case class KeyBounds(lo: Long, hi: Long) {
+  def overlaps(min: Long, max: Long): Boolean = max >= lo && min <= hi
+  def contains(k: Long): Boolean = k >= lo && k <= hi
+}
+
+private[sources] object KeyBounds {
+  def apply(pushed: Array[Filter]): KeyBounds = {
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    pushed.foreach {
+      case EqualTo("doc_id", v: java.lang.Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, v)
+      case GreaterThan("doc_id", v: java.lang.Long) =>
+        lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual("doc_id", v: java.lang.Long) =>
+        lo = math.max(lo, v)
+      case LessThan("doc_id", v: java.lang.Long) =>
+        hi = math.min(hi, v - 1)
+      case LessThanOrEqual("doc_id", v: java.lang.Long) =>
+        hi = math.min(hi, v)
+      case _ => ()
+    }
+    KeyBounds(lo, hi)
+  }
+}
+
+final class LedgerScan(path: String, required: StructType,
+                       pushed: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-ledger $path, ReadSchema: ${required.simpleString}, " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val bounds = KeyBounds(pushed)
+    LedgerSource.ledgerFiles(path).flatMap { f =>
+      val in = new DataInputStream(new FileInputStream(f))
+      try {
+        require(in.readInt() == LedgerSource.Magic,
+          s"${f.getName}: not a ledger file")
+        val minId = in.readLong(); val maxId = in.readLong()
+        val nRows = in.readLong()
+        // stats-header file skip: a file whose key range misses the
+        // pushed interval never becomes a partition
+        if (nRows > 0 && bounds.overlaps(minId, maxId))
+          Some(LedgerPartition(f.getAbsolutePath): InputPartition)
+        else None
+      } finally in.close()
+    }
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LedgerReaderFactory(required, pushed)
+}
+
+private[sources] final case class LedgerPartition(file: String)
+  extends InputPartition
+
+final class LedgerReaderFactory(required: StructType, pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new LedgerReader(p.asInstanceOf[LedgerPartition].file, required, pushed)
+}
+
+final class LedgerReader(file: String, required: StructType,
+                         pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+  private val in = new DataInputStream(
+    new java.io.BufferedInputStream(new FileInputStream(file), 1 << 16))
+  // header: magic + stats
+  require(in.readInt() == LedgerSource.Magic, s"$file: not a ledger file")
+  in.skipBytes(24)
+  private val bounds = KeyBounds(pushed)
+  // pruned projection: the ordinal of each required field in the record
+  private val wantDoc = required.fieldNames.contains("doc_id")
+  private val wantLang = required.fieldNames.contains("lang")
+  private val wantChars = required.fieldNames.contains("n_chars")
+  private val docOrd = required.fieldNames.indexOf("doc_id")
+  private val langOrd = required.fieldNames.indexOf("lang")
+  private val charsOrd = required.fieldNames.indexOf("n_chars")
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (true) {
+      val docId =
+        try in.readLong()
+        catch { case _: EOFException => return false }
+      val flags = in.readByte()
+      val langBytes: Array[Byte] =
+        if ((flags & 1) != 0) null
+        else {
+          val len = in.readInt()
+          if (wantLang) {
+            val b = new Array[Byte](len); in.readFully(b); b
+          } else { in.skipBytes(len); null } // pruned: never decoded
+        }
+      val nChars = in.readLong()
+      if (bounds.contains(docId)) { // reader-level pushed filter
+        val row = new GenericInternalRow(required.length)
+        if (wantDoc) row.setLong(docOrd, docId)
+        if (wantLang) row.update(langOrd,
+          if ((flags & 1) != 0) null else UTF8String.fromBytes(langBytes))
+        if (wantChars) {
+          if ((flags & 2) != 0) row.setNullAt(charsOrd)
+          else row.setLong(charsOrd, nChars)
+        }
+        current = row
+        return true
+      }
+    }
+    false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}
+
+// ───────────────────────────── write path ─────────────────────────────
+
+final class LedgerWriteBuilder(path: String) extends WriteBuilder
+    with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new LedgerBatchWrite(path, doTruncate)
+  }
+}
+
+private[sources] final case class LedgerCommit(fileName: String)
+  extends WriterCommitMessage
+
+final class LedgerBatchWrite(path: String, truncate: Boolean)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new LedgerWriterFactory(path)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val kept = messages.map(_.asInstanceOf[LedgerCommit].fileName).toSet
+    if (truncate) // overwrite = drop every ledger file this job didn't write
+      LedgerSource.ledgerFiles(path)
+        .filterNot(f => kept.contains(f.getName)).foreach(_.delete())
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case LedgerCommit(name) => new File(new File(path), name).delete()
+      case _ => ()
+    }
+}
+
+final class LedgerWriterFactory(path: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new LedgerWriter(path, partitionId)
+}
+
+final class LedgerWriter(dir: String, partitionId: Int)
+    extends DataWriter[InternalRow] {
+  private val name =
+    f"part-$partitionId%05d-${UUID.randomUUID().toString.take(8)}.gl"
+  private val file = { new File(dir).mkdirs(); new File(new File(dir), name) }
+  private val out = new DataOutputStream(
+    new java.io.BufferedOutputStream(new FileOutputStream(file), 1 << 16))
+  private var minId = Long.MaxValue
+  private var maxId = Long.MinValue
+  private var nRows = 0L
+  // placeholder stats — stamped with the real fold on close
+  out.writeInt(LedgerSource.Magic)
+  out.writeLong(0L); out.writeLong(0L); out.writeLong(0L)
+
+  override def write(row: InternalRow): Unit = {
+    val docId = row.getLong(0)
+    minId = math.min(minId, docId); maxId = math.max(maxId, docId)
+    nRows += 1
+    out.writeLong(docId)
+    val langNull = row.isNullAt(1)
+    val charsNull = row.isNullAt(2)
+    out.writeByte((if (langNull) 1 else 0) | (if (charsNull) 2 else 0))
+    if (!langNull) {
+      val b = row.getUTF8String(1).getBytes
+      out.writeInt(b.length); out.write(b)
+    }
+    out.writeLong(if (charsNull) 0L else row.getLong(2))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    val raf = new java.io.RandomAccessFile(file, "rw")
+    try {
+      raf.seek(LedgerSource.StatsOffset)
+      raf.writeLong(if (nRows == 0) 0L else minId)
+      raf.writeLong(if (nRows == 0) -1L else maxId) // empty ⇒ min>max, never matches
+      raf.writeLong(nRows)
+    } finally raf.close()
+    LedgerCommit(name)
+  }
+  override def abort(): Unit = { out.close(); file.delete() }
+  override def close(): Unit = ()
+}
