@@ -54,6 +54,14 @@ object GeoQueries {
     * on both sides. */
   private val WideHours = 48
 
+  /** j15's place granularity and crowded-cell bound. Precision 2 keeps
+    * the whole occupancy table grid-bounded (32×32 cells) so it is
+    * broadcast by construction; the cap bounds per-cell pair fan-out at
+    * C(C−1)/2 regardless of corpus skew (the t08 BandCap idea applied to
+    * a spatial self-join). */
+  private val CoplacePrecision = 2
+  private val CoplaceCap = 40
+
   /** A7's absolute-hour wide presence matrix at any width: one count
     * column per hour of the study window (cal_user_trace.py:30-43),
     * columns indexed RELATIVE to the corpus' first hour so the schema
@@ -1853,7 +1861,60 @@ object GeoQueries {
                |    JOIN wedges e ON e.src = d.region)
                |  GROUP BY 1)""".stripMargin).mkString(",\n")}
          |SELECT region, CAST(dist AS BIGINT) AS dist
-         |FROM d6 ORDER BY region""".stripMargin)
+         |FROM d6 ORDER BY region""".stripMargin),
+
+    // ── J-beyond: co-visitation join — the user-place bipartite
+    //    projection of the mobility literature (pairs of users whose
+    //    circuits share places), the contact-network construction the
+    //    reference's OD matrices stop short of. Blocked self-join, never
+    //    all-pairs: users only meet inside a shared (xi, yi) cell, and
+    //    the occupancy band [2, CoplaceCap] drops singleton cells (no
+    //    pair possible) AND crowded cells — the semantic "mass venue"
+    //    exclusion that is also the quadratic guard (pairs per cell ≤
+    //    C(C−1)/2, so join fan-out is bounded no matter how skewed the
+    //    corpus). occ is grid-bounded (≤ 32×32 cells at precision 2) —
+    //    broadcast by construction at any corpus size; the self-join's
+    //    two sides are the same frame, so the (xi, yi) exchange is
+    //    planned once and reused. ──
+    ("j15_coplace_join",
+      (s: SparkSession, dir: String) => {
+        val cells = points(s, dir)
+          .select(col("user_id"),
+            GeoFunctions.lonIndexCol(col("lon"), CoplacePrecision).as("xi"),
+            GeoFunctions.latIndexCol(col("lat"), CoplacePrecision).as("yi"))
+          .distinct()
+        val occ = cells.groupBy(col("xi"), col("yi")).agg(count(lit(1)).as("n"))
+          .where(col("n") >= 2 && col("n") <= CoplaceCap)
+          .select(col("xi"), col("yi"))
+        val ok = cells.join(broadcast(occ), Seq("xi", "yi"))
+        ok.as("a").join(ok.as("b"),
+            col("a.xi") === col("b.xi") && col("a.yi") === col("b.yi") &&
+              col("a.user_id") < col("b.user_id"))
+          .select(col("a.user_id").as("u1"), col("b.user_id").as("u2"))
+          .groupBy(col("u1"), col("u2"))
+          .agg(count(lit(1)).as("n_shared"))
+          .where(col("n_shared") >= 2)
+          .orderBy(col("u1"), col("u2"))
+      },
+      s"""WITH $pointsSql,
+         |cells AS (
+         |  SELECT DISTINCT user_id,
+         |         ${lonIndexSql("lon", CoplacePrecision)} AS xi,
+         |         ${latIndexSql("lat", CoplacePrecision)} AS yi
+         |  FROM pts),
+         |occ AS (
+         |  SELECT xi, yi FROM cells GROUP BY 1, 2
+         |  HAVING count(*) BETWEEN 2 AND $CoplaceCap),
+         |ok AS (
+         |  SELECT c.user_id, c.xi, c.yi
+         |  FROM cells c JOIN occ o ON c.xi = o.xi AND c.yi = o.yi),
+         |pairs AS (
+         |  SELECT a.user_id AS u1, b.user_id AS u2
+         |  FROM ok a JOIN ok b
+         |    ON a.xi = b.xi AND a.yi = b.yi AND a.user_id < b.user_id)
+         |SELECT u1, u2, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY u1, u2""".stripMargin)
   )
 
   /** g33's BFS state advance: one frontier expansion (edge join against

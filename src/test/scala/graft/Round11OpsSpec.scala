@@ -173,4 +173,47 @@ class Round11OpsSpec extends SparkSpec {
     assert(d6.size > 1 && d6.values.exists(_ > 1L),
       "fixture drift: the weighted graph is trivial at test SF")
   }
+
+  test("j15: blocked co-place join equals brute-force pair recompute; occ side broadcasts") {
+    val s = spark
+    import s.implicits._
+    // independent driver recompute of the whole pipeline from raw
+    // (user_id, hour-of-day) observations: circuit key → 0.1°-grid
+    // coordinates → precision-2 cell indices → occupancy band [2, 40] →
+    // all-pairs-within-cell → shared-cell count ≥ 2. Only the hour()
+    // extraction is delegated to Spark (timezone normalization lives in
+    // Tables.events); every joining/banding/pairing step is restated.
+    val obs = graft.engine.Tables.events(spark, dir)
+      .select($"user_id", hour($"ts").as("h")).distinct()
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    def floorMod(a: Long, m: Long): Long = ((a % m) + m) % m
+    val cells = obs.map { case (u, h) =>
+      val k = u * 31 + h
+      val lat = floorMod(k * 37, 1700L).toDouble / 10.0 - 85.0
+      val lon = floorMod(k * 13, 3500L).toDouble / 10.0 - 175.0
+      val xi = math.min(math.max(math.floor((lon + 180.0) / 360.0 * 32).toLong, 0L), 31L)
+      val yi = math.min(math.max(math.floor((lat + 90.0) / 180.0 * 32).toLong, 0L), 31L)
+      (u, (xi, yi))
+    }.distinct
+    val occ = cells.groupBy(_._2).view.mapValues(_.size).toMap
+    val ok = cells.filter { case (_, c) => occ(c) >= 2 && occ(c) <= 40 }
+    val expected = ok.groupBy(_._2).values.flatMap { members =>
+      val us = members.map(_._1).sorted
+      for (i <- us.indices; j <- (i + 1) until us.size) yield (us(i), us(j))
+    }.groupBy(identity).collect { case (pair, hits) if hits.size >= 2 =>
+      (pair._1, pair._2, hits.size.toLong)
+    }.toSeq.sortBy(p => (p._1, p._2))
+    assert(expected.nonEmpty, "fixture drift: no shared-place pairs — j15 vacuous")
+    assert(occ.values.max <= 40,
+      "fixture drift: the crowded-cell cap binds at test SF — the " +
+        "completeness check below no longer covers the banded semantics")
+    val df = SparkEntry.queries("j15_coplace_join")(spark, dir)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, "j15 pair set diverges from brute force")
+    // scale pin: the occupancy filter must reach the self-join as a
+    // broadcast, never a shuffled join — it is grid-bounded by design
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin"),
+      "occ is no longer broadcast — the grid-bounded guard join regressed")
+  }
 }
