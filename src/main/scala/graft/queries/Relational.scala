@@ -24,6 +24,13 @@ import Portable._
 object Relational {
   type Q = (SparkSession, String) => DataFrame
 
+  /** s17's target file size and the bytes → file-count rule, shared
+    * with the spec that pins the produced layout. 32 MiB keeps one
+    * row-group per file at the default parquet block size. */
+  private[graft] val CompactionTargetBytes = 32L << 20
+  private[graft] def compactionTarget(bytes: Long): Int =
+    math.max(1L, (bytes + CompactionTargetBytes - 1) / CompactionTargetBytes).toInt
+
   /** (name, spark query, duckdb oracle) triples. */
   val catalog: Seq[(String, Q, String)] = Seq(
 
@@ -289,6 +296,51 @@ object Relational {
         |FROM documents
         |WHERE doc_id >= 100 AND doc_id < 400
         |ORDER BY doc_id""".stripMargin),
+
+    // ── s17: small-file compaction — the lakehouse maintenance operator
+    //    (Delta OPTIMIZE / Iceberg rewriteDataFiles re-expressed on bare
+    //    parquet). A 64-way fragmented copy of the fact subset is
+    //    rewritten to ceil(bytes / 32 MiB) range-clustered, key-sorted
+    //    files: the target count comes from the MEASURED input bytes
+    //    (FileSystem metadata, a driver planning step like AQE's stat
+    //    reads — never a row scan), so the same code yields 1 file at
+    //    test SF and thousands at 100 TB; repartitionByRange +
+    //    sortWithinPartitions makes each output file a contiguous key
+    //    range (min/max skippable, the g18 z-order idea in its 1-D
+    //    form). Judged by aggregating the COMPACTED copy against DuckDB
+    //    over the ORIGINAL table — both rewrites must be lossless.
+    //    Round11OpsSpec pins the file counts themselves (64 in, computed
+    //    target out). ──
+    ("s17_compaction",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val frag = scratchPath("s17_frag")
+        val comp = scratchPath("s17_compact")
+        Tables(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_quantity", $"l_extendedprice", $"l_returnflag")
+          .repartition(64)
+          .write.mode("overwrite").parquet(frag)
+        val fragPath = new org.apache.hadoop.fs.Path(frag)
+        val fs = fragPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val bytes = fs.listStatus(fragPath)
+          .filter(_.getPath.getName.startsWith("part-")).map(_.getLen).sum
+        val files = compactionTarget(bytes)
+        s.read.parquet(frag)
+          .repartitionByRange(files, $"l_orderkey")
+          .sortWithinPartitions($"l_orderkey")
+          .write.mode("overwrite").parquet(comp)
+        s.read.parquet(comp)
+          .groupBy($"l_returnflag")
+          .agg(moneySum($"l_quantity").as("sum_qty"),
+            moneySum($"l_extendedprice").as("sum_price"),
+            count(lit(1)).as("n"))
+          .orderBy($"l_returnflag")
+      },
+      s"""SELECT l_returnflag,
+         |  ${moneySumSql("l_quantity")} AS sum_qty,
+         |  ${moneySumSql("l_extendedprice")} AS sum_price,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // ── S6/S4: hive-partitioned parquet sink → partition-pruned scan
     //    (ppl_days.py:23 writes partitionBy(date); cal_mobility_matrix.py:

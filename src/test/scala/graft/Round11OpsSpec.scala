@@ -174,6 +174,33 @@ class Round11OpsSpec extends SparkSpec {
       "fixture drift: the weighted graph is trivial at test SF")
   }
 
+  test("s17: compaction emits exactly the byte-derived file count, losslessly") {
+    import graft.queries.{Portable, Relational}
+    // the count rule itself
+    assert(Relational.compactionTarget(1L) == 1)
+    assert(Relational.compactionTarget(Relational.CompactionTargetBytes) == 1)
+    assert(Relational.compactionTarget(Relational.CompactionTargetBytes + 1) == 2)
+    // run the judged query (it performs both rewrites into scratch)
+    SparkEntry.queries("s17_compaction")(spark, dir).collect()
+    def parts(name: String): Array[java.io.File] = {
+      val d = new java.io.File(Portable.scratchPath(name))
+      d.listFiles().filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+    }
+    val frag = parts("s17_frag")
+    val comp = parts("s17_compact")
+    assert(frag.length > 1, "fixture too small to fragment — s17 vacuous")
+    val expected = Relational.compactionTarget(frag.map(_.length).sum)
+    assert(comp.length == expected,
+      s"compaction wrote ${comp.length} files, byte rule says $expected")
+    assert(comp.length < frag.length, "compaction did not reduce file count")
+    // lossless: same multiset of rows before and after
+    val a = spark.read.parquet(Portable.scratchPath("s17_frag"))
+    val b = spark.read.parquet(Portable.scratchPath("s17_compact"))
+    assert(a.count() == b.count() && a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "compacted copy is not row-identical to the fragmented input")
+  }
+
   test("j15: blocked co-place join equals brute-force pair recompute; occ side broadcasts") {
     val s = spark
     import s.implicits._
