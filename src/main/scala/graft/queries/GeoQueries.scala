@@ -62,6 +62,14 @@ object GeoQueries {
   private val CoplacePrecision = 2
   private val CoplaceCap = 40
 
+  /** g39's core order and fixed peel depth. 4 rounds reach the true
+    * 2-core fixpoint at every test SF (pinned by `Round11OpsSpec`
+    * against a converged driver recompute); the oracle runs the
+    * identical 4-round recurrence, so judged equality does not depend
+    * on convergence. */
+  private val KcoreK = 2
+  private val KcoreRounds = 4
+
   /** A7's absolute-hour wide presence matrix at any width: one count
     * column per hour of the study window (cal_user_trace.py:30-43),
     * columns indexed RELATIVE to the corpus' first hour so the schema
@@ -1862,6 +1870,63 @@ object GeoQueries {
                |  GROUP BY 1)""".stripMargin).mkString(",\n")}
          |SELECT region, CAST(dist AS BIGINT) AS dist
          |FROM d6 ORDER BY region""".stripMargin),
+
+    // ── g39: k-core decomposition of the region transition graph — the
+    //    peeling pattern that complements g33 (BFS), g19 (PageRank),
+    //    g20 (triangles) and g36 (LPA): iteratively delete nodes of
+    //    degree < k until the k-core remains (the standard dense-
+    //    subgraph / spam-core extraction). Each round is two broadcast
+    //    SEMI-joins (the survivor set is region-bounded — broadcastable
+    //    at ANY corpus size) + one hash agg, localCheckpoint-truncated;
+    //    rounds never touch raw events again. KcoreRounds = 4 fixed
+    //    rounds mirror in the oracle CTE chain; `Round11OpsSpec` pins
+    //    that 4 rounds reach the TRUE fixpoint at test SF (the g38
+    //    convergence discipline) and that peeling is non-vacuous. ──
+    ("g39_kcore",
+      (s: SparkSession, dir: String) => {
+        val und = Trajectory.transitions(Trajectory.hourlyState(Tables.events(s, dir)))
+          .where(col("src") =!= col("dst") && col("src") =!= "0" && col("dst") =!= "0")
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+          .persist()
+        var core = und.select(col("a").as("region"))
+          .unionByName(und.select(col("b").as("region"))).distinct()
+        for (_ <- 1 to KcoreRounds) {
+          val alive = und
+            .join(broadcast(core.select(col("region").as("a"))), Seq("a"), "left_semi")
+            .join(broadcast(core.select(col("region").as("b"))), Seq("b"), "left_semi")
+          core = alive.select(col("a").as("region"))
+            .unionByName(alive.select(col("b").as("region")))
+            .groupBy(col("region")).agg(count(lit(1)).as("deg"))
+            .where(col("deg") >= KcoreK)
+            .localCheckpoint()
+        }
+        core.select(col("region"), col("deg").cast("long").as("deg"))
+          .orderBy(col("region"))
+      },
+      s"""${Trajectory.trajSqlPrelude},
+         |seq AS (
+         |  SELECT user_id, hour, region,
+         |         lag(region) OVER (PARTITION BY user_id ORDER BY hour) AS src
+         |  FROM traj),
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, region) AS a, greatest(src, region) AS b
+         |  FROM seq
+         |  WHERE src IS NOT NULL AND src <> region AND src <> '0' AND region <> '0'),
+         |n0 AS MATERIALIZED (
+         |  SELECT a AS region FROM und UNION SELECT b FROM und),
+         |${(1 to KcoreRounds).map(r =>
+            s"""n$r AS MATERIALIZED (
+               |  SELECT region, count(*) AS deg FROM (
+               |    SELECT e.a AS region FROM und e
+               |      JOIN n${r - 1} x ON e.a = x.region JOIN n${r - 1} y ON e.b = y.region
+               |    UNION ALL
+               |    SELECT e.b FROM und e
+               |      JOIN n${r - 1} x ON e.a = x.region JOIN n${r - 1} y ON e.b = y.region)
+               |  GROUP BY 1 HAVING count(*) >= $KcoreK)""".stripMargin).mkString(",\n")}
+         |SELECT region, CAST(deg AS BIGINT) AS deg
+         |FROM n$KcoreRounds ORDER BY region""".stripMargin),
 
     // ── J-beyond: co-visitation join — the user-place bipartite
     //    projection of the mobility literature (pairs of users whose

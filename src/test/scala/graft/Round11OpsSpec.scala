@@ -174,6 +174,39 @@ class Round11OpsSpec extends SparkSpec {
       "fixture drift: the weighted graph is trivial at test SF")
   }
 
+  test("g39: 4 peel rounds reach the true 2-core fixpoint at test SF") {
+    val s = spark
+    import s.implicits._
+    // converged driver recompute: peel degree-<2 nodes until stable,
+    // then compare the judged 4-round result against the TRUE core and
+    // its within-core degrees — stricter than a one-more-round check
+    val tr = graft.engine.Trajectory
+    val edges = tr.transitions(tr.hourlyState(
+        graft.engine.Tables.events(spark, dir)))
+      .where($"src" =!= $"dst" && $"src" =!= "0" && $"dst" =!= "0")
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    var surv = (edges.map(_._1) ++ edges.map(_._2)).toSet
+    var deg = Map.empty[String, Int]
+    var changed = true
+    while (changed) {
+      deg = edges.filter(e => surv(e._1) && surv(e._2))
+        .flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val next = surv.filter(v => deg.getOrElse(v, 0) >= 2)
+      changed = next != surv
+      surv = next
+    }
+    val expected = surv.toSeq.sorted.map(v => (v, deg(v).toLong))
+    assert(surv.nonEmpty && surv.size < (edges.map(_._1) ++ edges.map(_._2)).toSet.size,
+      "fixture drift: 2-core peeling is vacuous at test SF")
+    val got = SparkEntry.queries("g39_kcore")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected,
+      "g39's fixed 4 rounds did not reach the converged 2-core — raise KcoreRounds")
+  }
+
   test("s17: compaction emits exactly the byte-derived file count, losslessly") {
     import graft.queries.{Portable, Relational}
     // the count rule itself
