@@ -177,7 +177,7 @@ object Trajectory {
        |         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
        |         $region AS region
        |  FROM events),
-       |st AS (
+       |st AS MATERIALIZED (
        |  SELECT user_id, hour, region FROM (
        |    SELECT *, row_number() OVER (PARTITION BY user_id, hour
        |              ORDER BY ts DESC, event_id DESC) AS rn FROM fx)
@@ -189,7 +189,7 @@ object Trajectory {
        |         lead(hour) OVER w IS NULL AS is_last,
        |         date_diff('hour', lag(hour) OVER w, hour) AS diff
        |  FROM st WINDOW w AS (PARTITION BY user_id ORDER BY hour)),
-       |traj AS (
+       |traj AS MATERIALIZED (
        |  SELECT user_id, hour, region FROM lg
        |  UNION ALL
        |  SELECT user_id,

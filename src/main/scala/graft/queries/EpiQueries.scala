@@ -453,13 +453,13 @@ object EpiQueries {
     val names = Seq("a", "b", "c", "d").map(x => s"$prefix$x")
     val ctes = infectStages(duckDiv, coef, gd).zip(names).zip(prev +: names)
       .map { case ((exprs, nm), from) =>
-        s"$nm AS (SELECT ${exprs.mkString(", ")} FROM $from)"
+        s"$nm AS MATERIALIZED (SELECT ${exprs.mkString(", ")} FROM $from)"
       }
     (ctes.mkString(",\n"), names.last)
   }
 
   private def moveSqlCte(name: String, prev: String, mat: String): String =
-    s"""$name AS (
+    s"""$name AS MATERIALIZED (
        |  SELECT coalesce(m.dst, p.area) AS area, ${moveExprs(duckDiv).mkString(", ")}
        |  FROM $prev p LEFT JOIN $mat m ON p.area = m.src
        |  GROUP BY 1)""".stripMargin
@@ -468,30 +468,30 @@ object EpiQueries {
     * busiest hours (mat1..matN, chronological) → seeded wide state w0. */
   private def siarPreludeCtes(nMats: Int, unit: Long = 10000L): String = {
     val mats = (1 to nMats).map { o =>
-      s"""mat$o AS (
+      s"""mat$o AS MATERIALIZED (
          |  SELECT src, dst, cnt, sum(cnt) OVER (PARTITION BY src) AS tot
          |  FROM od JOIN hot ON od.hour = hot.hour AND hot.ord = $o)""".stripMargin
     }
     s"""${Trajectory.trajSqlPrelude},
-       |seq AS (
+       |seq AS MATERIALIZED (
        |  SELECT user_id, hour, region,
        |         lag(region) OVER (PARTITION BY user_id ORDER BY hour) AS src
        |  FROM traj),
-       |od AS (
+       |od AS MATERIALIZED (
        |  SELECT hour, src, CASE WHEN region = '0' THEN src ELSE region END AS dst,
        |         CAST(count(*) AS BIGINT) AS cnt
        |  FROM seq WHERE src IS NOT NULL GROUP BY 1, 2, 3),
-       |hot AS (
+       |hot AS MATERIALIZED (
        |  SELECT hour, row_number() OVER (ORDER BY hour) AS ord FROM (
        |    SELECT hour FROM (SELECT hour, sum(cnt) AS n FROM od GROUP BY 1)
        |    QUALIFY row_number() OVER (ORDER BY n DESC, hour) <= $nMats)),
        |${mats.mkString(",\n")},
-       |sd AS (
+       |sd AS MATERIALIZED (
        |  SELECT arg_min(region, hour) AS area,
        |         CAST(${portableHashSql("'k' || CAST(user_id AS VARCHAR)")} % 3 AS INT) AS kind,
        |         ${portableHashSql("CAST(user_id AS VARCHAR)")} % 100 AS hs
        |  FROM st GROUP BY user_id),
-       |w0 AS (SELECT area, ${seedAggExprs(unit).mkString(", ")} FROM sd GROUP BY 1)""".stripMargin
+       |w0 AS MATERIALIZED (SELECT area, ${seedAggExprs(unit).mkString(", ")} FROM sd GROUP BY 1)""".stripMargin
   }
 
   /** Unrolled CTEs for one full chain (`nMats`+1 infection steps,
@@ -531,7 +531,7 @@ object EpiQueries {
       val names = stages.indices.map(i => s"$prefix${('a' + i).toChar}")
       val ctes = stages.zip(names).zip(prev +: names).map {
         case ((exprs, nm), from) =>
-          s"$nm AS (SELECT ${exprs.mkString(", ")} FROM $from)"
+          s"$nm AS MATERIALIZED (SELECT ${exprs.mkString(", ")} FROM $from)"
       }
       (ctes.mkString(",\n"), names.last)
     }
@@ -541,7 +541,7 @@ object EpiQueries {
       val (ctes, out) = infect(s"g29in$step", prev, step)
       parts += ctes
       parts +=
-        s"""g29mv$step AS (
+        s"""g29mv$step AS MATERIALIZED (
            |  SELECT p.rep AS rep, coalesce(m.dst, p.area) AS area,
            |         ${stochMoveExprs(duckDiv, duckRng, step).mkString(", ")}
            |  FROM $out p LEFT JOIN mat$step m ON p.area = m.src
@@ -743,14 +743,14 @@ object EpiQueries {
       {
         val districtCtes = {
           val mats = (1 to 2).map { o =>
-            s"""matd$o AS (
+            s"""matd$o AS MATERIALIZED (
                |  SELECT src, dst, cnt, sum(cnt) OVER (PARTITION BY src) AS tot
                |  FROM (SELECT substring(src, 1, 1) AS src, substring(dst, 1, 1) AS dst,
                |               CAST(sum(cnt) AS BIGINT) AS cnt
                |        FROM mat$o GROUP BY 1, 2))""".stripMargin
           }
           val w0d =
-            s"""w0d AS (
+            s"""w0d AS MATERIALIZED (
                |  SELECT substring(area, 1, 1) AS area,
                |         ${stateCols.map(c => s"CAST(sum($c) AS BIGINT) AS $c").mkString(", ")}
                |  FROM w0 GROUP BY 1)""".stripMargin
@@ -766,7 +766,7 @@ object EpiQueries {
                |       (SELECT CAST(${Kinds.map(k => s"sum(ti$k)").mkString(" + ")} AS BIGINT)
                |        FROM b${base}_in${st}c) AS new_i""".stripMargin
           }
-          s"b${base}_ser AS (${steps.mkString("\nUNION ALL\n")})"
+          s"b${base}_ser AS MATERIALIZED (${steps.mkString("\nUNION ALL\n")})"
         }
         val allSer = BetaBases.map { base =>
           s"SELECT CAST(${base * 24L} AS BIGINT) AS beta_micro, step, new_i FROM b${base}_ser"
@@ -775,12 +775,12 @@ object EpiQueries {
            |$districtCtes,
            |${chains.mkString(",\n")},
            |${serCtes.mkString(",\n")},
-           |obs AS (
+           |obs AS MATERIALIZED (
            |  SELECT step, greatest(0, new_i +
            |           (${portableHashSql("'obs' || CAST(step AS VARCHAR)")} % 101) - 50) AS obs_i
            |  FROM b12500_ser),
-           |allser AS ($allSer),
-           |sc AS (
+           |allser AS MATERIALIZED ($allSer),
+           |sc AS MATERIALIZED (
            |  SELECT beta_micro, CAST(sum(d * d) AS BIGINT) AS sse FROM (
            |    SELECT a.beta_micro, (abs(a.new_i - o.obs_i) // 100) AS d
            |    FROM allser a JOIN obs o USING (step))
@@ -813,11 +813,11 @@ object EpiQueries {
       {
         val (chain, out) = stochChainCtes(2, "r0")
         s"""${siarPreludeCtes(2, unit = 1L)},
-           |r0 AS (
+           |r0 AS MATERIALIZED (
            |  SELECT CAST(rep AS BIGINT) AS rep, w0.*
            |  FROM w0, (SELECT unnest(generate_series(0, 1)) AS rep)),
            |$chain,
-           |meanst AS (
+           |meanst AS MATERIALIZED (
            |  SELECT area, ${stateCols.map(c => s"CAST(sum($c) // 2 AS BIGINT) AS $c").mkString(", ")}
            |  FROM $out GROUP BY 1)
            |${finalSelectSql("meanst")}""".stripMargin
@@ -902,14 +902,14 @@ object EpiQueries {
       {
         val districtCtes = {
           val mats = (1 to 2).map { o =>
-            s"""matd$o AS (
+            s"""matd$o AS MATERIALIZED (
                |  SELECT src, dst, cnt, sum(cnt) OVER (PARTITION BY src) AS tot
                |  FROM (SELECT substring(src, 1, 1) AS src, substring(dst, 1, 1) AS dst,
                |               CAST(sum(cnt) AS BIGINT) AS cnt
                |        FROM mat$o GROUP BY 1, 2))""".stripMargin
           }
           val w0d =
-            s"""w0d AS (
+            s"""w0d AS MATERIALIZED (
                |  SELECT substring(area, 1, 1) AS area,
                |         ${stateCols.map(c => s"CAST(sum($c) AS BIGINT) AS $c").mkString(", ")}
                |  FROM w0 GROUP BY 1)""".stripMargin
@@ -935,7 +935,7 @@ object EpiQueries {
                |       (SELECT CAST(${Kinds.map(k => s"sum(i$k)").mkString(" + ")} AS BIGINT)
                |        FROM $stateCte) AS tot_i""".stripMargin
           }
-          s"${t}ser AS (${steps.mkString("\nUNION ALL\n")})"
+          s"${t}ser AS MATERIALIZED (${steps.mkString("\nUNION ALL\n")})"
         }
         val allSer = members.map { case (base, gd) =>
           s"SELECT CAST(${base * 24L} AS BIGINT) AS beta_micro, CAST(${gd * 24L} AS BIGINT) AS gamma_micro, step, new_i, tot_i FROM ${tag(base, gd)}ser"
@@ -944,15 +944,15 @@ object EpiQueries {
            |$districtCtes,
            |${chains.mkString(",\n")},
            |${serCtes.mkString(",\n")},
-           |obs AS (
+           |obs AS MATERIALIZED (
            |  SELECT step,
            |         greatest(0, new_i +
            |           (${portableHashSql("'obs' || CAST(step AS VARCHAR)")} % 101) - 50) AS obs_ni,
            |         greatest(0, tot_i +
            |           (${portableHashSql("'obst' || CAST(step AS VARCHAR)")} % 101) - 50) AS obs_ti
            |  FROM ${tag(12500L, GdMicro)}ser),
-           |allser AS ($allSer),
-           |sc AS (
+           |allser AS MATERIALIZED ($allSer),
+           |sc AS MATERIALIZED (
            |  SELECT beta_micro, gamma_micro,
            |         CAST(sum(d1 * d1 + d2 * d2) AS BIGINT) AS sse FROM (
            |    SELECT a.beta_micro, a.gamma_micro,

@@ -943,15 +943,15 @@ object GeoQueries {
          |  SELECT user_id, hour, region,
          |         lag(region) OVER (PARTITION BY user_id ORDER BY hour) AS src
          |  FROM traj),
-         |und AS (
+         |und AS MATERIALIZED (
          |  SELECT DISTINCT least(src, region) AS a, greatest(src, region) AS b
          |  FROM seq
          |  WHERE src IS NOT NULL AND src <> region AND src <> '0' AND region <> '0'),
-         |deg AS (
+         |deg AS MATERIALIZED (
          |  SELECT v, count(*) AS d FROM (
          |    SELECT a AS v FROM und UNION ALL SELECT b FROM und)
          |  GROUP BY v),
-         |oriented AS (
+         |oriented AS MATERIALIZED (
          |  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b) THEN u.a ELSE u.b END AS lo,
          |         CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b) THEN u.b ELSE u.a END AS hi,
          |         CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b) THEN db.d ELSE da.d END AS dhi
@@ -999,17 +999,17 @@ object GeoQueries {
            |  SELECT user_id, hour, region,
            |         lag(region) OVER (PARTITION BY user_id ORDER BY hour) AS src
            |  FROM traj),
-           |edges AS (
+           |edges AS MATERIALIZED (
            |  SELECT src, region AS dst, CAST(count(*) AS BIGINT) AS w
            |  FROM seq WHERE src IS NOT NULL GROUP BY 1, 2),
-           |nodes AS (SELECT src AS region FROM edges UNION SELECT dst FROM edges),
-           |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY 1),
-           |r0 AS (SELECT region, CAST(1000000000000 AS BIGINT) AS pr FROM nodes),
-           |r1 AS (${iter("r0")}),
-           |r2 AS (${iter("r1")}),
-           |r3 AS (${iter("r2")}),
-           |r4 AS (${iter("r3")}),
-           |r5 AS (${iter("r4")})
+           |nodes AS MATERIALIZED (SELECT src AS region FROM edges UNION SELECT dst FROM edges),
+           |outw AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY 1),
+           |r0 AS MATERIALIZED (SELECT region, CAST(1000000000000 AS BIGINT) AS pr FROM nodes),
+           |r1 AS MATERIALIZED (${iter("r0")}),
+           |r2 AS MATERIALIZED (${iter("r1")}),
+           |r3 AS MATERIALIZED (${iter("r2")}),
+           |r4 AS MATERIALIZED (${iter("r3")}),
+           |r5 AS MATERIALIZED (${iter("r4")})
            |SELECT region, CAST(pr AS BIGINT) AS pr FROM r5 ORDER BY region""".stripMargin
       }),
 
@@ -1853,7 +1853,7 @@ object GeoQueries {
          |  SELECT user_id, hour, region,
          |         lag(region) OVER (PARTITION BY user_id ORDER BY hour) AS src
          |  FROM traj),
-         |wedges AS (
+         |wedges AS MATERIALIZED (
          |  SELECT src, region AS dst,
          |         CAST(1 + 1000 // count(*) AS BIGINT) AS w
          |  FROM seq
@@ -1861,7 +1861,7 @@ object GeoQueries {
          |  GROUP BY 1, 2),
          |d0 AS (SELECT min(src) AS region, CAST(0 AS BIGINT) AS dist FROM wedges),
          |${(1 to 6).map(k =>
-            s"""d$k AS (
+            s"""d$k AS MATERIALIZED (
                |  SELECT region, min(dist) AS dist FROM (
                |    SELECT region, dist FROM d${k - 1}
                |    UNION ALL
