@@ -2115,6 +2115,61 @@ object Relational {
          |FROM act JOIN csize ON csize.cw = act.cw
          |ORDER BY cohort_week, off""".stripMargin),
 
+    // ── w12: interval union (coverage) — the sweep-line classic as two
+    //    window passes: each event claims [ts, ts+30 min); a row opens
+    //    a new block iff its start exceeds the running max END of every
+    //    EARLIER interval (cummax over the preceding frame), block ids
+    //    are the running sum of those flags, and per-user coverage is
+    //    Σ(block end − block start). The union length the sessionize
+    //    family (w07) cannot express: w07's gap rule merges on
+    //    inter-EVENT gaps; this merges on interval OVERLAP, the
+    //    billing/SLA "covered time" semantics. All-integer epoch
+    //    arithmetic; both windows partition by user (bounded frames, no
+    //    global sort); identical duplicate intervals are
+    //    order-insensitive under the (start, end) sort, so the judged
+    //    hash is tie-stable in both engines. ──
+    ("w12_interval_union",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val iv = Tables.events(s, dir)
+          .select($"user_id", unix_timestamp($"ts").as("b"))
+          .withColumn("e", $"b" + 1800L)
+        val before = Window.partitionBy($"user_id").orderBy($"b", $"e")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val upto = Window.partitionBy($"user_id").orderBy($"b", $"e")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        iv.withColumn("maxe", max($"e").over(before))
+          .withColumn("nw", when($"maxe".isNull || $"b" > $"maxe", 1L).otherwise(0L))
+          .withColumn("blk", sum($"nw").over(upto))
+          .groupBy($"user_id", $"blk")
+          .agg(min($"b").as("s"), max($"e").as("t"))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_blocks"),
+            sum($"t" - $"s").as("covered_sec"))
+          .orderBy($"user_id")
+      },
+      s"""WITH iv AS (
+         |  SELECT user_id, ${epochSecSql("ts")} AS b,
+         |         ${epochSecSql("ts")} + 1800 AS e
+         |  FROM events),
+         |mk AS (
+         |  SELECT user_id, b, e,
+         |         max(e) OVER (PARTITION BY user_id ORDER BY b, e
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+         |  FROM iv),
+         |blk AS (
+         |  SELECT user_id, b, e,
+         |         sum(CASE WHEN maxe IS NULL OR b > maxe THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY user_id ORDER BY b, e
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS blk
+         |  FROM mk),
+         |bl AS (
+         |  SELECT user_id, blk, min(b) AS s, max(e) AS t
+         |  FROM blk GROUP BY 1, 2)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_blocks,
+         |       CAST(sum(t - s) AS BIGINT) AS covered_sec
+         |FROM bl GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ── f16: date-spine generation — the warehouse densify primitive
     //    every calendar report needs: the day dimension GENERATED
     //    IN-PLAN (sequence/explode between the corpus' min and max day,

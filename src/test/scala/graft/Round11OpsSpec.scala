@@ -174,6 +174,24 @@ class Round11OpsSpec extends SparkSpec {
       "fixture drift: the weighted graph is trivial at test SF")
   }
 
+  test("w12: interval union is non-degenerate at test SF (real merges, real splits)") {
+    val s = spark
+    import s.implicits._
+    val got = SparkEntry.queries("w12_interval_union")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val events = graft.engine.Tables.events(spark, dir)
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // if nothing ever merged, the query is a disguised per-event count;
+    // if nothing ever split, it is a disguised min/max span
+    assert(got.exists { case (u, nb, _) => nb < events(u) },
+      "fixture drift: no overlapping intervals merged — w12 vacuous")
+    assert(got.exists { case (_, nb, _) => nb > 1 }, "no user has >1 block")
+    // coverage is bounded by blocks' arithmetic: 1800·events ≥ covered ≥ 1800·blocks
+    assert(got.forall { case (u, nb, cov) =>
+      cov >= nb * 1800L && cov <= events(u) * 1800L })
+  }
+
   test("g39: 4 peel rounds reach the true 2-core fixpoint at test SF") {
     val s = spark
     import s.implicits._
