@@ -342,6 +342,58 @@ object Relational {
          |  CAST(count(*) AS BIGINT) AS n
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ── s18: DYNAMIC partition overwrite — the idempotent-backfill
+    //    write mode (spark.sql.sources.partitionOverwriteMode=dynamic):
+    //    re-running a day's job replaces ONLY the partitions present in
+    //    the incoming batch and leaves every other partition untouched —
+    //    the daily-pipeline re-run contract that static overwrite (s06,
+    //    which truncates the whole table) cannot give. Judged by
+    //    rewriting the max-day partition with tagged rows and reading
+    //    the whole table back: untouched days must carry the original
+    //    event_type, the rewritten day the tagged one — so the oracle
+    //    sees exactly one partition's content change. The incoming
+    //    batch's day filter prunes at the scan, and the rewrite's IO is
+    //    one partition, not the table. ──
+    ("s18_dynamic_overwrite",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val out = scratchPath("s18_dyn")
+        val ev = Tables.events(s, dir)
+          .select($"event_id", $"event_type",
+            date_format($"ts", "yyyy-MM-dd").as("day"))
+        ev.write.mode("overwrite").partitionBy("day").parquet(out)
+        val mx = ev.agg(max($"day").as("md"))
+        val incoming = ev.join(broadcast(mx), $"day" === $"md")
+          .select($"event_id",
+            concat(lit("r2_"), $"event_type").as("event_type"), $"day")
+        val key = "spark.sql.sources.partitionOverwriteMode"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key, "dynamic")
+        try incoming.write.mode("overwrite").partitionBy("day").parquet(out)
+        finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+        // partition-column type inference reads day back as DATE;
+        // render it to the written string form for the judged schema
+        s.read.parquet(out)
+          .groupBy(date_format($"day", "yyyy-MM-dd").as("day"), $"event_type")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"day", $"event_type")
+      },
+      """WITH ev AS (
+        |  SELECT event_id, event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
+        |  FROM events),
+        |mx AS (SELECT max(day) AS md FROM ev),
+        |merged AS (
+        |  SELECT event_id,
+        |         CASE WHEN day = (SELECT md FROM mx)
+        |              THEN 'r2_' || event_type ELSE event_type END AS event_type,
+        |         day
+        |  FROM ev)
+        |SELECT day, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM merged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
     // ── S6/S4: hive-partitioned parquet sink → partition-pruned scan
     //    (ppl_days.py:23 writes partitionBy(date); cal_mobility_matrix.py:
     //    27-29 reads back WHERE date=... — pruning must reach the scan) ──

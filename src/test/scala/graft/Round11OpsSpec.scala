@@ -174,6 +174,46 @@ class Round11OpsSpec extends SparkSpec {
       "fixture drift: the weighted graph is trivial at test SF")
   }
 
+  test("s18: dynamic overwrite touches ONLY the incoming partition's files") {
+    val s = spark
+    import s.implicits._
+    // instrumented twin of the judged query's two writes: the judged
+    // oracle can only see the merged CONTENT; this pins the mechanism —
+    // files of untouched partitions survive the second write unchanged
+    val out = graft.queries.Portable.scratchPath("s18_spec")
+    val ev = graft.engine.Tables.events(spark, dir)
+      .select($"event_id", $"event_type", date_format($"ts", "yyyy-MM-dd").as("day"))
+    ev.write.mode("overwrite").partitionBy("day").parquet(out)
+    def files(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(out)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> (f.length, f.lastModified)).toMap
+    }
+    val before = files()
+    val maxDay = ev.agg(max($"day")).as[String].head()
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "dynamic")
+    try ev.where($"day" === maxDay)
+      .select($"event_id", concat(lit("r2_"), $"event_type").as("event_type"), $"day")
+      .write.mode("overwrite").partitionBy("day").parquet(out)
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+    val after = files()
+    val untouchedBefore = before.filter(!_._1.contains(s"day=$maxDay"))
+    val untouchedAfter = after.filter(!_._1.contains(s"day=$maxDay"))
+    assert(untouchedBefore.nonEmpty, "fixture drift: only one day — s18 vacuous")
+    assert(untouchedAfter == untouchedBefore,
+      "dynamic overwrite rewrote files outside the incoming partition")
+    val touched = after.keySet.filter(_.contains(s"day=$maxDay"))
+    assert(touched.nonEmpty && touched.intersect(
+        before.keySet.filter(_.contains(s"day=$maxDay"))).isEmpty,
+      "the incoming partition was not rewritten")
+  }
+
   test("w12: interval union is non-degenerate at test SF (real merges, real splits)") {
     val s = spark
     import s.implicits._
