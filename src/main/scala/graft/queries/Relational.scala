@@ -2293,6 +2293,66 @@ object Relational {
          |       CAST(sum(v100) AS BIGINT) AS sum_v100
          |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
+    // ── a19: distribution-drift report — the train/serve-skew monitor a
+    //    production pipeline runs between two corpus versions (here: the
+    //    first vs second time half, split at the exact midpoint of the
+    //    epoch range so the boundary is data-derived, not a constant).
+    //    Per category: both observed counts, both shares in ppm (integer
+    //    division — exact and engine-portable, the PSI-table shape
+    //    without logs), the signed drift, and an integer-gated flag at
+    //    ±2% — the alerting decision IN-PLAN, the t02/t22 keep-decision
+    //    discipline applied to monitoring. Two hash aggs + broadcasts of
+    //    1-row bounds and a 2-row totals frame; category-bounded output
+    //    at any corpus size. ──
+    ("a19_drift_report",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .select($"event_type", unix_timestamp($"ts").as("es"))
+        val bounds = ev.agg(min($"es").as("lo"), max($"es").as("hi"))
+        val cell = ev.crossJoin(broadcast(bounds))
+          .select($"event_type",
+            when($"es" * 2 < $"lo" + $"hi", lit(0L)).otherwise(lit(1L)).as("h"))
+          .groupBy($"event_type", $"h").agg(count(lit(1)).as("o"))
+        val tot = cell.groupBy($"h").agg(sum($"o").as("n_h"))
+        cell.join(broadcast(tot), "h")
+          .withColumn("ppm", expr("o * 1000000 div n_h"))
+          .groupBy($"event_type")
+          .agg(
+            coalesce(sum(when($"h" === 0, $"o")), lit(0L)).as("o_first"),
+            coalesce(sum(when($"h" === 1, $"o")), lit(0L)).as("o_second"),
+            coalesce(sum(when($"h" === 0, $"ppm")), lit(0L)).as("share_first_ppm"),
+            coalesce(sum(when($"h" === 1, $"ppm")), lit(0L)).as("share_second_ppm"))
+          .withColumn("drift_ppm", $"share_second_ppm" - $"share_first_ppm")
+          .withColumn("drifted",
+            (abs($"drift_ppm") > 20000L).cast("long"))
+          .orderBy($"event_type")
+      },
+      s"""WITH ev AS (
+         |  SELECT event_type, ${epochSecSql("ts")} AS es FROM events),
+         |b AS (SELECT min(es) AS lo, max(es) AS hi FROM ev),
+         |cell AS (
+         |  SELECT event_type,
+         |         CASE WHEN es * 2 < (SELECT lo + hi FROM b) THEN 0 ELSE 1 END AS h,
+         |         CAST(count(*) AS BIGINT) AS o
+         |  FROM ev GROUP BY 1, 2),
+         |tot AS (SELECT h, CAST(sum(o) AS BIGINT) AS n_h FROM cell GROUP BY 1),
+         |sh AS (
+         |  SELECT event_type, cell.h, o, o * 1000000 // n_h AS ppm
+         |  FROM cell JOIN tot ON cell.h = tot.h),
+         |agg AS (
+         |  SELECT event_type,
+         |    CAST(coalesce(sum(CASE WHEN h = 0 THEN o END), 0) AS BIGINT) AS o_first,
+         |    CAST(coalesce(sum(CASE WHEN h = 1 THEN o END), 0) AS BIGINT) AS o_second,
+         |    CAST(coalesce(sum(CASE WHEN h = 0 THEN ppm END), 0) AS BIGINT) AS share_first_ppm,
+         |    CAST(coalesce(sum(CASE WHEN h = 1 THEN ppm END), 0) AS BIGINT) AS share_second_ppm
+         |  FROM sh GROUP BY 1)
+         |SELECT event_type, o_first, o_second, share_first_ppm, share_second_ppm,
+         |       share_second_ppm - share_first_ppm AS drift_ppm,
+         |       CAST(CASE WHEN abs(share_second_ppm - share_first_ppm) > 20000
+         |            THEN 1 ELSE 0 END AS BIGINT) AS drifted
+         |FROM agg ORDER BY event_type""".stripMargin),
+
     // ── q11: weighted sampling without replacement (Efraimidis-Spirakis
     //    A-ES) — the sampling family's weighted member (q02/q03 uniform,
     //    q08/q09 quota, q10 importance-ranked): select 20 docs per
