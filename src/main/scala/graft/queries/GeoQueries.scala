@@ -1943,11 +1943,14 @@ object GeoQueries {
     //    planned once and reused. ──
     ("j15_coplace_join",
       (s: SparkSession, dir: String) => {
+        // persisted: occ and BOTH self-join legs read it — without the
+        // barrier the distinct-over-events runs four times (plan-audited)
         val cells = points(s, dir)
           .select(col("user_id"),
             GeoFunctions.lonIndexCol(col("lon"), CoplacePrecision).as("xi"),
             GeoFunctions.latIndexCol(col("lat"), CoplacePrecision).as("yi"))
           .distinct()
+          .persist()
         val occ = cells.groupBy(col("xi"), col("yi")).agg(count(lit(1)).as("n"))
           .where(col("n") >= 2 && col("n") <= CoplaceCap)
           .select(col("xi"), col("yi"))
