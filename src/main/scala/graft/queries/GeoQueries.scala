@@ -70,6 +70,21 @@ object GeoQueries {
   private val KcoreK = 2
   private val KcoreRounds = 4
 
+  /** g39's peel advance: survivors filter the edge table through two
+    * broadcast SEMI-joins (the survivor set is region-bounded —
+    * broadcastable at any corpus size), then degrees fold in one
+    * partial-agg'd shuffle and the < k nodes drop.
+    * `PlanQualitySpec` pins this per-round shape. */
+  private[graft] def kcoreRound(und: DataFrame, core: DataFrame): DataFrame =
+    und
+      .join(broadcast(core.select(col("region").as("a"))), Seq("a"), "left_semi")
+      .join(broadcast(core.select(col("region").as("b"))), Seq("b"), "left_semi")
+      // one generate, not a self-union: a union would plan the
+      // semi-joined edge subtree TWICE (plan-audited)
+      .select(explode(array(col("a"), col("b"))).as("region"))
+      .groupBy(col("region")).agg(count(lit(1)).as("deg"))
+      .where(col("deg") >= KcoreK)
+
   /** A7's absolute-hour wide presence matrix at any width: one count
     * column per hour of the study window (cal_user_trace.py:30-43),
     * columns indexed RELATIVE to the corpus' first hour so the schema
@@ -1892,16 +1907,8 @@ object GeoQueries {
           .persist()
         var core = und.select(col("a").as("region"))
           .unionByName(und.select(col("b").as("region"))).distinct()
-        for (_ <- 1 to KcoreRounds) {
-          val alive = und
-            .join(broadcast(core.select(col("region").as("a"))), Seq("a"), "left_semi")
-            .join(broadcast(core.select(col("region").as("b"))), Seq("b"), "left_semi")
-          core = alive.select(col("a").as("region"))
-            .unionByName(alive.select(col("b").as("region")))
-            .groupBy(col("region")).agg(count(lit(1)).as("deg"))
-            .where(col("deg") >= KcoreK)
-            .localCheckpoint()
-        }
+        for (_ <- 1 to KcoreRounds)
+          core = kcoreRound(und, core).localCheckpoint()
         core.select(col("region"), col("deg").cast("long").as("deg"))
           .orderBy(col("region"))
       },

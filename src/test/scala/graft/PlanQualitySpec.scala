@@ -457,6 +457,27 @@ class PlanQualitySpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
   }
 
+  test("g39: one peel round = 2 broadcast semi-joins + exactly 1 shuffle") {
+    // the k-core advance must never shuffle the edge table against the
+    // survivor set: survivors are region-bounded (broadcast), and the
+    // only exchange is the partial-agg'd degree fold — a SortMergeJoin
+    // here multiplies by round count and corpus size at 100 TB
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    val s = spark
+    import s.implicits._
+    val und = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"))
+      .toDF("a", "b").localCheckpoint(true)
+    val core = Seq("a", "b", "c", "d").toDF("region").localCheckpoint(true)
+    val p = graft.queries.GeoQueries.kcoreRound(und, core)
+      .queryExecution.explainString(SimpleMode)
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
   test("t23b: the BPE training loop's state is checkpoint-truncated each merge") {
     // the iterative-chain discipline (t10/g19 recipe): the judged frame's
     // plan must hang off the LAST checkpointed state — scans of existing
