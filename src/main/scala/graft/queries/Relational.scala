@@ -2946,6 +2946,57 @@ object Relational {
         |WHERE o.o_orderkey % 11 <> 3 AND c.c_custkey % 17 <> 5
         |ORDER BY o_orderkey""".stripMargin),
 
+    // ── u07: CDC roundtrip — diff ∘ apply = identity, the closure
+    //    property of the whole changelog family: extract the s15-style
+    //    changelog between two snapshot versions (upserts carry the NEW
+    //    payload, deletes a tombstone), MERGE it into v1 (anti-join out
+    //    every changed key, union the upsert payloads — the Delta/
+    //    Iceberg MERGE shape, one key shuffle, changelog-sized right
+    //    side), and judge the APPLIED table against an oracle that
+    //    builds v2 directly — so a changelog that misses, duplicates,
+    //    or mis-payloads any row breaks the hash. u05/u06 maintain
+    //    views FROM a changelog; this proves the changelog itself is a
+    //    faithful transport of the table. Bucketed-by-key snapshots run
+    //    both the diff and the merge exchange-free. ──
+    ("u07_cdc_roundtrip",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val orders = Tables(s, dir, "orders")
+        def cents(p: Column): Column = round(p * 100).cast("long")
+        val v1 = orders.where($"o_orderkey" % 7 =!= 0)
+          .select($"o_orderkey", $"o_orderstatus",
+            cents($"o_totalprice").as("cents"))
+        val v2 = orders.where($"o_orderkey" % 11 =!= 3)
+          .select($"o_orderkey", $"o_orderstatus",
+            cents(when($"o_orderkey" % 5 === 0, $"o_totalprice" + 1.0)
+              .otherwise($"o_totalprice")).as("cents"))
+        val log = v1.as("a").join(v2.as("b"), Seq("o_orderkey"), "full_outer")
+          .withColumn("op",
+            when(col("a.o_orderstatus").isNull, "upsert")      // added
+              .when(col("b.o_orderstatus").isNull, "delete")   // removed
+              .when(col("a.cents") =!= col("b.cents") ||
+                col("a.o_orderstatus") =!= col("b.o_orderstatus"), "upsert"))
+          .where($"op".isNotNull)
+          .select($"o_orderkey", $"op",
+            col("b.o_orderstatus").as("o_orderstatus"), col("b.cents").as("cents"))
+        val applied = v1
+          .join(log.select($"o_orderkey"), Seq("o_orderkey"), "left_anti")
+          .unionByName(log.where($"op" === "upsert")
+            .select($"o_orderkey", $"o_orderstatus", $"cents"))
+        applied.groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum($"cents").cast("long").as("sum_cents"))
+          .orderBy($"o_orderstatus")
+      },
+      """WITH v2 AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(round(CASE WHEN o_orderkey % 5 = 0
+        |                         THEN o_totalprice + 1.0
+        |                         ELSE o_totalprice END * 100, 0) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 11 <> 3)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM v2 GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ── q05: one-pass dataset profiling (the Deequ/Great-Expectations
     //    shape): the pre-training data-quality report — row count,
     //    null counts, distinct cardinalities, numeric min/max/mean —
