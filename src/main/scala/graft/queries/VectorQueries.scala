@@ -265,7 +265,10 @@ object VectorQueries {
 
   /** Seed-quantizer assignment (persisted — probed twice: query side +
     * cell side): nearest-of-8 centroid by cosine, centroids = the 8
-    * lowest-id vectors (deterministic seed set). */
+    * lowest-id vectors (deterministic seed set). Carries `label` through
+    * so the inverted lists store the filter metadata beside each vector
+    * — the filtered-search layout (v30): a metadata predicate applies
+    * inside the cell scan without a side lookup join. */
   private[graft] def seedAssigned(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
     val cents = emb.where(col("vec_id") < 8)
@@ -277,7 +280,7 @@ object VectorQueries {
       .withColumn("rn", row_number().over(wAssign))
       .where(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"),
-        normCol(col("embedding")).as("nrm"))
+        normCol(col("embedding")).as("nrm"), col("label"))
       .persist()
   }
 
@@ -307,6 +310,73 @@ object VectorQueries {
   /** v05's IVF probe, shared with the v10 recall evaluation. */
   private def ivfTopK(s: SparkSession, dir: String): DataFrame =
     probeTopK(seedAssigned(s, dir))
+
+  /** Labels admitted by the v30/v31 filtered search — two of ten
+    * roughly-balanced labels, a ~20% metadata slice. */
+  private val FilterLabels: Seq[Int] = Seq(2, 5)
+
+  /** v30's filtered IVF probe: v05's single-cell probe with the
+    * metadata predicate applied to the inverted list BEFORE any
+    * distance math — PRE-filtering, the semantics a filtered vector
+    * search must have (post-filtering an unfiltered top-3 silently
+    * returns fewer, or worse, admissible neighbors). The predicate
+    * rides the persisted assignment — labels are stored inside the
+    * lists (see [[seedAssigned]]) — so the probe stays one broadcast
+    * hash join on the cell key and a selective predicate SHRINKS the
+    * per-cell candidate set: the filter composes with the index
+    * instead of fighting it. Queries keep their unfiltered cell
+    * assignment (the query vector need not satisfy its own filter). */
+  private def filteredTopK(s: SparkSession, dir: String): DataFrame = {
+    val assigned = seedAssigned(s, dir)
+    val corpus = assigned.where(col("label").isin(FilterLabels: _*))
+    val queries = assigned.where(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("cell"), col("nrm").as("q_nrm"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    broadcast(queries).join(corpus, Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosPre(dotNative(col("q_emb"), col("embedding")),
+        col("q_nrm"), col("nrm")))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= 3)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("label"), col("cos"))
+  }
+
+  /** v31: recall@3 of the filtered probe against the exact filtered
+    * brute force — the ground truth is top-3 AMONG ADMISSIBLE vectors
+    * (judging filtered-ANN against unfiltered truth would mark every
+    * correctly-filtered answer wrong). k comes from the exact side, so
+    * a query whose cell ran dry of admissible candidates scores an
+    * honest partial recall rather than vanishing. */
+  private def filteredRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"),
+        normCol(col("embedding")).as("nrm"))
+    val qs = emb.where(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val corpus = emb.where(col("label").isin(FilterLabels: _*))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val exact = broadcast(qs).crossJoin(corpus)
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosPre(dotNative(col("q_emb"), col("embedding")),
+        col("q_nrm"), col("nrm")))
+      .withColumn("rank", row_number().over(wq))
+      .where(col("rank") <= 3)
+      .select(col("q_id"), col("vec_id"))
+    val hits = filteredTopK(s, dir).select(col("q_id"), col("vec_id"))
+      .join(exact, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(col("q_id")).agg(count(lit(1)).as("k"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("k"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("k").cast("double"), 4)
+          .as("recall"))
+      .orderBy(col("q_id"))
+  }
 
   /** One deterministic Lloyd iteration over the seed assignment (v11):
     * per-cell exact elementwise mean via scaled longs (the judged v03
@@ -405,11 +475,12 @@ object VectorQueries {
     s"""cents AS (
        |  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < 8),
        |cscored AS (
-       |  SELECT e.vec_id, e.embedding, c.cent_id,
+       |  SELECT e.vec_id, e.embedding, e.label, c.cent_id,
        |         ${cosineSql("e.embedding", "c.cent")} AS ccos
        |  FROM embeddings e, cents c),
        |assigned AS (
-       |  SELECT vec_id, embedding, cent_id AS cell, ${normSql("embedding")} AS nrm FROM (
+       |  SELECT vec_id, embedding, cent_id AS cell,
+       |         ${normSql("embedding")} AS nrm, label FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id
        |              ORDER BY ccos DESC, cent_id ASC) AS rn
        |    FROM cscored) WHERE rn = 1)""".stripMargin
