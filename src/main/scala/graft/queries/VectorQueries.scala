@@ -548,6 +548,60 @@ object VectorQueries {
        |              ORDER BY cos DESC, vec_id ASC) AS rank
        |    FROM cand2) WHERE rank <= 3)""".stripMargin
 
+  /** SQL form of the [[FilterLabels]] metadata predicate. */
+  private def filterLabelsSql(col: String): String =
+    s"$col IN (${FilterLabels.mkString(", ")})"
+
+  /** Oracle CTEs for the v30 FILTERED probe over `assigned` (which
+    * carries `label` — see [[ivfAssignCtes]]), emitting `fivf`: the
+    * label predicate lands on the inverted-list side of the cell join
+    * (pre-filtering), queries keep their unfiltered cell assignment —
+    * the exact twin of [[filteredTopK]]. */
+  private def filteredProbeCtes: String =
+    s"""fq AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, cell, nrm AS q_nrm
+       |  FROM assigned WHERE vec_id >= 10 AND vec_id < 20),
+       |fcand AS (
+       |  SELECT fq.q_id, e.vec_id, e.label,
+       |         ${cosPreSql(dotFoldSql("fq.q_emb", "e.embedding", 64), "fq.q_nrm", "e.nrm")} AS cos
+       |  FROM fq JOIN assigned e ON fq.cell = e.cell AND e.vec_id <> fq.q_id
+       |  WHERE ${filterLabelsSql("e.label")}),
+       |fivf AS (
+       |  SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, label, cos FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |              ORDER BY cos DESC, vec_id ASC) AS rank
+       |    FROM fcand) WHERE rank <= 3)""".stripMargin
+
+  /** Oracle tail computing recall@3 of the filtered probe vs the exact
+    * FILTERED brute force — ground truth is top-3 among ADMISSIBLE
+    * vectors only (the [[filteredRecall]] contract). */
+  private def filteredRecallTailSql: String =
+    s"""e AS (
+       |  SELECT vec_id, embedding, label, ${normSql("embedding")} AS nrm FROM embeddings),
+       |bq AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e
+       |  WHERE vec_id >= 10 AND vec_id < 20),
+       |bscored AS (
+       |  SELECT bq.q_id, e.vec_id,
+       |         ${cosPreSql(dotFoldSql("bq.q_emb", "e.embedding", 64), "bq.q_nrm", "e.nrm")} AS cos
+       |  FROM bq, e WHERE e.vec_id <> bq.q_id AND ${filterLabelsSql("e.label")}),
+       |fexact AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |              ORDER BY cos DESC, vec_id ASC) AS rank
+       |    FROM bscored) WHERE rank <= 3),
+       |fhits AS (
+       |  SELECT i.q_id, count(*) AS n_hit
+       |  FROM fivf i WHERE EXISTS (
+       |    SELECT 1 FROM fexact x WHERE x.q_id = i.q_id AND x.vec_id = i.vec_id)
+       |  GROUP BY i.q_id),
+       |fks AS (SELECT q_id, count(*) AS k FROM fexact GROUP BY q_id)
+       |SELECT fks.q_id, CAST(coalesce(fhits.n_hit, 0) AS BIGINT) AS n_hit,
+       |       CAST(fks.k AS BIGINT) AS k,
+       |       round(CAST(coalesce(fhits.n_hit, 0) AS DOUBLE) / CAST(fks.k AS DOUBLE), 4) AS recall
+       |FROM fks LEFT JOIN fhits ON fks.q_id = fhits.q_id
+       |ORDER BY fks.q_id""".stripMargin
+
   /** Oracle tail computing recall@3 of probe CTE `ivfName` vs exact. */
   private def recallTailSql(ivfName: String): String =
     s"""e AS (
@@ -797,6 +851,36 @@ object VectorQueries {
          |$ivfTrainedCtes,
          |$ivfTrainedMultiProbeCtes,
          |${recallTailSql("ivf2")}""".stripMargin),
+
+    // ── v30: FILTERED vector search — the most-requested production
+    //    vector-store capability: top-k among vectors satisfying a
+    //    metadata predicate (label ∈ {2, 5}, a ~20% slice). The filter
+    //    is applied INSIDE the inverted list before any distance math
+    //    (pre-filtering; post-filtering an unfiltered top-3 silently
+    //    returns fewer, or worse, admissible neighbors). The label is
+    //    stored beside each vector in the persisted assignment, so the
+    //    probe stays one broadcast hash join on the cell key and a
+    //    selective predicate SHRINKS the candidate set — at 100 TB the
+    //    filter composes with the index instead of fighting it. ──
+    ("v30_filtered_search",
+      (s: SparkSession, dir: String) => filteredTopK(s, dir)
+        .orderBy(col("q_id"), col("rank")),
+      s"""WITH $ivfAssignCtes,
+         |$filteredProbeCtes
+         |SELECT q_id, rank, vec_id, label, cos
+         |FROM fivf ORDER BY q_id, rank""".stripMargin),
+
+    // ── v31: recall@3 of the filtered probe vs the exact FILTERED
+    //    ground truth — filtered-ANN judged against unfiltered truth
+    //    would mark every correctly-filtered answer wrong, so the
+    //    brute-force side applies the same predicate; k comes from the
+    //    exact side so a cell that ran dry of admissible candidates
+    //    scores an honest partial recall rather than vanishing. ──
+    ("v31_filtered_recall",
+      (s: SparkSession, dir: String) => filteredRecall(s, dir),
+      s"""WITH $ivfAssignCtes,
+         |$filteredProbeCtes,
+         |$filteredRecallTailSql""".stripMargin),
 
     // ── IVF ANN, scale-parameterized multi-probe form: v05's 8 fixed
     //    centroids are a demo constant — the real config grows the cell
