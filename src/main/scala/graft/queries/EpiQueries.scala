@@ -390,13 +390,15 @@ object EpiQueries {
     val transfers = Seq.newBuilder[DataFrame]
     val moved = Seq.newBuilder[DataFrame]
     var state = s0
+    // every frame here is #areas(×reps) rows — Portable.pinRound keeps
+    // each round's checkpoint to a single block
     mats.foreach { m =>
-      val t = infectPre(state).localCheckpoint()
+      val t = Portable.pinRound(infectPre(state))
       transfers += t
-      state = moveStep(t.selectExpr(stages(3): _*), m, extras).localCheckpoint()
+      state = Portable.pinRound(moveStep(t.selectExpr(stages(3): _*), m, extras))
       moved += state
     }
-    val tLast = infectPre(state).localCheckpoint()
+    val tLast = Portable.pinRound(infectPre(state))
     transfers += tLast
     (transfers.result(), moved.result(), tLast.selectExpr(stages(3): _*))
   }
@@ -421,13 +423,12 @@ object EpiQueries {
     var state = s0rep
     var step = 1
     mats.foreach { m =>
-      val post = infect(state, step).localCheckpoint()
+      val post = Portable.pinRound(infect(state, step))
       val aggs = stochMoveExprs(sparkDiv, sparkRng, step).map(expr)
-      state = post.alias("p")
+      state = Portable.pinRound(post.alias("p")
         .join(broadcast(m.alias("m")), expr("p.area = m.src"), "left")
         .groupBy(expr("p.rep").as("rep"), expr("coalesce(m.dst, p.area)").as("area"))
-        .agg(aggs.head, aggs.tail: _*)
-        .localCheckpoint()
+        .agg(aggs.head, aggs.tail: _*))
       step += 1
     }
     infect(state, step)

@@ -602,7 +602,16 @@ object MultimodalQueries {
 
     /** Payload → w×h grayscale PNG, BmpCodec's geometry (w = ⌈√n⌉,
       * top-down row-major, zero-padded), rows filtered with type r mod 5
-      * and the whole filtered stream deflated into one IDAT. */
+      * and the whole filtered stream deflated into one IDAT.
+      *
+      * FIXTURE ASSUMPTION (shared with BmpCodec and the m-family
+      * oracles): payload indexing is by UTF-16 code unit
+      * (`charAt`/`length`) while the DuckDB oracles index by codepoint
+      * (`ascii`/`length`) — the two agree only while `documents.text`
+      * stays ASCII/BMP, which the driver fixtures guarantee. A non-BMP
+      * character would silently diverge the judged hashes; if the
+      * fixtures ever gain one, normalize BOTH codecs to codepoints
+      * rather than patching one side. */
     def encode(t: String): Array[Byte] = {
       val n = t.length
       val w = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)

@@ -394,6 +394,35 @@ object Relational {
         |SELECT day, event_type, CAST(count(*) AS BIGINT) AS n
         |FROM merged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
+    // ── s19: DSv2 AGGREGATE pushdown through the ledger connector —
+    //    the stats-header read path production connectors (parquet
+    //    footers, Delta stats, JDBC) actually use: a global count /
+    //    min / max over the key column is answered from each file's
+    //    28-byte header without decoding a single record
+    //    (`SupportsPushDownAggregates`, complete pushdown — the scan
+    //    emits the final one-row answer and Spark plans no aggregate
+    //    above it). Judged against DuckDB over the ORIGINAL parquet,
+    //    so the write-side stats fold must agree exactly with a real
+    //    scan; LedgerSourceSpec pins the zero-decode property by
+    //    truncating a file's record bytes and aggregating anyway, and
+    //    the plan-visible `PushedAggregates` marker. ──
+    ("s19_ledger_agg_pushdown",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val out = scratchPath("s19_ledger")
+        Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+          .repartitionByRange(8, $"doc_id")
+          .write.format("graft-ledger").mode("overwrite").save(out)
+        s.read.format("graft-ledger").load(out)
+          .agg(count(lit(1)).as("n_docs"),
+            min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(min(doc_id) AS BIGINT) AS min_doc,
+        |       CAST(max(doc_id) AS BIGINT) AS max_doc
+        |FROM documents""".stripMargin),
+
     // ── S6/S4: hive-partitioned parquet sink → partition-pruned scan
     //    (ppl_days.py:23 writes partitionBy(date); cal_mobility_matrix.py:
     //    27-29 reads back WHERE date=... — pruning must reach the scan) ──

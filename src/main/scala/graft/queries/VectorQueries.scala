@@ -1707,7 +1707,7 @@ object VectorQueries {
               greatest(col("smax_us"),
                 round(cosine(col("p_emb"), col("embedding")) * 1000000).cast("long"))
                 .as("smax_us"))
-            .localCheckpoint()
+            .coalesce(1).localCheckpoint() // shortlist-bounded (50 rows)
         }
         rows.reduce(_ union _).orderBy(col("rank"))
       },

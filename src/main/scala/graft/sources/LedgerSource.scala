@@ -8,8 +8,9 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -77,10 +78,30 @@ object LedgerSource {
 
   private[graft] def ledgerFiles(dir: String): Array[File] = {
     val d = new File(dir)
+    // listFiles() returns null on IO/permission errors (not just on a
+    // missing dir) — treat both as "no files"; READS of a missing path
+    // fail fast in planInputPartitions instead, so a typo'd load()
+    // can't silently scan an empty table
     if (!d.isDirectory) Array.empty
-    else d.listFiles().filter(f => f.isFile && f.getName.endsWith(".gl"))
+    else Option(d.listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.isFile && f.getName.endsWith(".gl"))
       .sortBy(_.getName)
   }
+
+  /** One file's stats header (minDocId, maxDocId, nRows) — the 28-byte
+    * metadata read shared by the file-skip test and the pushed-aggregate
+    * path; record bytes are never touched. */
+  private[graft] def readStats(f: File): (Long, Long, Long) = {
+    val in = new DataInputStream(new FileInputStream(f))
+    try {
+      require(in.readInt() == Magic, s"${f.getName}: not a ledger file")
+      (in.readLong(), in.readLong(), in.readLong())
+    } finally in.close()
+  }
+
+  private[sources] def requireDir(path: String): Unit =
+    require(new File(path).isDirectory,
+      s"graft-ledger: path does not exist or is not a directory: $path")
 }
 
 final class LedgerTable(path: String) extends Table
@@ -100,9 +121,11 @@ final class LedgerTable(path: String) extends Table
 // ───────────────────────────── read path ─────────────────────────────
 
 final class LedgerScanBuilder(path: String) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var required: StructType = LedgerSource.Schema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Option[Aggregation] = None
 
   /** Accept doc_id comparisons; everything else stays Spark-side. The
     * accepted ones are STILL returned for Spark re-evaluation (the
@@ -123,7 +146,109 @@ final class LedgerScanBuilder(path: String) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new LedgerScan(path, required, pushed)
+  /** Aggregate pushdown — the DSv2 surface production connectors
+    * (parquet, Delta, JDBC) actually use: a global `count(*)` /
+    * `count(doc_id)` / `min(doc_id)` / `max(doc_id)` is answered
+    * entirely from the per-file stats headers, without decoding a
+    * single record. Complete pushdown, and only when it is provably
+    * exact: no grouping (headers hold no per-group stats) and no
+    * pushed key filters (a filtered count can't come from whole-file
+    * counts). `count(doc_id)` qualifies because the key field is
+    * non-nullable in the format — every record contributes. */
+  private def statsAnswerable(agg: Aggregation): Boolean = {
+    def isDocId(e: V2Expression): Boolean = e match {
+      case nr: NamedReference => nr.fieldNames.sameElements(Array("doc_id"))
+      case _ => false
+    }
+    pushed.isEmpty && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case c: Count => !c.isDistinct && isDocId(c.column)
+        case m: Min => isDocId(m.column)
+        case m: Max => isDocId(m.column)
+        case _ => false
+      }
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    statsAnswerable(agg)
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!statsAnswerable(agg)) false
+    else { pushedAgg = Some(agg); true }
+  }
+
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) => new LedgerAggScan(path, agg)
+    case None => new LedgerScan(path, required, pushed)
+  }
+}
+
+/** The stats-only scan a pushed aggregate builds: `planInputPartitions`
+  * folds every file's 28-byte header on the driver (the same metadata
+  * read the file-skip test already does) and emits ONE single-row
+  * partition carrying the final values — the record region of the
+  * files is never opened. LedgerSourceSpec proves that by truncating
+  * the record bytes out of a file and still counting it. */
+final class LedgerAggScan(path: String, agg: Aggregation)
+    extends Scan with Batch {
+  private val funcs: Array[AggregateFunc] = agg.aggregateExpressions
+
+  override def readSchema(): StructType = StructType(funcs.map {
+    case _: CountStar => StructField("count(*)", LongType, nullable = false)
+    case _: Count => StructField("count(doc_id)", LongType, nullable = false)
+    case _: Min => StructField("min(doc_id)", LongType, nullable = true)
+    case _: Max => StructField("max(doc_id)", LongType, nullable = true)
+    case f => throw new IllegalStateException(s"unexpected pushed aggregate $f")
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-ledger $path, PushedAggregates: [${funcs.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    LedgerSource.requireDir(path)
+    var n = 0L
+    var minId = Long.MaxValue
+    var maxId = Long.MinValue
+    LedgerSource.ledgerFiles(path).foreach { f =>
+      val (mn, mx, rows) = LedgerSource.readStats(f)
+      n += rows
+      if (rows > 0) { // empty files carry min>max placeholders
+        minId = math.min(minId, mn)
+        maxId = math.max(maxId, mx)
+      }
+    }
+    val values: Array[java.lang.Long] = funcs.map {
+      case _: CountStar | _: Count => java.lang.Long.valueOf(n)
+      case _: Min => if (n == 0) null else java.lang.Long.valueOf(minId)
+      case _: Max => if (n == 0) null else java.lang.Long.valueOf(maxId)
+      case f => throw new IllegalStateException(s"unexpected pushed aggregate $f")
+    }
+    Array(LedgerAggPartition(values))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new LedgerAggReader(p.asInstanceOf[LedgerAggPartition].values)
+    }
+}
+
+private[sources] final case class LedgerAggPartition(values: Array[java.lang.Long])
+  extends InputPartition
+
+final class LedgerAggReader(values: Array[java.lang.Long])
+    extends PartitionReader[InternalRow] {
+  private var done = false
+  override def next(): Boolean = if (done) false else { done = true; true }
+  override def get(): InternalRow = {
+    val row = new GenericInternalRow(values.length)
+    values.zipWithIndex.foreach {
+      case (null, i) => row.setNullAt(i)
+      case (v, i) => row.setLong(i, v.longValue())
+    }
+    row
+  }
+  override def close(): Unit = ()
 }
 
 /** The pushed doc_id predicates folded to one closed interval — the
@@ -141,12 +266,18 @@ private[sources] object KeyBounds {
     pushed.foreach {
       case EqualTo("doc_id", v: java.lang.Long) =>
         lo = math.max(lo, v); hi = math.min(hi, v)
+      // strict bounds at the Long extremes are unsatisfiable — saturate
+      // to an explicitly empty interval (lo > hi) instead of wrapping
+      // via v ± 1, which would silently widen the bounds to everything
+      // and disable the file/row skip for those edge values
       case GreaterThan("doc_id", v: java.lang.Long) =>
-        lo = math.max(lo, v + 1)
+        if (v == Long.MaxValue) { lo = Long.MaxValue; hi = Long.MinValue }
+        else lo = math.max(lo, v + 1)
       case GreaterThanOrEqual("doc_id", v: java.lang.Long) =>
         lo = math.max(lo, v)
       case LessThan("doc_id", v: java.lang.Long) =>
-        hi = math.min(hi, v - 1)
+        if (v == Long.MinValue) { lo = Long.MaxValue; hi = Long.MinValue }
+        else hi = math.min(hi, v - 1)
       case LessThanOrEqual("doc_id", v: java.lang.Long) =>
         hi = math.min(hi, v)
       case _ => ()
@@ -164,20 +295,15 @@ final class LedgerScan(path: String, required: StructType,
       s"PushedFilters: [${pushed.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
+    LedgerSource.requireDir(path)
     val bounds = KeyBounds(pushed)
     LedgerSource.ledgerFiles(path).flatMap { f =>
-      val in = new DataInputStream(new FileInputStream(f))
-      try {
-        require(in.readInt() == LedgerSource.Magic,
-          s"${f.getName}: not a ledger file")
-        val minId = in.readLong(); val maxId = in.readLong()
-        val nRows = in.readLong()
-        // stats-header file skip: a file whose key range misses the
-        // pushed interval never becomes a partition
-        if (nRows > 0 && bounds.overlaps(minId, maxId))
-          Some(LedgerPartition(f.getAbsolutePath): InputPartition)
-        else None
-      } finally in.close()
+      val (minId, maxId, nRows) = LedgerSource.readStats(f)
+      // stats-header file skip: a file whose key range misses the
+      // pushed interval never becomes a partition
+      if (nRows > 0 && bounds.overlaps(minId, maxId))
+        Some(LedgerPartition(f.getAbsolutePath): InputPartition)
+      else None
     }
   }
   override def createReaderFactory(): PartitionReaderFactory =

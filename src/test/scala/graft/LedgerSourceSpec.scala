@@ -97,4 +97,99 @@ class LedgerSourceSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(got == Seq(5L))
   }
+
+  test("strict bounds at the Long extremes prune everything, not nothing") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("satur")
+    sample.write.format("graft-ledger").mode(SaveMode.Overwrite).save(dir)
+    val all = spark.read.format("graft-ledger").load(dir)
+    // doc_id > Long.MaxValue / < Long.MinValue are unsatisfiable; the
+    // pre-fix v±1 arithmetic wrapped these into full-range bounds that
+    // silently disabled the file skip
+    val gt = all.where($"doc_id" > Long.MaxValue)
+    assert(gt.rdd.getNumPartitions == 0 && gt.count() == 0L)
+    val lt = all.where($"doc_id" < Long.MinValue)
+    assert(lt.rdd.getNumPartitions == 0 && lt.count() == 0L)
+  }
+
+  test("global count/min/max push down completely and decode zero records") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("agg")
+    val docs = spark.range(0, 300).select($"id".as("doc_id"),
+      concat(lit("l"), ($"id" % 7).cast("string")).as("lang"),
+      ($"id" * 3).as("n_chars"))
+    docs.repartitionByRange(3, $"doc_id")
+      .write.format("graft-ledger").mode(SaveMode.Overwrite).save(dir)
+    val q = spark.read.format("graft-ledger").load(dir)
+      .agg(count(lit(1)).as("n"), min($"doc_id").as("mn"), max($"doc_id").as("mx"))
+    // complete pushdown: the plan carries the PushedAggregates marker
+    // and no Spark-side aggregate shape survives above the scan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates"), plan)
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"), plan)
+    val row = q.collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((300L, 0L, 299L)))
+
+    // zero-decode proof: truncate one file to its 28-byte stats header —
+    // any attempt to decode a record now hits EOF, but the pushed
+    // aggregate still answers from the header
+    val f = LedgerSource.ledgerFiles(dir).head
+    val (_, _, nFirst) = LedgerSource.readStats(f)
+    val raf = new java.io.RandomAccessFile(f, "rw")
+    try raf.setLength(28L) finally raf.close()
+    val row2 = spark.read.format("graft-ledger").load(dir)
+      .agg(count(lit(1)).as("n"), min($"doc_id").as("mn"), max($"doc_id").as("mx"))
+      .collect().head
+    assert((row2.getLong(0), row2.getLong(1), row2.getLong(2)) == ((300L, 0L, 299L)))
+    assert(nFirst > 0L)
+    // while a real ROW scan over the truncated layout cannot return all
+    // rows — count() alone won't do as the decode-proof probe, because
+    // count() is itself answered by the pushed aggregate (which is the
+    // very point of this test); collect() forces record decodes
+    val full = scala.util.Try(
+      spark.read.format("graft-ledger").load(dir).collect().length.toLong)
+      .getOrElse(-1L)
+    assert(full != 300L, "truncation should have made a full decode impossible")
+  }
+
+  test("aggregate pushdown declines when a key filter is in play") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("aggdecl")
+    sample.write.format("graft-ledger").mode(SaveMode.Overwrite).save(dir)
+    // header stats cannot answer a FILTERED count — the connector must
+    // leave the aggregate to Spark and results must still be exact
+    val q = spark.read.format("graft-ledger").load(dir)
+      .where($"doc_id" >= 3L)
+      .agg(count(lit(1)).as("n"), max($"doc_id").as("mx"))
+    assert(q.collect().head.getLong(0) == 4L)
+    assert(q.collect().head.getLong(1) == 6L)
+    // grouped aggregates can't come from global headers either
+    val g = spark.read.format("graft-ledger").load(dir)
+      .groupBy($"lang").agg(count(lit(1)).as("n"))
+    assert(g.collect().map(r => Option(r.getString(0)).getOrElse("∅") -> r.getLong(1))
+      .toMap == Map("en" -> 2L, "fr" -> 1L, "de" -> 1L, "zh" -> 1L, "∅" -> 1L))
+  }
+
+  test("empty table: pushed count is 0 and min/max are null") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("aggempty")
+    sample.where($"doc_id" < 0L) // writes only empty ledger files
+      .write.format("graft-ledger").mode(SaveMode.Overwrite).save(dir)
+    val row = spark.read.format("graft-ledger").load(dir)
+      .agg(count(lit(1)).as("n"), min($"doc_id").as("mn"), max($"doc_id").as("mx"))
+      .collect().head
+    assert(row.getLong(0) == 0L && row.isNullAt(1) && row.isNullAt(2))
+  }
+
+  test("reading a nonexistent path fails fast instead of an empty table") {
+    val bogus = tmpDir("gone") + "/definitely_missing"
+    val e = intercept[Exception] {
+      spark.read.format("graft-ledger").load(bogus).count()
+    }
+    assert(e.getMessage != null)
+  }
 }
