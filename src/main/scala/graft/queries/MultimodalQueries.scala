@@ -29,7 +29,11 @@ import graft.engine.Tables
   * m09 closes the compressed-codec slot: [[PngCodec]] is a full PNG
   * encoder/decoder (CRC-verified chunks, `java.util.zip` deflate, all
   * five row filters), cross-validated against the JDK's independent
-  * ImageIO codec in [[MediaKernelProps]].
+  * ImageIO codec in [[MediaKernelProps]] — and m10 routes the whole
+  * m07 pipeline through it, so the module's judged pipeline decodes
+  * run a REAL compressed codec end-to-end (chunk walk → CRC → inflate
+  * → unfilter → kernels): no stub kernels remain anywhere in the
+  * module.
   */
 object MultimodalQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -758,6 +762,84 @@ object MultimodalQueries {
     }
   }
 
+  /** The m07/m10 pipeline body — decode (via `front`) → m04 area
+    * resize → shared DCT → m05 band energies + m06 pHash, one
+    * mapPartitions stage, scan-shaped at any corpus size. The two
+    * judged entries differ ONLY in the container codec at the front
+    * (m07: uncompressed BMP stride walk; m10: deflate-compressed PNG —
+    * chunk walk, CRC verify, inflate, per-row unfilter), and both
+    * decode to the identical w×⌈n/w⌉ zero-padded pixel plane
+    * (`MediaKernelProps` pins the equivalence), so they share one
+    * closed-form oracle. */
+  private def mediaPipeline(s: SparkSession, dir: String,
+                            front: String => Array[Long]): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val px = front(t)
+        val img = java.util.Arrays.copyOf(MediaKernels.resizeArea(px), 64)
+        val bands = MediaKernels.dctBandsOf(img)
+        (id, bands(0), bands(1), bands(2), bands(3), bands(4), bands(5),
+          bands(6), bands(7), MediaKernels.phash60Of(img))
+      })
+      .toDF("doc_id", "b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7", "ph")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Closed-form oracle shared by m07 and m10: re-derives the decoded
+    * plane from the layout equations (grid cell i = payload char i,
+    * zero past n) and runs the same resize/DCT arithmetic. */
+  private def mediaPipelineOracleSql: String =
+    s"""WITH tbl(u, x, t) AS (VALUES $dctTableSql),
+       |dims AS (
+       |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+       |         greatest(1, CAST(ceil(sqrt(CAST(length(text) AS DOUBLE))) AS BIGINT)) AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |geo AS (
+       |  SELECT doc_id, text, n,
+       |         w * greatest(1, (n + w - 1) // w) AS nn,
+       |         least(64, w * greatest(1, (n + w - 1) // w)) AS m
+       |  FROM dims),
+       |inp AS (
+       |  SELECT doc_id, nn, m, i,
+       |         CASE WHEN i < n THEN ascii(substring(text, CAST(i + 1 AS INT), 1)) % 256
+       |              ELSE 0 END AS v
+       |  FROM (SELECT doc_id, text, n, nn, m,
+       |               unnest(generate_series(0, nn - 1)) AS i
+       |        FROM geo)),
+       |contrib AS (
+       |  SELECT doc_id, nn, (i*m) // nn AS j,
+       |         (least((i+1)*m, ((i*m) // nn + 1) * nn) - i*m) * v AS c
+       |  FROM inp
+       |  UNION ALL
+       |  SELECT doc_id, nn, ((i+1)*m - 1) // nn AS j,
+       |         ((i+1)*m - (((i+1)*m - 1) // nn) * nn) * v AS c
+       |  FROM inp WHERE ((i+1)*m - 1) // nn > (i*m) // nn),
+       |samp AS (
+       |  SELECT doc_id, j, sum(c) // nn AS v
+       |  FROM contrib GROUP BY doc_id, nn, j),
+       |img AS (
+       |  SELECT g.doc_id, g.j, coalesce(s.v, 0) AS v
+       |  FROM (SELECT doc_id, unnest(generate_series(0, 63)) AS j FROM geo) g
+       |  LEFT JOIN samp s ON s.doc_id = g.doc_id AND s.j = g.j),
+       |coef AS (
+       |  SELECT i.doc_id, tu.u AS u, tv.u AS v,
+       |         CAST(sum(tu.t * tv.t * i.v) AS BIGINT) AS d
+       |  FROM img i
+       |  JOIN tbl tu ON tu.x = i.j // 8
+       |  JOIN tbl tv ON tv.x = i.j % 8
+       |  GROUP BY 1, 2, 3)
+       |SELECT doc_id,
+       |  ${(0 to 7).map(k => s"CAST(sum(CASE WHEN u + v = $k THEN abs(d) ELSE 0 END) AS BIGINT) AS b$k").mkString(",\n  ")},
+       |  CAST(coalesce(sum(CASE WHEN d > 0 AND (u*8+v) BETWEEN 1 AND 60
+       |         THEN (CAST(1 AS BIGINT) << (u*8+v-1)) ELSE 0 END), 0) AS BIGINT) AS ph
+       |FROM coef
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[(String, Q, String)] = Seq(
 
     // ── binary column + metadata projection (pure relational path) ──
@@ -1078,68 +1160,9 @@ object MultimodalQueries {
     //    final sort; per-doc cost is bounded by the 64-sample plane, so
     //    the plan is a scan-shaped pipeline at any corpus size. ──
     ("m07_media_pipeline",
-      (s: SparkSession, dir: String) => {
-        import s.implicits._
-        Tables(s, dir, "documents")
-          .where(col("text").isNotNull)
-          .select(col("doc_id"), col("text"))
-          .as[(Long, String)]
-          .mapPartitions(_.map { case (id, t) =>
-            val px = BmpCodec.decodePixels(BmpCodec.encode(t))
-            val img = java.util.Arrays.copyOf(MediaKernels.resizeArea(px), 64)
-            val bands = MediaKernels.dctBandsOf(img)
-            (id, bands(0), bands(1), bands(2), bands(3), bands(4), bands(5),
-              bands(6), bands(7), MediaKernels.phash60Of(img))
-          })
-          .toDF("doc_id", "b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7", "ph")
-          .orderBy(col("doc_id"))
-      },
-      s"""WITH tbl(u, x, t) AS (VALUES $dctTableSql),
-        |dims AS (
-        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
-        |         greatest(1, CAST(ceil(sqrt(CAST(length(text) AS DOUBLE))) AS BIGINT)) AS w
-        |  FROM documents WHERE text IS NOT NULL),
-        |geo AS (
-        |  SELECT doc_id, text, n,
-        |         w * greatest(1, (n + w - 1) // w) AS nn,
-        |         least(64, w * greatest(1, (n + w - 1) // w)) AS m
-        |  FROM dims),
-        |inp AS (
-        |  SELECT doc_id, nn, m, i,
-        |         CASE WHEN i < n THEN ascii(substring(text, CAST(i + 1 AS INT), 1)) % 256
-        |              ELSE 0 END AS v
-        |  FROM (SELECT doc_id, text, n, nn, m,
-        |               unnest(generate_series(0, nn - 1)) AS i
-        |        FROM geo)),
-        |contrib AS (
-        |  SELECT doc_id, nn, (i*m) // nn AS j,
-        |         (least((i+1)*m, ((i*m) // nn + 1) * nn) - i*m) * v AS c
-        |  FROM inp
-        |  UNION ALL
-        |  SELECT doc_id, nn, ((i+1)*m - 1) // nn AS j,
-        |         ((i+1)*m - (((i+1)*m - 1) // nn) * nn) * v AS c
-        |  FROM inp WHERE ((i+1)*m - 1) // nn > (i*m) // nn),
-        |samp AS (
-        |  SELECT doc_id, j, sum(c) // nn AS v
-        |  FROM contrib GROUP BY doc_id, nn, j),
-        |img AS (
-        |  SELECT g.doc_id, g.j, coalesce(s.v, 0) AS v
-        |  FROM (SELECT doc_id, unnest(generate_series(0, 63)) AS j FROM geo) g
-        |  LEFT JOIN samp s ON s.doc_id = g.doc_id AND s.j = g.j),
-        |coef AS (
-        |  SELECT i.doc_id, tu.u AS u, tv.u AS v,
-        |         CAST(sum(tu.t * tv.t * i.v) AS BIGINT) AS d
-        |  FROM img i
-        |  JOIN tbl tu ON tu.x = i.j // 8
-        |  JOIN tbl tv ON tv.x = i.j % 8
-        |  GROUP BY 1, 2, 3)
-        |SELECT doc_id,
-        |  ${(0 to 7).map(k => s"CAST(sum(CASE WHEN u + v = $k THEN abs(d) ELSE 0 END) AS BIGINT) AS b$k").mkString(",\n  ")},
-        |  CAST(coalesce(sum(CASE WHEN d > 0 AND (u*8+v) BETWEEN 1 AND 60
-        |         THEN (CAST(1 AS BIGINT) << (u*8+v-1)) ELSE 0 END), 0) AS BIGINT) AS ph
-        |FROM coef
-        |GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin),
+      (s: SparkSession, dir: String) => mediaPipeline(s, dir,
+        t => BmpCodec.decodePixels(BmpCodec.encode(t))),
+      mediaPipelineOracleSql),
 
     // ── m08: AUDIO features over a REAL WAV container — the third
     //    modality, closing the image (m02) / video (m03) / audio set.
@@ -1250,7 +1273,23 @@ object MultimodalQueries {
         |  CAST(coalesce(list_sum(list_transform(
         |         generate_series(1, CAST(n AS INT)),
         |         p -> ascii(substring(text, CAST(p AS INT), 1)) % 256)), 0) AS BIGINT) AS plane_sum
-        |FROM geo ORDER BY doc_id""".stripMargin)
+        |FROM geo ORDER BY doc_id""".stripMargin),
+
+    // ── m10: the media pipeline behind the COMPRESSED decode — m07's
+    //    decode → resize → DCT → pHash chain with [[PngCodec]] at the
+    //    front. Per row the pipeline must chunk-walk, CRC-verify,
+    //    INFLATE and UNFILTER the byte stream before a single pixel
+    //    reaches the kernels, so the judged bands and hash match the
+    //    closed-form oracle ONLY if the whole decompression chain is
+    //    exact — this retires the module's last uncompressed-only
+    //    pipeline-decode slot. m07 (BMP) and m10 (PNG) share one oracle
+    //    because both containers decode to the identical zero-padded
+    //    pixel plane (pinned in `MediaKernelProps`), which also makes
+    //    the judged pair a container-vs-container cross-check. ──
+    ("m10_pipeline_png",
+      (s: SparkSession, dir: String) => mediaPipeline(s, dir,
+        t => PngCodec.decode(PngCodec.encode(t)).pixels.map(_.toLong)),
+      mediaPipelineOracleSql)
   )
 
   def queries: Map[String, Q] = catalog.map { case (n, q, _) => n -> q }.toMap

@@ -336,4 +336,14 @@ object MediaKernelProps extends Properties("MediaKernels") {
       val cut = java.util.Arrays.copyOf(b, b.length - 13) // into the IDAT crc
       Prop.throws(classOf[IllegalArgumentException])(png.decode(cut))
     }
+
+  property("png and bmp decode to the identical pixel plane (m07 ≡ m10 front-end)") =
+    Prop.forAll(payload) { t =>
+      // the m10 pipeline's compressed front-end must reconstruct exactly
+      // the plane the m07 BMP walk reads — this is what lets the two
+      // judged pipeline entries share one closed-form oracle
+      val viaPng = png.decode(png.encode(t)).pixels.map(_.toLong).toSeq
+      val viaBmp = bmp.decodePixels(bmp.encode(t)).toSeq
+      viaPng == viaBmp
+    }
 }
