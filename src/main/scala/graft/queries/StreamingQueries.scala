@@ -1015,8 +1015,90 @@ object StreamingQueries {
          |SELECT user_id, ${tsSecSql("last_ts")} AS last_match, n AS n_matches
          |FROM agg, wm
          |WHERE last_ts + INTERVAL 1 HOUR < wm.w
-         |ORDER BY user_id""".stripMargin)
+         |ORDER BY user_id""".stripMargin),
+
+    // ── st16: CHECKPOINT RECOVERY as a judged query — the contract
+    //    every production stream actually relies on and the one thing
+    //    a single AvailableNow drain cannot exercise: run → STOP →
+    //    more data arrives → RESTART from the same checkpoint. Wave 0
+    //    (one deterministic hash-half of events) is staged and fully
+    //    drained by query #1 (complete-mode day×type counts through
+    //    the st09 idempotent foreachBatch sink), whose offsets AND
+    //    aggregation state land in the checkpoint. Wave 1 (the other
+    //    half) is then staged and a SECOND query object starts from
+    //    the same checkpoint. The judged sink equals the batch
+    //    aggregate over BOTH waves iff recovery is exactly-once in
+    //    both directions: lost state would leave wave-1-only counts,
+    //    re-read offsets would double-count wave 0 — either diverges
+    //    the hash. Scratch paths are per-invocation (the counter) so
+    //    a bench re-run recovers from ITS OWN fresh checkpoint rather
+    //    than the previous invocation's. Round12OpsSpec pins that
+    //    both waves are non-empty (the recovery claim is non-vacuous)
+    //    and that the halves partition the fixture. ──
+    ("st16_checkpoint_recovery",
+      (s: SparkSession, dir: String) => {
+        val inv = st16Invocation.incrementAndGet()
+        val stage = java.nio.file.Paths.get(
+          Portable.scratchPath(s"st16_events_$inv"))
+        java.nio.file.Files.createDirectories(stage)
+        val out = Portable.scratchPath(s"st16_out_$inv")
+        val ckpt = Portable.scratchPath(s"st16_ckpt_$inv")
+        val raw = Tables.rawEvents(s, dir)
+        val srcCols = raw.columns.map(col).toSeq
+        val half = pmod(portableHash(col("event_id").cast("string")), lit(2))
+        def writeArrival(df: DataFrame, name: String, mtime: Long): Unit = {
+          val tmp = Portable.scratchPath(s"st16_stage_${inv}_$name")
+          df.select(srcCols: _*).coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val target = stage.resolve(s"$name.parquet")
+          java.nio.file.Files.copy(part.toPath, target,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          require(target.toFile.setLastModified(mtime),
+            s"mtime update failed for $name — arrival staging cannot " +
+              "guarantee ingestion order on this filesystem")
+        }
+        // each call builds a FRESH query object — the restart is real,
+        // not a paused continuation; only the checkpoint connects them
+        def drainOnce(): Unit = {
+          val schema = s.read.parquet(stage.toString).schema
+          val src = Tables.normalizeTs(
+            s.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(stage.toString))
+          val counts = src
+            .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+            .agg(count(lit(1)).as("n"))
+          val q = counts.writeStream
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+              batch.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("day")
+                .parquet(out): Unit
+            }
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        val now = System.currentTimeMillis()
+        writeArrival(raw.where(half === 0), "wave0", now - 120000)
+        drainOnce() // first lifetime: drains wave 0, checkpoints, stops
+        writeArrival(raw.where(half === 1), "wave1", now - 60000)
+        drainOnce() // restart from the SAME checkpoint: resumes state,
+                    // ingests only the new file
+        s.read.parquet(out)
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("event_type"), col("n"))
+          .orderBy(col("day"), col("event_type"))
+      },
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   )
+
+  /** st16 runs twice per Bench invocation in one JVM; per-invocation
+    * scratch names keep each run's checkpoint/stage/sink independent. */
+  private val st16Invocation = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** State-store partition sizing: a stateful streaming query FIXES its
     * state partition count at first start (it is baked into the

@@ -54,6 +54,20 @@ class Round12OpsSpec extends SparkSpec {
       "pre-filtering found no advantage over post-filtering at this fixture")
   }
 
+  test("st16: both recovery waves are non-empty and partition the fixture") {
+    import org.apache.spark.sql.functions._
+    // st16's exactly-once-across-restart proof is vacuous if either
+    // staged wave is empty (no state to recover, or no restart input);
+    // pin the deterministic hash split's shape on the fixture
+    val raw = graft.engine.Tables.rawEvents(spark, dir)
+    val half = pmod(graft.queries.Portable.portableHash(col("event_id").cast("string")), lit(2))
+    val byHalf = raw.groupBy(half.as("h")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byHalf.getOrElse(0L, 0L) > 0L, "wave 0 is empty — st16 recovers nothing")
+    assert(byHalf.getOrElse(1L, 0L) > 0L, "wave 1 is empty — st16 never restarts on data")
+    assert(byHalf.values.sum == raw.count(), "halves must partition the fixture")
+  }
+
   test("v31: recall row is internally consistent and covers all queries") {
     val rows = graft.queries.VectorQueries.queries("v31_filtered_recall")(spark, dir)
       .collect()
