@@ -1093,11 +1093,51 @@ object StreamingQueries {
       },
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
         |       CAST(count(*) AS BIGINT) AS n
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // ── st17: the CUSTOM CONNECTOR as a streaming source — documents
+    //    written through the graft-ledger BatchWrite (8 range-
+    //    partitioned stats-stamped files), then streamed back through
+    //    the connector's own `MicroBatchStream`: offsets are ingested-
+    //    file-name sets, `maxFilesPerTrigger=2` admission control
+    //    slices the drain into 4 real microbatches, AvailableNow
+    //    drains against the prepare-time snapshot, and the microbatch
+    //    reader is the SAME pruned binary decoder the batch path uses.
+    //    The complete-mode per-language aggregate folded across those
+    //    microbatches must equal DuckDB's batch answer over the
+    //    ORIGINAL parquet — binary encode, stats fold, offset
+    //    tracking, admission limit, and per-batch decode all have to
+    //    be lossless for the hash to land. `LedgerSourceSpec` pins the
+    //    stream-side contracts (batch slicing, restart-with-new-files,
+    //    offset round-trip) on controlled layouts. ──
+    ("st17_ledger_stream",
+      (s: SparkSession, dir: String) => {
+        val inv = st16Invocation.incrementAndGet()
+        val ledgerDir = Portable.scratchPath(s"st17_ledger_$inv")
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .repartitionByRange(8, col("doc_id"))
+          .write.format("graft-ledger").mode("overwrite").save(ledgerDir)
+        val src = s.readStream.format("graft-ledger")
+          .option("maxFilesPerTrigger", "2")
+          .load(ledgerDir)
+        val agg = src.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("total_chars"))
+        val q = agg.writeStream.format("memory").queryName(s"st17_mem_$inv")
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(s"st17_mem_$inv")
+          .orderBy(col("lang"))
+      },
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
-  /** st16 runs twice per Bench invocation in one JVM; per-invocation
-    * scratch names keep each run's checkpoint/stage/sink independent. */
+  /** st16/st17 run twice per Bench invocation in one JVM; per-
+    * invocation scratch names keep each run's checkpoint/stage/sink
+    * (and memory-sink query name) independent. */
   private val st16Invocation = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** State-store partition sizing: a stateful streaming query FIXES its

@@ -10,7 +10,8 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -44,7 +45,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *     idea at file granularity). Pushed filters are still returned to
   *     Spark for re-evaluation, the standard belt-and-braces contract
   *     (`pushFilters` returns its argument), and the scan's
-  *     `description` advertises them so `.explain` shows the pushdown.
+  *     `description` advertises them so `.explain` shows the pushdown;
+  *   - **aggregate pushdown** (`SupportsPushDownAggregates`, round 12):
+  *     global count/min/max on the key answered entirely from the
+  *     stats headers — complete pushdown, zero record decodes — and
+  *     declined whenever a key filter or grouping makes headers
+  *     inexact;
+  *   - **reported statistics** (`SupportsReportStatistics`, round 12):
+  *     post-skip sizeInBytes/numRows from the same headers, so
+  *     Catalyst auto-broadcasts a small ledger side without a hint;
+  *   - **streaming read** (`MicroBatchStream` + admission control +
+  *     `SupportsTriggerAvailableNow`, round 12): the offset is the set
+  *     of ingested file names, microbatches are the newly-arrived
+  *     files under a `maxFilesPerTrigger` read limit, AvailableNow
+  *     drains against a prepare-time snapshot, and the microbatch
+  *     reader IS the pruned/filtering batch reader.
   *
   * File layout (all little-endian via DataOutput's big-endian writers —
   * endianness is internal to the format, symmetric on read):
@@ -111,16 +126,20 @@ final class LedgerTable(path: String) extends Table
   override def schema(): StructType = LedgerSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LedgerScanBuilder(path)
+    new LedgerScanBuilder(path,
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new LedgerWriteBuilder(path)
 }
 
 // ───────────────────────────── read path ─────────────────────────────
 
-final class LedgerScanBuilder(path: String) extends ScanBuilder
+final class LedgerScanBuilder(path: String,
+                              maxFilesPerTrigger: Option[Int] = None)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
   private var required: StructType = LedgerSource.Schema
@@ -180,7 +199,7 @@ final class LedgerScanBuilder(path: String) extends ScanBuilder
 
   override def build(): Scan = pushedAgg match {
     case Some(agg) => new LedgerAggScan(path, agg)
-    case None => new LedgerScan(path, required, pushed)
+    case None => new LedgerScan(path, required, pushed, maxFilesPerTrigger)
   }
 }
 
@@ -287,7 +306,9 @@ private[sources] object KeyBounds {
 }
 
 final class LedgerScan(path: String, required: StructType,
-                       pushed: Array[Filter]) extends Scan with Batch {
+                       pushed: Array[Filter],
+                       maxFilesPerTrigger: Option[Int] = None)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -308,6 +329,148 @@ final class LedgerScan(path: String, required: StructType,
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new LedgerReaderFactory(required, pushed)
+
+  /** Planning statistics from the same stats headers the file skip
+    * reads — what lets Catalyst AUTO-broadcast a small ledger table
+    * (a V2 relation without stats defaults to "huge" and never
+    * broadcasts without a hint). Post-filter estimate: only files
+    * surviving the pushed-bounds skip contribute, matching how the
+    * parquet source reports post-pruning sizes. */
+  override def estimateStatistics(): Statistics = {
+    val bounds = KeyBounds(pushed)
+    var bytes = 0L
+    var rows = 0L
+    if (new File(path).isDirectory) {
+      LedgerSource.ledgerFiles(path).foreach { f =>
+        val (minId, maxId, nRows) = LedgerSource.readStats(f)
+        if (nRows > 0 && bounds.overlaps(minId, maxId)) {
+          bytes += f.length()
+          rows += nRows
+        }
+      }
+    }
+    val (b, r) = (bytes, rows)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(b)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(r)
+    }
+  }
+
+  /** Streaming read — the same connector as a Structured Streaming
+    * source: the offset is the SET of ingested file names (ledger
+    * files are immutable once committed and UUID-suffixed, so set
+    * difference is the only order-independent "what's new" that
+    * survives files whose names sort before already-seen ones), a
+    * microbatch is the newly-arrived files (one partition each, the
+    * batch scan's parallelism rule), admission control honors
+    * `maxFilesPerTrigger`, and Trigger.AvailableNow snapshots the
+    * listing up front so a drain has a fixed endpoint even while
+    * writers keep appending. Column pruning and filter pushdown
+    * compose: the microbatch reader is the SAME pruned/filtering
+    * reader as the batch path, and pushed-bounds file skip applies
+    * per batch (a skipped file is still marked ingested by the
+    * offset — skipping is an optimization, never a semantics
+    * change). */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new LedgerMicroBatchStream(path, required, pushed, maxFilesPerTrigger)
+}
+
+/** Offset = sorted set of ingested ledger file names, serialized as a
+  * JSON array. The same asymptotics as the built-in file source's
+  * seen-files log, with restart-safe set semantics. */
+private[graft] final case class LedgerStreamOffset(files: Seq[String])
+    extends Offset {
+  override def json(): String =
+    files.sorted.map(LedgerStreamOffset.quote).mkString("[", ",", "]")
+}
+
+private[graft] object LedgerStreamOffset {
+  private def quote(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Inverse of [[LedgerStreamOffset.json]] — file names are writer-
+    * generated (`part-NNNNN-hex.gl`), so the only escapes that can
+    * occur are the ones [[quote]] emits. */
+  def fromJson(json: String): LedgerStreamOffset = {
+    val t = json.trim
+    require(t.startsWith("[") && t.endsWith("]"), s"bad ledger offset: $json")
+    val body = t.substring(1, t.length - 1).trim
+    if (body.isEmpty) LedgerStreamOffset(Nil)
+    else LedgerStreamOffset(body.split(",").toSeq.map { q =>
+      val s = q.trim
+      require(s.length >= 2 && s.startsWith("\"") && s.endsWith("\""),
+        s"bad ledger offset element: $q")
+      s.substring(1, s.length - 1)
+        .replace("\\\"", "\"").replace("\\\\", "\\")
+    })
+  }
+}
+
+final class LedgerMicroBatchStream(path: String, required: StructType,
+                                   pushed: Array[Filter],
+                                   maxFilesPerTrigger: Option[Int])
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  // AvailableNow contract: the drain's endpoint is the listing at
+  // prepare time — files arriving mid-drain wait for the next run
+  private var snapshot: Option[Array[String]] = None
+
+  private def listNow(): Array[String] =
+    LedgerSource.ledgerFiles(path).map(_.getName)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    snapshot = Some(listNow())
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def initialOffset(): Offset = LedgerStreamOffset(Nil)
+  override def deserializeOffset(json: String): Offset =
+    LedgerStreamOffset.fromJson(json)
+
+  // MicroBatchStream's plain form is unused once SupportsAdmissionControl
+  // is implemented — Spark drives the two-arg overload below
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) drives this admission-controlled source")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val seen = start.asInstanceOf[LedgerStreamOffset].files.toSet
+    val visible = snapshot.getOrElse(listNow())
+    val fresh = visible.filterNot(seen).sorted
+    val admitted = limit match {
+      case mf: ReadMaxFiles => fresh.take(mf.maxFiles())
+      case _ => fresh
+    }
+    LedgerStreamOffset(seen.toSeq ++ admitted)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[LedgerStreamOffset].files.toSet
+    val batch = end.asInstanceOf[LedgerStreamOffset].files.filterNot(seen)
+    val bounds = KeyBounds(pushed)
+    batch.sorted.flatMap { name =>
+      val f = new File(new File(path), name)
+      val (minId, maxId, nRows) = LedgerSource.readStats(f)
+      if (nRows > 0 && bounds.overlaps(minId, maxId))
+        Some(LedgerPartition(f.getAbsolutePath): InputPartition)
+      else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LedgerReaderFactory(required, pushed)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] final case class LedgerPartition(file: String)

@@ -192,4 +192,89 @@ class LedgerSourceSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("stream offset json round-trips, including escapes") {
+    import graft.sources.LedgerStreamOffset
+    val names = Seq("part-00001-ab.gl", "part-00000-cd.gl")
+    val rt = LedgerStreamOffset.fromJson(LedgerStreamOffset(names).json())
+    assert(rt.files.sorted == names.sorted)
+    assert(LedgerStreamOffset.fromJson(LedgerStreamOffset(Nil).json()).files.isEmpty)
+    val odd = Seq("a\"b.gl", "c\\d.gl")
+    assert(LedgerStreamOffset.fromJson(LedgerStreamOffset(odd).json())
+      .files.sorted == odd.sorted)
+  }
+
+  test("streaming read drains in maxFilesPerTrigger batches and equals the batch read") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("stream")
+    val docs = spark.range(0, 400).select($"id".as("doc_id"),
+      concat(lit("l"), ($"id" % 7).cast("string")).as("lang"),
+      ($"id" * 3).as("n_chars"))
+    docs.repartitionByRange(4, $"doc_id")
+      .write.format("graft-ledger").mode(SaveMode.Overwrite).save(dir)
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val q = spark.readStream.format("graft-ledger")
+      .option("maxFilesPerTrigger", "1").load(dir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = b.collect()
+        batchSizes.synchronized {
+          batchSizes += rows.length.toLong
+          seen ++= rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        }: Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // admission control: 4 files -> 4 one-file microbatches of 100 rows
+    assert(batchSizes.toSeq == Seq(100L, 100L, 100L, 100L), batchSizes)
+    val expect = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(seen.toSet == expect && seen.size == 400)
+  }
+
+  test("streaming restart from a checkpoint processes only newly-arrived files") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("streamrestart")
+    val ckpt = tmpDir("streamrestart_ckpt")
+    def wave(lo: Long, hi: Long) = spark.range(lo, hi).select($"id".as("doc_id"),
+      lit("xx").as("lang"), ($"id" * 2).as("n_chars"))
+    wave(0, 100).coalesce(1)
+      .write.format("graft-ledger").mode(SaveMode.Overwrite).save(dir)
+    def drain(into: scala.collection.mutable.ArrayBuffer[Long]): Unit = {
+      val q = spark.readStream.format("graft-ledger").load(dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          into.synchronized { into ++= b.collect().map(_.getLong(0)) }: Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val run1 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    drain(run1)
+    assert(run1.toSet == (0L until 100L).toSet)
+    // second wave lands as NEW files (append leaves wave-1 files alone)
+    wave(100, 150).coalesce(1)
+      .write.format("graft-ledger").mode(SaveMode.Append).save(dir)
+    val run2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    drain(run2)
+    assert(run2.toSet == (100L until 150L).toSet,
+      s"restart must ingest exactly the new files, got ${run2.size} rows")
+  }
+
+  test("reported statistics let a small ledger side auto-broadcast") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("stats")
+    sample.write.format("graft-ledger").mode(SaveMode.Overwrite).save(dir)
+    val big = spark.range(0, 10000).select($"id".as("doc_id"), ($"id" % 9).as("grp"))
+    val joined = big.join(
+      spark.read.format("graft-ledger").load(dir), Seq("doc_id"))
+    // no broadcast() hint anywhere: the 6-row ledger side must broadcast
+    // purely on its reported header statistics
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(joined.count() == 6L)
+  }
 }
