@@ -13,7 +13,8 @@ import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggr
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -308,21 +309,59 @@ private[sources] object KeyBounds {
 final class LedgerScan(path: String, required: StructType,
                        pushed: Array[Filter],
                        maxFilesPerTrigger: Option[Int] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-ledger $path, ReadSchema: ${required.simpleString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
 
+  /** Runtime (join-driven) filtering — the dynamic-partition-pruning
+    * contract for DSv2 sources: after the build side of a join
+    * materializes, Spark hands the scan the concrete key set / bounds
+    * it observed, and `planInputPartitions` (invoked lazily by
+    * BatchScanExec after this call) re-plans against them — files the
+    * joined keys can't touch are never opened. Purely an optimization:
+    * the join still re-applies its condition, so an over-broad plan is
+    * slower, never wrong. */
+  @volatile private var runtime: Array[Filter] = Array.empty
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("doc_id"))
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = filters
+
+  /** The In-set a runtime filter delivered, if any — checked per file
+    * as "does any key fall inside this file's [min, max]" (the set is
+    * the build side's distinct keys: bounded by the joined dimension,
+    * not the fact). */
+  private def runtimeInSet: Option[Array[Long]] = {
+    val vs = runtime.collect {
+      case In("doc_id", values) =>
+        values.collect { case v: java.lang.Long => v.longValue() }
+      case EqualTo("doc_id", v: java.lang.Long) => Array(v.longValue())
+    }
+    if (vs.isEmpty) None else Some(vs.flatten.sorted)
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     LedgerSource.requireDir(path)
-    val bounds = KeyBounds(pushed)
+    val bounds = KeyBounds(pushed ++ runtime)
+    val inSet = runtimeInSet
     LedgerSource.ledgerFiles(path).flatMap { f =>
       val (minId, maxId, nRows) = LedgerSource.readStats(f)
       // stats-header file skip: a file whose key range misses the
-      // pushed interval never becomes a partition
-      if (nRows > 0 && bounds.overlaps(minId, maxId))
+      // pushed/runtime interval — or contains none of the runtime
+      // join keys — never becomes a partition
+      // sorted-set probe: first key ≥ min, then ≤ max — O(log |keys|)
+      // per file rather than a scan of the build side's key set
+      def anyKeyInRange(arr: Array[Long]): Boolean = {
+        val i = java.util.Arrays.binarySearch(arr, minId)
+        val idx = if (i >= 0) i else -i - 1
+        idx < arr.length && arr(idx) <= maxId
+      }
+      if (nRows > 0 && bounds.overlaps(minId, maxId) &&
+          inSet.forall(anyKeyInRange))
         Some(LedgerPartition(f.getAbsolutePath): InputPartition)
       else None
     }

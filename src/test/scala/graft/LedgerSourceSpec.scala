@@ -263,6 +263,36 @@ class LedgerSourceSpec extends SparkSpec {
       s"restart must ingest exactly the new files, got ${run2.size} rows")
   }
 
+  test("runtime join filters prune files before any partition is planned") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    import org.apache.spark.sql.sources.{In => SrcIn}
+    val dir = tmpDir("rtf")
+    spark.range(0, 400).select($"id".as("doc_id"),
+      lit("xx").as("lang"), ($"id" * 3).as("n_chars"))
+      .repartitionByRange(4, $"doc_id")
+      .write.format("graft-ledger").mode(SaveMode.Overwrite).save(dir)
+    // drive the Scan contract exactly as BatchScanExec does once the
+    // join's build side has materialized its key set
+    def freshScan() = new graft.sources.LedgerScanBuilder(dir).build()
+    assert(freshScan().toBatch.planInputPartitions().length == 4)
+    val rt = freshScan().asInstanceOf[SupportsRuntimeFiltering]
+    assert(rt.filterAttributes().head.fieldNames().toSeq == Seq("doc_id"))
+    rt.filter(Array[org.apache.spark.sql.sources.Filter](
+      SrcIn("doc_id", Array[Any](java.lang.Long.valueOf(150L),
+        java.lang.Long.valueOf(160L)))))
+    assert(rt.asInstanceOf[org.apache.spark.sql.connector.read.Scan]
+      .toBatch.planInputPartitions().length == 1,
+      "both join keys live in one range file — three files must prune")
+    val none = freshScan().asInstanceOf[SupportsRuntimeFiltering]
+    none.filter(Array[org.apache.spark.sql.sources.Filter](
+      SrcIn("doc_id", Array[Any](java.lang.Long.valueOf(9999L)))))
+    assert(none.asInstanceOf[org.apache.spark.sql.connector.read.Scan]
+      .toBatch.planInputPartitions().isEmpty,
+      "a key outside every file's range must prune the whole scan")
+  }
+
   test("reported statistics let a small ledger side auto-broadcast") {
     val s = spark
     import s.implicits._
