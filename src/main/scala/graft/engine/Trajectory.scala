@@ -53,9 +53,16 @@ object Trajectory {
     * shuffle), where a window must shuffle and sort EVERY raw event. Same
     * result — `max_by` on the (ts, event_id) struct is the last fix with
     * the window's exact tie-break. */
-  def hourlyState(events: DataFrame): DataFrame = {
+  def hourlyState(events: DataFrame): DataFrame =
+    hourlyStateFrom(fixes(events))
+
+  /** [[hourlyState]] over pre-built fixes — any frame with `(user_id,
+    * event_id, ts, hour, region)`, letting callers swap the region
+    * derivation (g40 feeds the cascade-ASSIGNED region here, fusing
+    * assignment into the same scan the trajectory machinery consumes). */
+  def hourlyStateFrom(fixes: DataFrame): DataFrame = {
     val wSeq = Window.partitionBy(col("user_id")).orderBy(col("hour"))
-    fixes(events)
+    fixes
       .groupBy(col("user_id"), col("hour"))
       .agg(max_by(col("region"), struct(col("ts"), col("event_id"))).as("region"))
       .withColumn("pre_hour", lag(col("hour"), 1).over(wSeq))
@@ -172,11 +179,21 @@ object Trajectory {
   def trajSqlPrelude: String = {
     val k = Portable.fixKeySql("user_id", "ts")
     val region = Portable.geohashSql(Portable.latFromKeySql(k), Portable.lonFromKeySql(k), 3)
-    s"""WITH fx AS (
-       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+    val fx = s"""  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
        |         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
        |         $region AS region
-       |  FROM events),
+       |  FROM events""".stripMargin
+    trajSqlPreludeFrom(fx)
+  }
+
+  /** [[trajSqlPrelude]] with a caller-supplied `fx` CTE body (the twin of
+    * [[hourlyStateFrom]]): `leading` CTEs (e.g. a region dictionary) come
+    * before `fx`, and `fxBody` must yield `(user_id, event_id, ts, hour,
+    * region)`. Everything from the last-fix-per-hour state on is shared
+    * verbatim with the default prelude. */
+  def trajSqlPreludeFrom(fxBody: String, leading: String = ""): String = {
+    s"""WITH ${leading}fx AS (
+       |$fxBody),
        |st AS MATERIALIZED (
        |  SELECT user_id, hour, region FROM (
        |    SELECT *, row_number() OVER (PARTITION BY user_id, hour

@@ -39,6 +39,88 @@ object GeoQueries {
     * before the sentinel default (cal_subarea_portion.py:34-76). */
   private val CascadePrecisions = Seq(8, 7, 6, 5, 4, 3, 2)
 
+  /** Oracle twin of [[graft.engine.RegionAssign.dictAtNeighbors]]: the
+    * `customer` dictionary (CTE `dict(lat, lon, c_nationkey)`, with an
+    * `offs(d)` CTE of {-1,0,1}) deduped per cell at precision `p`, then
+    * expanded to the 3×3 neighbor block via the same integer-index
+    * arithmetic as the g02 oracle: lon wraps mod 2^lonBits, lat clamps
+    * (out-of-range rows dropped); min agent per SOURCE cell first, then
+    * min per EXPANDED cell — min of mins == global min, exactly the
+    * Spark side's double dedup. Shared by g16 and g40 (`agentSql` lets
+    * g40 shift the agent id off the trajectory sentinel). */
+  private def nbDictSql(p: Int, agentSql: String = "c_nationkey"): String = {
+    val nLon = 1L << ((5 * p + 1) / 2)
+    val nLat = 1L << ((5 * p) / 2)
+    s"""d$p AS (
+       |  SELECT gh$p, min(agent) AS agent_$p FROM (
+       |    SELECT ${geohashFromIndicesSql(s"((c.xi + dx.d) % $nLon + $nLon) % $nLon", "c.yi + dy.d", p)} AS gh$p,
+       |           c.agent
+       |    FROM (SELECT ${lonIndexSql("lon", p)} AS xi, ${latIndexSql("lat", p)} AS yi,
+       |                 min($agentSql) AS agent
+       |          FROM dict GROUP BY 1, 2) c, offs dx, offs dy
+       |    WHERE c.yi + dy.d >= 0 AND c.yi + dy.d < $nLat)
+       |  GROUP BY 1)""".stripMargin
+  }
+
+  /** The reference-faithful mobility fraction matrix over a given hourly
+    * state frame — g10b's tail, shared verbatim by g40 (where the state
+    * carries cascade-ASSIGNED regions instead of raw geohash cells).
+    * See g10b's catalog entry for the full semantics commentary
+    * (diagonal fold of exits, presence-population normalization,
+    * the single (hour, src) shuffle the whole left side rides). */
+  private def mobilityFracRef(st: DataFrame): DataFrame = {
+    val od = Trajectory.transitions(st)
+      .repartition(col("hour"), col("src"))
+      .groupBy(col("hour"), col("src"), col("dst"))
+      .agg(count(lit(1)).as("cnt"))
+    val rekeyed = od.select(col("hour"), col("src"),
+        explode(when(col("dst") === "0",
+          array(struct(col("src").as("dst"), col("cnt")),
+            struct(col("dst"), col("cnt"))))
+          .otherwise(array(struct(col("dst"), col("cnt"))))).as("e"))
+      .select(col("hour"), col("src"), col("e.dst").as("dst"), col("e.cnt").as("cnt"))
+    val adj = rekeyed.groupBy(col("hour"), col("src"), col("dst"))
+      .agg(sum(col("cnt")).as("cnt"))
+    // ppl's own (hour, region) agg exchange already produces the
+    // partitioning the join needs — no explicit repartition
+    val ppl = Trajectory.gapFillRelational(st)
+      .groupBy(col("hour"), col("region")).agg(count(lit(1)).as("pop"))
+    adj.join(ppl,
+        adj("hour") === ppl("hour") && adj("src") === ppl("region"), "left")
+      .select(tsSec(adj("hour")).as("hour"), col("src"), col("dst"), col("cnt"),
+        when(col("pop").isNull || col("pop") === 0, lit(0.0))
+          .otherwise(col("cnt").cast("double") / col("pop").cast("double"))
+          .as("frac"))
+      .orderBy(col("hour"), col("src"), col("dst"))
+  }
+
+  /** DuckDB twin of [[mobilityFracRef]] — the CTE tail appended to a
+    * `traj`-producing prelude. */
+  private def mobilityFracRefTailSql: String =
+    s""",
+       |seq AS (
+       |  SELECT user_id, hour, region,
+       |         lag(region) OVER (PARTITION BY user_id ORDER BY hour) AS src
+       |  FROM traj),
+       |od AS (
+       |  SELECT hour, src, region AS dst, count(*) AS cnt
+       |  FROM seq WHERE src IS NOT NULL GROUP BY 1, 2, 3),
+       |ppl AS (
+       |  SELECT hour, region, count(*) AS pop FROM traj GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT hour, src, CASE WHEN dst = '0' THEN src ELSE dst END AS dst, cnt
+       |  FROM od
+       |  UNION ALL
+       |  SELECT hour, src, dst, cnt FROM od WHERE dst = '0'),
+       |adj AS (
+       |  SELECT hour, src, dst, sum(cnt) AS cnt FROM rk GROUP BY 1, 2, 3)
+       |SELECT ${tsSecSql("adj.hour")} AS hour, src, dst,
+       |       CAST(adj.cnt AS BIGINT) AS cnt,
+       |       CASE WHEN ppl.pop IS NULL OR ppl.pop = 0 THEN 0.0
+       |            ELSE CAST(adj.cnt AS DOUBLE) / CAST(ppl.pop AS DOUBLE) END AS frac
+       |FROM adj LEFT JOIN ppl ON adj.hour = ppl.hour AND adj.src = ppl.region
+       |ORDER BY hour, src, dst""".stripMargin
+
   /** g18's clustered-write fan-out, derived from row volume: one range
     * partition per [[ZorderRowsPerFile]] rows (≈ a healthy parquet file
     * of the 4-col point schema), so the z-ordered layout scales from one
@@ -607,8 +689,7 @@ object GeoQueries {
     ("g10b_mobility_frac_ref",
       (s: SparkSession, dir: String) => {
         // one persisted pass over the windowed hourly state feeds both the
-        // transition counts and the presence (population) vector
-        val st = Trajectory.hourlyState(Tables.events(s, dir)).persist()
+        // transition counts and the presence (population) vector.
         // ONE (hour, src) shuffle carries the whole left side: it
         // satisfies the OD count-agg (keys are a superset), survives the
         // diagonal re-key (explode keeps rows in place, and only dst —
@@ -618,53 +699,10 @@ object GeoQueries {
         // diagonal-folded copy and the retained '0' row (the reference
         // keeps both, cal_mobility_matrix.py:188-189) — a two-branch
         // union would destroy the partitioning info AND read od twice.
-        val od = Trajectory.transitions(st)
-          .repartition(col("hour"), col("src"))
-          .groupBy(col("hour"), col("src"), col("dst"))
-          .agg(count(lit(1)).as("cnt"))
-        val rekeyed = od.select(col("hour"), col("src"),
-            explode(when(col("dst") === "0",
-              array(struct(col("src").as("dst"), col("cnt")),
-                struct(col("dst"), col("cnt"))))
-              .otherwise(array(struct(col("dst"), col("cnt"))))).as("e"))
-          .select(col("hour"), col("src"), col("e.dst").as("dst"), col("e.cnt").as("cnt"))
-        val adj = rekeyed.groupBy(col("hour"), col("src"), col("dst"))
-          .agg(sum(col("cnt")).as("cnt"))
-        // ppl's own (hour, region) agg exchange already produces the
-        // partitioning the join needs — no explicit repartition
-        val ppl = Trajectory.gapFillRelational(st)
-          .groupBy(col("hour"), col("region")).agg(count(lit(1)).as("pop"))
-        adj.join(ppl,
-            adj("hour") === ppl("hour") && adj("src") === ppl("region"), "left")
-          .select(tsSec(adj("hour")).as("hour"), col("src"), col("dst"), col("cnt"),
-            when(col("pop").isNull || col("pop") === 0, lit(0.0))
-              .otherwise(col("cnt").cast("double") / col("pop").cast("double"))
-              .as("frac"))
-          .orderBy(col("hour"), col("src"), col("dst"))
+        // ([[mobilityFracRef]] — the tail is shared verbatim with g40.)
+        mobilityFracRef(Trajectory.hourlyState(Tables.events(s, dir)).persist())
       },
-      s"""${Trajectory.trajSqlPrelude},
-         |seq AS (
-         |  SELECT user_id, hour, region,
-         |         lag(region) OVER (PARTITION BY user_id ORDER BY hour) AS src
-         |  FROM traj),
-         |od AS (
-         |  SELECT hour, src, region AS dst, count(*) AS cnt
-         |  FROM seq WHERE src IS NOT NULL GROUP BY 1, 2, 3),
-         |ppl AS (
-         |  SELECT hour, region, count(*) AS pop FROM traj GROUP BY 1, 2),
-         |rk AS (
-         |  SELECT hour, src, CASE WHEN dst = '0' THEN src ELSE dst END AS dst, cnt
-         |  FROM od
-         |  UNION ALL
-         |  SELECT hour, src, dst, cnt FROM od WHERE dst = '0'),
-         |adj AS (
-         |  SELECT hour, src, dst, sum(cnt) AS cnt FROM rk GROUP BY 1, 2, 3)
-         |SELECT ${tsSecSql("adj.hour")} AS hour, src, dst,
-         |       CAST(adj.cnt AS BIGINT) AS cnt,
-         |       CASE WHEN ppl.pop IS NULL OR ppl.pop = 0 THEN 0.0
-         |            ELSE CAST(adj.cnt AS DOUBLE) / CAST(ppl.pop AS DOUBLE) END AS frac
-         |FROM adj LEFT JOIN ppl ON adj.hour = ppl.hour AND adj.src = ppl.region
-         |ORDER BY hour, src, dst""".stripMargin),
+      Trajectory.trajSqlPrelude + mobilityFracRefTailSql),
 
     // ── A3/W2 composed into the reference's FULL home-region predicate
     //    (cal_user_trace.py:50-82 + _count_only_one_ts:122): a night
@@ -802,24 +840,6 @@ object GeoQueries {
           .orderBy(col("user_id"), col("k"))
       },
       {
-        // dict at precision p expanded to the 3×3 neighbor block via the
-        // same integer-index arithmetic as the g02 oracle: lon wraps mod
-        // 2^lonBits, lat clamps (out-of-range rows dropped); min agent
-        // per SOURCE cell first, then min per EXPANDED cell — min of
-        // mins == global min, exactly the Spark side's double dedup
-        def nbDictSql(p: Int): String = {
-          val nLon = 1L << ((5 * p + 1) / 2)
-          val nLat = 1L << ((5 * p) / 2)
-          s"""d$p AS (
-             |  SELECT gh$p, min(agent) AS agent_$p FROM (
-             |    SELECT ${geohashFromIndicesSql(s"((c.xi + dx.d) % $nLon + $nLon) % $nLon", "c.yi + dy.d", p)} AS gh$p,
-             |           c.agent
-             |    FROM (SELECT ${lonIndexSql("lon", p)} AS xi, ${latIndexSql("lat", p)} AS yi,
-             |                 min(c_nationkey) AS agent
-             |          FROM dict GROUP BY 1, 2) c, offs dx, offs dy
-             |    WHERE c.yi + dy.d >= 0 AND c.yi + dy.d < $nLat)
-             |  GROUP BY 1)""".stripMargin
-        }
         s"""WITH $pointsSql,
            |dict AS (
            |  SELECT c_custkey, c_nationkey,
@@ -1990,7 +2010,68 @@ object GeoQueries {
          |    ON a.xi = b.xi AND a.yi = b.yi AND a.user_id < b.user_id)
          |SELECT u1, u2, CAST(count(*) AS BIGINT) AS n_shared
          |FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2
-         |ORDER BY u1, u2""".stripMargin)
+         |ORDER BY u1, u2""".stripMargin),
+
+    // ── The COMPOSED end-to-end mobility pipeline — the reference's real
+    //    multi-script artifact as ONE declarative plan: ingest
+    //    (ppl_days.py:21-23) → neighbor-expanded cascade region
+    //    assignment (cal_orig_area.py:88-91, g16's operator) → trajectory
+    //    completion (cal_mobility_matrix.py:105-127, g07's generator) →
+    //    diagonal-folded, presence-normalized OD fraction matrix
+    //    (cal_mobility_matrix.py:153-206, g10b's tail, shared verbatim).
+    //    Where the reference runs four scripts with parquet hand-offs
+    //    between them, here the stages FUSE: ONE events scan feeds the
+    //    cascade (broadcast dictionary joins — no handoff materialization,
+    //    no fact shuffle), flows straight into the last-fix-per-hour agg,
+    //    and the persisted hourly state is the only barrier (it feeds both
+    //    the transition counts and the presence vector — exactly two
+    //    consumers, t20's discipline). Regions here are ASSIGNED agent
+    //    ids, not raw geohash cells: agents are c_nationkey + 1 so the
+    //    cascade's no-match sentinel 0 IS the trajectory machinery's '0'
+    //    ("outside") sentinel without colliding with a real nation.
+    //    PlanQualitySpec pins the fusion: one events scan, zero
+    //    SortMergeJoins before the state, no exchange between assignment
+    //    and the state agg. ──
+    ("g40_pipeline",
+      (s: SparkSession, dir: String) => {
+        val k = fixKey(col("user_id"), col("ts"))
+        val fx = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"))
+          .withColumn("lat", latFromKey(k))
+          .withColumn("lon", lonFromKey(k))
+          .withColumn("hour", date_trunc("hour", col("ts")))
+        val cust = Tables(s, dir, "customer")
+          .select(col("c_custkey"), (col("c_nationkey") + 1).as("agent"))
+          .withColumn("lat", latFromKey(col("c_custkey")))
+          .withColumn("lon", lonFromKey(col("c_custkey")))
+        val assigned = RegionAssign.assign(fx, col("lat"), col("lon"),
+            cust, col("lat"), col("lon"), col("agent"),
+            precisions = Seq(4, 3), sentinel = 0L, expandNeighbors = true)
+          .select(col("user_id"), col("event_id"), col("ts"), col("hour"),
+            col("agent_id").cast("string").as("region"))
+        mobilityFracRef(Trajectory.hourlyStateFrom(assigned).persist())
+      },
+      {
+        val k = fixKeySql("user_id", "ts")
+        val leading =
+          s"""dict AS (
+             |  SELECT c_custkey, c_nationkey,
+             |         ${latFromKeySql("c_custkey")} AS lat, ${lonFromKeySql("c_custkey")} AS lon
+             |  FROM customer),
+             |offs AS (SELECT unnest([-1, 0, 1]) AS d),
+             |${nbDictSql(4, "c_nationkey + 1")},
+             |${nbDictSql(3, "c_nationkey + 1")},
+             |""".stripMargin
+        val fxBody =
+          s"""  SELECT e.user_id, e.event_id, e.ts, date_trunc('hour', e.ts) AS hour,
+             |         CAST(CAST(coalesce(d4.agent_4, d3.agent_3, 0) AS BIGINT) AS VARCHAR) AS region
+             |  FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             |               ${latFromKeySql(k)} AS lat, ${lonFromKeySql(k)} AS lon
+             |        FROM events) e
+             |  LEFT JOIN d4 ON ${geohashSql("e.lat", "e.lon", 4)} = d4.gh4
+             |  LEFT JOIN d3 ON ${geohashSql("e.lat", "e.lon", 3)} = d3.gh3""".stripMargin
+        Trajectory.trajSqlPreludeFrom(fxBody, leading) + mobilityFracRefTailSql
+      })
   )
 
   /** g33's BFS state advance: one frontier expansion (edge join against

@@ -783,4 +783,25 @@ class PlanQualitySpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
     assert("Exchange rangepartitioning".r.findAllIn(p).size == 1, p)
   }
+
+  test("g40: composed pipeline fuses — one events scan, broadcast cascade, no SMJ") {
+    val p = plan("g40_pipeline")
+    // the persisted hourly state is the pipeline's ONLY barrier, and it has
+    // exactly two consumers (transition counts + presence vector); the
+    // explain renders its cached plan once per consumer
+    val renders = "InMemoryRelation".r.findAllIn(p).size
+    assert(renders == 2, p)
+    // each render reads events exactly ONCE — ingest, assignment and the
+    // state agg fused into a single scan (the reference's four-script
+    // parquet hand-offs are gone)
+    assert("Scan parquet \\[event_id".r.findAllIn(p).size == renders, p)
+    // both cascade levels join broadcast on substrings of the one fact-side
+    // encode — the fact never shuffles on its way into the state agg
+    assert("BroadcastHashJoin \\[substring\\(__gh_max".r.findAllIn(p).size == 2 * renders, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only fact-side exchanges per render are the two the semantics
+    // require: the (user_id, hour) state agg and the (user_id) trajectory
+    // window — no exchange sits between assignment and the state
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 2 * renders, p)
+  }
 }
