@@ -423,6 +423,47 @@ object Relational {
         |       CAST(max(doc_id) AS BIGINT) AS max_doc
         |FROM documents""".stripMargin),
 
+    // ── S-beyond: RUNTIME (join-driven) file skipping through the custom
+    //    connector — the j09 dynamic-pruning discipline applied to the
+    //    ledger format. The fact is range-laid-out on doc_id (8 files
+    //    with disjoint key ranges); the dim is small, selective, and its
+    //    key set (min doc_id per language among one source's docs) is
+    //    NOT statically derivable — no doc_id predicate exists for
+    //    Catalyst to infer and push, so only DYNAMIC pruning can skip
+    //    files: after the broadcast build side materializes, Spark hands
+    //    the scan the observed key set (`SupportsRuntimeFiltering`) and
+    //    `planInputPartitions` drops every file whose [min,max] header
+    //    range contains none of the keys. The min-per-group keys are
+    //    small ids clustered in the low range files, so most files
+    //    prune. Judged vs DuckDB over the original parquet (skipping is
+    //    an optimization, never a semantics change — the join re-applies
+    //    its condition); `Round13OpsSpec` pins that the executed scan
+    //    planned FEWER partitions than ledger files exist. ──
+    ("s20_ledger_runtime_skip",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val out = scratchPath("s20_ledger")
+        Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+          .repartitionByRange(8, $"doc_id")
+          .write.format("graft-ledger").mode("overwrite").save(out)
+        val dim = Tables(s, dir, "documents")
+          .where($"source" === "src7")
+          .groupBy($"lang")
+          .agg(min($"doc_id").as("doc_id"))
+          .select($"doc_id", $"lang".as("dim_lang"))
+        s.read.format("graft-ledger").load(out)
+          .join(broadcast(dim), Seq("doc_id"))
+          .select($"doc_id", $"lang", $"n_chars", $"dim_lang")
+          .orderBy($"doc_id")
+      },
+      """WITH dim AS (
+        |  SELECT lang AS dim_lang, min(doc_id) AS doc_id
+        |  FROM documents WHERE source = 'src7' GROUP BY 1)
+        |SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars, dim.dim_lang
+        |FROM documents d JOIN dim ON d.doc_id = dim.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
+
     // ── S6/S4: hive-partitioned parquet sink → partition-pruned scan
     //    (ppl_days.py:23 writes partitionBy(date); cal_mobility_matrix.py:
     //    27-29 reads back WHERE date=... — pruning must reach the scan) ──

@@ -94,12 +94,15 @@ object LedgerSource {
 
   private[graft] def ledgerFiles(dir: String): Array[File] = {
     val d = new File(dir)
-    // listFiles() returns null on IO/permission errors (not just on a
-    // missing dir) — treat both as "no files"; READS of a missing path
-    // fail fast in planInputPartitions instead, so a typo'd load()
-    // can't silently scan an empty table
+    // a MISSING path lists as empty here (reads fail fast in
+    // planInputPartitions via requireDir instead), but a directory that
+    // EXISTS and still won't list (IO/permission failure — the only way
+    // listFiles() returns null once isDirectory passed) must throw:
+    // silently scanning it as empty would defeat the fail-fast intent
     if (!d.isDirectory) Array.empty
-    else Option(d.listFiles()).getOrElse(Array.empty[File])
+    else Option(d.listFiles()).getOrElse(
+        throw new IllegalStateException(
+          s"graft-ledger: directory exists but cannot be listed: $dir"))
       .filter(f => f.isFile && f.getName.endsWith(".gl"))
       .sortBy(_.getName)
   }
@@ -118,6 +121,34 @@ object LedgerSource {
   private[sources] def requireDir(path: String): Unit =
     require(new File(path).isDirectory,
       s"graft-ledger: path does not exist or is not a directory: $path")
+
+  /** Per-file header stats for every ledger file in `path`, as one
+    * snapshot: `(file, minDocId, maxDocId, nRows)`. Reads parallelize
+    * over a bounded pool once the listing is large — each header is a
+    * 28-byte pread, so at big file counts the cost is IO round-trips,
+    * not bytes, and serial driver-side reads would make planning the
+    * slowest part of a 100-TB query (the same reasoning as
+    * InMemoryFileIndex's parallel listing). Small listings stay serial:
+    * pool setup would dominate. */
+  private[sources] val ParallelStatsThreshold = 64
+  private[sources] def statsSnapshot(path: String): Array[(File, Long, Long, Long)] = {
+    val files = ledgerFiles(path)
+    def one(f: File): (File, Long, Long, Long) = {
+      val (mn, mx, n) = readStats(f)
+      (f, mn, mx, n)
+    }
+    if (files.length < ParallelStatsThreshold) files.map(one)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        files.map(f => pool.submit(
+            new java.util.concurrent.Callable[(File, Long, Long, Long)] {
+              override def call(): (File, Long, Long, Long) = one(f)
+            }))
+          .map(_.get())
+      } finally pool.shutdown()
+    }
+  }
 }
 
 final class LedgerTable(path: String) extends Table
@@ -230,8 +261,7 @@ final class LedgerAggScan(path: String, agg: Aggregation)
     var n = 0L
     var minId = Long.MaxValue
     var maxId = Long.MinValue
-    LedgerSource.ledgerFiles(path).foreach { f =>
-      val (mn, mx, rows) = LedgerSource.readStats(f)
+    LedgerSource.statsSnapshot(path).foreach { case (_, mn, mx, rows) =>
       n += rows
       if (rows > 0) { // empty files carry min>max placeholders
         minId = math.min(minId, mn)
@@ -331,28 +361,41 @@ final class LedgerScan(path: String, required: StructType,
   override def filter(filters: Array[Filter]): Unit =
     runtime = filters
 
-  /** The In-set a runtime filter delivered, if any — checked per file
-    * as "does any key fall inside this file's [min, max]" (the set is
-    * the build side's distinct keys: bounded by the joined dimension,
-    * not the fact). */
-  private def runtimeInSet: Option[Array[Long]] = {
-    val vs = runtime.collect {
+  /** The key sets the runtime filters delivered, ONE PER FILTER — Spark
+    * hands multiple runtime doc_id filters down as a conjunction, so a
+    * file must satisfy EVERY set ("some key of each set falls inside
+    * this file's [min, max]"); unioning them first would keep any file
+    * touched by any set — correct (the join re-applies its condition)
+    * but strictly weaker skipping when DPP delivers both an In and an
+    * EqualTo. Each set is the build side's distinct keys: bounded by
+    * the joined dimension, not the fact. */
+  private def runtimeInSets: Seq[Array[Long]] =
+    runtime.toSeq.collect {
       case In("doc_id", values) =>
-        values.collect { case v: java.lang.Long => v.longValue() }
+        values.collect { case v: java.lang.Long => v.longValue() }.sorted
       case EqualTo("doc_id", v: java.lang.Long) => Array(v.longValue())
     }
-    if (vs.isEmpty) None else Some(vs.flatten.sorted)
-  }
+
+  /** Listing + 28-byte headers snapshotted ONCE per Scan instance:
+    * Catalyst may call `estimateStatistics` several times while
+    * planning, and re-opening every file per call is O(#files)
+    * small-file IO repeated per query plan. Ledger files are immutable
+    * once committed and a Scan lives for one query execution, so the
+    * snapshot cannot go stale within its lifetime. (Not shared with
+    * the runtime-filter re-plan's VALUES — only the header bytes;
+    * `planInputPartitions` re-evaluates its predicates against this
+    * same snapshot after `filter()` delivers the join keys.) */
+  private lazy val fileStats: Array[(File, Long, Long, Long)] =
+    LedgerSource.statsSnapshot(path)
 
   override def planInputPartitions(): Array[InputPartition] = {
     LedgerSource.requireDir(path)
     val bounds = KeyBounds(pushed ++ runtime)
-    val inSet = runtimeInSet
-    LedgerSource.ledgerFiles(path).flatMap { f =>
-      val (minId, maxId, nRows) = LedgerSource.readStats(f)
+    val inSets = runtimeInSets
+    fileStats.flatMap { case (f, minId, maxId, nRows) =>
       // stats-header file skip: a file whose key range misses the
-      // pushed/runtime interval — or contains none of the runtime
-      // join keys — never becomes a partition
+      // pushed/runtime interval — or misses any runtime join-key set —
+      // never becomes a partition
       // sorted-set probe: first key ≥ min, then ≤ max — O(log |keys|)
       // per file rather than a scan of the build side's key set
       def anyKeyInRange(arr: Array[Long]): Boolean = {
@@ -361,7 +404,7 @@ final class LedgerScan(path: String, required: StructType,
         idx < arr.length && arr(idx) <= maxId
       }
       if (nRows > 0 && bounds.overlaps(minId, maxId) &&
-          inSet.forall(anyKeyInRange))
+          inSets.forall(anyKeyInRange))
         Some(LedgerPartition(f.getAbsolutePath): InputPartition)
       else None
     }
@@ -380,8 +423,7 @@ final class LedgerScan(path: String, required: StructType,
     var bytes = 0L
     var rows = 0L
     if (new File(path).isDirectory) {
-      LedgerSource.ledgerFiles(path).foreach { f =>
-        val (minId, maxId, nRows) = LedgerSource.readStats(f)
+      fileStats.foreach { case (f, minId, maxId, nRows) =>
         if (nRows > 0 && bounds.overlaps(minId, maxId)) {
           bytes += f.length()
           rows += nRows
@@ -418,14 +460,27 @@ final class LedgerScan(path: String, required: StructType,
 
 /** Offset = sorted set of ingested ledger file names, serialized as a
   * JSON array. The same asymptotics as the built-in file source's
-  * seen-files log, with restart-safe set semantics. */
-private[graft] final case class LedgerStreamOffset(files: Seq[String])
+  * seen-files log, with restart-safe set semantics.
+  *
+  * A plain class, NOT a case class: the streaming `Offset` base defines
+  * equality over the serialized `json()` form, and a generated
+  * equals/hashCode over the raw `files` Seq would break that contract —
+  * `latestOffset` assembles files in set order while a checkpoint
+  * restart yields them sorted, so set-equal offsets could compare
+  * unequal and trigger a spurious empty microbatch after restart.
+  * Sorting once here makes `json()` (and thus base-class equality)
+  * canonical for any construction order. */
+private[graft] final class LedgerStreamOffset(files0: Seq[String])
     extends Offset {
+  val files: Seq[String] = files0.sorted
   override def json(): String =
-    files.sorted.map(LedgerStreamOffset.quote).mkString("[", ",", "]")
+    files.map(LedgerStreamOffset.quote).mkString("[", ",", "]")
 }
 
 private[graft] object LedgerStreamOffset {
+  def apply(files: Seq[String]): LedgerStreamOffset =
+    new LedgerStreamOffset(files)
+
   private def quote(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
@@ -434,21 +489,44 @@ private[graft] object LedgerStreamOffset {
       case c => c.toString
     } + "\""
 
-  /** Inverse of [[LedgerStreamOffset.json]] — file names are writer-
-    * generated (`part-NNNNN-hex.gl`), so the only escapes that can
-    * occur are the ones [[quote]] emits. */
+  /** Inverse of [[LedgerStreamOffset.json]] — a real little scanner
+    * (quoted strings with `\"`, `\\` and `\uXXXX` escapes, comma
+    * separators OUTSIDE quotes), so the round-trip holds for any file
+    * name, not just the writer's comma-free `part-NNNNN-hex.gl` shape
+    * (user-supplied dirs may contain renamed files). */
   def fromJson(json: String): LedgerStreamOffset = {
     val t = json.trim
     require(t.startsWith("[") && t.endsWith("]"), s"bad ledger offset: $json")
-    val body = t.substring(1, t.length - 1).trim
-    if (body.isEmpty) LedgerStreamOffset(Nil)
-    else LedgerStreamOffset(body.split(",").toSeq.map { q =>
-      val s = q.trim
-      require(s.length >= 2 && s.startsWith("\"") && s.endsWith("\""),
-        s"bad ledger offset element: $q")
-      s.substring(1, s.length - 1)
-        .replace("\\\"", "\"").replace("\\\\", "\\")
-    })
+    val names = ArrayBuffer.empty[String]
+    var i = 1
+    val end = t.length - 1
+    while (i < end) {
+      while (i < end && (t(i) == ',' || t(i).isWhitespace)) i += 1
+      if (i < end) {
+        require(t(i) == '"', s"bad ledger offset at index $i: $json")
+        i += 1
+        val sb = new StringBuilder
+        while (i < end && t(i) != '"') {
+          if (t(i) == '\\') {
+            require(i + 1 < end, s"dangling escape in ledger offset: $json")
+            t(i + 1) match {
+              case '"' => sb += '"'; i += 2
+              case '\\' => sb += '\\'; i += 2
+              case 'u' =>
+                require(i + 6 <= end, s"bad \\u escape in ledger offset: $json")
+                sb += Integer.parseInt(t.substring(i + 2, i + 6), 16).toChar
+                i += 6
+              case c => throw new IllegalArgumentException(
+                s"unsupported escape \\$c in ledger offset: $json")
+            }
+          } else { sb += t(i); i += 1 }
+        }
+        require(i < end && t(i) == '"', s"unterminated string in ledger offset: $json")
+        i += 1
+        names += sb.toString
+      }
+    }
+    LedgerStreamOffset(names.toSeq)
   }
 }
 

@@ -202,6 +202,23 @@ class LedgerSourceSpec extends SparkSpec {
     val odd = Seq("a\"b.gl", "c\\d.gl")
     assert(LedgerStreamOffset.fromJson(LedgerStreamOffset(odd).json())
       .files.sorted == odd.sorted)
+    // names outside the writer's part-NNNNN-hex.gl shape must round-trip
+    // too (user dirs can hold renamed files): commas and control chars
+    val hostile = Seq("a,b.gl", "tab\there.gl", "nl\nthere.gl")
+    assert(LedgerStreamOffset.fromJson(LedgerStreamOffset(hostile).json())
+      .files.sorted == hostile.sorted)
+  }
+
+  test("set-equal offsets are equal regardless of construction order") {
+    import graft.sources.LedgerStreamOffset
+    // the streaming Offset contract compares offsets via json(); a
+    // restart deserializes sorted while latestOffset assembles in set
+    // order — the two must compare equal or the engine schedules a
+    // spurious empty microbatch after recovery
+    val a = LedgerStreamOffset(Seq("part-00001-ab.gl", "part-00000-cd.gl"))
+    val b = LedgerStreamOffset(Seq("part-00000-cd.gl", "part-00001-ab.gl"))
+    assert(a.json() == b.json())
+    assert(a == b, "Offset equality must be construction-order independent")
   }
 
   test("streaming read drains in maxFilesPerTrigger batches and equals the batch read") {
@@ -291,6 +308,17 @@ class LedgerSourceSpec extends SparkSpec {
     assert(none.asInstanceOf[org.apache.spark.sql.connector.read.Scan]
       .toBatch.planInputPartitions().isEmpty,
       "a key outside every file's range must prune the whole scan")
+    // multiple runtime filters arrive as a CONJUNCTION: a file must
+    // satisfy every set. In {150,350} ∧ In {350} → only 350's file may
+    // survive; a union of the two key sets would keep 150's file too
+    val conj = freshScan().asInstanceOf[SupportsRuntimeFiltering]
+    conj.filter(Array[org.apache.spark.sql.sources.Filter](
+      SrcIn("doc_id", Array[Any](java.lang.Long.valueOf(150L),
+        java.lang.Long.valueOf(350L))),
+      SrcIn("doc_id", Array[Any](java.lang.Long.valueOf(350L)))))
+    assert(conj.asInstanceOf[org.apache.spark.sql.connector.read.Scan]
+      .toBatch.planInputPartitions().length == 1,
+      "conjunctive runtime filters must intersect, not union, the file sets")
   }
 
   test("reported statistics let a small ledger side auto-broadcast") {
