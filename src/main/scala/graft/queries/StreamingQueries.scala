@@ -1132,7 +1132,164 @@ object StreamingQueries {
       },
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ── st18: stream-stream FULL OUTER interval join — st11's
+    //    watermark-gated NULL emission applied to BOTH unmatched tails.
+    //    Matches emit as they form; an unmatched purchase emits its
+    //    NULL-click row once the global watermark w passes p_ts (no
+    //    future click with c_ts ≤ p_ts can still arrive); an unmatched
+    //    click emits its NULL-purchase row once w passes c_ts + 1h (its
+    //    candidate purchases live in [c_ts, c_ts + 1h] — the interval
+    //    bound itself sets the click side's eviction point, which is
+    //    why the two tails flush at DIFFERENT watermark offsets).
+    //    AvailableNow runs one data batch then the no-data flush batch;
+    //    rows younger than their side's cutoff stay in the state store
+    //    and never reach the sink — the oracle applies st11's case
+    //    analysis symmetrically, so both held tails are judged, not
+    //    hand-waved. Output rows key on coalesce(p_ts, c_ts): matched
+    //    and no-click rows bucket by purchase hour, no-purchase rows by
+    //    click hour. ──
+    ("st18_stream_full_outer_join",
+      (s: SparkSession, dir: String) => {
+        val stage = java.nio.file.Paths.get(Portable.scratchPath("stream_fouter_events"))
+        java.nio.file.Files.createDirectories(stage)
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          stage.resolve("events.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val schema = Tables.rawEvents(s, dir).schema
+        def src() = Tables.normalizeTs(
+          s.readStream.schema(schema).parquet(stage.toString))
+        val purchases = src().where(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "2 hours")
+        val clicks = src().where(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+          .withWatermark("c_ts", "2 hours")
+        val joined = purchases.join(clicks,
+          col("p_user") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts"),
+          "fullOuter")
+        val q = joined.writeStream.format("memory").queryName("st18_mem")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table("st18_mem")
+          .groupBy(date_trunc("hour", coalesce(col("p_ts"), col("c_ts"))).as("hour"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("c_user").isNull, 1L).otherwise(0L)).as("n_no_click"),
+            sum(when(col("p_user").isNull, 1L).otherwise(0L)).as("n_no_purchase"))
+          .select(tsSec(col("hour")).as("hour"), col("n_rows"),
+            col("n_no_click"), col("n_no_purchase"))
+          .orderBy(col("hour"))
+      },
+      s"""WITH p AS (
+         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts FROM events
+         |  WHERE event_type = 'purchase'),
+         |c AS (
+         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS c_ts FROM events
+         |  WHERE event_type = 'click'),
+         |wm AS (
+         |  SELECT least((SELECT max(p_ts) FROM p),
+         |               (SELECT max(c_ts) FROM c)) - INTERVAL 2 HOUR AS w),
+         |matched AS (
+         |  SELECT p.p_ts FROM p JOIN c
+         |    ON p.user_id = c.user_id
+         |   AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts <= p.p_ts),
+         |un_p AS (
+         |  SELECT p.p_ts FROM p
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM c WHERE c.user_id = p.user_id
+         |      AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts <= p.p_ts)
+         |    AND p.p_ts < (SELECT w FROM wm)),
+         |un_c AS (
+         |  SELECT c.c_ts FROM c
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM p WHERE p.user_id = c.user_id
+         |      AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts <= p.p_ts)
+         |    AND c.c_ts + INTERVAL 1 HOUR < (SELECT w FROM wm)),
+         |sunk AS (
+         |  SELECT p_ts AS ets, 0 AS no_c, 0 AS no_p FROM matched
+         |  UNION ALL
+         |  SELECT p_ts, 1, 0 FROM un_p
+         |  UNION ALL
+         |  SELECT c_ts, 0, 1 FROM un_c)
+         |SELECT ${tsSecSql("date_trunc('hour', ets)")} AS hour,
+         |       CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(sum(no_c) AS BIGINT) AS n_no_click,
+         |       CAST(sum(no_p) AS BIGINT) AS n_no_purchase
+         |FROM sunk GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ── st19: the remaining `transformWithState` state-variable kinds,
+    //    judged — ListState as a per-user BOUNDED recent-event list
+    //    (pruned to the 5 largest event times each batch) and MapState
+    //    as per-user per-event-type counters (st07 judges ValueState;
+    //    st13/st14 add event-time timers). Every emitted field is
+    //    monotone under more input, so the update stream folds with max
+    //    to the final state regardless of microbatch slicing; the
+    //    closed-form oracle ranks each user's events by time and sums
+    //    the top 5 (ties at rank 5 carry equal values — the multiset
+    //    sum is tie-break independent). TTL expiry is processing-time
+    //    (wall-clock) and so not judgeable; TransformWithStateSpec pins
+    //    real TTL eviction by name. ──
+    ("st19_state_variables",
+      (s: SparkSession, dir: String) => {
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val prevProvider = s.conf.getOption(providerKey)
+        s.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val stage = java.nio.file.Paths.get(Portable.scratchPath("stream_sv_events"))
+          java.nio.file.Files.createDirectories(stage)
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$dir/events.parquet"),
+            stage.resolve("events.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          val schema = Tables.rawEvents(s, dir).schema
+          import s.implicits._
+          val src = Tables.normalizeTs(
+              s.readStream.schema(schema).parquet(stage.toString))
+            .select(col("user_id").cast("long").as("user_id"),
+              col("event_type"), unix_timestamp(col("ts")).as("es"))
+            .as[(Long, String, Long)]
+          val updates = src.groupByKey(_._1)
+            .transformWithState(new graft.streaming.RecentEventsProcessor(5),
+              TimeMode.None(), OutputMode.Update())
+          val q = updates.toDF("user_id", "n_types", "n_events", "topk_sum", "topk_n")
+            .writeStream.format("memory").queryName("st19_mem")
+            .outputMode("update").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        } finally {
+          prevProvider match {
+            case Some(p) => s.conf.set(providerKey, p)
+            case None => s.conf.unset(providerKey)
+          }
+        }
+        s.table("st19_mem")
+          .groupBy(col("user_id"))
+          .agg(max(col("n_types")).as("n_types"),
+            max(col("n_events")).as("n_events"),
+            max(col("topk_sum")).as("topk_sum"),
+            max(col("topk_n")).as("topk_n"))
+          .orderBy(col("user_id"))
+      },
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type, ${epochSecSql("ts")} AS es FROM events),
+         |rk AS (
+         |  SELECT user_id, es,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY es DESC) AS rn
+         |  FROM ev),
+         |tk AS (
+         |  SELECT user_id, CAST(sum(es) AS BIGINT) AS topk_sum,
+         |         CAST(count(*) AS BIGINT) AS topk_n
+         |  FROM rk WHERE rn <= 5 GROUP BY 1),
+         |ag AS (
+         |  SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+         |         CAST(count(*) AS BIGINT) AS n_events
+         |  FROM ev GROUP BY 1)
+         |SELECT ag.user_id, ag.n_types, ag.n_events, tk.topk_sum, tk.topk_n
+         |FROM ag JOIN tk USING (user_id) ORDER BY user_id""".stripMargin)
   )
 
   /** st16/st17 run twice per Bench invocation in one JVM; per-

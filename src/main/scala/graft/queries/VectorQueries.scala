@@ -263,6 +263,40 @@ object VectorQueries {
     (asg0, pqAssign(subs, pqTrainCodebook(asg0)))
   }
 
+  /** v32's dedup stage, exposed for the spec that pins its
+    * observability: ingest seeded with 2×-scaled twins of the query ids
+    * (10..19, offset +10^12 — same hyperplane bucket and IVF cell as
+    * their originals by exact exponent shift / cosine scale-invariance,
+    * cos = 1.0), then v04's near-dup eviction (8-plane bucket self-join
+    * under the [[BucketCap]] guard, cos ≥ 0.9, keep-min-id anti-join).
+    * Returns the PERSISTED survivor frame (vec_id, embedding, nrm) —
+    * the pipeline's barrier, consumed by the centroid seed, the
+    * assignment fact and the exact baseline. */
+  private[graft] def pipelineSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val seeded = base.unionByName(
+      base.where(col("vec_id") >= 10 && col("vec_id") < 20)
+        .select((col("vec_id") + 1000000000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+    val wBucket = Window.partitionBy(col("bucket"))
+    val bucketed = seeded
+      .select(col("vec_id"), col("embedding"),
+        bucketCol(col("embedding"), 8).as("bucket"),
+        normCol(col("embedding")).as("nrm"))
+      .withColumn("nb", count(lit(1)).over(wBucket))
+      .where(col("nb") <= BucketCap).drop("nb")
+      .persist() // pair self-join (×2) + survivor anti-join
+    val dups = bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
+      .where(cosPre(dotNative(col("a.embedding"), col("b.embedding")),
+        col("a.nrm"), col("b.nrm")) >= 0.9)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    bucketed.join(dups, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+      .persist() // centroid seed + assignment fact + exact corpus
+  }
+
   /** Seed-quantizer assignment (persisted — probed twice: query side +
     * cell side): nearest-of-8 centroid by cosine, centroids = the 8
     * lowest-id vectors (deterministic seed set). Carries `label` through
@@ -1874,7 +1908,140 @@ object VectorQueries {
          |             / CAST(ks9.k AS DOUBLE), 4) AS recall
          |FROM spine s CROSS JOIN ks9
          |LEFT JOIN hits9 h ON h.p = s.p
-         |ORDER BY nprobe""".stripMargin)
+         |ORDER BY nprobe""".stripMargin),
+
+    // ── v32: the COMPOSED embedding pipeline — what a training-data
+    //    vector stack actually runs, as ONE declarative plan: ingest →
+    //    near-dup eviction (v04's 8-plane bucket join, cos ≥ 0.9,
+    //    keep-min-id) → IVF index build on the DEDUPED corpus (v05's
+    //    seed quantizer) → single-cell probe → recall@3 judged against
+    //    the exact brute force over the SAME deduped corpus. The module
+    //    twin of t20 (text), m10 (media) and g40 (geo): every stage is
+    //    individually judged elsewhere; this row proves the CHAIN fuses
+    //    and stays correct end-to-end. The dedup stage is made
+    //    hash-OBSERVABLE by seeding 2×-scaled twins of the QUERY ids
+    //    (10..19, offset +10^12): scaling by 2 is an exact exponent
+    //    shift, so a twin lands in its query's hyperplane bucket AND its
+    //    IVF cell (cosine scale-invariance) at cos = 1.0 — if eviction
+    //    ever broke, the twin would surface as its query's rank-1
+    //    neighbor on BOTH the probe and exact sides and flip the hash.
+    //    Barriers: the bucketed frame (self-joined for pairs +
+    //    anti-joined for survivors) and the survivor/assignment frames
+    //    (each with multiple consumers) persist; everything between
+    //    fuses — no parquet re-scan past ingest. At 100 TB each stage
+    //    keeps its own judged scale shape: capped bucket join, broadcast
+    //    centroids, broadcast query probe; only the labeled exact
+    //    baseline is brute-force. ──
+    ("v32_pipeline",
+      (s: SparkSession, dir: String) => {
+        val survivors = pipelineSurvivors(s, dir)
+        val cents = survivors.where(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("ccos").desc, col("cent_id").asc)
+        val assigned = survivors.crossJoin(broadcast(cents))
+          .withColumn("ccos", cosine(col("embedding"), col("cent")))
+          .withColumn("rn", row_number().over(wAssign))
+          .where(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"),
+            col("nrm"))
+          .persist() // probed twice: query side + inverted-list side
+        val queries = assigned.where(col("vec_id") >= 10 && col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("cell"), col("nrm").as("q_nrm"))
+        val wRank = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        val probe = broadcast(queries).join(assigned, Seq("cell"))
+          .where(col("vec_id") =!= col("q_id"))
+          .withColumn("cos", cosPre(dotNative(col("q_emb"), col("embedding")),
+            col("q_nrm"), col("nrm")))
+          .withColumn("rank", row_number().over(wRank))
+          .where(col("rank") <= 3)
+          .select(col("q_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("cos"))
+        val wq = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        val exact = survivors.crossJoin(broadcast(queries.drop("cell")))
+          .where(col("vec_id") =!= col("q_id"))
+          .withColumn("cos", cosPre(dotNative(col("q_emb"), col("embedding")),
+            col("q_nrm"), col("nrm")))
+          .withColumn("rank", row_number().over(wq))
+          .where(col("rank") <= 3)
+          .select(col("q_id"), col("vec_id"))
+        val hits = probe.select(col("q_id"), col("vec_id"))
+          .join(exact, Seq("q_id", "vec_id"), "left_semi")
+          .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+        probe
+          .join(exact.groupBy(col("q_id")).agg(count(lit(1)).as("k")), Seq("q_id"))
+          .join(hits, Seq("q_id"), "left")
+          .select(col("q_id"), col("rank"), col("vec_id"), col("cos"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("k"),
+            round(coalesce(col("n_hit"), lit(0L)).cast("double")
+              / col("k").cast("double"), 4).as("recall"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      s"""WITH seeded AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000000000, list_transform(embedding, x -> x * CAST(2.0 AS FLOAT))
+         |  FROM embeddings WHERE vec_id >= 10 AND vec_id < 20),
+         |b AS (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding", 8)} AS bucket,
+         |         ${normSql("embedding")} AS nrm FROM seeded
+         |  QUALIFY count(*) OVER (PARTITION BY bucket) <= $BucketCap),
+         |dups AS (
+         |  SELECT DISTINCT b2.vec_id
+         |  FROM b b1 JOIN b b2 ON b1.bucket = b2.bucket AND b1.vec_id < b2.vec_id
+         |  WHERE ${cosPreSql(dotFoldSql("b1.embedding", "b2.embedding", 64), "b1.nrm", "b2.nrm")} >= 0.9),
+         |sv AS (
+         |  SELECT vec_id, embedding, nrm FROM b
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM dups)),
+         |cents32 AS (
+         |  SELECT vec_id AS cent_id, embedding AS cent FROM sv WHERE vec_id < 8),
+         |cs32 AS (
+         |  SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
+         |         ${cosineSql("e.embedding", "c.cent")} AS ccos
+         |  FROM sv e, cents32 c),
+         |asg32 AS (
+         |  SELECT vec_id, embedding, nrm, cent_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |              ORDER BY ccos DESC, cent_id ASC) AS rn
+         |    FROM cs32) WHERE rn = 1),
+         |iq32 AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb, cell, nrm AS q_nrm
+         |  FROM asg32 WHERE vec_id >= 10 AND vec_id < 20),
+         |cand32 AS (
+         |  SELECT iq32.q_id, e.vec_id,
+         |         ${cosPreSql(dotFoldSql("iq32.q_emb", "e.embedding", 64), "iq32.q_nrm", "e.nrm")} AS cos
+         |  FROM iq32 JOIN asg32 e ON iq32.cell = e.cell AND e.vec_id <> iq32.q_id),
+         |ivf32 AS (
+         |  SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |              ORDER BY cos DESC, vec_id ASC) AS rank
+         |    FROM cand32) WHERE rank <= 3),
+         |bs32 AS (
+         |  SELECT q.q_id, e.vec_id,
+         |         ${cosPreSql(dotFoldSql("q.q_emb", "e.embedding", 64), "q.q_nrm", "e.nrm")} AS cos
+         |  FROM iq32 q, sv e WHERE e.vec_id <> q.q_id),
+         |exact32 AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |              ORDER BY cos DESC, vec_id ASC) AS rank
+         |    FROM bs32) WHERE rank <= 3),
+         |hits32 AS (
+         |  SELECT i.q_id, count(*) AS n_hit
+         |  FROM ivf32 i WHERE EXISTS (
+         |    SELECT 1 FROM exact32 x WHERE x.q_id = i.q_id AND x.vec_id = i.vec_id)
+         |  GROUP BY i.q_id),
+         |ks32 AS (SELECT q_id, count(*) AS k FROM exact32 GROUP BY q_id)
+         |SELECT i.q_id, i.rank, i.vec_id, i.cos,
+         |       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |       CAST(ks32.k AS BIGINT) AS k,
+         |       round(CAST(coalesce(h.n_hit, 0) AS DOUBLE)
+         |             / CAST(ks32.k AS DOUBLE), 4) AS recall
+         |FROM ivf32 i JOIN ks32 ON i.q_id = ks32.q_id
+         |LEFT JOIN hits32 h ON i.q_id = h.q_id
+         |ORDER BY i.q_id, i.rank""".stripMargin)
   )
 
   /** v25's sign binarization: dims 1..32 → bits 0..31 of `lo`, dims

@@ -334,6 +334,20 @@ class PlanQualitySpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin BuildLeft".r.findAllIn(p).isEmpty, p)
   }
 
+  test("v32: pipeline stages keep their scale shapes — bucketed pairs, broadcast probe") {
+    val p = plan("v32_pipeline")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop joins are the ≤10-row query and ≤8-row
+    // centroid broadcasts (the labeled exact baseline + cell assignment)
+    assert("BroadcastNestedLoopJoin BuildLeft".r.findAllIn(p).isEmpty, p)
+    // the cell probe is a broadcast hash join on the cell key — the
+    // inverted lists never shuffle for the query set
+    assert("BroadcastHashJoin \\[cell".r.findAllIn(p).nonEmpty, p)
+    // dedup, survivor and assignment barriers persist — ingest is never
+    // re-scanned past the bucketed frame
+    assert(p.contains("InMemoryRelation"), p)
+  }
+
   test("j12: both sides pre-aggregate on the join grain; the agg exchanges serve the join") {
     val p = plan("j12_full_outer_join")
     assert(p.contains("FullOuter"), p)

@@ -57,4 +57,31 @@ class Round13OpsSpec extends SparkSpec {
     // positive count against a zero/absent population pins to 0
     assert(out.forall(_.getDouble(2) >= 0.0))
   }
+
+  test("v32: the dedup stage evicts every seeded twin and ONLY the twins") {
+    // the pipeline's dedup is hash-observable because a surviving twin
+    // (cos = 1.0 with its query, same bucket and cell) would surface as
+    // the query's rank-1 neighbor — this pins the stage directly: the
+    // seeded frame carried base + 10 twins, the survivor frame must be
+    // exactly the base corpus
+    val nBase = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val sv = graft.queries.VectorQueries.pipelineSurvivors(spark, dir)
+    assert(sv.count() == nBase, "an original was evicted or a twin survived")
+    assert(sv.where(col("vec_id") >= 1000000000000L).count() == 0,
+      "a seeded twin survived dedup")
+    // queries and centroid seeds are among the survivors (the index and
+    // the probe set are built on the deduped corpus, not despite it)
+    assert(sv.where(col("vec_id") < 20).count() == 20)
+  }
+
+  test("v32: probe rows never contain twin ids and recall is well-formed") {
+    val out = SparkEntry.queries("v32_pipeline")(spark, dir).collect()
+    assert(out.length == 30, s"expected 10 queries x 3 ranks, got ${out.length}")
+    assert(out.forall(_.getLong(2) < 1000000000000L),
+      "a twin id reached the judged probe output")
+    assert(out.forall { r =>
+      val nHit = r.getLong(4); val k = r.getLong(5)
+      nHit >= 0 && nHit <= k && k == 3
+    })
+  }
 }

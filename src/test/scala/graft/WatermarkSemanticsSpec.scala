@@ -329,4 +329,69 @@ class WatermarkSemanticsSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("full-outer interval join: each unmatched tail is held by its own watermark offset") {
+    // st18's oracle encodes ASYMMETRIC flush points for the two NULL
+    // tails of c_ts ∈ [p_ts − 1h, p_ts]: an unmatched purchase flushes
+    // once wm > p_ts, but an unmatched CLICK must wait until
+    // wm > c_ts + 1h — its candidate purchases live ahead of it by up
+    // to the interval bound. This probe stages a purchase and a click
+    // at the SAME event time and drives the watermark between the two
+    // cutoffs: the purchase's NULL row appears while the click's is
+    // still state-held, then a further advance flushes the click too.
+    // A Spark change that unified the offsets (or flipped strictness
+    // at the bound) fails here by name instead of flipping st18's hash.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = s.conf.getOption(key)
+    try {
+      s.conf.set(key, "false")
+      val p = MemoryStream[(Long, Timestamp)]
+      val c = MemoryStream[(Long, Timestamp)]
+      val pf = p.toDF().toDF("p_user", "p_ts").withWatermark("p_ts", "10 minutes")
+      val cf = c.toDF().toDF("c_user", "c_ts").withWatermark("c_ts", "10 minutes")
+      val joined = pf.join(cf,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"),
+        "fullOuter")
+      val q = joined.writeStream.format("memory").queryName("fouter_probe")
+        .outputMode("append").start()
+      def nullCounts(): (Int, Int) = {
+        val rows = s.sql("SELECT p_user, c_user FROM fouter_probe").collect()
+        (rows.count(_.isNullAt(1)), rows.count(_.isNullAt(0))) // (noClick, noPurchase)
+      }
+      def add(u: Long, t: String): Unit = {
+        p.addData((u, ts(t))); c.addData((u, ts(t))); q.processAllAvailable()
+      }
+      try {
+        // b0: unmatched purchase u1@10:00 + unmatched click u2@10:00
+        p.addData((1L, ts("2019-07-01 10:00:00")))
+        c.addData((2L, ts("2019-07-01 10:00:00")))
+        q.processAllAvailable()
+        assert(nullCounts() == ((0, 0)))
+        // b1: matched pair @10:40 → wm will advance to 10:30; eviction
+        // lags one batch, so nothing flushes yet
+        add(9L, "2019-07-01 10:40:00")
+        assert(nullCounts() == ((0, 0)), "eviction lags one batch")
+        // b2: eviction wm = 10:30 — the purchase (10:00 < 10:30)
+        // flushes its NULL-click row; the click's candidate window runs
+        // to 11:00 > 10:30, so its tail MUST still be held
+        add(8L, "2019-07-01 13:00:00")
+        assert(nullCounts() == ((1, 0)),
+          "purchase tail flushes at wm > p_ts while the click tail is still held")
+        // b3: eviction wm = 12:50 > 11:00 — the click tail flushes too
+        add(7L, "2019-07-01 14:00:00")
+        assert(nullCounts() == ((1, 1)),
+          "click tail flushes only once wm passes c_ts + the interval bound")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
 }
