@@ -1289,7 +1289,224 @@ object StreamingQueries {
          |         CAST(count(*) AS BIGINT) AS n_events
          |  FROM ev GROUP BY 1)
          |SELECT ag.user_id, ag.n_types, ag.n_events, tk.topk_sum, tk.topk_n
-         |FROM ag JOIN tk USING (user_id) ORDER BY user_id""".stripMargin)
+         |FROM ag JOIN tk USING (user_id) ORDER BY user_id""".stripMargin),
+
+    // ── st20: state-VARIABLE recovery across a real restart — st16
+    //    proves an aggregation's offsets+state survive a checkpoint
+    //    restart; no judged row yet proved the Spark 4 state-variable
+    //    kinds (st19's ListState top-5 + MapState counters) serialize
+    //    and RESTORE through RocksDB the same way. Wave 0 (one
+    //    deterministic hash-half of events by event_id) drains through
+    //    st19's processor and stops; wave 1 arrives; a FRESH query
+    //    object resumes from the same checkpoint. Every emitted field
+    //    is monotone, so folding ALL update rows from BOTH lifetimes
+    //    with max equals st19's batch closed form over the full fixture
+    //    IFF recovery held: lost state makes wave-1 emissions cover
+    //    wave-1 events only (n_events = max(n0, n1) ≠ n0+n1, and the
+    //    restored-list top-5 sum collapses to a single wave's — the
+    //    fixture's per-user top-5 mixes waves, Round13OpsSpec pins it),
+    //    re-read offsets double-count into n_events > total. The max
+    //    fold also makes the append sink idempotent — a replayed batch
+    //    adds duplicate rows the fold erases — so exactly-once here is
+    //    carried by the STATE contract, which is exactly what is being
+    //    judged. ──
+    ("st20_state_recovery",
+      (s: SparkSession, dir: String) => {
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val prevProvider = s.conf.getOption(providerKey)
+        s.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val inv = st16Invocation.incrementAndGet()
+          val stage = java.nio.file.Paths.get(
+            Portable.scratchPath(s"st20_events_$inv"))
+          java.nio.file.Files.createDirectories(stage)
+          val out = Portable.scratchPath(s"st20_out_$inv")
+          val ckpt = Portable.scratchPath(s"st20_ckpt_$inv")
+          val raw = Tables.rawEvents(s, dir)
+          val srcCols = raw.columns.map(col).toSeq
+          val half = pmod(portableHash(col("event_id").cast("string")), lit(2))
+          def writeArrival(df: DataFrame, name: String, mtime: Long): Unit = {
+            val tmp = Portable.scratchPath(s"st20_stage_${inv}_$name")
+            df.select(srcCols: _*).coalesce(1).write.mode("overwrite").parquet(tmp)
+            val part = new java.io.File(tmp).listFiles()
+              .filter(_.getName.endsWith(".parquet")).head
+            val target = stage.resolve(s"$name.parquet")
+            java.nio.file.Files.copy(part.toPath, target,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            require(target.toFile.setLastModified(mtime),
+              s"mtime update failed for $name — arrival staging cannot " +
+                "guarantee ingestion order on this filesystem")
+          }
+          // fresh query object per call — only the checkpoint (offsets +
+          // RocksDB state snapshots) connects the two lifetimes
+          def drainOnce(): Unit = {
+            val schema = s.read.parquet(stage.toString).schema
+            import s.implicits._
+            val src = Tables.normalizeTs(
+                s.readStream.schema(schema).parquet(stage.toString))
+              .select(col("user_id").cast("long").as("user_id"),
+                col("event_type"), unix_timestamp(col("ts")).as("es"))
+              .as[(Long, String, Long)]
+            val updates = src.groupByKey(_._1)
+              .transformWithState(new graft.streaming.RecentEventsProcessor(5),
+                TimeMode.None(), OutputMode.Update())
+            val q = updates.toDF("user_id", "n_types", "n_events", "topk_sum", "topk_n")
+              .writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt)
+              .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+                batch.write.mode("append").parquet(out): Unit
+              }
+              .trigger(Trigger.AvailableNow()).start()
+            q.awaitTermination()
+          }
+          val now = System.currentTimeMillis()
+          writeArrival(raw.where(half === 0), "wave0", now - 120000)
+          drainOnce() // first lifetime: ListState/MapState built, checkpointed
+          writeArrival(raw.where(half === 1), "wave1", now - 60000)
+          drainOnce() // restart: state variables restored, wave 1 folds in
+          s.read.parquet(out)
+            .groupBy(col("user_id"))
+            .agg(max(col("n_types")).as("n_types"),
+              max(col("n_events")).as("n_events"),
+              max(col("topk_sum")).as("topk_sum"),
+              max(col("topk_n")).as("topk_n"))
+            .orderBy(col("user_id"))
+        } finally {
+          prevProvider match {
+            case Some(p) => s.conf.set(providerKey, p)
+            case None => s.conf.unset(providerKey)
+          }
+        }
+      },
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type, ${epochSecSql("ts")} AS es FROM events),
+         |rk AS (
+         |  SELECT user_id, es,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY es DESC) AS rn
+         |  FROM ev),
+         |tk AS (
+         |  SELECT user_id, CAST(sum(es) AS BIGINT) AS topk_sum,
+         |         CAST(count(*) AS BIGINT) AS topk_n
+         |  FROM rk WHERE rn <= 5 GROUP BY 1),
+         |ag AS (
+         |  SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+         |         CAST(count(*) AS BIGINT) AS n_events
+         |  FROM ev GROUP BY 1)
+         |SELECT ag.user_id, ag.n_types, ag.n_events, tk.topk_sum, tk.topk_n
+         |FROM ag JOIN tk USING (user_id) ORDER BY user_id""".stripMargin),
+
+    // ── st21: INITIAL-STATE bootstrap — the last surface of the Spark 4
+    //    `transformWithState` API (`StatefulProcessorWithInitialState` +
+    //    the initialState overload): every production stateful pipeline
+    //    starts as backfill-then-stream, seeding state from an OFFLINE
+    //    batch aggregate instead of replaying history through the
+    //    stream. The batch prefix (hash-half 0 of events by event_id) is
+    //    aggregated relationally — per-user top-5 event times + per-type
+    //    counts, exactly the state st19's fold would have built — and
+    //    handed to `handleInitialState`; the stream then drains ONLY
+    //    hash-half 1. Folding the update rows with max must equal st19's
+    //    batch closed form over prefix ∪ stream: if the bootstrap were
+    //    ignored, n_events would cover the stream half only and the
+    //    top-5 sum would lose the prefix's times (the per-user top-5
+    //    mixes halves — Round13OpsSpec's st20 pin). Update mode emits on
+    //    input, so only stream-active users appear — the oracle applies
+    //    the same restriction. ──
+    ("st21_initial_state",
+      (s: SparkSession, dir: String) => {
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val prevProvider = s.conf.getOption(providerKey)
+        s.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val inv = st16Invocation.incrementAndGet()
+          val stage = java.nio.file.Paths.get(
+            Portable.scratchPath(s"st21_events_$inv"))
+          java.nio.file.Files.createDirectories(stage)
+          import s.implicits._
+          val half = pmod(portableHash(col("event_id").cast("string")), lit(2))
+          // offline bootstrap: the batch prefix aggregated to the exact
+          // state shape (top-5 times pruned HERE, per-type counts) — the
+          // state seed is an aggregate, never a replay
+          val ev0 = Tables.events(s, dir).where(half === 0)
+            .select(col("user_id").cast("long").as("user_id"),
+              col("event_type"), unix_timestamp(col("ts")).as("es"))
+          // top-5 via a rank window (WindowGroupLimit bounds the sort to
+          // 5 rows per key map-side) — never collect a user's full
+          // history just to slice it
+          val wTop = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("es").desc)
+          val topk0 = ev0.withColumn("rn", row_number().over(wTop))
+            .where(col("rn") <= 5)
+            .groupBy(col("user_id"))
+            .agg(reverse(array_sort(collect_list(col("es")))).as("topk"))
+          val types0 = ev0.groupBy(col("user_id"), col("event_type"))
+            .agg(count(lit(1)).as("n"))
+            .groupBy(col("user_id"))
+            .agg(collect_list(struct(col("event_type").as("_1"),
+              col("n").as("_2"))).as("types"))
+          val init = topk0.join(types0, Seq("user_id"))
+            .toDF("_1", "_2", "_3")
+            .as[(Long, Seq[Long], Seq[(String, Long)])]
+            .groupByKey(_._1).mapValues(t => (t._2, t._3))
+          // stream: hash-half 1 staged as the arriving file
+          val raw = Tables.rawEvents(s, dir)
+          val srcCols = raw.columns.map(col).toSeq
+          val tmp = Portable.scratchPath(s"st21_stage_$inv")
+          raw.where(half === 1).select(srcCols: _*)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          java.nio.file.Files.copy(part.toPath, stage.resolve("wave1.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          val schema = s.read.parquet(stage.toString).schema
+          val src = Tables.normalizeTs(
+              s.readStream.schema(schema).parquet(stage.toString))
+            .select(col("user_id").cast("long").as("user_id"),
+              col("event_type"), unix_timestamp(col("ts")).as("es"))
+            .as[(Long, String, Long)]
+          val updates = src.groupByKey(_._1)
+            .transformWithState(
+              new graft.streaming.BootstrapRecentEventsProcessor(5),
+              TimeMode.None(), OutputMode.Update(), init)
+          val q = updates.toDF("user_id", "n_types", "n_events", "topk_sum", "topk_n")
+            .writeStream.format("memory").queryName(s"st21_mem_$inv")
+            .outputMode("update").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          s.table(s"st21_mem_$inv")
+            .groupBy(col("user_id"))
+            .agg(max(col("n_types")).as("n_types"),
+              max(col("n_events")).as("n_events"),
+              max(col("topk_sum")).as("topk_sum"),
+              max(col("topk_n")).as("topk_n"))
+            .orderBy(col("user_id"))
+        } finally {
+          prevProvider match {
+            case Some(p) => s.conf.set(providerKey, p)
+            case None => s.conf.unset(providerKey)
+          }
+        }
+      },
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type, ${epochSecSql("ts")} AS es,
+         |         ${portableHashSql("CAST(event_id AS VARCHAR)")} % 2 AS half
+         |  FROM events),
+         |w1u AS (SELECT DISTINCT user_id FROM ev WHERE half = 1),
+         |rk AS (
+         |  SELECT user_id, es,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY es DESC) AS rn
+         |  FROM ev),
+         |tk AS (
+         |  SELECT user_id, CAST(sum(es) AS BIGINT) AS topk_sum,
+         |         CAST(count(*) AS BIGINT) AS topk_n
+         |  FROM rk WHERE rn <= 5 GROUP BY 1),
+         |ag AS (
+         |  SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+         |         CAST(count(*) AS BIGINT) AS n_events
+         |  FROM ev GROUP BY 1)
+         |SELECT ag.user_id, ag.n_types, ag.n_events, tk.topk_sum, tk.topk_n
+         |FROM ag JOIN tk USING (user_id) JOIN w1u USING (user_id)
+         |ORDER BY user_id""".stripMargin)
   )
 
   /** st16/st17 run twice per Bench invocation in one JVM; per-

@@ -74,6 +74,61 @@ class Round13OpsSpec extends SparkSpec {
     assert(sv.where(col("vec_id") < 20).count() == 20)
   }
 
+  test("st20: the waves partition the fixture and the top-5 list mixes waves") {
+    // the recovery claim is non-vacuous only if (a) both lifetimes see
+    // data and (b) for some user the true top-5 event times span BOTH
+    // waves — then a lost ListState provably changes topk_sum, and a
+    // lost MapState changes n_types wherever a type appears only in
+    // wave 0
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.engine.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
+        pmod(graft.queries.Portable.portableHash(col("event_id").cast("string")),
+          lit(2)).as("half"))
+    val halves = ev.groupBy(col("half")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(halves.getOrElse(0L, 0L) > 0 && halves.getOrElse(1L, 0L) > 0,
+      s"waves do not partition: $halves")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc)
+    val mixed = ev.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("half")).as("nh"))
+      .where(col("nh") === 2).count()
+    assert(mixed > 0, "no user's top-5 event times span both waves")
+  }
+
+  test("st21: the bootstrap state is visible in the judged output") {
+    // if handleInitialState were skipped, every emitted field would
+    // cover the streamed half only — pin users whose output can ONLY be
+    // explained by seeded state: n_types exceeding the streamed half's
+    // distinct types (MapState seeded with prefix-only types) and
+    // topk_n = 5 for users with fewer than 5 streamed events (ListState
+    // seeded with prefix times)
+    import org.apache.spark.sql.expressions.Window
+    val half = pmod(graft.queries.Portable.portableHash(
+      col("event_id").cast("string")), lit(2))
+    val ev1 = graft.engine.Tables.events(spark, dir).where(half === 1)
+      .select(col("user_id").cast("long").as("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("es"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("es").desc)
+    val w1top = ev1.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5).groupBy(col("user_id"))
+      .agg(sum(col("es")).as("w1_top5"))
+    val w1 = ev1.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("w1_events"))
+      .join(w1top, Seq("user_id"))
+    val out = SparkEntry.queries("st21_initial_state")(spark, dir)
+    val joined = out.join(w1, Seq("user_id")).collect()
+    assert(joined.nonEmpty)
+    // n_events is the fold of the MapState counters inside the processor,
+    // so exceeding the streamed half's row count proves the map was seeded
+    assert(joined.exists(r => r.getLong(2) > r.getLong(5)),
+      "no user's n_events exceeds the streamed half's — MapState seeding unobservable")
+    assert(joined.exists(r => r.getLong(3) > r.getLong(6)),
+      "no user's top-5 sum exceeds the streamed half's — ListState seeding unobservable")
+  }
+
   test("v32: probe rows never contain twin ids and recall is well-formed") {
     val out = SparkEntry.queries("v32_pipeline")(spark, dir).collect()
     assert(out.length == 30, s"expected 10 queries x 3 ranks, got ${out.length}")
