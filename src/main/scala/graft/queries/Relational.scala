@@ -464,6 +464,142 @@ object Relational {
         |FROM documents d JOIN dim ON d.doc_id = dim.doc_id
         |ORDER BY d.doc_id""".stripMargin),
 
+    // ── S-beyond: Spark 4 SESSION VARIABLES + dynamic SQL — the
+    //    config-driven-warehouse surface: a data-derived threshold lives
+    //    in a session variable (DECLARE/SET VARIABLE with a scalar
+    //    subquery), the statement TEXT itself is data executed via
+    //    EXECUTE IMMEDIATE with a positional USING bind, and the twin
+    //    branch runs through the `spark.sql(text, args)` named-parameter
+    //    API — parameterization as real binds, never string splicing
+    //    (the injection-safe form a production SQL gateway needs). The
+    //    threshold is exact cross-engine: integral quantities summed as
+    //    BIGINT, ONE double division — no accumulation-order ambiguity
+    //    for DuckDB to disagree with. ──
+    ("s21_session_variables",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_s21")
+        s.sql("DECLARE OR REPLACE VARIABLE s21_cut DOUBLE")
+        s.sql("""SET VARIABLE s21_cut = (
+                |  SELECT CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*)
+                |  FROM lineitem_s21)""".stripMargin)
+        s.sql("DECLARE OR REPLACE VARIABLE s21_stmt STRING")
+        s.sql("""SET VARIABLE s21_stmt =
+                |  'SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_hi,
+                |          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_hi
+                |   FROM lineitem_s21
+                |   WHERE l_quantity > s21_cut AND l_linestatus = ? GROUP BY 1, 2'""".stripMargin)
+        val open = s.sql("EXECUTE IMMEDIATE s21_stmt USING 'O'")
+        val finished = s.sql(
+          """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_hi,
+            |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_hi
+            |FROM lineitem_s21
+            |WHERE l_quantity > s21_cut AND l_linestatus = :status GROUP BY 1, 2""".stripMargin,
+          Map("status" -> "F"))
+        open.unionByName(finished)
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      """WITH cut AS (
+        |  SELECT CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS c
+        |  FROM lineitem)
+        |SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_hi,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_hi
+        |FROM lineitem, cut
+        |WHERE l_quantity > cut.c AND l_linestatus IN ('O', 'F')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // ── S-beyond: SQL SCRIPTING (Spark 4's procedural SQL) — a
+    //    BEGIN…END block with local variables and a WHILE loop runs as
+    //    ONE spark.sql call and returns its final SELECT: the
+    //    stored-procedure-shaped migration path for warehouse jobs that
+    //    arrive as scripts, not DataFrame programs. The loop compounds
+    //    the threshold thrice; the oracle applies the same three
+    //    multiplications in the same left-to-right order, so the judged
+    //    filter sits on a bit-identical double in both engines. ──
+    ("s22_sql_scripting",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_s22")
+        s.sql(
+          """BEGIN
+            |  DECLARE cut DOUBLE;
+            |  DECLARE i INT DEFAULT 0;
+            |  SET cut = (SELECT CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+            |                    / count(*) FROM lineitem_s22);
+            |  WHILE i < 3 DO
+            |    SET cut = cut * 1.1D;
+            |    SET i = i + 1;
+            |  END WHILE;
+            |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_over,
+            |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_over
+            |  FROM lineitem_s22 WHERE l_quantity > cut
+            |  GROUP BY 1 ORDER BY 1;
+            |END""".stripMargin)
+          .orderBy($"l_returnflag")
+      },
+      """WITH cut AS (
+        |  SELECT ((CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*)
+        |           * CAST(1.1 AS DOUBLE)) * CAST(1.1 AS DOUBLE)) * CAST(1.1 AS DOUBLE) AS c
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_over,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_over
+        |FROM lineitem, cut WHERE l_quantity > cut.c
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ── S-beyond: MANAGED-TABLE lifecycle — the session-catalog side the
+    //    path-based queries never touch: CREATE TABLE USING parquet with
+    //    a Spark 4 DEFAULT column, INSERT INTO with a column LIST (the
+    //    default materializes for the omitted column), a literal INSERT
+    //    overriding it, and a permanent VIEW over the table as the
+    //    judged read path. The oracle reconstructs the same union from
+    //    the source parquet — the catalog round-trip (DDL → writes →
+    //    view resolution → scan) must be lossless for the hash to land.
+    //    Managed data lives in the session warehouse; DROP TABLE removes
+    //    it, so bench's second invocation recreates from clean. ──
+    ("s23_managed_table",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.sql("DROP VIEW IF EXISTS s23_active")
+        s.sql("DROP TABLE IF EXISTS s23_nation")
+        // a PREVIOUS JVM's in-memory catalog dies with its session but
+        // the managed location it wrote survives in the warehouse dir;
+        // DROP above can't see that table, so clear the stale location
+        // or CREATE (managed) refuses with LOCATION_ALREADY_EXISTS
+        val stale = new java.io.File(new java.net.URI(
+          s.conf.get("spark.sql.warehouse.dir")).getPath, "s23_nation")
+        if (stale.exists()) {
+          java.nio.file.Files.walk(stale.toPath)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.delete(p); () })
+        }
+        s.sql("""CREATE TABLE s23_nation (
+                |  n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT,
+                |  status STRING DEFAULT 'active') USING parquet""".stripMargin)
+        Tables(s, dir, "nation").createOrReplaceTempView("s23_src")
+        s.sql("""INSERT INTO s23_nation (n_nationkey, n_name, n_regionkey)
+                |SELECT n_nationkey, n_name, n_regionkey FROM s23_src""".stripMargin)
+        s.sql("""INSERT INTO s23_nation VALUES
+                |  (9001, 'GRAFTLANDIA', 4, 'pending'),
+                |  (9002, 'NEWHOLM', 2, DEFAULT)""".stripMargin)
+        s.sql("""CREATE OR REPLACE VIEW s23_active AS
+                |SELECT n_regionkey, status, n_nationkey, n_name
+                |FROM s23_nation""".stripMargin)
+        s.sql("""SELECT status, CAST(count(*) AS BIGINT) AS n,
+                |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+                |       min(n_name) AS first_name
+                |FROM s23_active GROUP BY 1 ORDER BY 1""".stripMargin)
+      },
+      """WITH t AS (
+        |  SELECT n_nationkey, n_name, 'active' AS status FROM nation
+        |  UNION ALL
+        |  SELECT 9001, 'GRAFTLANDIA', 'pending'
+        |  UNION ALL
+        |  SELECT 9002, 'NEWHOLM', 'active')
+        |SELECT status, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+        |       min(n_name) AS first_name
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ── S6/S4: hive-partitioned parquet sink → partition-pruned scan
     //    (ppl_days.py:23 writes partitionBy(date); cal_mobility_matrix.py:
     //    27-29 reads back WHERE date=... — pruning must reach the scan) ──
@@ -2329,6 +2465,46 @@ object Relational {
          |       CAST(coalesce(c.n, 0) AS BIGINT) AS n
          |FROM spine s LEFT JOIN counts c ON c.day = s.day
          |ORDER BY day""".stripMargin),
+
+    // ── F-beyond: COLLATIONS (Spark 4) — case-insensitive GROUP BY and equality
+    //    through the collation type system (UTF8_LCASE), not lower()
+    //    rewrites: the collation travels with the column, so every
+    //    downstream comparison inherits the semantics instead of each
+    //    call site remembering to normalize. The fixture's langs are
+    //    single-case, so a deterministic mixed-case derivation (even
+    //    doc_ids upper-cased) makes the case-fold BIND: the collated
+    //    group must merge what a binary group keeps apart. Output keys
+    //    pass through lower() because the collated group's
+    //    representative value is whichever variant the engine picked —
+    //    semantically arbitrary by design, normalized for judging. ──
+    ("f17_collation",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .select(
+            when(pmod($"doc_id", lit(2)) === 0, upper($"lang"))
+              .otherwise($"lang").as("lang_mixed"),
+            $"n_chars")
+          .createOrReplaceTempView("docs_f17")
+        s.sql(
+          """SELECT CAST(lower(lang_mixed COLLATE UTF8_LCASE) AS STRING) AS lang,
+            |       CAST(count(*) AS BIGINT) AS n_docs,
+            |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+            |       CAST(sum(CASE WHEN lang_mixed COLLATE UTF8_LCASE = 'en'
+            |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_en_ci
+            |FROM docs_f17
+            |GROUP BY lang_mixed COLLATE UTF8_LCASE
+            |ORDER BY 1""".stripMargin)
+      },
+      """WITH d AS (
+        |  SELECT CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END AS lang_mixed,
+        |         n_chars
+        |  FROM documents)
+        |SELECT lower(lang_mixed) AS lang,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(sum(CASE WHEN lower(lang_mixed) = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en_ci
+        |FROM d GROUP BY lower(lang_mixed) ORDER BY 1""".stripMargin),
 
     // ── a18: log₂-bucket histogram — the observability staple (latency/
     //    value histograms with exponentially-growing buckets, the HDR/

@@ -129,6 +129,31 @@ class Round13OpsSpec extends SparkSpec {
       "no user's top-5 sum exceeds the streamed half's — ListState seeding unobservable")
   }
 
+  test("observe: pipeline metrics ride the job as a plan node, no second scan") {
+    // Dataset.observe is the production data-quality hook: row counts and
+    // checksums accumulate INSIDE the job (a CollectMetrics node), not as
+    // a second pass over the input — sum(user_id) is an exact BIGINT so
+    // the assertion is bit-deterministic
+    val obs = new org.apache.spark.sql.Observation(
+      s"r13_obs_${System.nanoTime()}")
+    val ev = graft.engine.Tables.events(spark, dir)
+      .select(col("user_id").cast("long").as("user_id"), col("event_type"))
+    val observed = ev.observe(obs, count(lit(1)).as("rows"),
+      sum(col("user_id")).as("sum_uid"))
+    val grouped = observed.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n")).collect()
+    val m = obs.get
+    assert(m("rows") == grouped.map(_.getLong(1)).sum,
+      s"observed row count ${m("rows")} != job output total")
+    val direct = ev.agg(sum(col("user_id"))).collect()(0).getLong(0)
+    assert(m("sum_uid") == direct, "observed checksum != direct aggregate")
+    val p = ev.observe(s"r13_obs2_${System.nanoTime()}", count(lit(1)).as("rows"))
+      .groupBy(col("event_type")).count()
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(p.contains("CollectMetrics"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
   test("v32: probe rows never contain twin ids and recall is well-formed") {
     val out = SparkEntry.queries("v32_pipeline")(spark, dir).collect()
     assert(out.length == 30, s"expected 10 queries x 3 ranks, got ${out.length}")
