@@ -2506,6 +2506,43 @@ object Relational {
         |       CAST(sum(CASE WHEN lower(lang_mixed) = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en_ci
         |FROM d GROUP BY lower(lang_mixed) ORDER BY 1""".stripMargin),
 
+    // ── F-beyond: ANSI-mode error safety — Spark 4 runs ANSI by
+    //    default, so division by zero, bad casts and integer overflow
+    //    THROW mid-job instead of silently corrupting; the `try_*`
+    //    family is the per-expression opt-out that degrades each error
+    //    to NULL. The judged row drives all three error classes on
+    //    deterministic row subsets (user_id arithmetic picks which rows
+    //    fail) and counts the NULLs — the oracle reconstructs the same
+    //    case analysis, so the counts pin that errors become NULLs on
+    //    exactly the rows ANSI would have killed. `Round13OpsSpec` pins
+    //    the other half of the contract: the non-try forms really do
+    //    throw under ANSI. ──
+    ("f18_try_functions",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .select($"event_type", $"user_id", $"value")
+          .withColumn("d",
+            expr("try_divide(CAST(value AS DOUBLE), CAST(pmod(user_id, 3) AS DOUBLE))"))
+          .withColumn("c",
+            expr("try_cast(CASE WHEN pmod(user_id, 2) = 0 " +
+              "THEN CAST(user_id AS STRING) ELSE event_type END AS BIGINT)"))
+          .withColumn("o", expr("try_add(9223372036854775807L, user_id)"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when($"d".isNull, 1L).otherwise(0L)).as("n_div0"),
+            sum(when($"c".isNull, 1L).otherwise(0L)).as("n_badcast"),
+            sum($"c").as("cast_sum"),
+            sum(when($"o".isNull, 1L).otherwise(0L)).as("n_overflow"))
+          .orderBy($"event_type")
+      },
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_div0,
+        |       CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_badcast,
+        |       CAST(sum(CASE WHEN user_id % 2 = 0 THEN user_id END) AS BIGINT) AS cast_sum,
+        |       CAST(sum(CASE WHEN user_id > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ── a18: log₂-bucket histogram — the observability staple (latency/
     //    value histograms with exponentially-growing buckets, the HDR/
     //    Prometheus shape) computed EXACTLY: values go to money-style

@@ -129,6 +129,25 @@ class Round13OpsSpec extends SparkSpec {
       "no user's top-5 sum exceeds the streamed half's — ListState seeding unobservable")
   }
 
+  test("f18: under ANSI the non-try forms throw where try_* degrades to NULL") {
+    // the other half of f18's contract: ANSI is ON in this engine (the
+    // Spark 4 default), so the same expressions WITHOUT try_ must kill
+    // the job on the first failing row — if this starts passing ANSI
+    // was turned off somewhere and f18 is no longer testing anything
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    val ev = graft.engine.Tables.events(spark, dir).limit(100)
+    intercept[Exception] {
+      ev.selectExpr("CAST(event_type AS BIGINT)").collect()
+    }
+    intercept[Exception] {
+      ev.selectExpr("9223372036854775807L + user_id").where(col("user_id") > 0).collect()
+    }
+    // and the try_ forms run the SAME rows to completion
+    val ok = ev.selectExpr("try_cast(event_type AS BIGINT) AS c",
+      "try_add(9223372036854775807L, user_id) AS o").collect()
+    assert(ok.length == 100)
+  }
+
   test("observe: pipeline metrics ride the job as a plan node, no second scan") {
     // Dataset.observe is the production data-quality hook: row counts and
     // checksums accumulate INSIDE the job (a CollectMetrics node), not as
