@@ -600,6 +600,46 @@ object Relational {
         |       min(n_name) AS first_name
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ── S-beyond: a CUSTOM TableCatalog + the V2 writer verbs — the
+    //    ledger connector lifted into the catalog plane
+    //    (`graft.sources.GraftCatalog`: tables are ledger directories
+    //    under one root, loadTable returns the same LedgerTable the
+    //    path API uses, so pushdown/file-skipping/stats ride along).
+    //    The V2-native verbs the session catalog's v1 tables DECLINE
+    //    all run for real here: `writeTo(t).createOrReplace()` (the
+    //    atomic-intent replace; non-atomic drop+create for a
+    //    non-staging catalog, per contract) and `.append()` (the
+    //    incremental load — "Cannot write into v1 table" on the
+    //    session catalog). The judged read resolves the table through
+    //    IDENTIFIER(:t) — parameterized identifiers, the
+    //    injection-safe way a gateway templates table NAMES (binds
+    //    cannot carry identifiers). Both write waves must land for the
+    //    hash: n_created_wave counts the createOrReplace rows inside
+    //    totals only the append can complete. ──
+    ("s24_writer_v2",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_cat.root", scratchPath("s24_catroot"))
+        val docs = Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+        docs.where(pmod($"doc_id", lit(2)) === 0)
+          .writeTo("graft_cat.s24docs").createOrReplace()
+        docs.where(pmod($"doc_id", lit(2)) === 1)
+          .writeTo("graft_cat.s24docs").append()
+        s.sql(
+          """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+            |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+            |       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            |         AS n_created_wave
+            |FROM IDENTIFIER(:t) GROUP BY 1 ORDER BY 1""".stripMargin,
+          Map("t" -> "graft_cat.s24docs"))
+      },
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_created_wave
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ── S6/S4: hive-partitioned parquet sink → partition-pruned scan
     //    (ppl_days.py:23 writes partitionBy(date); cal_mobility_matrix.py:
     //    27-29 reads back WHERE date=... — pruning must reach the scan) ──

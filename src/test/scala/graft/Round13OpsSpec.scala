@@ -129,6 +129,23 @@ class Round13OpsSpec extends SparkSpec {
       "no user's top-5 sum exceeds the streamed half's — ListState seeding unobservable")
   }
 
+  test("_metadata file columns expose lineage without a custom source") {
+    // the hidden _metadata struct is the built-in provenance channel
+    // (which file produced each row) — free on every file source, no
+    // custom connector needed; row_index restarts per file so the
+    // per-file max+1 must reconstruct the table's row count exactly
+    val tmp = graft.queries.Portable.scratchPath("r13_meta")
+    graft.engine.Tables.events(spark, dir)
+      .repartition(3).write.mode("overwrite").parquet(tmp)
+    val m = spark.read.parquet(tmp)
+      .select(col("_metadata.file_path").as("fp"),
+        col("_metadata.row_index").as("ri"))
+    assert(m.select(countDistinct(col("fp"))).collect()(0).getLong(0) == 3)
+    val reconstructed = m.groupBy(col("fp")).agg(max(col("ri")).as("mx"))
+      .agg(sum(col("mx") + 1)).collect()(0).getLong(0)
+    assert(reconstructed == spark.read.parquet(tmp).count())
+  }
+
   test("f18: under ANSI the non-try forms throw where try_* degrades to NULL") {
     // the other half of f18's contract: ANSI is ON in this engine (the
     // Spark 4 default), so the same expressions WITHOUT try_ must kill
