@@ -1907,6 +1907,56 @@ object GeoQueries {
          |SELECT region, CAST(dist AS BIGINT) AS dist
          |FROM d6 ORDER BY region""".stripMargin),
 
+    // ── g41: RECURSIVE CTE (Spark 4's WITH RECURSIVE) — the DECLARATIVE
+    //    twin of g38's driver-side fixed point: BFS hop counts from the
+    //    min-id seed over the unweighted region transition graph, the
+    //    recursion living entirely inside ONE SQL statement instead of a
+    //    Scala loop stitching localCheckpoint rounds. The depth guard
+    //    (d < 3) bounds path enumeration at #regions³ rows — the region
+    //    graph is dictionary-bounded at ANY corpus size, so the
+    //    recursion's working set never scales with events — and the
+    //    min-per-region fold outside the recursion collapses duplicate
+    //    paths exactly as SQL-standard recursion requires (no aggregate
+    //    is legal inside the recursive member). Both engines run the
+    //    SAME recursive SQL, so the judged row pins Spark's recursion
+    //    semantics — seed row, join-per-level expansion, strict depth
+    //    cutoff — against DuckDB's mature implementation. ──
+    ("g41_recursive_reach",
+      (s: SparkSession, dir: String) => {
+        Trajectory.transitions(Trajectory.hourlyState(Tables.events(s, dir)))
+          .where(col("src") =!= "0" && col("dst") =!= "0" && col("src") =!= col("dst"))
+          .select(col("src"), col("dst")).distinct()
+          .createOrReplaceTempView("g41_edges")
+        s.sql(
+          """WITH RECURSIVE reach(region, d) AS (
+            |  SELECT region, CAST(0 AS BIGINT) AS d
+            |  FROM (SELECT min(src) AS region FROM g41_edges)
+            |  UNION ALL
+            |  SELECT e.dst, r.d + 1
+            |  FROM reach r JOIN g41_edges e ON e.src = r.region
+            |  WHERE r.d < 3)
+            |SELECT region, CAST(min(d) AS BIGINT) AS hops
+            |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)
+      },
+      s"""${Trajectory.trajSqlPrelude.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |seq AS (
+         |  SELECT user_id, hour, region,
+         |         lag(region) OVER (PARTITION BY user_id ORDER BY hour) AS src
+         |  FROM traj),
+         |redges AS MATERIALIZED (
+         |  SELECT DISTINCT src, region AS dst
+         |  FROM seq
+         |  WHERE src IS NOT NULL AND src <> '0' AND region <> '0' AND src <> region),
+         |reach(region, d) AS (
+         |  SELECT region, CAST(0 AS BIGINT) AS d
+         |  FROM (SELECT min(src) AS region FROM redges)
+         |  UNION ALL
+         |  SELECT e.dst, r.d + 1
+         |  FROM reach r JOIN redges e ON e.src = r.region
+         |  WHERE r.d < 3)
+         |SELECT region, CAST(min(d) AS BIGINT) AS hops
+         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ── g39: k-core decomposition of the region transition graph — the
     //    peeling pattern that complements g33 (BFS), g19 (PageRank),
     //    g20 (triangles) and g36 (LPA): iteratively delete nodes of

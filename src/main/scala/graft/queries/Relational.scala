@@ -2583,6 +2583,34 @@ object Relational {
         |       CAST(sum(CASE WHEN user_id > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ── F-beyond: SQL-DEFINED FUNCTIONS (Spark 4) — `CREATE FUNCTION
+    //    … RETURN expr`, the warehouse's shared-logic primitive: the
+    //    scoring rule lives ONCE as catalog-registered SQL (not copied
+    //    into every caller, not a JVM UDF that breaks codegen — the
+    //    body inlines into the plan like a macro). Pure integer
+    //    arithmetic so both engines agree bit-for-bit; the oracle
+    //    inlines the same body, which is exactly the semantics the
+    //    feature promises. ──
+    ("f19_sql_udf",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION f19_score(len BIGINT)
+                |RETURNS BIGINT RETURN (len * 3 + 1) % 97""".stripMargin)
+        Tables(s, dir, "documents")
+          .select($"lang", $"n_chars").createOrReplaceTempView("docs_f19")
+        s.sql(
+          """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+            |       CAST(sum(f19_score(n_chars)) AS BIGINT) AS score_sum,
+            |       CAST(sum(CASE WHEN f19_score(n_chars) < 10 THEN 1 ELSE 0 END)
+            |         AS BIGINT) AS n_low
+            |FROM docs_f19 GROUP BY 1 ORDER BY 1""".stripMargin)
+      },
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum((n_chars * 3 + 1) % 97) AS BIGINT) AS score_sum,
+        |       CAST(sum(CASE WHEN (n_chars * 3 + 1) % 97 < 10 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_low
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ── a18: log₂-bucket histogram — the observability staple (latency/
     //    value histograms with exponentially-growing buckets, the HDR/
     //    Prometheus shape) computed EXACTLY: values go to money-style
@@ -2627,6 +2655,28 @@ object Relational {
     //    discipline applied to monitoring. Two hash aggs + broadcasts of
     //    1-row bounds and a 2-row totals frame; category-bounded output
     //    at any corpus size. ──
+    // ── A-beyond: LISTAGG (SQL:2016, Spark 4) — ordered string
+    //    aggregation as the STANDARD spells it: `WITHIN GROUP (ORDER
+    //    BY …)` makes the concatenation order part of the aggregate's
+    //    definition instead of an upstream sort the planner may drop
+    //    (the a05 collect_list family needs array_sort for the same
+    //    guarantee). Deterministic by construction — the group's
+    //    members are distinct names and the order clause is total. ──
+    ("a20_listagg",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Tables(s, dir, "nation")
+          .groupBy($"n_regionkey")
+          .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)")
+            .as("members"),
+            count(lit(1)).as("n"))
+          .orderBy($"n_regionkey")
+      },
+      """SELECT n_regionkey,
+        |       string_agg(n_name, ',' ORDER BY n_name) AS members,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin),
+
     ("a19_drift_report",
       (s: SparkSession, dir: String) => {
         import s.implicits._

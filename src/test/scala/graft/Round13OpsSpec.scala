@@ -129,6 +129,25 @@ class Round13OpsSpec extends SparkSpec {
       "no user's top-5 sum exceeds the streamed half's — ListState seeding unobservable")
   }
 
+  test("g41: the recursive CTE reproduces a driver-side bounded BFS exactly") {
+    // the edge set is region-bounded, so a driver recompute is cheap and
+    // total: BFS from the min-id seed, depth <= 3, must equal the judged
+    // recursion row-for-row (this is the semantic pin; the catalog row
+    // pins Spark-vs-DuckDB on the same SQL)
+    val out = SparkEntry.queries("g41_recursive_reach")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val edges = spark.table("g41_edges").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    val seed = edges.map(_._1).min
+    var dist = Map(seed -> 0L)
+    for (d <- 0L until 3L)
+      for ((s0, d0) <- edges if dist.get(s0).contains(d))
+        if (!dist.contains(d0)) dist += d0 -> (d + 1)
+    assert(out == dist, s"recursion ${out.size} rows vs BFS ${dist.size}")
+    assert(out(seed) == 0L)
+    assert(out.values.max <= 3L)
+  }
+
   test("_metadata file columns expose lineage without a custom source") {
     // the hidden _metadata struct is the built-in provenance channel
     // (which file produced each row) — free on every file source, no
