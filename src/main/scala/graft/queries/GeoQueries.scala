@@ -1923,9 +1923,14 @@ object GeoQueries {
     //    cutoff — against DuckDB's mature implementation. ──
     ("g41_recursive_reach",
       (s: SparkSession, dir: String) => {
+        // The recursive member re-evaluates its inputs once per level, so
+        // the corpus-sized edge derivation MUST be persisted — the cached
+        // frame is what every level scans (InMemoryRelation), mirroring
+        // the oracle's own `redges AS MATERIALIZED` below.
         Trajectory.transitions(Trajectory.hourlyState(Tables.events(s, dir)))
           .where(col("src") =!= "0" && col("dst") =!= "0" && col("src") =!= col("dst"))
           .select(col("src"), col("dst")).distinct()
+          .persist()
           .createOrReplaceTempView("g41_edges")
         s.sql(
           """WITH RECURSIVE reach(region, d) AS (

@@ -818,4 +818,19 @@ class PlanQualitySpec extends SparkSpec {
     // window — no exchange sits between assignment and the state
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 2 * renders, p)
   }
+
+  test("g41: recursion scans the persisted edge frame, never re-derives it") {
+    val p = plan("g41_recursive_reach")
+    // the recursive member re-evaluates per level, so the corpus-sized
+    // edge derivation must live behind a cache: the anchor and the
+    // member each reference the SAME InMemoryRelation (the explain
+    // renders the cached plan once per consumer), and the only parquet
+    // scans in the whole plan are the ones INSIDE those cached renders —
+    // a parquet scan outside the cache would mean the recursion re-runs
+    // the events → trajectory → distinct pipeline depth+1 times
+    assert(p.contains("UnionLoopRef"), p)
+    val cached = "InMemoryRelation".r.findAllIn(p).size
+    assert(cached == 2, p)
+    assert("FileScan parquet".r.findAllIn(p).size == cached, p)
+  }
 }
