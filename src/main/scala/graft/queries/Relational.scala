@@ -565,12 +565,16 @@ object Relational {
         // the managed location it wrote survives in the warehouse dir;
         // DROP above can't see that table, so clear the stale location
         // or CREATE (managed) refuses with LOCATION_ALREADY_EXISTS
-        val stale = new java.io.File(new java.net.URI(
-          s.conf.get("spark.sql.warehouse.dir")).getPath, "s23_nation")
+        // resolve via Hadoop Path, which handles plain relative paths
+        // and unencoded characters that java.net.URI would choke on
+        val warehouse = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir")).toUri.getPath
+        val stale = new java.io.File(warehouse, "s23_nation")
         if (stale.exists()) {
-          java.nio.file.Files.walk(stale.toPath)
-            .sorted(java.util.Comparator.reverseOrder())
+          val walk = java.nio.file.Files.walk(stale.toPath)
+          try walk.sorted(java.util.Comparator.reverseOrder())
             .forEach(p => { java.nio.file.Files.delete(p); () })
+          finally walk.close()
         }
         s.sql("""CREATE TABLE s23_nation (
                 |  n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT,
@@ -639,6 +643,52 @@ object Relational {
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_created_wave
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ── S-beyond: row-level DELETE on the V2 catalog — the lakehouse
+    //    verb that completes the connector's story (read pushdown
+    //    s16/s20, writer verbs s24, delete here): `DELETE FROM` against
+    //    a `SupportsDelete` ledger table resolved through
+    //    `GraftCatalog`. The connector's two-tier delete mirrors
+    //    Delta/Iceberg's cost model: files whose 28-byte stats-header
+    //    range falls entirely inside the predicate are dropped by
+    //    METADATA alone (zero record decodes), boundary files are
+    //    rewritten with survivors and re-stamped stats, missed files
+    //    are never opened. With the range-partitioned layout the first
+    //    delete clips/covers interior files and the second drops the
+    //    tail wholesale at the larger SFs — the exact shape a
+    //    retention-window purge takes at 100 TB, where the metadata
+    //    path does ~all the work. Judged by aggregating the surviving
+    //    table against DuckDB over the original parquet with the same
+    //    predicates inverted — the deletes must remove EXACTLY the
+    //    predicate rows and the rewritten files must stay losslessly
+    //    decodable. `Round14OpsSpec` pins the metadata-only path (a
+    //    fully-covered file with truncated record bytes still deletes —
+    //    its records were never read) and the rewrite's re-stamped
+    //    stats. ──
+    ("s25_delete_where",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.conf.set("spark.sql.catalog.graft_del", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_del.root", scratchPath("s25_catroot"))
+        Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+          .repartitionByRange(8, $"doc_id")
+          .writeTo("graft_del.s25docs").createOrReplace()
+        s.sql("DELETE FROM graft_del.s25docs WHERE doc_id BETWEEN 100 AND 399")
+        s.sql("DELETE FROM graft_del.s25docs WHERE doc_id >= 4000")
+        s.table("graft_del.s25docs")
+          .groupBy($"lang")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum($"n_chars").cast("long").as("total_chars"),
+            min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+          .orderBy($"lang")
+      },
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents
+        |WHERE NOT (doc_id BETWEEN 100 AND 399) AND doc_id < 4000
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // ── S6/S4: hive-partitioned parquet sink → partition-pruned scan
     //    (ppl_days.py:23 writes partitionBy(date); cal_mobility_matrix.py:

@@ -2,8 +2,8 @@ package graft.sources
 
 import java.io.File
 
-import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException,
-  TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException,
+  NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, Table,
   TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -64,8 +64,17 @@ class GraftCatalog extends TableCatalog {
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val prefix = if (namespace.isEmpty) "" else namespace.mkString("", "__", "__")
-    Option(root.listFiles()).getOrElse(Array.empty[File])
-      .filter(d => d.isDirectory && d.getName.startsWith(prefix)
+    val dirs = Option(root.listFiles()).getOrElse(Array.empty[File])
+      .filter(_.isDirectory)
+    // the TableCatalog contract: an unknown namespace THROWS rather than
+    // listing as empty (`SHOW TABLES IN graft_cat.bogus` must error).
+    // A namespace "exists" here exactly when some directory carries its
+    // flattened prefix — namespaces have no standalone marker in the
+    // flat layout
+    if (namespace.nonEmpty && !dirs.exists(_.getName.startsWith(prefix)))
+      throw new NoSuchNamespaceException(namespace)
+    dirs
+      .filter(d => d.getName.startsWith(prefix)
         && !d.getName.stripPrefix(prefix).contains("__"))
       .map(d => Identifier.of(namespace, d.getName.stripPrefix(prefix)))
   }
@@ -109,9 +118,10 @@ class GraftCatalog extends TableCatalog {
     val d = tableDir(ident)
     if (!cleanSegments(ident) || !d.isDirectory) false
     else {
-      java.nio.file.Files.walk(d.toPath)
-        .sorted(java.util.Comparator.reverseOrder())
+      val walk = java.nio.file.Files.walk(d.toPath)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => { java.nio.file.Files.delete(p); () })
+      finally walk.close() // Files.walk holds a directory handle until closed
       true
     }
   }

@@ -7,14 +7,14 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{AlwaysTrue, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -131,6 +131,19 @@ object LedgerSource {
     * InMemoryFileIndex's parallel listing). Small listings stay serial:
     * pool setup would dominate. */
   private[sources] val ParallelStatsThreshold = 64
+
+  /** Shared header-read pool: snapshots are driver-side planning steps
+    * that can repeat per query, so the pool is allocated once (daemon
+    * threads — it must never block JVM exit) instead of built and torn
+    * down per snapshot. */
+  private lazy val statsPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(8,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-ledger-stats")
+        t.setDaemon(true)
+        t
+      })
+
   private[sources] def statsSnapshot(path: String): Array[(File, Long, Long, Long)] = {
     val files = ledgerFiles(path)
     def one(f: File): (File, Long, Long, Long) = {
@@ -138,21 +151,90 @@ object LedgerSource {
       (f, mn, mx, n)
     }
     if (files.length < ParallelStatsThreshold) files.map(one)
-    else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    else files
+      .map(f => statsPool.submit(
+        new java.util.concurrent.Callable[(File, Long, Long, Long)] {
+          override def call(): (File, Long, Long, Long) = one(f)
+        }))
+      .map(fut =>
+        // surface the same exception the serial path would throw, not
+        // the pool's ExecutionException wrapper around it
+        try fut.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        })
+  }
+
+  /** DELETE's rewrite path for a file the delete interval only clips:
+    * survivors stream byte-for-byte to a sibling temp file (same record
+    * encoding — a skipped `lang` is still copied verbatim, never
+    * decoded to UTF-8), min/max/count fold as rows pass exactly like
+    * the writer's, and the temp atomically replaces the original so a
+    * concurrent reader sees the old file or the new one, never a torn
+    * write. A file left with zero survivors is removed outright. */
+  private[sources] def rewriteExcluding(f: File, bounds: KeyBounds): Unit = {
+    val tmp = new File(f.getParentFile, f.getName + ".rewrite")
+    var minId = Long.MaxValue
+    var maxId = Long.MinValue
+    var nRows = 0L
+    val in = new DataInputStream(
+      new java.io.BufferedInputStream(new FileInputStream(f), 1 << 16))
+    try {
+      require(in.readInt() == Magic, s"${f.getName}: not a ledger file")
+      in.skipBytes(24)
+      val out = new DataOutputStream(
+        new java.io.BufferedOutputStream(new FileOutputStream(tmp), 1 << 16))
       try {
-        files.map(f => pool.submit(
-            new java.util.concurrent.Callable[(File, Long, Long, Long)] {
-              override def call(): (File, Long, Long, Long) = one(f)
-            }))
-          .map(_.get())
-      } finally pool.shutdown()
+        out.writeInt(Magic)
+        out.writeLong(0L); out.writeLong(0L); out.writeLong(0L)
+        var eof = false
+        while (!eof) {
+          val docId =
+            try in.readLong()
+            catch { case _: EOFException => eof = true; 0L }
+          if (!eof) {
+            val flags = in.readByte()
+            val langBytes: Array[Byte] =
+              if ((flags & 1) != 0) null
+              else {
+                val len = in.readInt()
+                val b = new Array[Byte](len); in.readFully(b); b
+              }
+            val nChars = in.readLong()
+            if (!bounds.contains(docId)) { // survivor
+              minId = math.min(minId, docId)
+              maxId = math.max(maxId, docId)
+              nRows += 1
+              out.writeLong(docId)
+              out.writeByte(flags)
+              if (langBytes != null) {
+                out.writeInt(langBytes.length); out.write(langBytes)
+              }
+              out.writeLong(nChars)
+            }
+          }
+        }
+      } finally out.close()
+    } finally in.close()
+    if (nRows == 0) {
+      require(tmp.delete() && f.delete(),
+        s"graft-ledger: cannot delete ${f.getPath}")
+    } else {
+      val raf = new java.io.RandomAccessFile(tmp, "rw")
+      try {
+        raf.seek(StatsOffset)
+        raf.writeLong(minId); raf.writeLong(maxId); raf.writeLong(nRows)
+      } finally raf.close()
+      java.nio.file.Files.move(tmp.toPath, f.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
   }
 }
 
 final class LedgerTable(path: String) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite with SupportsDelete {
   require(path != null, "graft-ledger requires a path")
   override def name(): String = s"graft-ledger:$path"
   override def schema(): StructType = LedgerSource.Schema
@@ -165,6 +247,64 @@ final class LedgerTable(path: String) extends Table
       Option(options.get("maxFilesPerTrigger")).map(_.toInt))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new LedgerWriteBuilder(path)
+
+  /** Row-level DELETE — the lakehouse verb (`DELETE FROM t WHERE …`) on
+    * the connector's own storage, with the two-tier cost model every
+    * production table format uses:
+    *
+    *   - a file whose stats-header key range falls ENTIRELY inside the
+    *     delete interval is dropped by metadata alone — a directory
+    *     unlink, zero record decodes (Delta/Iceberg's
+    *     delete-by-partition-predicate, here at file granularity);
+    *   - a file the interval only CLIPS is rewritten: survivors stream
+    *     through to a temp file that atomically replaces the original,
+    *     with min/max/count re-folded into its stats header so every
+    *     later scan's file-skip stays exact;
+    *   - a file the interval misses is never opened (the same 28-byte
+    *     header test the read path's file skip uses).
+    *
+    * At 100 TB the delete predicate is typically a key range aligned
+    * with the range-partitioned layout, so almost every affected file
+    * takes the metadata path and the rewrite cost is bounded by the two
+    * boundary files. `canDeleteWhere` accepts only conjunctions this
+    * interval model represents EXACTLY — anything else must be declined
+    * (Spark then errors rather than silently deleting the wrong rows;
+    * the conservative belt-and-braces of the read path inverts here,
+    * because a delete executes its predicate for real).
+    * `SupportsDeleteV2`'s default `truncateTable()` routes TRUNCATE
+    * through the same path as an always-true interval. */
+  private def deletableBounds(filters: Array[Filter]): Option[KeyBounds] = {
+    val exact = filters.forall {
+      case EqualTo("doc_id", _: java.lang.Long) => true
+      case GreaterThan("doc_id", _: java.lang.Long) => true
+      case GreaterThanOrEqual("doc_id", _: java.lang.Long) => true
+      case LessThan("doc_id", _: java.lang.Long) => true
+      case LessThanOrEqual("doc_id", _: java.lang.Long) => true
+      case IsNotNull("doc_id") => true // key is non-nullable: always true
+      case _: AlwaysTrue => true
+      case _ => false
+    }
+    if (exact) Some(KeyBounds(filters)) else None
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    deletableBounds(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val bounds = deletableBounds(filters).getOrElse(
+      throw new UnsupportedOperationException(
+        s"graft-ledger can only delete by doc_id intervals; got " +
+          s"[${filters.mkString(", ")}]"))
+    LedgerSource.requireDir(path)
+    LedgerSource.statsSnapshot(path).foreach { case (f, minId, maxId, nRows) =>
+      if (nRows > 0 && bounds.overlaps(minId, maxId)) {
+        if (bounds.contains(minId) && bounds.contains(maxId)) {
+          // whole file inside the interval: metadata-only drop
+          require(f.delete(), s"graft-ledger: cannot delete ${f.getPath}")
+        } else LedgerSource.rewriteExcluding(f, bounds)
+      }
+    }
+  }
 }
 
 // ───────────────────────────── read path ─────────────────────────────

@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+
+import graft.sources.{LedgerSource, LedgerTable}
+
+/** Round-14 pins: the connector's row-level DELETE (judged end-to-end
+  * by `s25_delete_where`) — the metadata-only file drop, the boundary
+  * rewrite's re-stamped stats, the decline of non-interval predicates —
+  * plus the catalog-SQL TRUNCATE route and the namespace-listing
+  * contract. */
+class Round14OpsSpec extends SparkSpec {
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"r14_$tag").toString
+
+  /** 4 range files over doc_id 0..399 (one per 100-wide interval). */
+  private def rangeLayout(dir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    spark.range(0, 400).select($"id".as("doc_id"),
+        concat(lit("l"), ($"id" % 7).cast("string")).as("lang"),
+        ($"id" * 3).as("n_chars"))
+      .repartitionByRange(4, $"doc_id")
+      .write.format("graft-ledger").mode("overwrite").save(dir)
+    assert(LedgerSource.ledgerFiles(dir).length == 4)
+  }
+
+  test("delete: a fully-covered file is dropped by metadata alone — records never read") {
+    val dir = tmpDir("meta")
+    rangeLayout(dir)
+    // truncate the [100,199] file to its 28-byte stats header: any code
+    // path that decodes its records MUST now fail, so a successful
+    // delete of exactly that interval proves the metadata-only path
+    val victim = LedgerSource.ledgerFiles(dir)
+      .find(f => LedgerSource.readStats(f)._1 == 100L).get
+    val raf = new java.io.RandomAccessFile(victim, "rw")
+    try raf.setLength(28L) finally raf.close()
+    new LedgerTable(dir).deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      GreaterThanOrEqual("doc_id", java.lang.Long.valueOf(100L)),
+      LessThanOrEqual("doc_id", java.lang.Long.valueOf(199L))))
+    val left = LedgerSource.ledgerFiles(dir)
+    assert(left.length == 3, "fully-covered file should be unlinked")
+    assert(!left.exists(_.getName == victim.getName))
+    // the three untouched files decode in full — delete never opened them
+    assert(spark.read.format("graft-ledger").load(dir).count() == 300L)
+  }
+
+  test("delete: a clipped file is rewritten with survivors and re-stamped stats") {
+    val dir = tmpDir("rewrite")
+    rangeLayout(dir)
+    // [150, 249] clips two files: each keeps 50 survivors
+    new LedgerTable(dir).deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      GreaterThanOrEqual("doc_id", java.lang.Long.valueOf(150L)),
+      LessThanOrEqual("doc_id", java.lang.Long.valueOf(249L))))
+    val stats = LedgerSource.ledgerFiles(dir).map(LedgerSource.readStats).toSet
+    assert(stats == Set((0L, 99L, 100L), (100L, 149L, 50L),
+      (250L, 299L, 50L), (300L, 399L, 100L)),
+      s"stats headers after rewrite: $stats")
+    val back = spark.read.format("graft-ledger").load(dir)
+    assert(back.count() == 300L)
+    // the rewritten files stay losslessly decodable, nulls and all
+    assert(back.where(col("doc_id").between(150L, 249L)).count() == 0L)
+    assert(back.agg(sum(col("n_chars"))).head.getLong(0) ==
+      (0L until 400L).filterNot(i => i >= 150 && i <= 249).map(_ * 3).sum)
+  }
+
+  test("delete declines predicates the interval model cannot represent exactly") {
+    val dir = tmpDir("decline")
+    rangeLayout(dir)
+    val t = new LedgerTable(dir)
+    assert(!t.canDeleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("lang", "l1"))))
+    intercept[UnsupportedOperationException] {
+      t.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.EqualTo("lang", "l1")))
+    }
+    // and through SQL: Spark must surface an error, not delete wrongly
+    val cat = "r14_decline_cat"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", tmpDir("decline_root"))
+    spark.range(0, 10).select(col("id").as("doc_id"),
+        lit("en").as("lang"), col("id").as("n_chars"))
+      .writeTo(s"$cat.t").createOrReplace()
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.t WHERE lang = 'en'")
+    }
+    assert(spark.table(s"$cat.t").count() == 10L, "declined delete must not remove rows")
+  }
+
+  test("TRUNCATE TABLE routes through deleteWhere(always-true): table empties, survives") {
+    val cat = "r14_trunc_cat"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", tmpDir("trunc_root"))
+    spark.range(0, 50).select(col("id").as("doc_id"),
+        lit("en").as("lang"), col("id").as("n_chars"))
+      .writeTo(s"$cat.t").createOrReplace()
+    spark.sql(s"TRUNCATE TABLE $cat.t")
+    assert(spark.table(s"$cat.t").count() == 0L)
+    // still a table: a new append lands in the (now empty) directory
+    spark.range(0, 5).select(col("id").as("doc_id"),
+        lit("fr").as("lang"), col("id").as("n_chars"))
+      .writeTo(s"$cat.t").append()
+    assert(spark.table(s"$cat.t").count() == 5L)
+  }
+
+  test("SHOW TABLES in an unknown namespace errors instead of listing empty") {
+    val cat = "r14_ns_cat"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", tmpDir("ns_root"))
+    spark.range(0, 3).select(col("id").as("doc_id"),
+        lit("en").as("lang"), col("id").as("n_chars"))
+      .writeTo(s"$cat.ns1.t").createOrReplace()
+    assert(spark.sql(s"SHOW TABLES IN $cat.ns1").count() == 1L)
+    intercept[Exception] { spark.sql(s"SHOW TABLES IN $cat.bogus").collect() }
+  }
+}
