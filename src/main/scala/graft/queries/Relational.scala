@@ -690,6 +690,43 @@ object Relational {
         |WHERE NOT (doc_id BETWEEN 100 AND 399) AND doc_id < 4000
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ── S-beyond: `_metadata` row lineage — the hidden file-provenance
+    //    struct every debugging/auditing pipeline leans on (which FILE
+    //    did this row come from, at which position), judged rather than
+    //    spec-only: an 8-way fragmented copy of the fact keys is read
+    //    back with `_metadata.file_name` / `_metadata.row_index`, and
+    //    the 1-row summary proves the lineage columns are mutually
+    //    consistent — per file, max(row_index)+1 must equal that file's
+    //    row count (row_index is 0-based and gapless within a file), so
+    //    their sums must both equal the corpus count the oracle computes
+    //    without any metadata at all. The fragmentation constant (8) is
+    //    part of the query's definition, mirrored literally in the
+    //    oracle. Lineage is scan-local — no shuffle beyond the
+    //    #files-bounded per-file agg. ──
+    ("s26_row_lineage",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val frag = scratchPath("s26_lineage")
+        Tables.events(s, dir).select($"event_id")
+          .repartition(8)
+          .write.mode("overwrite").parquet(frag)
+        s.read.parquet(frag)
+          .select(col("_metadata.file_name").as("fname"),
+            col("_metadata.row_index").as("ridx"))
+          .groupBy($"fname")
+          .agg(count(lit(1)).as("n"), (max($"ridx") + 1L).as("maxp1"))
+          .agg(count(lit(1)).cast("long").as("n_files"),
+            sum($"n").cast("long").as("total_rows"),
+            sum($"maxp1").cast("long").as("sum_max_index_p1"),
+            sum(when($"n" === $"maxp1", 1L).otherwise(0L)).cast("long")
+              .as("n_files_consistent"))
+      },
+      """SELECT CAST(8 AS BIGINT) AS n_files,
+        |       CAST(count(*) AS BIGINT) AS total_rows,
+        |       CAST(count(*) AS BIGINT) AS sum_max_index_p1,
+        |       CAST(8 AS BIGINT) AS n_files_consistent
+        |FROM events""".stripMargin),
+
     // ── S6/S4: hive-partitioned parquet sink → partition-pruned scan
     //    (ppl_days.py:23 writes partitionBy(date); cal_mobility_matrix.py:
     //    27-29 reads back WHERE date=... — pruning must reach the scan) ──
@@ -2660,6 +2697,48 @@ object Relational {
         |       CAST(sum(CASE WHEN (n_chars * 3 + 1) % 97 < 10 THEN 1 ELSE 0 END)
         |         AS BIGINT) AS n_low
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ── F-beyond: SQL TABLE functions (Spark 4) — the table-valued half
+    //    of f19's CREATE FUNCTION surface: `RETURNS TABLE … RETURN
+    //    SELECT …` invoked in a FROM clause, here in its most useful
+    //    form — a CORRELATED `LATERAL` call whose argument comes from
+    //    the driving row (the per-group parameterized-subquery shape SQL
+    //    macros exist for). The body is a per-language top-k (total
+    //    order: n_chars DESC, doc_id breaks ties), and the analyzer
+    //    INLINES it per invocation — the plan is the decorrelated
+    //    rank-window, not a per-row re-scan, so the macro costs the same
+    //    as writing the window by hand (which is exactly what the
+    //    oracle does). ──
+    ("f20_sql_tvf",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+          .createOrReplaceTempView("docs_f20")
+        s.sql(
+          """CREATE OR REPLACE TEMPORARY FUNCTION f20_top_docs(
+            |  the_lang STRING, top_k INT)
+            |RETURNS TABLE (doc_id BIGINT, n_chars BIGINT)
+            |RETURN SELECT doc_id, n_chars FROM (
+            |         SELECT doc_id, n_chars,
+            |                row_number() OVER (ORDER BY n_chars DESC, doc_id)
+            |                  AS rn
+            |         FROM docs_f20 WHERE lang = the_lang)
+            |       WHERE rn <= top_k""".stripMargin)
+        s.sql(
+          """SELECT l.lang, t.doc_id, CAST(t.n_chars AS BIGINT) AS n_chars
+            |FROM (SELECT DISTINCT lang FROM docs_f20) l,
+            |     LATERAL f20_top_docs(l.lang, 3) t
+            |ORDER BY l.lang, t.doc_id""".stripMargin)
+      },
+      """WITH ranked AS (
+        |  SELECT lang, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY lang, doc_id""".stripMargin),
 
     // ── a18: log₂-bucket histogram — the observability staple (latency/
     //    value histograms with exponentially-growing buckets, the HDR/

@@ -819,6 +819,17 @@ class PlanQualitySpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 2 * renders, p)
   }
 
+  test("f20: correlated lateral TVF decorrelates to one rank window, no cartesian") {
+    val p = plan("f20_sql_tvf")
+    // the SQL table function inlines and the lateral correlation
+    // decorrelates: one partitioned rank window over the corpus joined
+    // (broadcast) with the distinct driving keys — NOT a per-driving-row
+    // re-invocation of the body
+    assert("Window".r.findAllIn(p).size == 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("g41: recursion scans the persisted edge frame, never re-derives it") {
     val p = plan("g41_recursive_reach")
     // the recursive member re-evaluates per level, so the corpus-sized
