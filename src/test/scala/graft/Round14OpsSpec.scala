@@ -107,6 +107,52 @@ class Round14OpsSpec extends SparkSpec {
     assert(spark.table(s"$cat.t").count() == 5L)
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (OptimizeSkewedJoin)") {
+    // j06 judges the MANUAL salting form; this pins the AUTOMATIC
+    // counterpart the 100 TB posture actually relies on — AQE detecting
+    // a hot key's oversized shuffle partition at runtime and splitting
+    // it across tasks. Thresholds are lowered so the skew is visible at
+    // test scale; the observable is the AQEShuffleRead(skewed) node in
+    // the final adaptive plan, which only appears when
+    // OptimizeSkewedJoin actually rewrote the join.
+    val s = spark
+    import s.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    // conf.get returns null (not an exception) for unset keys with a
+    // null default — flatten both shapes to None so restore unsets them
+    val saved = confs.map { case (k, _) =>
+      k -> util.Try(Option(s.conf.get(k))).toOption.flatten }
+    try {
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      // one hot key carries ~99% of the left side's bytes; the right
+      // side is uniform, so only the left partition is skew-split
+      val left = s.range(0, 60000)
+        .select(when($"id" % 100 =!= 0, lit(0L)).otherwise($"id" % 37).as("k"),
+          concat(lit("payload_"), $"id").as("pay"))
+      val right = s.range(0, 37).select($"id".as("k"), ($"id" * 2).as("v"))
+      val joined = left.join(right, "k")
+      // execute THIS dataframe's plan (count() would build a separate
+      // execution whose adaptive plan finalizes independently)
+      assert(joined.collect().length == 60000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("SortMergeJoin"), finalPlan.take(2000))
+      assert("AQEShuffleRead.*skewed".r.findFirstIn(finalPlan).isDefined ||
+        finalPlan.contains("isSkew=true") || finalPlan.contains("skewed"),
+        s"OptimizeSkewedJoin left no skew marker:\n${finalPlan.take(4000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   test("SHOW TABLES in an unknown namespace errors instead of listing empty") {
     val cat = "r14_ns_cat"
     spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
