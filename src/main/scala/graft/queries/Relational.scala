@@ -690,6 +690,145 @@ object Relational {
         |WHERE NOT (doc_id BETWEEN 100 AND 399) AND doc_id < 4000
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ── S-beyond: group-based UPDATE on the V2 catalog — the copy-on-
+    //    write verb (`SupportsRowLevelOperations`, REPLACE_DATA): Spark
+    //    rewrites `UPDATE graft_cat.t SET … WHERE …` into a plan that
+    //    scans the GROUPS (ledger files) holding candidate rows through
+    //    the operation's own scan — pushed/runtime filters prune whole
+    //    files, never rows, so retained rows reach the Spark-side CASE
+    //    WHEN — recomputes every surviving row, writes them as fresh
+    //    files, and commits by swapping exactly the scanned files. The
+    //    judged query runs BOTH pruning shapes: a non-key predicate
+    //    (lang = 'fr', group-filtered at runtime via the scan's
+    //    `SupportsRuntimeFiltering`) and a key-range predicate
+    //    (statically file-skipped); files outside either predicate are
+    //    never rewritten (`Round14OpsSpec` pins byte-identical
+    //    survivors). ──
+    ("s27_update_where",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.conf.set("spark.sql.catalog.graft_upd", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_upd.root", scratchPath("s27_catroot"))
+        Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+          .repartitionByRange(8, $"doc_id")
+          .writeTo("graft_upd.s27docs").createOrReplace()
+        s.sql("UPDATE graft_upd.s27docs SET n_chars = n_chars * 2 + 7 " +
+          "WHERE lang = 'fr'")
+        s.sql("UPDATE graft_upd.s27docs SET lang = 'redacted' " +
+          "WHERE doc_id BETWEEN 40 AND 59")
+        s.sql(
+          """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+            |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+            |       min(doc_id) AS min_id, max(doc_id) AS max_id
+            |FROM graft_upd.s27docs GROUP BY 1 ORDER BY 1""".stripMargin)
+      },
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id BETWEEN 40 AND 59 THEN 'redacted'
+        |              ELSE lang END AS lang,
+        |         CASE WHEN lang = 'fr' THEN n_chars * 2 + 7
+        |              ELSE n_chars END AS n_chars
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ── S-beyond: MERGE INTO on the V2 catalog — the full three-verb
+    //    upsert (SQL:2003 + Spark's NOT MATCHED BY SOURCE extension)
+    //    through the same copy-on-write machinery as s27: matched rows
+    //    update, source-only rows insert, target-only rows delete — the
+    //    CDC-apply / dimension-refresh shape (u03/u04 judge it
+    //    relationally; here the ENGINE verb runs against the
+    //    connector's own storage). The ON condition is join-shaped, so
+    //    static pushdown cannot prune — group pruning is carried
+    //    entirely by the runtime key-set filter the scan receives after
+    //    the source side materializes. The source is a deterministic
+    //    transform of the corpus (every 3rd doc re-scored, plus a
+    //    shifted tail of new ids), so the oracle reconstructs the merge
+    //    with a FULL OUTER JOIN. ──
+    ("s28_merge_into",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.conf.set("spark.sql.catalog.graft_mrg", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_mrg.root", scratchPath("s28_catroot"))
+        val docs = Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+        docs.repartitionByRange(8, $"doc_id")
+          .writeTo("graft_mrg.s28docs").createOrReplace()
+        docs.where(pmod($"doc_id", lit(3)) === 0)
+          .select($"doc_id", lit("rescored").as("lang"),
+            ($"n_chars" + 50000L).as("n_chars"))
+          .unionByName(docs
+            .select(($"doc_id" + 1000000L).as("doc_id"),
+              lit("synthetic").as("lang"), ($"doc_id" % 997L).as("n_chars"))
+            .where(pmod($"doc_id" + 1000000L, lit(5)) === 0))
+          .createOrReplaceTempView("s28_src")
+        s.sql(
+          """MERGE INTO graft_mrg.s28docs t USING s28_src s
+            |ON t.doc_id = s.doc_id
+            |WHEN MATCHED THEN UPDATE SET lang = s.lang, n_chars = s.n_chars
+            |WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars)
+            |  VALUES (s.doc_id, s.lang, s.n_chars)
+            |WHEN NOT MATCHED BY SOURCE AND t.lang = 'de' THEN DELETE""".stripMargin)
+        s.table("graft_mrg.s28docs")
+          .groupBy($"lang")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum($"n_chars").cast("long").as("total_chars"),
+            min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+          .orderBy($"lang")
+      },
+      """WITH src AS (
+        |  SELECT doc_id, 'rescored' AS lang, n_chars + 50000 AS n_chars
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'synthetic', doc_id % 997
+        |  FROM documents WHERE (doc_id + 1000000) % 5 = 0),
+        |merged AS (
+        |  SELECT COALESCE(s.doc_id, t.doc_id) AS doc_id,
+        |         CASE WHEN s.doc_id IS NOT NULL THEN s.lang ELSE t.lang END AS lang,
+        |         CASE WHEN s.doc_id IS NOT NULL THEN s.n_chars ELSE t.n_chars END AS n_chars,
+        |         (s.doc_id IS NULL AND t.lang = 'de') AS dropped
+        |  FROM documents t FULL OUTER JOIN src s ON t.doc_id = s.doc_id)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM merged WHERE NOT dropped
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ── S-beyond: the connector's `_file` METADATA column
+    //    (`SupportsMetadataColumns`) — file provenance on the CUSTOM
+    //    format, the s26 parquet-`_metadata` idea carried into the V2
+    //    connector: hidden from `SELECT *`, surfaced when named, and
+    //    partition-constant (the reader materializes it from the
+    //    partition path — zero bytes decoded for it). Judged on a fresh
+    //    8-way range layout, where distinct `_file` must equal the
+    //    file-per-range-partition count (dense uniform keys make all 8
+    //    non-empty at every SF) while the data columns still aggregate
+    //    losslessly beside it. Also the row-level rewrites' required
+    //    metadata attribute — s27/s28 exercise it through the
+    //    (metadata, data) write path. ──
+    ("s29_file_metadata",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.conf.set("spark.sql.catalog.graft_fm", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_fm.root", scratchPath("s29_catroot"))
+        Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+          .repartitionByRange(8, $"doc_id")
+          .writeTo("graft_fm.s29docs").createOrReplace()
+        s.sql(
+          """SELECT CAST(count(DISTINCT _file) AS BIGINT) AS n_files,
+            |       CAST(count(*) AS BIGINT) AS n_rows,
+            |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+            |FROM graft_fm.s29docs""".stripMargin)
+      },
+      """SELECT CAST(8 AS BIGINT) AS n_files,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents""".stripMargin),
+
     // ── S-beyond: `_metadata` row lineage — the hidden file-provenance
     //    struct every debugging/auditing pipeline leans on (which FILE
     //    did this row come from, at which position), judged rather than

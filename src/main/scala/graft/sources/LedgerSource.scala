@@ -7,15 +7,15 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
 import org.apache.spark.sql.sources.{AlwaysTrue, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -91,6 +91,8 @@ object LedgerSource {
     StructField("n_chars", LongType, nullable = true)))
   private[sources] val Magic = 0x474C4631 // "GLF1"
   private[sources] val StatsOffset = 4L
+  /** Name of the `_file` metadata column (SupportsMetadataColumns). */
+  private[graft] val FileColumn = "_file"
 
   private[graft] def ledgerFiles(dir: String): Array[File] = {
     val d = new File(dir)
@@ -234,7 +236,23 @@ object LedgerSource {
 }
 
 final class LedgerTable(path: String) extends Table
-    with SupportsRead with SupportsWrite with SupportsDelete {
+    with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
+
+  /** `_file` — the file-provenance METADATA column (the parquet
+    * source's `_metadata.file_name` idea on the custom format): hidden
+    * from `SELECT *`, surfaced when named, and partition-constant so
+    * the reader materializes it from the partition path without
+    * touching record bytes. Doubles as the row-level operations'
+    * required metadata attribute (see
+    * [[LedgerRowLevelOperation.requiredMetadataAttributes]]). */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = LedgerSource.FileColumn
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "ledger file this row was read from"
+    })
   require(path != null, "graft-ledger requires a path")
   override def name(): String = s"graft-ledger:$path"
   override def schema(): StructType = LedgerSource.Schema
@@ -290,6 +308,30 @@ final class LedgerTable(path: String) extends Table
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     deletableBounds(filters).isDefined
 
+  /** Group-based (copy-on-write) UPDATE / MERGE / fallback DELETE — the
+    * other half of the row-level surface: Spark's rewrite rules turn
+    * the command into a [[org.apache.spark.sql.catalyst.plans.logical.ReplaceData]]
+    * plan that (1) scans the GROUPS (files) that may hold matching rows
+    * through the operation's own scan, (2) computes every surviving row
+    * of those groups — updated, merged, or retained — Spark-side, and
+    * (3) writes them back through the operation's write, whose commit
+    * atomically-per-file swaps exactly the scanned files for the new
+    * ones. The contract that makes this correct: the operation scan
+    * uses pushed/runtime filters ONLY to prune whole files and never
+    * drops rows inside a surviving file (a row the CASE WHEN needs to
+    * retain must reach it), which is the one semantic difference from
+    * the read path's scan. DELETE keeps its two routes: the metadata
+    * interval path above when `canDeleteWhere` holds, this rewrite for
+    * every predicate it declines. MERGE's non-static ON condition
+    * prunes via `SupportsRuntimeFiltering` — the source's matched keys
+    * arrive as a runtime In-set and files outside it never rewrite. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new LedgerRowLevelOperation(path, info.command())
+    }
+
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val bounds = deletableBounds(filters).getOrElse(
       throw new UnsupportedOperationException(
@@ -310,7 +352,8 @@ final class LedgerTable(path: String) extends Table
 // ───────────────────────────── read path ─────────────────────────────
 
 final class LedgerScanBuilder(path: String,
-                              maxFilesPerTrigger: Option[Int] = None)
+                              maxFilesPerTrigger: Option[Int] = None,
+                              group: Option[LedgerRowLevelOperation] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -363,15 +406,15 @@ final class LedgerScanBuilder(path: String,
   }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    statsAnswerable(agg)
+    group.isEmpty && statsAnswerable(agg)
   override def pushAggregation(agg: Aggregation): Boolean = {
-    if (!statsAnswerable(agg)) false
+    if (group.nonEmpty || !statsAnswerable(agg)) false
     else { pushedAgg = Some(agg); true }
   }
 
   override def build(): Scan = pushedAgg match {
     case Some(agg) => new LedgerAggScan(path, agg)
-    case None => new LedgerScan(path, required, pushed, maxFilesPerTrigger)
+    case None => new LedgerScan(path, required, pushed, maxFilesPerTrigger, group)
   }
 }
 
@@ -478,14 +521,16 @@ private[sources] object KeyBounds {
 
 final class LedgerScan(path: String, required: StructType,
                        pushed: Array[Filter],
-                       maxFilesPerTrigger: Option[Int] = None)
+                       maxFilesPerTrigger: Option[Int] = None,
+                       group: Option[LedgerRowLevelOperation] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-ledger $path, ReadSchema: ${required.simpleString}, " +
-      s"PushedFilters: [${pushed.mkString(", ")}]"
+      s"PushedFilters: [${pushed.mkString(", ")}]" +
+      (if (group.isDefined) ", GroupScan: true" else "")
 
   /** Runtime (join-driven) filtering — the dynamic-partition-pruning
     * contract for DSv2 sources: after the build side of a join
@@ -532,7 +577,7 @@ final class LedgerScan(path: String, required: StructType,
     LedgerSource.requireDir(path)
     val bounds = KeyBounds(pushed ++ runtime)
     val inSets = runtimeInSets
-    fileStats.flatMap { case (f, minId, maxId, nRows) =>
+    val planned = fileStats.flatMap { case (f, minId, maxId, nRows) =>
       // stats-header file skip: a file whose key range misses the
       // pushed/runtime interval — or misses any runtime join-key set —
       // never becomes a partition
@@ -545,12 +590,22 @@ final class LedgerScan(path: String, required: StructType,
       }
       if (nRows > 0 && bounds.overlaps(minId, maxId) &&
           inSets.forall(anyKeyInRange))
-        Some(LedgerPartition(f.getAbsolutePath): InputPartition)
+        Some(f)
       else None
     }
+    // group mode: the surviving files ARE the groups this row-level
+    // operation will replace — record them for the write's commit.
+    // Re-planning (e.g. after a runtime filter lands) overwrites the
+    // record, so commit always swaps exactly what execution read.
+    group.foreach(_.scannedFiles = planned.map(_.getName))
+    planned.map(f => LedgerPartition(f.getAbsolutePath): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new LedgerReaderFactory(required, pushed)
+    // group mode must return EVERY row of a surviving file: the pushed
+    // filters prune files above but never rows (a retained row must
+    // reach the Spark-side CASE WHEN), so readers get no row filter
+    new LedgerReaderFactory(required,
+      if (group.isDefined) Array.empty else pushed)
 
   /** Planning statistics from the same stats headers the file skip
     * reads — what lets Catalyst AUTO-broadcast a small ledger table
@@ -755,6 +810,11 @@ final class LedgerReader(file: String, required: StructType,
   private val docOrd = required.fieldNames.indexOf("doc_id")
   private val langOrd = required.fieldNames.indexOf("lang")
   private val charsOrd = required.fieldNames.indexOf("n_chars")
+  // the `_file` METADATA column (SupportsMetadataColumns): constant per
+  // partition, so it is decoded from the partition path, never the bytes
+  private val fileOrd = required.fieldNames.indexOf(LedgerSource.FileColumn)
+  private val fileNameValue: UTF8String =
+    if (fileOrd < 0) null else UTF8String.fromString(new File(file).getName)
   private var current: InternalRow = _
 
   override def next(): Boolean = {
@@ -781,6 +841,7 @@ final class LedgerReader(file: String, required: StructType,
           if ((flags & 2) != 0) row.setNullAt(charsOrd)
           else row.setLong(charsOrd, nChars)
         }
+        if (fileOrd >= 0) row.update(fileOrd, fileNameValue)
         current = row
         return true
       }
@@ -789,6 +850,72 @@ final class LedgerReader(file: String, required: StructType,
   }
   override def get(): InternalRow = current
   override def close(): Unit = in.close()
+}
+
+// ─────────────────────── row-level operation path ───────────────────────
+
+/** One UPDATE / MERGE / rewrite-DELETE execution: the scan side prunes
+  * and RECORDS the affected files (the "groups"), the write side lands
+  * the recomputed survivors as fresh files, and commit swaps the two
+  * sets. Scan and write share this instance (both live on the driver),
+  * which is the whole coordination mechanism — the same design as a
+  * format's copy-on-write snapshot commit, minus the catalog atomicity
+  * a directory listing cannot provide (documented like the catalog's
+  * non-atomic replace). */
+final class LedgerRowLevelOperation(path: String,
+                                    cmd: RowLevelOperation.Command)
+    extends RowLevelOperation {
+  /** File NAMES the operation's scan last planned — written by
+    * `LedgerScan.planInputPartitions` (driver-side), read by commit. */
+  @volatile private[sources] var scannedFiles: Array[String] = Array.empty
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"graft-ledger $cmd $path"
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LedgerScanBuilder(path, None, Some(this))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new LedgerReplaceDataWrite(path, LedgerRowLevelOperation.this)
+      }
+    }
+
+  /** The `_file` metadata column must flow through the rewrite: with NO
+    * metadata attributes, Spark's ReplaceDataExec takes the projection-
+    * less writing task and the writer would receive the plan's RAW rows
+    * — hidden `__row_operation` column included (the upstream test
+    * connector always declares metadata attributes, so that layout is
+    * what the engine actually exercises). Requiring `_file` keeps the
+    * projected two-row (metadata, data) write path, and costs nothing:
+    * the value is partition-constant. */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(LedgerSource.FileColumn))
+}
+
+/** The ReplaceData commit: task writers have already landed the
+  * recomputed rows as fresh UUID-named files (never colliding with the
+  * old ones), so commit only unlinks the scanned groups; abort deletes
+  * the fresh files and leaves the originals untouched. */
+final class LedgerReplaceDataWrite(path: String, op: LedgerRowLevelOperation)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new LedgerWriterFactory(path)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new File(path)
+    op.scannedFiles.foreach { name =>
+      val f = new File(dir, name)
+      if (f.exists() && !f.delete())
+        throw new IllegalStateException(
+          s"graft-ledger: cannot replace group file ${f.getPath}")
+    }
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case LedgerCommit(name) => new File(new File(path), name).delete()
+      case _ => ()
+    }
 }
 
 // ───────────────────────────── write path ─────────────────────────────
@@ -840,6 +967,12 @@ final class LedgerWriter(dir: String, partitionId: Int)
   // placeholder stats — stamped with the real fold on close
   out.writeInt(LedgerSource.Magic)
   out.writeLong(0L); out.writeLong(0L); out.writeLong(0L)
+
+  /** Metadata-carrying write (the row-level rewrite path hands
+    * (metadata, data) pairs): the ledger format persists no metadata —
+    * `_file` is derived from the file a row lives in, which is exactly
+    * what this writer is creating — so the metadata row is dropped. */
+  override def write(meta: InternalRow, row: InternalRow): Unit = write(row)
 
   override def write(row: InternalRow): Unit = {
     val docId = row.getLong(0)

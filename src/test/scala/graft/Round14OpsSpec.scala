@@ -68,27 +68,109 @@ class Round14OpsSpec extends SparkSpec {
       (0L until 400L).filterNot(i => i >= 150 && i <= 249).map(_ * 3).sum)
   }
 
-  test("delete declines predicates the interval model cannot represent exactly") {
+  test("delete: the metadata path declines inexact predicates; SQL falls back to the group rewrite") {
     val dir = tmpDir("decline")
     rangeLayout(dir)
     val t = new LedgerTable(dir)
+    // the interval fast path refuses what it cannot represent exactly…
     assert(!t.canDeleteWhere(Array[org.apache.spark.sql.sources.Filter](
       org.apache.spark.sql.sources.EqualTo("lang", "l1"))))
     intercept[UnsupportedOperationException] {
       t.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
         org.apache.spark.sql.sources.EqualTo("lang", "l1")))
     }
-    // and through SQL: Spark must surface an error, not delete wrongly
+    // …and the SQL verb then routes through the copy-on-write rewrite
+    // (SupportsRowLevelOperations) instead of erroring: exactly the
+    // predicate rows disappear, every other row survives
     val cat = "r14_decline_cat"
     spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
     spark.conf.set(s"spark.sql.catalog.$cat.root", tmpDir("decline_root"))
     spark.range(0, 10).select(col("id").as("doc_id"),
-        lit("en").as("lang"), col("id").as("n_chars"))
+        when(col("id") % 2 === 0, "en").otherwise("fr").as("lang"),
+        col("id").as("n_chars"))
       .writeTo(s"$cat.t").createOrReplace()
-    intercept[Exception] {
-      spark.sql(s"DELETE FROM $cat.t WHERE lang = 'en'")
-    }
-    assert(spark.table(s"$cat.t").count() == 10L, "declined delete must not remove rows")
+    spark.sql(s"DELETE FROM $cat.t WHERE lang = 'en'")
+    val left = spark.table(s"$cat.t")
+    assert(left.count() == 5L)
+    assert(left.where(col("lang") === "en").count() == 0L)
+  }
+
+  test("UPDATE rewrites only the groups holding matching rows; others stay byte-identical") {
+    val cat = "r14_upd_cat"
+    val root = tmpDir("upd_root")
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val s = spark
+    import s.implicits._
+    spark.range(0, 400).select($"id".as("doc_id"),
+        concat(lit("l"), ($"id" % 7).cast("string")).as("lang"),
+        ($"id" * 3).as("n_chars"))
+      .repartitionByRange(4, $"doc_id")
+      .writeTo(s"$cat.t").createOrReplace()
+    val tdir = new java.io.File(root, "t")
+    val before = LedgerSource.ledgerFiles(tdir.getPath)
+      .map(f => f.getName -> f.length()).toMap
+    // key-range predicate: statically pushable, so only the two files
+    // overlapping [100, 299] are groups — the other two never rewrite
+    spark.sql(s"UPDATE $cat.t SET n_chars = n_chars + 100000 " +
+      "WHERE doc_id BETWEEN 100 AND 299")
+    val after = LedgerSource.ledgerFiles(tdir.getPath)
+      .map(f => f.getName -> f.length()).toMap
+    val untouched = before.keySet.intersect(after.keySet)
+    assert(untouched.size == 2,
+      s"exactly the two non-overlapping files should survive: $before -> $after")
+    val back = spark.table(s"$cat.t")
+    assert(back.count() == 400L)
+    assert(back.where($"n_chars" >= 100000L).count() == 200L)
+    assert(back.agg(sum($"n_chars")).head.getLong(0) ==
+      (0L until 400L).map(_ * 3).sum + 200L * 100000L)
+  }
+
+  test("MERGE INTO: matched update + not-matched insert + not-matched-by-source delete") {
+    val cat = "r14_mrg_cat"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", tmpDir("mrg_root"))
+    val s = spark
+    import s.implicits._
+    spark.range(0, 100).select($"id".as("doc_id"),
+        lit("old").as("lang"), $"id".as("n_chars"))
+      .repartitionByRange(4, $"doc_id")
+      .writeTo(s"$cat.t").createOrReplace()
+    // source: keys 50..149 — 50 overlap (update), 50 new (insert);
+    // target keys 0..49 are not matched by source (delete)
+    spark.range(50, 150).select($"id".as("doc_id"),
+        lit("new").as("lang"), ($"id" * 2).as("n_chars"))
+      .createOrReplaceTempView("r14_mrg_src")
+    spark.sql(
+      s"""MERGE INTO $cat.t t USING r14_mrg_src s ON t.doc_id = s.doc_id
+         |WHEN MATCHED THEN UPDATE SET lang = s.lang, n_chars = s.n_chars
+         |WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars)
+         |  VALUES (s.doc_id, s.lang, s.n_chars)
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val back = spark.table(s"$cat.t")
+    assert(back.count() == 100L)
+    assert(back.where($"lang" === "old").count() == 0L, "unmatched targets must delete")
+    assert(back.agg(min($"doc_id"), max($"doc_id"), sum($"n_chars")).head()
+      .toSeq == Seq(50L, 149L, (50L until 150L).map(_ * 2).sum))
+  }
+
+  test("_file metadata column: hidden from SELECT *, surfaced when named, matches the real file") {
+    val cat = "r14_meta_cat"
+    val root = tmpDir("meta_root")
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.range(0, 20).select(col("id").as("doc_id"),
+        lit("en").as("lang"), col("id").as("n_chars"))
+      .repartitionByRange(2, col("doc_id"))
+      .writeTo(s"$cat.t").createOrReplace()
+    // hidden: star expansion stays at the declared schema
+    assert(spark.table(s"$cat.t").columns.toSeq == Seq("doc_id", "lang", "n_chars"))
+    // surfaced by name, and the value is the actual ledger file name
+    val real = LedgerSource.ledgerFiles(new java.io.File(root, "t").getPath)
+      .map(_.getName).toSet
+    val seen = spark.sql(s"SELECT DISTINCT _file FROM $cat.t")
+      .collect().map(_.getString(0)).toSet
+    assert(seen == real, s"seen=$seen real=$real")
   }
 
   test("TRUNCATE TABLE routes through deleteWhere(always-true): table empties, survives") {
