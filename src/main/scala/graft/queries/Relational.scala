@@ -829,6 +829,76 @@ object Relational {
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents""".stripMargin),
 
+    // ── S-beyond: stored procedures on the V2 catalog — Spark 4's CALL
+    //    verb (`ProcedureCatalog`): `CALL graft_cat.system.compact(t,
+    //    k)` is the lakehouse maintenance procedure (Iceberg's
+    //    rewrite_data_files; the s17 compaction idea as an ENGINE verb)
+    //    — it merges a fragmented ledger table into k range-clustered
+    //    files via a regular DISTRIBUTED job through the connector's
+    //    own scan and truncate-overwrite write, so post-compact files
+    //    are contiguous key intervals and the stats-header skip stays
+    //    maximally selective. The table is fragmented deterministically
+    //    first (4 single-file append waves), CALLed down to 2 files,
+    //    and the judged readback proves file count AND losslessness in
+    //    one aggregate over the compacted table (distinct `_file` = 2,
+    //    totals unchanged). `Round14OpsSpec` pins the CALL's own
+    //    summary row and the post-compact disjoint key ranges. ──
+    ("s30_call_compact",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.conf.set("spark.sql.catalog.graft_proc", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_proc.root", scratchPath("s30_catroot"))
+        val docs = Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+        docs.where(pmod($"doc_id", lit(4)) === 0).coalesce(1)
+          .writeTo("graft_proc.s30docs").createOrReplace()
+        (1 to 3).foreach { w =>
+          docs.where(pmod($"doc_id", lit(4)) === w).coalesce(1)
+            .writeTo("graft_proc.s30docs").append()
+        }
+        s.sql("CALL graft_proc.system.compact('s30docs', 2)")
+        s.sql(
+          """SELECT CAST(count(DISTINCT _file) AS BIGINT) AS n_files,
+            |       CAST(count(*) AS BIGINT) AS n_rows,
+            |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+            |FROM graft_proc.s30docs""".stripMargin)
+      },
+      """SELECT CAST(2 AS BIGINT) AS n_files,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents""".stripMargin),
+
+    // ── S-beyond: SQL pipe syntax (Spark 4's `|>` operator chains,
+    //    SQL:2016-adjacent "pipe SQL") — the linear-dataflow spelling
+    //    of the classic SELECT: each stage consumes the previous
+    //    table, so the query reads top-to-bottom like the DataFrame
+    //    chain it compiles to (FROM → WHERE → AGGREGATE … GROUP BY →
+    //    WHERE-over-aggregates → ORDER BY). Semantically identical to
+    //    the nested form — same plan, same oracle — which is exactly
+    //    what the judged hash proves. ──
+    ("s31_pipe_syntax",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Tables(s, dir, "lineitem")
+          .select($"l_returnflag", $"l_quantity", $"l_extendedprice")
+          .createOrReplaceTempView("s31_lineitem")
+        s.sql(
+          """FROM s31_lineitem
+            ||> WHERE l_quantity > 10
+            ||> AGGREGATE CAST(count(*) AS BIGINT) AS n,
+            |            CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+            |              AS BIGINT) AS price_c
+            |   GROUP BY l_returnflag
+            ||> WHERE n > 5
+            ||> ORDER BY l_returnflag""".stripMargin)
+      },
+      """SELECT l_returnflag,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS price_c
+        |FROM lineitem WHERE l_quantity > 10
+        |GROUP BY l_returnflag HAVING count(*) > 5
+        |ORDER BY l_returnflag""".stripMargin),
+
     // ── S-beyond: `_metadata` row lineage — the hidden file-provenance
     //    struct every debugging/auditing pipeline leans on (which FILE
     //    did this row come from, at which position), judged rather than

@@ -2,12 +2,18 @@ package graft.sources
 
 import java.io.File
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException,
   NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table,
-  TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog,
+  Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure,
+  ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType,
+  StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** The ledger connector lifted into Spark's CATALOG plane: a
@@ -35,7 +41,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the format's layout IS its file-per-task range structure.
   * Replace is non-atomic (drop + create), the documented contract for a
   * non-staging catalog. */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog {
   private var root: File = _
   private var catName: String = _
 
@@ -126,6 +132,36 @@ class GraftCatalog extends TableCatalog {
     }
   }
 
+  // ── system procedures (`ProcedureCatalog`, Spark 4's CALL verb) ──
+
+  /** `CALL <cat>.system.compact('<table>', <target_files>)` — the
+    * lakehouse maintenance verb (Iceberg's `rewrite_data_files`, the
+    * s17 compaction idea as an ENGINE procedure): merges a table's
+    * small ledger files into `target_files` range-clustered files.
+    * The rewrite is a regular DISTRIBUTED Spark job through the
+    * connector's own scan and truncate-overwrite write (never a
+    * driver-side record loop): read → repartitionByRange on the key →
+    * overwrite, so each output file is a contiguous key interval and
+    * the stats-header file skip stays maximally selective afterwards.
+    * Writing the same directory is safe with this source: input files
+    * are listed at plan time, fresh files are UUID-named (no
+    * collisions), and the truncate commit drops exactly the files the
+    * job didn't write. Returns one summary row (files_before,
+    * files_after, n_rows) computed from stats headers — zero record
+    * decodes for the report. */
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    val ok = ident.namespace().sameElements(Array("system")) &&
+      ident.name().equalsIgnoreCase("compact")
+    if (!ok) throw new RuntimeException(
+      s"procedure not found: $ident (this catalog offers system.compact)")
+    new CompactProcedure(root)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      Array(Identifier.of(Array("system"), "compact"))
+    else Array.empty
+
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     require(cleanSegments(newIdent),
       s"identifier segments may not contain '__' (the namespace " +
@@ -138,4 +174,61 @@ class GraftCatalog extends TableCatalog {
     require(from.renameTo(to),
       s"rename failed: ${from.getPath} -> ${to.getPath}")
   }
+}
+
+/** See [[GraftCatalog.loadProcedure]]. Bound and unbound in one class:
+  * the parameter list is fixed, so bind() only validates arity/types by
+  * returning itself (Spark coerces arguments to the declared types). */
+private[sources] final class CompactProcedure(root: File)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "compact"
+  override def description(): String =
+    "merge a ledger table's files into target_files range-clustered files"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false // rewrites storage
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("table name in this catalog (flattened form)").build(),
+    ProcedureParameter.in("target_files", IntegerType)
+      .comment("number of range-clustered output files").build())
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val table = input.getUTF8String(0).toString
+    val target = input.getInt(1)
+    require(target > 0, s"target_files must be positive, got $target")
+    val dir = new File(root, table)
+    if (!dir.isDirectory)
+      throw new NoSuchTableException(Identifier.of(Array.empty, table))
+    val before = LedgerSource.ledgerFiles(dir.getPath).length
+    // a regular distributed job over the connector's own read/write
+    // paths — the procedure is orchestration, not a bespoke engine
+    val spark = org.apache.spark.sql.SparkSession.active
+    spark.read.format("graft-ledger").load(dir.getPath)
+      .repartitionByRange(target, org.apache.spark.sql.functions.col("doc_id"))
+      .write.format("graft-ledger").mode("overwrite").save(dir.getPath)
+    val stats = LedgerSource.statsSnapshot(dir.getPath)
+    val summary = new GenericInternalRow(3)
+    summary.setLong(0, before.toLong)
+    summary.setLong(1, stats.length.toLong)
+    summary.setLong(2, stats.map(_._4).sum)
+    java.util.Collections.singletonList(
+      new SingleRowScan(CompactProcedure.OutputSchema, summary): Scan).iterator()
+  }
+}
+
+private[sources] object CompactProcedure {
+  val OutputSchema: StructType = StructType(Seq(
+    StructField("files_before", LongType, nullable = false),
+    StructField("files_after", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = false)))
+}
+
+/** One-row local result relation for procedure output (Spark currently
+  * requires procedure result scans to be [[LocalScan]]s — the summary
+  * is driver-computed metadata, so local is also the honest shape). */
+private[sources] final class SingleRowScan(schema: StructType, row: InternalRow)
+    extends LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[InternalRow] = Array(row)
 }

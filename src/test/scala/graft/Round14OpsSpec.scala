@@ -235,6 +235,36 @@ class Round14OpsSpec extends SparkSpec {
     }
   }
 
+  test("CALL system.compact: summary row, range-clustered output, named args, unknown proc errors") {
+    val cat = "r14_proc_cat"
+    val root = tmpDir("proc_root")
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val docs = spark.range(0, 200).select(col("id").as("doc_id"),
+      lit("en").as("lang"), (col("id") * 2).as("n_chars"))
+    docs.where(col("doc_id") % 2 === 0).coalesce(1)
+      .writeTo(s"$cat.t").createOrReplace()
+    docs.where(col("doc_id") % 2 === 1).coalesce(1)
+      .writeTo(s"$cat.t").append()
+    docs.where(col("doc_id") < 0).coalesce(1).writeTo(s"$cat.t").append()
+    // named-argument CALL form; summary row is (files_before, files_after, n_rows)
+    val out = spark.sql(
+      s"CALL $cat.system.compact(table => 't', target_files => 3)").collect()
+    assert(out.map(_.toSeq).toSeq == Seq(Seq(3L, 3L, 200L)), out.mkString)
+    // post-compact: contiguous DISJOINT key ranges — the stats-header
+    // skip is maximally selective again
+    val stats = LedgerSource.ledgerFiles(new java.io.File(root, "t").getPath)
+      .map(LedgerSource.readStats).sortBy(_._1)
+    assert(stats.length == 3 && stats.map(_._3).sum == 200L, stats.mkString)
+    stats.sliding(2).foreach { case Array((_, hi1, _), (lo2, _, _)) =>
+      assert(hi1 < lo2, s"overlapping post-compact ranges: ${stats.mkString}")
+    }
+    assert(spark.table(s"$cat.t").agg(sum(col("n_chars"))).head.getLong(0) ==
+      (0L until 200L).map(_ * 2).sum)
+    intercept[Exception] { spark.sql(s"CALL $cat.system.vacuum('t')") }
+    assert(spark.sql(s"SHOW PROCEDURES IN $cat.system").count() >= 1)
+  }
+
   test("SHOW TABLES in an unknown namespace errors instead of listing empty") {
     val cat = "r14_ns_cat"
     spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
