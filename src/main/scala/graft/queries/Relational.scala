@@ -2949,6 +2949,34 @@ object Relational {
         |FROM ranked WHERE rn <= 3
         |ORDER BY lang, doc_id""".stripMargin),
 
+    // ── F-beyond: a CATALOG-scoped V2 function (`FunctionCatalog`) —
+    //    the connector's key semantics (`range_bucket`: the width-sized
+    //    doc_id interval a row belongs to, what `system.compact`
+    //    clusters by) loaded by NAME from the catalog and resolved with
+    //    the MAGIC invoke method, so Catalyst calls a statically-typed
+    //    `invoke(long, int): long` inside whole-stage codegen instead
+    //    of boxing an InternalRow per row — the V2-function analogue of
+    //    the library's native `Expression`s (D1), here living in the
+    //    catalog plane where a SQL gateway can resolve it without any
+    //    session registration. ──
+    ("f21_catalog_function",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.conf.set("spark.sql.catalog.graft_fn", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_fn.root", scratchPath("f21_catroot"))
+        Tables(s, dir, "documents")
+          .select($"doc_id", $"n_chars").createOrReplaceTempView("docs_f21")
+        s.sql(
+          """SELECT graft_fn.system.range_bucket(doc_id, 128) AS bucket,
+            |       CAST(count(*) AS BIGINT) AS n_docs,
+            |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+            |FROM docs_f21 GROUP BY 1 ORDER BY 1""".stripMargin)
+      },
+      """SELECT CAST(doc_id // 128 * 128 AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ── a18: log₂-bucket histogram — the observability staple (latency/
     //    value histograms with exponentially-growing buckets, the HDR/
     //    Prometheus shape) computed EXACTLY: values go to money-style

@@ -6,8 +6,10 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException,
   NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog,
-  Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier,
+  ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction,
+  ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure,
   ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -41,7 +43,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the format's layout IS its file-per-task range structure.
   * Replace is non-atomic (drop + create), the documented contract for a
   * non-staging catalog. */
-class GraftCatalog extends TableCatalog with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog
+    with FunctionCatalog {
   private var root: File = _
   private var catName: String = _
 
@@ -131,6 +134,30 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       true
     }
   }
+
+  // ── catalog functions (`FunctionCatalog`) ──
+
+  /** `<cat>.system.range_bucket(doc_id, width)` — the connector's key
+    * semantics exposed as a CATALOG-scoped V2 function: the widest
+    * doc_id interval of size `width` containing the key, i.e. the
+    * range-layout bucket a row belongs to (what the compaction
+    * procedure clusters by). Bound as a [[ScalarFunction]] with the
+    * MAGIC invoke method, so Catalyst calls a statically-typed
+    * `invoke(long, int): long` (an `Invoke` expression inside
+    * whole-stage codegen) rather than boxing an InternalRow per row —
+    * the V2-function analogue of writing a native `Expression`. */
+  override def loadFunction(ident: Identifier): UnboundFunction = {
+    val ok = ident.namespace().sameElements(Array("system")) &&
+      ident.name().equalsIgnoreCase("range_bucket")
+    if (!ok) throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
+    RangeBucketFunction
+  }
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      Array(Identifier.of(Array("system"), "range_bucket"))
+    else Array.empty
 
   // ── system procedures (`ProcedureCatalog`, Spark 4's CALL verb) ──
 
@@ -222,6 +249,42 @@ private[sources] object CompactProcedure {
     StructField("files_before", LongType, nullable = false),
     StructField("files_after", LongType, nullable = false),
     StructField("n_rows", LongType, nullable = false)))
+}
+
+/** See [[GraftCatalog.loadFunction]]. The unbound form validates arity
+  * and binds to the typed scalar; `invoke` is the magic method Catalyst
+  * resolves reflectively and calls via a codegen-friendly `Invoke`. */
+private[sources] object RangeBucketFunction extends UnboundFunction {
+  override def name(): String = "range_bucket"
+  override def description(): String =
+    "range_bucket(doc_id BIGINT, width INT) -> BIGINT: start of the " +
+      "width-sized doc_id interval containing the key"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 2,
+      s"range_bucket takes (doc_id BIGINT, width INT); got ${inputType.simpleString}")
+    RangeBucketBound
+  }
+}
+
+private[sources] object RangeBucketBound extends ScalarFunction[java.lang.Long] {
+  override def name(): String = "range_bucket"
+  override def canonicalName(): String = "graft.range_bucket"
+  override def inputTypes(): Array[org.apache.spark.sql.types.DataType] =
+    Array(LongType, IntegerType)
+  override def resultType(): org.apache.spark.sql.types.DataType = LongType
+  override def isResultNullable: Boolean = false
+
+  /** Magic method — Catalyst invokes this statically-typed overload
+    * per row (no InternalRow boxing). floorDiv keeps negative keys in
+    * their natural bucket ([-width, -1] -> -width, not 0). */
+  def invoke(docId: Long, width: Int): Long = {
+    require(width > 0, s"range_bucket width must be positive, got $width")
+    Math.floorDiv(docId, width.toLong) * width
+  }
+
+  /** Row-based fallback (used if magic-method resolution is disabled). */
+  override def produceResult(input: InternalRow): java.lang.Long =
+    java.lang.Long.valueOf(invoke(input.getLong(0), input.getInt(1)))
 }
 
 /** One-row local result relation for procedure output (Spark currently

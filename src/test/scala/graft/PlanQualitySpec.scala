@@ -830,6 +830,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("f21: catalog function resolves via the magic Invoke, not row-boxed produceResult") {
+    val p = plan("f21_catalog_function")
+    // the statically-typed invoke(long, int) call sits in the Project
+    // feeding the aggregate — codegen-friendly; a produceResult node
+    // would mean the magic-method resolution silently regressed to the
+    // per-row InternalRow boxing fallback
+    assert(p.contains(".invoke(doc_id"), p)
+    assert(!p.toLowerCase.contains("produceresult"), p)
+  }
+
   test("g41: recursion scans the persisted edge frame, never re-derives it") {
     val p = plan("g41_recursive_reach")
     // the recursive member re-evaluates per level, so the corpus-sized
