@@ -868,6 +868,52 @@ object Relational {
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents""".stripMargin),
 
+    // ── S-beyond: TIME TRAVEL on the V2 catalog — `VERSION AS OF`
+    //    (Spark's TableCatalog time-travel contract) on the ledger
+    //    connector: every committed mutation stamps a
+    //    `_versions/<N>.mf` manifest of the live file set, and file
+    //    names denote IMMUTABLE content (rewrites land under fresh
+    //    names), so a version either reconstructs exactly from its
+    //    manifest or fails loudly once later destructive verbs removed
+    //    its files — the same contract as time-traveling a vacuumed
+    //    Delta/Iceberg table, at one tiny listing file per commit. The
+    //    judged query builds three append waves (versions 1..3), then
+    //    reads BOTH the middle version and the latest in one plan; the
+    //    snapshot side must see exactly waves 0-1 — pinned manifests,
+    //    not the directory listing, drive its scan. Snapshots are
+    //    batch-read-only (writes/deletes/merges refuse, spec-pinned).
+    //    ──
+    ("s32_time_travel",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.conf.set("spark.sql.catalog.graft_tt", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_tt.root", scratchPath("s32_catroot"))
+        val docs = Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+        docs.where(pmod($"doc_id", lit(3)) === 0)
+          .writeTo("graft_tt.s32docs").createOrReplace() // version 1
+        docs.where(pmod($"doc_id", lit(3)) === 1)
+          .writeTo("graft_tt.s32docs").append()          // version 2
+        docs.where(pmod($"doc_id", lit(3)) === 2)
+          .writeTo("graft_tt.s32docs").append()          // version 3
+        s.sql(
+          """SELECT 'latest' AS snapshot, CAST(count(*) AS BIGINT) AS n_rows,
+            |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+            |FROM graft_tt.s32docs
+            |UNION ALL
+            |SELECT 'v2', CAST(count(*) AS BIGINT),
+            |       CAST(sum(n_chars) AS BIGINT)
+            |FROM graft_tt.s32docs VERSION AS OF 2
+            |ORDER BY snapshot""".stripMargin)
+      },
+      """SELECT 'latest' AS snapshot, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents
+        |UNION ALL
+        |SELECT 'v2', CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 3 <= 1
+        |ORDER BY snapshot""".stripMargin),
+
     // ── S-beyond: SQL pipe syntax (Spark 4's `|>` operator chains,
     //    SQL:2016-adjacent "pipe SQL") — the linear-dataflow spelling
     //    of the classic SELECT: each stage consumes the previous

@@ -95,6 +95,41 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     new LedgerTable(d.getPath)
   }
 
+  /** Time travel (`VERSION AS OF v`): every committed mutation stamps a
+    * `_versions/<N>.mf` manifest of the live file set, and ledger file
+    * names denote immutable content, so a version either reconstructs
+    * exactly from its manifest or fails loudly when later destructive
+    * verbs removed its files (the ledger keeps no undo log — the same
+    * contract as time-traveling a vacuumed table). The snapshot table
+    * is batch-read-only. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val d = tableDir(ident)
+    if (!cleanSegments(ident) || !d.isDirectory)
+      throw new NoSuchTableException(ident)
+    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"graft-ledger versions are numeric commit ids; got '$version'"))
+    require(LedgerSource.listVersions(d.getPath).contains(v),
+      s"no version $v of $ident (available: " +
+        s"${LedgerSource.listVersions(d.getPath).mkString(", ")})")
+    new LedgerTable(d.getPath, pinnedVersion = Some(v))
+  }
+
+  /** `TIMESTAMP AS OF` maps to the newest manifest committed at or
+    * before the requested instant (micros since epoch, per the
+    * TableCatalog contract) — manifest mtimes ARE the commit times. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val d = tableDir(ident)
+    if (!cleanSegments(ident) || !d.isDirectory)
+      throw new NoSuchTableException(ident)
+    val vdir = new File(d, LedgerSource.VersionsDir)
+    val candidates = LedgerSource.listVersions(d.getPath).filter { v =>
+      new File(vdir, s"$v.mf").lastModified() * 1000L <= timestampMicros
+    }
+    require(candidates.nonEmpty,
+      s"no version of $ident existed at timestamp $timestampMicros")
+    new LedgerTable(d.getPath, pinnedVersion = Some(candidates.max))
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     cleanSegments(ident) && tableDir(ident).isDirectory
 

@@ -124,6 +124,66 @@ object LedgerSource {
     require(new File(path).isDirectory,
       s"graft-ledger: path does not exist or is not a directory: $path")
 
+  // ── version manifests (time travel) ──
+  //
+  // Every committed mutation (batch write, row-level replace, delete,
+  // truncate) records the table's live file set as `_versions/<N>.mf`.
+  // Ledger files are immutable under their names (rewrites land under
+  // FRESH names), so a manifest is a complete, trustworthy snapshot:
+  // either all its files still exist and the version reconstructs
+  // exactly, or resolution fails loudly — it can never silently read
+  // different rows. History costs one tiny listing file per commit;
+  // files removed by later mutations are unlinked immediately (no undo
+  // log), so old versions survive APPEND-ONLY history and dangle after
+  // destructive verbs — the same contract as a vacuumed Delta table.
+  private[graft] val VersionsDir = "_versions"
+
+  private[graft] def listVersions(dir: String): Seq[Long] = {
+    val vdir = new File(dir, VersionsDir)
+    Option(vdir.listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.isFile && f.getName.endsWith(".mf"))
+      .flatMap(f => f.getName.stripSuffix(".mf").toLongOption)
+      .sorted.toSeq
+  }
+
+  private[graft] def readManifest(dir: String, v: Long): Array[String] = {
+    val mf = new File(new File(dir, VersionsDir), s"$v.mf")
+    require(mf.isFile, s"graft-ledger: no version $v at $dir " +
+      s"(available: ${listVersions(dir).mkString(", ")})")
+    val text = new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+    text.split("\n").map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Stamp the CURRENT live file set as the next version. Driver-side,
+    * invoked from commit paths only (single committer per table at a
+    * time, the connector's documented non-atomic-catalog scope). */
+  private[sources] def commitVersion(dir: String): Long = {
+    val vdir = new File(dir, VersionsDir)
+    vdir.mkdirs()
+    val next = listVersions(dir).lastOption.getOrElse(0L) + 1
+    val tmp = new File(vdir, s"$next.mf.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      ledgerFiles(dir).map(_.getName).mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, new File(vdir, s"$next.mf").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    next
+  }
+
+  /** A manifest resolved against the live directory: every listed file
+    * must still exist (names are immutable content, so existence is
+    * sufficient), else the version is gone and says so. */
+  private[sources] def resolvePinned(dir: String, v: Long): Array[File] = {
+    val names = readManifest(dir, v)
+    val files = names.map(n => new File(new File(dir), n))
+    val missing = files.filterNot(_.isFile)
+    require(missing.isEmpty,
+      s"graft-ledger: version $v is no longer reconstructable — " +
+        s"${missing.length} of its files were removed by later " +
+        s"deletes/rewrites/compaction (the ledger keeps no undo log): " +
+        missing.map(_.getName).mkString(", "))
+    files
+  }
+
   /** Per-file header stats for every ledger file in `path`, as one
     * snapshot: `(file, minDocId, maxDocId, nRows)`. Reads parallelize
     * over a bounded pool once the listing is large — each header is a
@@ -146,8 +206,10 @@ object LedgerSource {
         t
       })
 
-  private[sources] def statsSnapshot(path: String): Array[(File, Long, Long, Long)] = {
-    val files = ledgerFiles(path)
+  private[sources] def statsSnapshot(path: String): Array[(File, Long, Long, Long)] =
+    statsOf(ledgerFiles(path))
+
+  private[sources] def statsOf(files: Array[File]): Array[(File, Long, Long, Long)] = {
     def one(f: File): (File, Long, Long, Long) = {
       val (mn, mx, n) = readStats(f)
       (f, mn, mx, n)
@@ -172,11 +234,16 @@ object LedgerSource {
     * survivors stream byte-for-byte to a sibling temp file (same record
     * encoding — a skipped `lang` is still copied verbatim, never
     * decoded to UTF-8), min/max/count fold as rows pass exactly like
-    * the writer's, and the temp atomically replaces the original so a
-    * concurrent reader sees the old file or the new one, never a torn
-    * write. A file left with zero survivors is removed outright. */
+    * the writer's. The survivor file takes a FRESH name and the
+    * original is unlinked — never an in-place replace — preserving the
+    * format-wide invariant that a file NAME always denotes immutable
+    * content (what makes version manifests trustworthy: a stale
+    * manifest can dangle, but can never silently resolve to different
+    * rows). A file left with zero survivors is removed outright. */
   private[sources] def rewriteExcluding(f: File, bounds: KeyBounds): Unit = {
-    val tmp = new File(f.getParentFile, f.getName + ".rewrite")
+    val fresh = f.getName.stripSuffix(".gl") +
+      s"-rw${UUID.randomUUID().toString.take(8)}.gl"
+    val tmp = new File(f.getParentFile, fresh + ".tmp")
     var minId = Long.MaxValue
     var maxId = Long.MinValue
     var nRows = 0L
@@ -228,16 +295,26 @@ object LedgerSource {
         raf.seek(StatsOffset)
         raf.writeLong(minId); raf.writeLong(maxId); raf.writeLong(nRows)
       } finally raf.close()
-      java.nio.file.Files.move(tmp.toPath, f.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      // land the survivor under its fresh name first, then unlink the
+      // original — a reader that raced the swap sees old rows or both
+      // pruned consistently, never a torn file
+      java.nio.file.Files.move(tmp.toPath,
+        new File(f.getParentFile, fresh).toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      require(f.delete(), s"graft-ledger: cannot delete ${f.getPath}")
     }
   }
 }
 
-final class LedgerTable(path: String) extends Table
+final class LedgerTable(path: String, pinnedVersion: Option[Long] = None)
+    extends Table
     with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations with SupportsMetadataColumns {
+
+  private def requireMutable(verb: String): Unit =
+    require(pinnedVersion.isEmpty,
+      s"graft-ledger: cannot $verb a time-travel snapshot " +
+        s"(version ${pinnedVersion.get} of $path is read-only)")
 
   /** `_file` — the file-provenance METADATA column (the parquet
     * source's `_metadata.file_name` idea on the custom format): hidden
@@ -254,17 +331,24 @@ final class LedgerTable(path: String) extends Table
       override def comment(): String = "ledger file this row was read from"
     })
   require(path != null, "graft-ledger requires a path")
-  override def name(): String = s"graft-ledger:$path"
+  override def name(): String =
+    s"graft-ledger:$path" + pinnedVersion.map(v => s"@v$v").getOrElse("")
   override def schema(): StructType = LedgerSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    if (pinnedVersion.isDefined) // a snapshot is a batch-read-only relation
+      java.util.EnumSet.of(TableCapability.BATCH_READ)
+    else
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LedgerScanBuilder(path,
-      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      pinned = pinnedVersion)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    requireMutable("write to")
     new LedgerWriteBuilder(path)
+  }
 
   /** Row-level DELETE — the lakehouse verb (`DELETE FROM t WHERE …`) on
     * the connector's own storage, with the two-tier cost model every
@@ -306,7 +390,7 @@ final class LedgerTable(path: String) extends Table
   }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    deletableBounds(filters).isDefined
+    pinnedVersion.isEmpty && deletableBounds(filters).isDefined
 
   /** Group-based (copy-on-write) UPDATE / MERGE / fallback DELETE — the
     * other half of the row-level surface: Spark's rewrite rules turn
@@ -326,13 +410,16 @@ final class LedgerTable(path: String) extends Table
     * prunes via `SupportsRuntimeFiltering` — the source's matched keys
     * arrive as a runtime In-set and files outside it never rewrite. */
   override def newRowLevelOperationBuilder(
-      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    requireMutable("run a row-level operation against")
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation =
         new LedgerRowLevelOperation(path, info.command())
     }
+  }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    requireMutable("delete from")
     val bounds = deletableBounds(filters).getOrElse(
       throw new UnsupportedOperationException(
         s"graft-ledger can only delete by doc_id intervals; got " +
@@ -346,6 +433,7 @@ final class LedgerTable(path: String) extends Table
         } else LedgerSource.rewriteExcluding(f, bounds)
       }
     }
+    LedgerSource.commitVersion(path): Unit
   }
 }
 
@@ -353,7 +441,8 @@ final class LedgerTable(path: String) extends Table
 
 final class LedgerScanBuilder(path: String,
                               maxFilesPerTrigger: Option[Int] = None,
-                              group: Option[LedgerRowLevelOperation] = None)
+                              group: Option[LedgerRowLevelOperation] = None,
+                              pinned: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -406,15 +495,18 @@ final class LedgerScanBuilder(path: String,
   }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    group.isEmpty && statsAnswerable(agg)
+    group.isEmpty && pinned.isEmpty && statsAnswerable(agg)
   override def pushAggregation(agg: Aggregation): Boolean = {
-    if (group.nonEmpty || !statsAnswerable(agg)) false
+    if (group.nonEmpty || pinned.nonEmpty || !statsAnswerable(agg)) false
     else { pushedAgg = Some(agg); true }
   }
 
   override def build(): Scan = pushedAgg match {
-    case Some(agg) => new LedgerAggScan(path, agg)
-    case None => new LedgerScan(path, required, pushed, maxFilesPerTrigger, group)
+    // agg pushdown answers from CURRENT headers — decline under a pin
+    // (statsAnswerable is also gated below, belt and braces)
+    case Some(agg) if pinned.isEmpty => new LedgerAggScan(path, agg)
+    case _ =>
+      new LedgerScan(path, required, pushed, maxFilesPerTrigger, group, pinned)
   }
 }
 
@@ -522,7 +614,8 @@ private[sources] object KeyBounds {
 final class LedgerScan(path: String, required: StructType,
                        pushed: Array[Filter],
                        maxFilesPerTrigger: Option[Int] = None,
-                       group: Option[LedgerRowLevelOperation] = None)
+                       group: Option[LedgerRowLevelOperation] = None,
+                       pinned: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
@@ -530,7 +623,8 @@ final class LedgerScan(path: String, required: StructType,
   override def description(): String =
     s"graft-ledger $path, ReadSchema: ${required.simpleString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}]" +
-      (if (group.isDefined) ", GroupScan: true" else "")
+      (if (group.isDefined) ", GroupScan: true" else "") +
+      pinned.map(v => s", Version: $v").getOrElse("")
 
   /** Runtime (join-driven) filtering — the dynamic-partition-pruning
     * contract for DSv2 sources: after the build side of a join
@@ -570,8 +664,12 @@ final class LedgerScan(path: String, required: StructType,
     * the runtime-filter re-plan's VALUES — only the header bytes;
     * `planInputPartitions` re-evaluates its predicates against this
     * same snapshot after `filter()` delivers the join keys.) */
-  private lazy val fileStats: Array[(File, Long, Long, Long)] =
-    LedgerSource.statsSnapshot(path)
+  private lazy val fileStats: Array[(File, Long, Long, Long)] = pinned match {
+    // a time-travel scan reads the version's manifest, not the listing;
+    // resolution fails loudly if later mutations removed any of its files
+    case Some(v) => LedgerSource.statsOf(LedgerSource.resolvePinned(path, v))
+    case None => LedgerSource.statsSnapshot(path)
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     LedgerSource.requireDir(path)
@@ -910,6 +1008,7 @@ final class LedgerReplaceDataWrite(path: String, op: LedgerRowLevelOperation)
         throw new IllegalStateException(
           s"graft-ledger: cannot replace group file ${f.getPath}")
     }
+    LedgerSource.commitVersion(path): Unit
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
@@ -941,6 +1040,7 @@ final class LedgerBatchWrite(path: String, truncate: Boolean)
     if (truncate) // overwrite = drop every ledger file this job didn't write
       LedgerSource.ledgerFiles(path)
         .filterNot(f => kept.contains(f.getName)).foreach(_.delete())
+    LedgerSource.commitVersion(path): Unit
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {

@@ -265,6 +265,63 @@ class Round14OpsSpec extends SparkSpec {
     assert(spark.sql(s"SHOW PROCEDURES IN $cat.system").count() >= 1)
   }
 
+  test("time travel: manifests pin versions; snapshots are read-only; dangling versions fail loudly") {
+    val cat = "r14_tt_cat"
+    val root = tmpDir("tt_root")
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val docs = spark.range(0, 300).select(col("id").as("doc_id"),
+      lit("en").as("lang"), col("id").as("n_chars"))
+    docs.where(col("doc_id") < 100)
+      .repartitionByRange(2, col("doc_id")).writeTo(s"$cat.t").createOrReplace()
+    docs.where(col("doc_id") >= 100 && col("doc_id") < 200)
+      .repartitionByRange(2, col("doc_id")).writeTo(s"$cat.t").append()
+    docs.where(col("doc_id") >= 200)
+      .repartitionByRange(2, col("doc_id")).writeTo(s"$cat.t").append()
+    val tdir = new java.io.File(root, "t").getPath
+    assert(LedgerSource.listVersions(tdir) == Seq(1L, 2L, 3L))
+    // each version reconstructs its prefix of the append history
+    Seq(1L -> 100L, 2L -> 200L, 3L -> 300L).foreach { case (v, n) =>
+      assert(spark.sql(
+        s"SELECT count(*) FROM $cat.t VERSION AS OF $v").head.getLong(0) == n)
+    }
+    // TIMESTAMP AS OF far-future resolves to the newest commit
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t " +
+      "TIMESTAMP AS OF '2999-01-01'").head.getLong(0) == 300L)
+    // snapshots refuse every mutation verb
+    val snap = new LedgerTable(tdir, pinnedVersion = Some(1L))
+    intercept[IllegalArgumentException] { snap.newWriteBuilder(null) }
+    intercept[IllegalArgumentException] {
+      snap.deleteWhere(Array[org.apache.spark.sql.sources.Filter]())
+    }
+    intercept[IllegalArgumentException] { snap.newRowLevelOperationBuilder(null) }
+    // a delete that unlinks version-1 files makes v1 DANGLE: resolution
+    // must fail loudly, never silently read different rows
+    spark.sql(s"DELETE FROM $cat.t WHERE doc_id < 100")
+    assert(LedgerSource.listVersions(tdir) == Seq(1L, 2L, 3L, 4L))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 4")
+      .head.getLong(0) == 200L)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 1").collect()
+    }
+    assert(e.getMessage.contains("no longer reconstructable"), e.getMessage)
+  }
+
+  test("rewrite lands survivors under a FRESH name — names always denote immutable content") {
+    val dir = tmpDir("freshname")
+    rangeLayout(dir)
+    val beforeNames = LedgerSource.ledgerFiles(dir).map(_.getName).toSet
+    new LedgerTable(dir).deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      GreaterThanOrEqual("doc_id", java.lang.Long.valueOf(150L)),
+      LessThanOrEqual("doc_id", java.lang.Long.valueOf(249L))))
+    val afterNames = LedgerSource.ledgerFiles(dir).map(_.getName).toSet
+    // the two clipped files were REPLACED under fresh names, never
+    // mutated in place under their old ones
+    assert((afterNames -- beforeNames).size == 2, s"$beforeNames -> $afterNames")
+    assert((beforeNames -- afterNames).size == 2, s"$beforeNames -> $afterNames")
+    assert((afterNames -- beforeNames).forall(_.contains("-rw")), afterNames)
+  }
+
   test("SHOW TABLES in an unknown namespace errors instead of listing empty") {
     val cat = "r14_ns_cat"
     spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
