@@ -3023,6 +3023,34 @@ object Relational {
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ── F-beyond: a catalog-scoped V2 AGGREGATE function — f21's
+    //    scalar surface completed with the harder half:
+    //    `graft_cat.system.key_span(doc_id)` (the key-interval width a
+    //    group covers — what the connector's range layout and skip
+    //    selectivity are built around) implemented against the V2
+    //    `AggregateFunction` quartet (state / update / merge /
+    //    produce). Spark wraps it partial-aggregable, so the grouped
+    //    call gets MAP-SIDE COMBINE like a built-in — `merge` is the
+    //    shuffle contract, and the hash must prove update+merge
+    //    compose to the same answer as the oracle's max-min+1. ──
+    ("f22_catalog_aggregate",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.conf.set("spark.sql.catalog.graft_fn2", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_fn2.root", scratchPath("f22_catroot"))
+        Tables(s, dir, "documents")
+          .select($"doc_id", $"lang").createOrReplaceTempView("docs_f22")
+        s.sql(
+          """SELECT lang,
+            |       CAST(graft_fn2.system.key_span(doc_id) AS BIGINT) AS span,
+            |       CAST(count(*) AS BIGINT) AS n_docs
+            |FROM docs_f22 GROUP BY 1 ORDER BY 1""".stripMargin)
+      },
+      """SELECT lang,
+        |       CAST(max(doc_id) - min(doc_id) + 1 AS BIGINT) AS span,
+        |       CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ── a18: log₂-bucket histogram — the observability staple (latency/
     //    value histograms with exponentially-growing buckets, the HDR/
     //    Prometheus shape) computed EXACTLY: values go to money-style

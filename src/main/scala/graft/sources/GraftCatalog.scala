@@ -182,16 +182,21 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     * whole-stage codegen) rather than boxing an InternalRow per row —
     * the V2-function analogue of writing a native `Expression`. */
   override def loadFunction(ident: Identifier): UnboundFunction = {
-    val ok = ident.namespace().sameElements(Array("system")) &&
-      ident.name().equalsIgnoreCase("range_bucket")
-    if (!ok) throw new org.apache.spark.sql.catalyst.analysis
-      .NoSuchFunctionException(ident)
-    RangeBucketFunction
+    if (!ident.namespace().sameElements(Array("system")))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    ident.name().toLowerCase match {
+      case "range_bucket" => RangeBucketFunction
+      case "key_span" => KeySpanFunction
+      case _ => throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    }
   }
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
-      Array(Identifier.of(Array("system"), "range_bucket"))
+      Array(Identifier.of(Array("system"), "range_bucket"),
+        Identifier.of(Array("system"), "key_span"))
     else Array.empty
 
   // ── system procedures (`ProcedureCatalog`, Spark 4's CALL verb) ──
@@ -320,6 +325,56 @@ private[sources] object RangeBucketBound extends ScalarFunction[java.lang.Long] 
   /** Row-based fallback (used if magic-method resolution is disabled). */
   override def produceResult(input: InternalRow): java.lang.Long =
     java.lang.Long.valueOf(invoke(input.getLong(0), input.getInt(1)))
+}
+
+/** `<cat>.system.key_span(doc_id)` — a catalog-scoped V2 AGGREGATE
+  * function: the width of the key interval a group covers
+  * (max − min + 1), the quantity the connector's range layout and
+  * stats-header skip selectivity are built around. Spark wraps the
+  * (state, update, merge, produce) quartet in a partial-aggregable
+  * imperative aggregate, so map-side combine applies exactly as for a
+  * built-in — `merge` IS the shuffle contract. State is a 2-slot
+  * primitive array (min, max): serializable, allocation-light. */
+private[sources] object KeySpanFunction extends UnboundFunction {
+  override def name(): String = "key_span"
+  override def description(): String =
+    "key_span(doc_id BIGINT) -> BIGINT: max(doc_id) - min(doc_id) + 1 " +
+      "over the group; null for all-null groups"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 1,
+      s"key_span takes one BIGINT column; got ${inputType.simpleString}")
+    KeySpanBound
+  }
+}
+
+private[sources] object KeySpanBound
+    extends org.apache.spark.sql.connector.catalog.functions
+      .AggregateFunction[Array[Long], java.lang.Long] {
+  override def name(): String = "key_span"
+  override def canonicalName(): String = "graft.key_span"
+  override def inputTypes(): Array[org.apache.spark.sql.types.DataType] =
+    Array(LongType)
+  override def resultType(): org.apache.spark.sql.types.DataType = LongType
+  override def isResultNullable: Boolean = true // all-null group
+
+  override def newAggregationState(): Array[Long] =
+    Array(Long.MaxValue, Long.MinValue) // empty interval: min > max
+  override def update(state: Array[Long], input: InternalRow): Array[Long] = {
+    if (!input.isNullAt(0)) {
+      val v = input.getLong(0)
+      state(0) = math.min(state(0), v)
+      state(1) = math.max(state(1), v)
+    }
+    state
+  }
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    a(0) = math.min(a(0), b(0))
+    a(1) = math.max(a(1), b(1))
+    a
+  }
+  override def produceResult(state: Array[Long]): java.lang.Long =
+    if (state(0) > state(1)) null
+    else java.lang.Long.valueOf(state(1) - state(0) + 1)
 }
 
 /** One-row local result relation for procedure output (Spark currently

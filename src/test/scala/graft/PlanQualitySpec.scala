@@ -840,6 +840,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.toLowerCase.contains("produceresult"), p)
   }
 
+  test("f22: catalog aggregate runs partial-aggregable — map-side combine before the shuffle") {
+    val p = plan("f22_catalog_aggregate")
+    // the V2 AggregateFunction wraps into v2aggregator with a partial
+    // phase below the exchange — losing it would shuffle raw rows
+    assert(p.contains("partial_v2aggregator"), p)
+    assert("v2aggregator".r.findAllIn(p).size >= 2, p)
+  }
+
   test("g41: recursion scans the persisted edge frame, never re-derives it") {
     val p = plan("g41_recursive_reach")
     // the recursive member re-evaluates per level, so the corpus-sized
