@@ -60,7 +60,24 @@ import org.apache.spark.unsafe.types.UTF8String
   *     of ingested file names, microbatches are the newly-arrived
   *     files under a `maxFilesPerTrigger` read limit, AvailableNow
   *     drains against a prepare-time snapshot, and the microbatch
-  *     reader IS the pruned/filtering batch reader.
+  *     reader IS the pruned/filtering batch reader;
+  *   - **row-level verbs** (round 14): `SupportsDelete` gives DELETE a
+  *     metadata/interval fast path (whole-file drops against the stats
+  *     header), and `SupportsRowLevelOperations` gives UPDATE / MERGE /
+  *     residual DELETEs the copy-on-write group rewrite. Copy-on-write
+  *     was a deliberate choice over merge-on-read (`SupportsDelta`):
+  *     key-based tombstones without per-file sequence numbers would
+  *     keep suppressing a doc_id after a later rewrite re-lands it —
+  *     the Iceberg sequence-number machinery is the price of admission,
+  *     and a format without it should not pretend otherwise;
+  *   - **`_file` metadata column** (`SupportsMetadataColumns`,
+  *     round 14): per-row file provenance, partition-constant, hidden
+  *     from `SELECT *`; also the row-level write path's required
+  *     metadata attribute;
+  *   - **time travel** (round 14): every committed mutation stamps a
+  *     `_versions/<N>.mf` manifest of the live file set; names denote
+  *     immutable content, so `VERSION AS OF` either reconstructs a
+  *     version exactly or fails loudly after destructive verbs.
   *
   * File layout (all little-endian via DataOutput's big-endian writers —
   * endianness is internal to the format, symmetric on read):
@@ -359,9 +376,10 @@ final class LedgerTable(path: String, pinnedVersion: Option[Long] = None)
     *     unlink, zero record decodes (Delta/Iceberg's
     *     delete-by-partition-predicate, here at file granularity);
     *   - a file the interval only CLIPS is rewritten: survivors stream
-    *     through to a temp file that atomically replaces the original,
-    *     with min/max/count re-folded into its stats header so every
-    *     later scan's file-skip stays exact;
+    *     through to a FRESH-named sibling (names denote immutable
+    *     content — the time-travel invariant) with min/max/count
+    *     re-folded into its stats header so every later scan's
+    *     file-skip stays exact;
     *   - a file the interval misses is never opened (the same 28-byte
     *     header test the read path's file skip uses).
     *
@@ -369,12 +387,14 @@ final class LedgerTable(path: String, pinnedVersion: Option[Long] = None)
     * with the range-partitioned layout, so almost every affected file
     * takes the metadata path and the rewrite cost is bounded by the two
     * boundary files. `canDeleteWhere` accepts only conjunctions this
-    * interval model represents EXACTLY — anything else must be declined
-    * (Spark then errors rather than silently deleting the wrong rows;
-    * the conservative belt-and-braces of the read path inverts here,
-    * because a delete executes its predicate for real).
-    * `SupportsDeleteV2`'s default `truncateTable()` routes TRUNCATE
-    * through the same path as an always-true interval. */
+    * interval model represents EXACTLY — anything else is declined and
+    * Spark routes the DELETE through the copy-on-write group rewrite
+    * instead (`SupportsRowLevelOperations` below), so a non-key
+    * predicate deletes correctly rather than erroring; the decline can
+    * never silently delete wrong rows because a delete executes its
+    * predicate for real. `SupportsDeleteV2`'s default `truncateTable()`
+    * routes TRUNCATE through the same path as an always-true
+    * interval. */
   private def deletableBounds(filters: Array[Filter]): Option[KeyBounds] = {
     val exact = filters.forall {
       case EqualTo("doc_id", _: java.lang.Long) => true
