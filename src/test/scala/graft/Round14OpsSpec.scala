@@ -126,6 +126,35 @@ class Round14OpsSpec extends SparkSpec {
       (0L until 400L).map(_ * 3).sum + 200L * 100000L)
   }
 
+  test("UPDATE with a NON-KEY predicate: runtime group filtering rewrites only matching files") {
+    // the docstring claim under test: a predicate the scan cannot push
+    // statically still prunes groups, because
+    // RowLevelOperationRuntimeGroupFiltering hands the matching rows'
+    // doc_ids to the scan as a runtime In-set before planning
+    val cat = "r14_rgf_cat"
+    val root = tmpDir("rgf_root")
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val s = spark
+    import s.implicits._
+    // 'hot' lives ONLY in doc_id [100, 199] = the second of 4 range files
+    spark.range(0, 400).select($"id".as("doc_id"),
+        when($"id".between(100, 199), "hot").otherwise("cold").as("lang"),
+        ($"id" * 3).as("n_chars"))
+      .repartitionByRange(4, $"doc_id")
+      .writeTo(s"$cat.t").createOrReplace()
+    val tdir = new java.io.File(root, "t").getPath
+    val before = LedgerSource.ledgerFiles(tdir).map(_.getName).toSet
+    spark.sql(s"UPDATE $cat.t SET n_chars = 0 WHERE lang = 'hot'")
+    val after = LedgerSource.ledgerFiles(tdir).map(_.getName).toSet
+    assert(before.intersect(after).size == 3,
+      s"runtime group filter should spare the three 'cold'-only files: " +
+        s"$before -> $after")
+    val back = spark.table(s"$cat.t")
+    assert(back.where($"n_chars" === 0 && $"lang" === "hot").count() == 100L)
+    assert(back.count() == 400L)
+  }
+
   test("MERGE INTO: matched update + not-matched insert + not-matched-by-source delete") {
     val cat = "r14_mrg_cat"
     spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
