@@ -914,6 +914,74 @@ object Relational {
         |FROM documents WHERE doc_id % 3 <= 1
         |ORDER BY snapshot""".stripMargin),
 
+    // ── Composed pipeline: the LAKEHOUSE LIFECYCLE as one judged
+    //    artifact — the g40/v32 composition discipline applied to the
+    //    connector: the verbs s16/s24–s30 judge individually here run
+    //    as the sequence a production table actually lives through —
+    //    initial range-clustered INGEST → incremental APPEND → CDC
+    //    MERGE (rescore-or-insert) → retention DELETE (a key interval:
+    //    the metadata fast path) → quality UPDATE (a non-key predicate:
+    //    the runtime-group-filtered rewrite) → compaction CALL — and
+    //    ONE readback must reconstruct against DuckDB's algebraic
+    //    replay of all six steps, with the post-compact file count
+    //    judged in the same result (`_files` row via the `_file`
+    //    metadata column). Any verb corrupting any other's rows — a
+    //    rewrite dropping a survivor, a merge double-applying, compact
+    //    losing a record — diverges the hash. ──
+    ("s33_lakehouse_lifecycle",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.conf.set("spark.sql.catalog.graft_lh", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_lh.root", scratchPath("s33_catroot"))
+        val docs = Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+        // 1. ingest + 2. incremental append
+        docs.where(pmod($"doc_id", lit(2)) === 0)
+          .repartitionByRange(4, $"doc_id")
+          .writeTo("graft_lh.s33docs").createOrReplace()
+        docs.where(pmod($"doc_id", lit(2)) === 1 && pmod($"doc_id", lit(3)) =!= 0)
+          .writeTo("graft_lh.s33docs").append()
+        // 3. CDC apply: every %3==0 doc rescored-or-inserted
+        docs.where(pmod($"doc_id", lit(3)) === 0)
+          .select($"doc_id", lit("rescored").as("lang"),
+            ($"n_chars" + 10000L).as("n_chars"))
+          .createOrReplaceTempView("s33_src")
+        s.sql(
+          """MERGE INTO graft_lh.s33docs t USING s33_src s
+            |ON t.doc_id = s.doc_id
+            |WHEN MATCHED THEN UPDATE SET lang = s.lang, n_chars = s.n_chars
+            |WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars)
+            |  VALUES (s.doc_id, s.lang, s.n_chars)""".stripMargin)
+        // 4. retention purge (interval: metadata path)
+        s.sql("DELETE FROM graft_lh.s33docs WHERE doc_id < 50")
+        // 5. quality redaction (non-key: runtime-group-filtered rewrite)
+        s.sql("UPDATE graft_lh.s33docs SET lang = 'redacted' WHERE lang = 'zh'")
+        // 6. maintenance
+        s.sql("CALL graft_lh.system.compact('s33docs', 3)")
+        s.sql(
+          """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+            |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+            |FROM graft_lh.s33docs GROUP BY 1
+            |UNION ALL
+            |SELECT '_files', CAST(count(DISTINCT _file) AS BIGINT),
+            |       CAST(NULL AS BIGINT)
+            |FROM graft_lh.s33docs
+            |ORDER BY lang""".stripMargin)
+      },
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN 'rescored'
+        |              WHEN lang = 'zh' THEN 'redacted' ELSE lang END AS lang,
+        |         CASE WHEN doc_id % 3 = 0 THEN n_chars + 10000
+        |              ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id >= 50)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM t GROUP BY 1
+        |UNION ALL
+        |SELECT '_files', CAST(3 AS BIGINT), CAST(NULL AS BIGINT)
+        |ORDER BY lang""".stripMargin),
+
     // ── S-beyond: SQL pipe syntax (Spark 4's `|>` operator chains,
     //    SQL:2016-adjacent "pipe SQL") — the linear-dataflow spelling
     //    of the classic SELECT: each stage consumes the previous
