@@ -914,6 +914,55 @@ object Relational {
         |FROM documents WHERE doc_id % 3 <= 1
         |ORDER BY snapshot""".stripMargin),
 
+    // ── S-beyond: filter overwrite — `INSERT INTO … REPLACE WHERE`
+    //    (`SupportsOverwrite`, OVERWRITE_BY_FILTER), the IDEMPOTENT
+    //    BACKFILL verb: re-deriving one key range replaces exactly that
+    //    range atomically-per-commit, so a re-run converges instead of
+    //    duplicating — the daily-partition recompute pattern, on the
+    //    key-range layout. Commit first purges the interval's rows from
+    //    the PRE-EXISTING files through the delete machinery (whole
+    //    files by metadata, boundary files rewritten under fresh
+    //    names), then the freshly-written files stand; only interval
+    //    conjunctions are accepted (a declined filter errors, never
+    //    over-deletes). Judged by running the SAME backfill TWICE — the
+    //    hash proves convergence, not just effect. ──
+    ("s34_replace_where",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.conf.set("spark.sql.catalog.graft_ow", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_ow.root", scratchPath("s34_catroot"))
+        Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+          .repartitionByRange(8, $"doc_id")
+          .writeTo("graft_ow.s34docs").createOrReplace()
+        Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+          .createOrReplaceTempView("s34_src")
+        val backfill =
+          """INSERT INTO graft_ow.s34docs
+            |REPLACE WHERE doc_id BETWEEN 100 AND 299
+            |SELECT doc_id, concat('bf_', lang) AS lang,
+            |       n_chars * 2 AS n_chars
+            |FROM s34_src WHERE doc_id BETWEEN 100 AND 299""".stripMargin
+        s.sql(backfill)
+        s.sql(backfill) // idempotence: the re-run must converge
+        s.table("graft_ow.s34docs")
+          .groupBy($"lang")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum($"n_chars").cast("long").as("total_chars"))
+          .orderBy($"lang")
+      },
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id BETWEEN 100 AND 299
+        |              THEN 'bf_' || lang ELSE lang END AS lang,
+        |         CASE WHEN doc_id BETWEEN 100 AND 299
+        |              THEN n_chars * 2 ELSE n_chars END AS n_chars
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ── Composed pipeline: the LAKEHOUSE LIFECYCLE as one judged
     //    artifact — the g40/v32 composition discipline applied to the
     //    connector: the verbs s16/s24–s30 judge individually here run

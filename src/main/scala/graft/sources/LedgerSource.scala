@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, N
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsOverwrite, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
 import org.apache.spark.sql.sources.{AlwaysTrue, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
@@ -247,6 +247,40 @@ object LedgerSource {
         })
   }
 
+  /** The conjunctions the key-interval model represents EXACTLY — the
+    * acceptance gate shared by DELETE's metadata fast path and
+    * REPLACE WHERE's overwrite filter: anything else must be declined
+    * (an over-approximation would delete rows the predicate spared). */
+  private[sources] def exactBounds(filters: Array[Filter]): Option[KeyBounds] = {
+    val exact = filters.forall {
+      case EqualTo("doc_id", _: java.lang.Long) => true
+      case GreaterThan("doc_id", _: java.lang.Long) => true
+      case GreaterThanOrEqual("doc_id", _: java.lang.Long) => true
+      case LessThan("doc_id", _: java.lang.Long) => true
+      case LessThanOrEqual("doc_id", _: java.lang.Long) => true
+      case IsNotNull("doc_id") => true // key is non-nullable: always true
+      case _: AlwaysTrue => true
+      case _ => false
+    }
+    if (exact) Some(KeyBounds(filters)) else None
+  }
+
+  /** Remove every row inside `bounds` from the table's files (minus
+    * `exclude`, a commit's freshly-written set): whole files inside the
+    * interval unlink by metadata alone, clipped files rewrite under
+    * fresh names, missed files are never opened. The shared engine of
+    * DELETE and filter-overwrite. */
+  private[sources] def purgeInterval(path: String, bounds: KeyBounds,
+                                     exclude: Set[String]): Unit =
+    statsOf(ledgerFiles(path).filterNot(f => exclude.contains(f.getName)))
+      .foreach { case (f, minId, maxId, nRows) =>
+        if (nRows > 0 && bounds.overlaps(minId, maxId)) {
+          if (bounds.contains(minId) && bounds.contains(maxId)) {
+            require(f.delete(), s"graft-ledger: cannot delete ${f.getPath}")
+          } else rewriteExcluding(f, bounds)
+        }
+      }
+
   /** DELETE's rewrite path for a file the delete interval only clips:
     * survivors stream byte-for-byte to a sibling temp file (same record
     * encoding — a skipped `lang` is still copied verbatim, never
@@ -357,7 +391,8 @@ final class LedgerTable(path: String, pinnedVersion: Option[Long] = None)
     else
       java.util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.MICRO_BATCH_READ,
-        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.OVERWRITE_BY_FILTER)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LedgerScanBuilder(path,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
@@ -395,22 +430,8 @@ final class LedgerTable(path: String, pinnedVersion: Option[Long] = None)
     * predicate for real. `SupportsDeleteV2`'s default `truncateTable()`
     * routes TRUNCATE through the same path as an always-true
     * interval. */
-  private def deletableBounds(filters: Array[Filter]): Option[KeyBounds] = {
-    val exact = filters.forall {
-      case EqualTo("doc_id", _: java.lang.Long) => true
-      case GreaterThan("doc_id", _: java.lang.Long) => true
-      case GreaterThanOrEqual("doc_id", _: java.lang.Long) => true
-      case LessThan("doc_id", _: java.lang.Long) => true
-      case LessThanOrEqual("doc_id", _: java.lang.Long) => true
-      case IsNotNull("doc_id") => true // key is non-nullable: always true
-      case _: AlwaysTrue => true
-      case _ => false
-    }
-    if (exact) Some(KeyBounds(filters)) else None
-  }
-
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    pinnedVersion.isEmpty && deletableBounds(filters).isDefined
+    pinnedVersion.isEmpty && LedgerSource.exactBounds(filters).isDefined
 
   /** Group-based (copy-on-write) UPDATE / MERGE / fallback DELETE — the
     * other half of the row-level surface: Spark's rewrite rules turn
@@ -440,19 +461,12 @@ final class LedgerTable(path: String, pinnedVersion: Option[Long] = None)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     requireMutable("delete from")
-    val bounds = deletableBounds(filters).getOrElse(
+    val bounds = LedgerSource.exactBounds(filters).getOrElse(
       throw new UnsupportedOperationException(
         s"graft-ledger can only delete by doc_id intervals; got " +
           s"[${filters.mkString(", ")}]"))
     LedgerSource.requireDir(path)
-    LedgerSource.statsSnapshot(path).foreach { case (f, minId, maxId, nRows) =>
-      if (nRows > 0 && bounds.overlaps(minId, maxId)) {
-        if (bounds.contains(minId) && bounds.contains(maxId)) {
-          // whole file inside the interval: metadata-only drop
-          require(f.delete(), s"graft-ledger: cannot delete ${f.getPath}")
-        } else LedgerSource.rewriteExcluding(f, bounds)
-      }
-    }
+    LedgerSource.purgeInterval(path, bounds, exclude = Set.empty)
     LedgerSource.commitVersion(path): Unit
   }
 }
@@ -1039,19 +1053,40 @@ final class LedgerReplaceDataWrite(path: String, op: LedgerRowLevelOperation)
 
 // ───────────────────────────── write path ─────────────────────────────
 
+/** Batch writes in three modes: plain append, truncate-overwrite
+  * (`mode("overwrite")` / `INSERT OVERWRITE`), and FILTER overwrite
+  * (`INSERT INTO … REPLACE WHERE <doc_id interval>` — the idempotent
+  * backfill verb): commit first purges the interval's rows from the
+  * PRE-EXISTING files through the delete machinery (metadata drops +
+  * fresh-named clips), then the freshly-written files stand. Only
+  * conjunctions the interval model represents exactly are accepted —
+  * a declined filter errors rather than over-deleting. */
 final class LedgerWriteBuilder(path: String) extends WriteBuilder
-    with SupportsTruncate {
+    with SupportsOverwrite {
   private var doTruncate = false
+  private var replaceBounds: Option[KeyBounds] = None
   override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def canOverwrite(filters: Array[Filter]): Boolean =
+    LedgerSource.exactBounds(filters).isDefined
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    if (filters.forall(_.isInstanceOf[AlwaysTrue])) doTruncate = true
+    else replaceBounds = Some(LedgerSource.exactBounds(filters).getOrElse(
+      throw new UnsupportedOperationException(
+        s"graft-ledger can only overwrite by doc_id intervals; got " +
+          s"[${filters.mkString(", ")}]")))
+    this
+  }
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new LedgerBatchWrite(path, doTruncate)
+    override def toBatch: BatchWrite =
+      new LedgerBatchWrite(path, doTruncate, replaceBounds)
   }
 }
 
 private[sources] final case class LedgerCommit(fileName: String)
   extends WriterCommitMessage
 
-final class LedgerBatchWrite(path: String, truncate: Boolean)
+final class LedgerBatchWrite(path: String, truncate: Boolean,
+                             replaceBounds: Option[KeyBounds] = None)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new LedgerWriterFactory(path)
@@ -1060,6 +1095,9 @@ final class LedgerBatchWrite(path: String, truncate: Boolean)
     if (truncate) // overwrite = drop every ledger file this job didn't write
       LedgerSource.ledgerFiles(path)
         .filterNot(f => kept.contains(f.getName)).foreach(_.delete())
+    // REPLACE WHERE: the interval's old rows give way to the new files
+    replaceBounds.foreach(b =>
+      LedgerSource.purgeInterval(path, b, exclude = kept))
     LedgerSource.commitVersion(path): Unit
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =

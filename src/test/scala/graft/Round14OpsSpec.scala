@@ -294,6 +294,38 @@ class Round14OpsSpec extends SparkSpec {
     assert(spark.sql(s"SHOW PROCEDURES IN $cat.system").count() >= 1)
   }
 
+  test("REPLACE WHERE: purges only the interval from old files; declines non-interval filters") {
+    val cat = "r14_ow_cat"
+    val root = tmpDir("ow_root")
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val s = spark
+    import s.implicits._
+    spark.range(0, 400).select($"id".as("doc_id"),
+        lit("old").as("lang"), ($"id" * 3).as("n_chars"))
+      .repartitionByRange(4, $"doc_id")
+      .writeTo(s"$cat.t").createOrReplace()
+    val tdir = new java.io.File(root, "t").getPath
+    val before = LedgerSource.ledgerFiles(tdir).map(_.getName).toSet
+    spark.sql(
+      s"""INSERT INTO $cat.t REPLACE WHERE doc_id BETWEEN 100 AND 299
+         |SELECT id AS doc_id, 'new' AS lang, id AS n_chars
+         |FROM range(100, 300)""".stripMargin)
+    val after = LedgerSource.ledgerFiles(tdir).map(_.getName).toSet
+    // the two files fully outside [100, 299] were never touched
+    assert(before.intersect(after).size == 2, s"$before -> $after")
+    val back = spark.table(s"$cat.t")
+    assert(back.count() == 400L)
+    assert(back.where($"lang" === "new").count() == 200L)
+    assert(back.where($"lang" === "old" && $"doc_id".between(100, 299)).count() == 0L)
+    // a filter the interval model cannot represent must error, not over-delete
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.t REPLACE WHERE lang = 'old' " +
+        "SELECT 1L, 'x', 1L")
+    }
+    assert(spark.table(s"$cat.t").count() == 400L)
+  }
+
   test("time travel: manifests pin versions; snapshots are read-only; dangling versions fail loudly") {
     val cat = "r14_tt_cat"
     val root = tmpDir("tt_root")
