@@ -914,6 +914,57 @@ object Relational {
         |FROM documents WHERE doc_id % 3 <= 1
         |ORDER BY snapshot""".stripMargin),
 
+    // ── S-beyond: STORAGE-PARTITIONED JOIN — the 100 TB co-located
+    //    join story on the custom source: both tables carry the
+    //    `bucket` layout property, so every file lies inside one
+    //    width-sized doc_id interval (the bucketed writer splits each
+    //    task's rows per bucket, making the invariant hold for ANY
+    //    incoming distribution), the scan validates the layout and
+    //    reports `KeyGroupedPartitioning` over a BucketTransform
+    //    resolved against the catalog's own `bucket` function, and
+    //    Spark joins the two sides WITH ZERO EXCHANGE — the shuffle
+    //    was paid once at ingest, never again per query (s07's Hive
+    //    bucketing idea, executed natively by the V2 connector).
+    //    `PlanQualitySpec` pins the exchange-free join; the only
+    //    exchanges in the judged plan are the post-join aggregate's.
+    //    The layout claim is VALIDATED, never trusted: an unbucketed
+    //    write into the directory silently degrades the scan to plain
+    //    per-file partitioning (`Round14OpsSpec`). ──
+    ("s35_storage_partitioned_join",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+        s.conf.set("spark.sql.catalog.graft_spj", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_spj.root", scratchPath("s35_catroot"))
+        val docs = Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+        docs.writeTo("graft_spj.corpus")
+          .tableProperty("bucket", "256").createOrReplace()
+        // the single-relation format's fixed schema carries the tier in
+        // its n_chars slot (a second ledger "feed" keyed by doc_id)
+        docs.where(pmod($"doc_id", lit(3)) =!= 0)
+          .select($"doc_id", lit(null).cast("string").as("lang"),
+            pmod($"n_chars", lit(5)).as("n_chars"))
+          .writeTo("graft_spj.tiers")
+          .tableProperty("bucket", "256").createOrReplace()
+        val tiers = s.table("graft_spj.tiers")
+          .select($"doc_id", $"n_chars".as("tier"))
+        s.table("graft_spj.corpus").hint("merge")
+          .join(tiers, "doc_id")
+          .groupBy($"tier")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum($"n_chars").cast("long").as("total_chars"),
+            countDistinct($"lang").cast("long").as("n_langs"))
+          .orderBy($"tier")
+      },
+      """SELECT CAST(n_chars % 5 AS BIGINT) AS tier,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM documents WHERE doc_id % 3 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ── S-beyond: filter overwrite — `INSERT INTO … REPLACE WHERE`
     //    (`SupportsOverwrite`, OVERWRITE_BY_FILTER), the IDEMPOTENT
     //    BACKFILL verb: re-deriving one key range replaces exactly that

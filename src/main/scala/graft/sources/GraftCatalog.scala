@@ -92,7 +92,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     val d = tableDir(ident)
     if (!cleanSegments(ident) || !d.isDirectory)
       throw new NoSuchTableException(ident)
-    new LedgerTable(d.getPath)
+    new LedgerTable(d.getPath,
+      bucketWidth = LedgerSource.readBucketWidth(d.getPath))
   }
 
   /** Time travel (`VERSION AS OF v`): every committed mutation stamps a
@@ -151,7 +152,17 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     val d = tableDir(ident)
     if (d.exists()) throw new TableAlreadyExistsException(ident)
     require(d.mkdirs(), s"cannot create table directory ${d.getPath}")
-    new LedgerTable(d.getPath)
+    // the one layout property: `bucket` = doc_id range-bucket width.
+    // Persisted beside the data so writer AND every later reader agree
+    // on the same layout contract (the storage-partitioned-join key).
+    val width = Option(properties.get("bucket")).map { w =>
+      val v = w.toLongOption.filter(_ > 0).getOrElse(
+        throw new IllegalArgumentException(
+          s"table property 'bucket' must be a positive integer; got '$w'"))
+      LedgerSource.writeBucketWidth(d.getPath, v)
+      v
+    }
+    new LedgerTable(d.getPath, bucketWidth = width)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
@@ -182,12 +193,18 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     * whole-stage codegen) rather than boxing an InternalRow per row —
     * the V2-function analogue of writing a native `Expression`. */
   override def loadFunction(ident: Identifier): UnboundFunction = {
-    if (!ident.namespace().sameElements(Array("system")))
+    // empty namespace is accepted too: Catalyst's V2ExpressionUtils
+    // resolves a scan-reported partition TRANSFORM's function with
+    // Identifier.of(Array.empty, name) — the storage-partitioned-join
+    // compatibility check depends on that lookup succeeding
+    if (!(ident.namespace().isEmpty ||
+        ident.namespace().sameElements(Array("system"))))
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchFunctionException(ident)
     ident.name().toLowerCase match {
       case "range_bucket" => RangeBucketFunction
       case "key_span" => KeySpanFunction
+      case "bucket" => BucketLayoutFunction
       case _ => throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchFunctionException(ident)
     }
@@ -196,7 +213,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
       Array(Identifier.of(Array("system"), "range_bucket"),
-        Identifier.of(Array("system"), "key_span"))
+        Identifier.of(Array("system"), "key_span"),
+        Identifier.of(Array("system"), "bucket"))
     else Array.empty
 
   // ── system procedures (`ProcedureCatalog`, Spark 4's CALL verb) ──
@@ -375,6 +393,44 @@ private[sources] object KeySpanBound
   override def produceResult(state: Array[Long]): java.lang.Long =
     if (state(0) > state(1)) null
     else java.lang.Long.valueOf(state(1) - state(0) + 1)
+}
+
+/** `bucket(width, doc_id)` — the LAYOUT transform behind the
+  * storage-partitioned join: `LedgerScan.outputPartitioning` reports a
+  * `BucketTransform` over the key (the one shape Catalyst's
+  * `KeyGroupedPartitioning.supportsExpressions` admits — the numeric
+  * argument rides out-of-band, not as a child), and Catalyst resolves
+  * it HERE to check two sides' partitionings for compatibility.
+  * Semantics are the RANGE bucket start (`floorDiv(doc_id, width) *
+  * width`), not a hash bucket — opaque to Spark, which only needs
+  * equal join keys to land in equal partition values; the width is
+  * part of the bound identity, so only same-width layouts co-join. */
+private[sources] object BucketLayoutFunction extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(width INT, doc_id BIGINT) -> BIGINT: range-bucket start " +
+      "of the width-sized doc_id interval (the ledger layout transform)"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 2,
+      s"bucket takes (width INT, doc_id BIGINT); got ${inputType.simpleString}")
+    BucketLayoutBound
+  }
+}
+
+private[sources] object BucketLayoutBound extends ScalarFunction[java.lang.Long] {
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.bucket"
+  override def inputTypes(): Array[org.apache.spark.sql.types.DataType] =
+    Array(IntegerType, LongType)
+  override def resultType(): org.apache.spark.sql.types.DataType = LongType
+  override def isResultNullable: Boolean = false
+
+  /** Magic method — statically-typed per-row call. */
+  def invoke(width: Int, docId: Long): Long =
+    Math.floorDiv(docId, width.toLong) * width
+
+  override def produceResult(input: InternalRow): java.lang.Long =
+    java.lang.Long.valueOf(invoke(input.getInt(0), input.getLong(1)))
 }
 
 /** One-row local result relation for procedure output (Spark currently

@@ -96,8 +96,16 @@ class LedgerSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     LedgerSource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: java.util.Map[String, String]): Table =
-    new LedgerTable(properties.get("path"))
+                        properties: java.util.Map[String, String]): Table = {
+    // the path API's `bucket` option mirrors the catalog's table
+    // property: a bucketed write through `option("bucket", w)` keeps a
+    // bucketed directory's layout contract (what lets the compaction
+    // procedure preserve storage-partitioned-join eligibility)
+    val width = Option(properties.get("bucket")).map(_.toLong)
+      .orElse(Option(properties.get("path"))
+        .flatMap(LedgerSource.readBucketWidth))
+    new LedgerTable(properties.get("path"), bucketWidth = width)
+  }
   override def supportsExternalMetadata(): Boolean = false
 }
 
@@ -140,6 +148,24 @@ object LedgerSource {
   private[sources] def requireDir(path: String): Unit =
     require(new File(path).isDirectory,
       s"graft-ledger: path does not exist or is not a directory: $path")
+
+  // ── layout properties (bucketed layout → storage-partitioned joins) ──
+
+  /** `_props` carries the one layout property: `bucket=<width>`, the
+    * doc_id range-bucket width every writer partitions files by and
+    * every scan reports as its `KeyGroupedPartitioning` transform. */
+  private[graft] def readBucketWidth(dir: String): Option[Long] = {
+    val f = new File(dir, "_props")
+    if (!f.isFile) None
+    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .split("\n").collectFirst {
+        case l if l.startsWith("bucket=") => l.stripPrefix("bucket=").trim.toLong
+      }
+  }
+
+  private[sources] def writeBucketWidth(dir: String, w: Long): Unit =
+    java.nio.file.Files.write(new File(dir, "_props").toPath,
+      s"bucket=$w\n".getBytes("UTF-8")): Unit
 
   // ── version manifests (time travel) ──
   //
@@ -357,7 +383,8 @@ object LedgerSource {
   }
 }
 
-final class LedgerTable(path: String, pinnedVersion: Option[Long] = None)
+final class LedgerTable(path: String, pinnedVersion: Option[Long] = None,
+                        bucketWidth: Option[Long] = None)
     extends Table
     with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations with SupportsMetadataColumns {
@@ -396,10 +423,10 @@ final class LedgerTable(path: String, pinnedVersion: Option[Long] = None)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LedgerScanBuilder(path,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
-      pinned = pinnedVersion)
+      pinned = pinnedVersion, bucketWidth = bucketWidth)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireMutable("write to")
-    new LedgerWriteBuilder(path)
+    new LedgerWriteBuilder(path, bucketWidth)
   }
 
   /** Row-level DELETE — the lakehouse verb (`DELETE FROM t WHERE …`) on
@@ -455,7 +482,7 @@ final class LedgerTable(path: String, pinnedVersion: Option[Long] = None)
     requireMutable("run a row-level operation against")
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation =
-        new LedgerRowLevelOperation(path, info.command())
+        new LedgerRowLevelOperation(path, info.command(), bucketWidth)
     }
   }
 
@@ -476,7 +503,8 @@ final class LedgerTable(path: String, pinnedVersion: Option[Long] = None)
 final class LedgerScanBuilder(path: String,
                               maxFilesPerTrigger: Option[Int] = None,
                               group: Option[LedgerRowLevelOperation] = None,
-                              pinned: Option[Long] = None)
+                              pinned: Option[Long] = None,
+                              bucketWidth: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -540,7 +568,8 @@ final class LedgerScanBuilder(path: String,
     // (statsAnswerable is also gated below, belt and braces)
     case Some(agg) if pinned.isEmpty => new LedgerAggScan(path, agg)
     case _ =>
-      new LedgerScan(path, required, pushed, maxFilesPerTrigger, group, pinned)
+      new LedgerScan(path, required, pushed, maxFilesPerTrigger, group,
+        pinned, bucketWidth)
   }
 }
 
@@ -649,9 +678,11 @@ final class LedgerScan(path: String, required: StructType,
                        pushed: Array[Filter],
                        maxFilesPerTrigger: Option[Int] = None,
                        group: Option[LedgerRowLevelOperation] = None,
-                       pinned: Option[Long] = None)
+                       pinned: Option[Long] = None,
+                       bucketWidth: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -705,11 +736,30 @@ final class LedgerScan(path: String, required: StructType,
     case None => LedgerSource.statsSnapshot(path)
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    LedgerSource.requireDir(path)
-    val bounds = KeyBounds(pushed ++ runtime)
-    val inSets = runtimeInSets
-    val planned = fileStats.flatMap { case (f, minId, maxId, nRows) =>
+  /** The bucket layout is TRUSTED only after validation: every
+    * non-empty file must lie inside one width-sized bucket (an
+    * unbucketed path-API write into the same directory, or a
+    * compaction, silently degrades the scan to plain per-file
+    * partitioning — correctness never depends on the layout claim).
+    * Group-mode and pinned scans never report partitioning. */
+  private lazy val bucketedWidth: Option[Long] =
+    if (group.nonEmpty || pinned.nonEmpty) None
+    else bucketWidth.filter { w =>
+      fileStats.forall { case (_, mn, mx, n) =>
+        n == 0 || Math.floorDiv(mn, w) == Math.floorDiv(mx, w)
+      }
+    }
+
+  /** Post-file-skip survivors. Bucketed scans ignore runtime join-key
+    * re-planning so the partition grouping `outputPartitioning()`
+    * promised stays exactly what executes (a narrower re-plan would
+    * change the bucket count after the planner consumed it). */
+  private def survivors(): Array[(File, Long, Long, Long)] = {
+    val bucketMode = bucketedWidth.isDefined
+    val bounds =
+      if (bucketMode) KeyBounds(pushed) else KeyBounds(pushed ++ runtime)
+    val inSets = if (bucketMode) Seq.empty else runtimeInSets
+    fileStats.filter { case (_, minId, maxId, nRows) =>
       // stats-header file skip: a file whose key range misses the
       // pushed/runtime interval — or misses any runtime join-key set —
       // never becomes a partition
@@ -720,18 +770,62 @@ final class LedgerScan(path: String, required: StructType,
         val idx = if (i >= 0) i else -i - 1
         idx < arr.length && arr(idx) <= maxId
       }
-      if (nRows > 0 && bounds.overlaps(minId, maxId) &&
-          inSets.forall(anyKeyInRange))
-        Some(f)
-      else None
+      nRows > 0 && bounds.overlaps(minId, maxId) &&
+        inSets.forall(anyKeyInRange)
     }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    LedgerSource.requireDir(path)
+    val planned = survivors()
     // group mode: the surviving files ARE the groups this row-level
     // operation will replace — record them for the write's commit.
     // Re-planning (e.g. after a runtime filter lands) overwrites the
     // record, so commit always swaps exactly what execution read.
-    group.foreach(_.scannedFiles = planned.map(_.getName))
-    planned.map(f => LedgerPartition(f.getAbsolutePath): InputPartition)
+    group.foreach(_.scannedFiles = planned.map(_._1.getName))
+    bucketedWidth match {
+      case Some(w) =>
+        // one partition per BUCKET (several files can share one): the
+        // partition key is the bucket start, the value the reported
+        // range_bucket(doc_id, w) transform produces for every row in
+        // it — what lets two same-width ledger tables join with NO
+        // exchange (storage-partitioned join)
+        planned.groupBy { case (_, mn, _, _) => Math.floorDiv(mn, w) * w }
+          .toArray.sortBy(_._1)
+          .map { case (bucket, fs) =>
+            LedgerBucketPartition(fs.map(_._1.getAbsolutePath).toSeq,
+              bucket): InputPartition
+          }
+      case None =>
+        planned.map(t => LedgerPartition(t._1.getAbsolutePath): InputPartition)
+    }
   }
+
+  /** Storage-partitioned-join contract: the scan's rows arrive grouped
+    * by `bucket(w, doc_id)` — the catalog's range-bucket function (see
+    * [[GraftCatalog.loadFunction]]), resolved by Catalyst against
+    * `GraftCatalog` when it checks two sides' partitionings for
+    * compatibility. The BUCKET transform shape is load-bearing:
+    * Catalyst's `KeyGroupedPartitioning.supportsExpressions` admits
+    * only transforms over a single column reference, with the numeric
+    * argument carried out-of-band — exactly what
+    * `Expressions.bucket(n, col)` encodes (a generic
+    * `Expressions.apply` with a literal child is silently demoted to
+    * UnknownPartitioning). */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    bucketedWidth match {
+      case Some(w) =>
+        import org.apache.spark.sql.connector.expressions.Expressions
+        val nBuckets = survivors()
+          .map { case (_, mn, _, _) => Math.floorDiv(mn, w) }.distinct.length
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(Expressions.bucket(w.toInt, "doc_id")), nBuckets)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
   override def createReaderFactory(): PartitionReaderFactory =
     // group mode must return EVERY row of a surviving file: the pushed
     // filters prune files above but never rows (a retained row must
@@ -920,10 +1014,55 @@ final class LedgerMicroBatchStream(path: String, required: StructType,
 private[sources] final case class LedgerPartition(file: String)
   extends InputPartition
 
+/** One range BUCKET of a bucketed layout: possibly several files, all
+  * inside the same width-sized key interval; `partitionKey` carries the
+  * bucket start (what `range_bucket(doc_id, w)` evaluates to for every
+  * row here), the value Spark's storage-partitioned join matches across
+  * sides. */
+private[sources] final case class LedgerBucketPartition(files: Seq[String],
+                                                        bucket: Long)
+  extends InputPartition
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = {
+    val row = new GenericInternalRow(1)
+    row.setLong(0, bucket)
+    row
+  }
+}
+
 final class LedgerReaderFactory(required: StructType, pushed: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new LedgerReader(p.asInstanceOf[LedgerPartition].file, required, pushed)
+    p match {
+      case LedgerPartition(file) => new LedgerReader(file, required, pushed)
+      case LedgerBucketPartition(files, _) =>
+        new ChainedLedgerReader(files, required, pushed)
+      case other => throw new IllegalStateException(
+        s"unexpected ledger partition $other")
+    }
+}
+
+/** A bucket's files read back to back — one task, sequential IO, each
+  * delegate computing its own `_file` value. */
+final class ChainedLedgerReader(files: Seq[String], required: StructType,
+                                pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+  private val it = files.iterator
+  private var current: LedgerReader = _
+  override def next(): Boolean = {
+    while (true) {
+      if (current == null) {
+        if (!it.hasNext) return false
+        current = new LedgerReader(it.next(), required, pushed)
+      }
+      if (current.next()) return true
+      current.close()
+      current = null
+    }
+    false
+  }
+  override def get(): InternalRow = current.get()
+  override def close(): Unit = if (current != null) current.close()
 }
 
 final class LedgerReader(file: String, required: StructType,
@@ -995,7 +1134,8 @@ final class LedgerReader(file: String, required: StructType,
   * a directory listing cannot provide (documented like the catalog's
   * non-atomic replace). */
 final class LedgerRowLevelOperation(path: String,
-                                    cmd: RowLevelOperation.Command)
+                                    cmd: RowLevelOperation.Command,
+                                    bucketWidth: Option[Long] = None)
     extends RowLevelOperation {
   /** File NAMES the operation's scan last planned — written by
     * `LedgerScan.planInputPartitions` (driver-side), read by commit. */
@@ -1009,7 +1149,8 @@ final class LedgerRowLevelOperation(path: String,
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new LedgerReplaceDataWrite(path, LedgerRowLevelOperation.this)
+          new LedgerReplaceDataWrite(path, LedgerRowLevelOperation.this,
+            bucketWidth)
       }
     }
 
@@ -1030,10 +1171,11 @@ final class LedgerRowLevelOperation(path: String,
   * recomputed rows as fresh UUID-named files (never colliding with the
   * old ones), so commit only unlinks the scanned groups; abort deletes
   * the fresh files and leaves the originals untouched. */
-final class LedgerReplaceDataWrite(path: String, op: LedgerRowLevelOperation)
+final class LedgerReplaceDataWrite(path: String, op: LedgerRowLevelOperation,
+                                   bucketWidth: Option[Long] = None)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new LedgerWriterFactory(path)
+    new LedgerWriterFactory(path, bucketWidth)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new File(path)
     op.scannedFiles.foreach { name =>
@@ -1046,7 +1188,8 @@ final class LedgerReplaceDataWrite(path: String, op: LedgerRowLevelOperation)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case LedgerCommit(name) => new File(new File(path), name).delete()
+      case LedgerCommit(names) =>
+        names.foreach(n => new File(new File(path), n).delete())
       case _ => ()
     }
 }
@@ -1061,8 +1204,9 @@ final class LedgerReplaceDataWrite(path: String, op: LedgerRowLevelOperation)
   * fresh-named clips), then the freshly-written files stand. Only
   * conjunctions the interval model represents exactly are accepted —
   * a declined filter errors rather than over-deleting. */
-final class LedgerWriteBuilder(path: String) extends WriteBuilder
-    with SupportsOverwrite {
+final class LedgerWriteBuilder(path: String,
+                               bucketWidth: Option[Long] = None)
+    extends WriteBuilder with SupportsOverwrite {
   private var doTruncate = false
   private var replaceBounds: Option[KeyBounds] = None
   override def truncate(): WriteBuilder = { doTruncate = true; this }
@@ -1078,20 +1222,21 @@ final class LedgerWriteBuilder(path: String) extends WriteBuilder
   }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new LedgerBatchWrite(path, doTruncate, replaceBounds)
+      new LedgerBatchWrite(path, doTruncate, replaceBounds, bucketWidth)
   }
 }
 
-private[sources] final case class LedgerCommit(fileName: String)
+private[sources] final case class LedgerCommit(fileNames: Seq[String])
   extends WriterCommitMessage
 
 final class LedgerBatchWrite(path: String, truncate: Boolean,
-                             replaceBounds: Option[KeyBounds] = None)
+                             replaceBounds: Option[KeyBounds] = None,
+                             bucketWidth: Option[Long] = None)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new LedgerWriterFactory(path)
+    new LedgerWriterFactory(path, bucketWidth)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val kept = messages.map(_.asInstanceOf[LedgerCommit].fileName).toSet
+    val kept = messages.flatMap(_.asInstanceOf[LedgerCommit].fileNames).toSet
     if (truncate) // overwrite = drop every ledger file this job didn't write
       LedgerSource.ledgerFiles(path)
         .filterNot(f => kept.contains(f.getName)).foreach(_.delete())
@@ -1102,14 +1247,44 @@ final class LedgerBatchWrite(path: String, truncate: Boolean,
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case LedgerCommit(name) => new File(new File(path), name).delete()
+      case LedgerCommit(names) =>
+        names.foreach(n => new File(new File(path), n).delete())
       case _ => ()
     }
 }
 
-final class LedgerWriterFactory(path: String) extends DataWriterFactory {
+final class LedgerWriterFactory(path: String,
+                                bucketWidth: Option[Long] = None)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new LedgerWriter(path, partitionId)
+    bucketWidth match {
+      case Some(w) => new BucketedLedgerWriter(path, partitionId, w)
+      case None => new LedgerWriter(path, partitionId)
+    }
+}
+
+/** Bucketed write: each task splits ITS rows across one file per
+  * range bucket it sees, so the on-disk invariant "every file lies
+  * inside one bucket" holds regardless of the incoming distribution —
+  * the layout contract `LedgerScan` validates before reporting
+  * `KeyGroupedPartitioning` (the storage-partitioned-join key). Tasks
+  * already clustered by bucket (the usual repartitionByRange ingest)
+  * open exactly one file; a pathological task interleaving all buckets
+  * opens at most #buckets small files, never corrupts the contract. */
+final class BucketedLedgerWriter(dir: String, partitionId: Int, width: Long)
+    extends DataWriter[InternalRow] {
+  private val writers =
+    scala.collection.mutable.LinkedHashMap.empty[Long, LedgerWriter]
+  override def write(meta: InternalRow, row: InternalRow): Unit = write(row)
+  override def write(row: InternalRow): Unit =
+    writers.getOrElseUpdate(Math.floorDiv(row.getLong(0), width),
+      new LedgerWriter(dir, partitionId)).write(row)
+  override def commit(): WriterCommitMessage =
+    LedgerCommit(writers.values.toSeq.flatMap(_.commit() match {
+      case LedgerCommit(names) => names
+    }))
+  override def abort(): Unit = writers.values.foreach(_.abort())
+  override def close(): Unit = writers.values.foreach(_.close())
 }
 
 final class LedgerWriter(dir: String, partitionId: Int)
@@ -1156,7 +1331,7 @@ final class LedgerWriter(dir: String, partitionId: Int)
       raf.writeLong(if (nRows == 0) -1L else maxId) // empty ⇒ min>max, never matches
       raf.writeLong(nRows)
     } finally raf.close()
-    LedgerCommit(name)
+    LedgerCommit(Seq(name))
   }
   override def abort(): Unit = { out.close(); file.delete() }
   override def close(): Unit = ()

@@ -848,6 +848,16 @@ class PlanQualitySpec extends SparkSpec {
     assert("v2aggregator".r.findAllIn(p).size >= 2, p)
   }
 
+  test("s35: storage-partitioned join shuffles NOTHING on the join key") {
+    val p = plan("s35_storage_partitioned_join")
+    // both bucketed scans feed the merge join pre-grouped by the
+    // reported KeyGroupedPartitioning — the only exchanges in the plan
+    // belong to the post-join aggregate, never to the join key
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning(doc_id"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
   test("g41: recursion scans the persisted edge frame, never re-derives it") {
     val p = plan("g41_recursive_reach")
     // the recursive member re-evaluates per level, so the corpus-sized

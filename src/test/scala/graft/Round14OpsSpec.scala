@@ -383,6 +383,109 @@ class Round14OpsSpec extends SparkSpec {
     assert((afterNames -- beforeNames).forall(_.contains("-rw")), afterNames)
   }
 
+  test("storage-partitioned join: two bucketed ledger tables join with ZERO exchange") {
+    val cat = "r14_spj_cat"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", tmpDir("spj_root"))
+    val s = spark
+    import s.implicits._
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) =>
+      k -> util.Try(Option(s.conf.get(k))).toOption.flatten }
+    try {
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      spark.range(0, 400).select($"id".as("doc_id"),
+          lit("en").as("lang"), ($"id" * 3).as("n_chars"))
+        .writeTo(s"$cat.a").tableProperty("bucket", "100").createOrReplace()
+      spark.range(0, 400, 2).select($"id".as("doc_id"),
+          lit("fr").as("lang"), ($"id" * 7).as("n_chars"))
+        .writeTo(s"$cat.b").tableProperty("bucket", "100").createOrReplace()
+      val joined = spark.table(s"$cat.a").as("a")
+        .join(spark.table(s"$cat.b").as("b"), "doc_id")
+        .select($"doc_id", $"a.n_chars".as("ca"), $"b.n_chars".as("cb"))
+      val rows = joined.collect()
+      assert(rows.length == 200)
+      assert(rows.forall(r => r.getLong(1) == r.getLong(0) * 3 &&
+        r.getLong(2) == r.getLong(0) * 7))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(3000))
+      assert(!plan.contains("Exchange"),
+        s"storage-partitioned join should shuffle NOTHING:\n${plan.take(4000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  test("bucket layout is validated, not trusted: an unbucketed write degrades the scan gracefully") {
+    val cat = "r14_deg_cat"
+    val root = tmpDir("deg_root")
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val s = spark
+    import s.implicits._
+    spark.range(0, 200).select($"id".as("doc_id"), lit("en").as("lang"),
+        ($"id" * 3).as("n_chars"))
+      .writeTo(s"$cat.t").tableProperty("bucket", "100").createOrReplace()
+    // smash the layout contract from OUTSIDE the option plumbing: a
+    // raw writer lands one file whose range straddles two buckets
+    val tdir = new java.io.File(root, "t").getPath
+    val raw = new graft.sources.LedgerWriter(tdir, 99)
+    Seq(0L, 199L).foreach { id =>
+      raw.write(new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](id,
+          org.apache.spark.unsafe.types.UTF8String.fromString("xx"), 0L)))
+    }
+    raw.commit()
+    // the straddling file exists: scan must fall back to per-file
+    // partitioning (UnknownPartitioning), never mis-group rows
+    val tbl = new LedgerTable(tdir, bucketWidth = Some(100L))
+    val scan = tbl.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap())).build()
+    val part = scan.asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsReportPartitioning]
+      .outputPartitioning()
+    assert(!part.isInstanceOf[
+      org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning],
+      s"straddling file must demote the layout claim: $part")
+    assert(spark.table(s"$cat.t").count() == 202L)
+  }
+
+  test("compaction preserves the bucket layout (and SPJ eligibility) of a bucketed table") {
+    val cat = "r14_cmpb_cat"
+    val root = tmpDir("cmpb_root")
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val s = spark
+    import s.implicits._
+    val docs = spark.range(0, 300).select($"id".as("doc_id"),
+      lit("en").as("lang"), ($"id" * 2).as("n_chars"))
+    docs.where($"doc_id" % 2 === 0)
+      .writeTo(s"$cat.t").tableProperty("bucket", "100").createOrReplace()
+    docs.where($"doc_id" % 2 === 1).writeTo(s"$cat.t").append()
+    spark.sql(s"CALL $cat.system.compact('t', 2)")
+    val tdir = new java.io.File(root, "t").getPath
+    // every post-compact file still lies inside one bucket, so the
+    // scan still reports KeyGroupedPartitioning
+    LedgerSource.ledgerFiles(tdir).map(LedgerSource.readStats).foreach {
+      case (mn, mx, n) =>
+        if (n > 0) assert(Math.floorDiv(mn, 100L) == Math.floorDiv(mx, 100L))
+    }
+    val scan = new LedgerTable(tdir, bucketWidth = Some(100L)).newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap())).build()
+    assert(scan.asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsReportPartitioning]
+      .outputPartitioning().isInstanceOf[
+        org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning])
+    assert(spark.table(s"$cat.t").count() == 300L)
+  }
+
   test("SHOW TABLES in an unknown namespace errors instead of listing empty") {
     val cat = "r14_ns_cat"
     spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
