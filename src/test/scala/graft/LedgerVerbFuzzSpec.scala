@@ -92,6 +92,70 @@ class LedgerVerbFuzzSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: REPLACE WHERE equals delete-interval-then-union on arbitrary layouts") {
+    val rng = new scala.util.Random(140004L)
+    (1 to 8).foreach { i =>
+      val cat = s"fuzz_ow_$i"
+      val root = Files.createTempDirectory("fuzz_ow").toString
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val base = rows(rng, 80 + rng.nextInt(120))
+      val incoming = rows(rng, rng.nextInt(60))
+      def df(d: Seq[(Long, String, Option[Long])]) = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          d.map(t => Row(t._1, t._2, t._3.map(Long.box).orNull)), 2), schema)
+      df(base).repartitionByRange(1 + rng.nextInt(4), col("doc_id"))
+        .writeTo(s"$cat.t").createOrReplace()
+      val lo = (rng.nextInt(400) - 100).toLong
+      val hi = lo + rng.nextInt(200)
+      df(incoming).createOrReplaceTempView(s"fuzz_ow_src_$i")
+      spark.sql(s"INSERT INTO $cat.t REPLACE WHERE doc_id >= $lo AND doc_id <= $hi " +
+        s"SELECT * FROM fuzz_ow_src_$i")
+      val got = spark.table(s"$cat.t").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+      // semantics: rows of the interval give way; incoming rows land as
+      // written (wherever their keys lie)
+      val expect = base.filterNot(t => t._1 >= lo && t._1 <= hi) ++ incoming
+      assert(sortRows(got) == sortRows(expect), s"case $i diverged [$lo,$hi]")
+    }
+  }
+
+  test("fuzz: verbs on a BUCKETED table preserve the every-file-in-one-bucket invariant") {
+    val rng = new scala.util.Random(140005L)
+    (1 to 6).foreach { i =>
+      val cat = s"fuzz_bk_$i"
+      val root = Files.createTempDirectory("fuzz_bk").toString
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val width = Seq(50L, 100L, 128L)(rng.nextInt(3))
+      val base = rows(rng, 100 + rng.nextInt(150))
+      def df(d: Seq[(Long, String, Option[Long])]) = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          d.map(t => Row(t._1, t._2, t._3.map(Long.box).orNull)), 3), schema)
+      df(base).writeTo(s"$cat.t")
+        .tableProperty("bucket", width.toString).createOrReplace()
+      val extra = rows(rng, rng.nextInt(60))
+      df(extra).writeTo(s"$cat.t").append()
+      val lo = (rng.nextInt(400) - 100).toLong
+      val hi = lo + rng.nextInt(150)
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id >= $lo AND doc_id <= $hi")
+      val expect = (base ++ extra).filterNot(t => t._1 >= lo && t._1 <= hi)
+      val got = spark.table(s"$cat.t").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+      assert(sortRows(got) == sortRows(expect), s"case $i diverged")
+      // layout invariant survives appends, deletes and clips alike
+      LedgerSource.ledgerFiles(new java.io.File(root, "t").getPath)
+        .map(LedgerSource.readStats).foreach { case (mn, mx, n) =>
+          if (n > 0) assert(Math.floorDiv(mn, width) == Math.floorDiv(mx, width),
+            s"case $i: file [$mn,$mx] straddles width-$width buckets")
+        }
+    }
+  }
+
   test("fuzz: every append version reconstructs exactly its prefix") {
     val rng = new scala.util.Random(140003L)
     (1 to 6).foreach { i =>

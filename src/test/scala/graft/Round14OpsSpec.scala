@@ -421,6 +421,42 @@ class Round14OpsSpec extends SparkSpec {
     }
   }
 
+  test("storage-partitioned join with ASYMMETRIC bucket sets still runs exchange-free") {
+    // one side covers buckets 0..3, the other only 1..2: Spark's
+    // pushPartValues machinery aligns the partition value sets instead
+    // of giving up — the realistic shape after retention deletes shrink
+    // one table's key range
+    val cat = "r14_spja_cat"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", tmpDir("spja_root"))
+    val s = spark
+    import s.implicits._
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true")
+    val saved = confs.map { case (k, _) =>
+      k -> util.Try(Option(s.conf.get(k))).toOption.flatten }
+    try {
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      spark.range(0, 400).select($"id".as("doc_id"),
+          lit("en").as("lang"), ($"id" * 3).as("n_chars"))
+        .writeTo(s"$cat.a").tableProperty("bucket", "100").createOrReplace()
+      spark.range(120, 280).select($"id".as("doc_id"),
+          lit("fr").as("lang"), ($"id" * 7).as("n_chars"))
+        .writeTo(s"$cat.b").tableProperty("bucket", "100").createOrReplace()
+      val joined = spark.table(s"$cat.a").hint("merge")
+        .join(spark.table(s"$cat.b").select($"doc_id"), "doc_id")
+      assert(joined.count() == 160L)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      assert(!plan.contains("Exchange hashpartitioning(doc_id"),
+        s"asymmetric SPJ still must not shuffle the join key:\n${plan.take(4000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   test("bucket layout is validated, not trusted: an unbucketed write degrades the scan gracefully") {
     val cat = "r14_deg_cat"
     val root = tmpDir("deg_root")
