@@ -3191,6 +3191,47 @@ object Relational {
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ── F-beyond: modern SQL ergonomics — LATERAL COLUMN ALIASES (a
+    //    select item referencing an EARLIER alias in the same list,
+    //    Spark 3.4+; here `total_mod` derives from the aggregate alias
+    //    `total`, which classic SQL forces into a wrapping subquery)
+    //    composed with `GROUP BY ALL` / `ORDER BY ALL` (grouping and
+    //    ordering inferred from the non-aggregate select items — the
+    //    de-facto analyst dialect DuckDB popularized, now shared SQL
+    //    between the two engines, so the SAME text runs on BOTH sides
+    //    of the judge). The two compose through a CTE because Spark
+    //    declines a lateral alias INSIDE a GROUP BY ALL list
+    //    (UNSUPPORTED_FEATURE.LATERAL_COLUMN_ALIAS_IN_GROUP_BY — a
+    //    recorded engine boundary); the outer select CHAINS two
+    //    lateral aliases (`chained` reads `total_mod`), and the ALL
+    //    inference is itself under test: it must pick exactly
+    //    {lang, bucket} and exclude the aggregates. ──
+    ("f23_sql_ergonomics",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .select($"lang", $"n_chars").createOrReplaceTempView("docs_f23")
+        s.sql(
+          """WITH agg AS (
+            |  SELECT lang, n_chars % 7 AS bucket,
+            |         CAST(count(*) AS BIGINT) AS n,
+            |         CAST(sum(n_chars) AS BIGINT) AS total
+            |  FROM docs_f23 GROUP BY ALL)
+            |SELECT lang, bucket, n, total,
+            |       CAST(total % 97 AS BIGINT) AS total_mod,
+            |       CAST(total_mod * 2 + n AS BIGINT) AS chained
+            |FROM agg ORDER BY ALL""".stripMargin)
+      },
+      """WITH agg AS (
+        |  SELECT lang, n_chars % 7 AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(n_chars) AS BIGINT) AS total
+        |  FROM documents GROUP BY ALL)
+        |SELECT lang, bucket, n, total,
+        |       CAST(total % 97 AS BIGINT) AS total_mod,
+        |       CAST(total_mod * 2 + n AS BIGINT) AS chained
+        |FROM agg ORDER BY ALL""".stripMargin),
+
     // ── F-beyond: a catalog-scoped V2 AGGREGATE function — f21's
     //    scalar surface completed with the harder half:
     //    `graft_cat.system.key_span(doc_id)` (the key-interval width a
