@@ -210,6 +210,52 @@ object Relational {
          |         AS sum_val
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ── S-beyond: PERMISSIVE malformed-record ingest — the dirty-data
+    //    contract every 100 TB JSON landing zone runs on. A JSONL copy
+    //    of documents is written with a DETERMINISTIC corruption (every
+    //    doc_id ≡ 0 mod 7 truncates mid-object), then read back with an
+    //    EXPLICIT schema + `mode=PERMISSIVE` + a named
+    //    `columnNameOfCorruptRecord`: a malformed line must yield NULL
+    //    data columns and the raw line in the corrupt column — never a
+    //    dropped row (DROPMALFORMED) or a failed job (FAILFAST). The
+    //    judged aggregate accounts for EVERY input row: valid rows
+    //    group under their lang, corrupt rows under the NULL lang with
+    //    their corrupt-flag count, and the oracle recomputes both
+    //    populations from the clean parquet — so a parser that silently
+    //    dropped or half-parsed a line diverges the hash. Explicit
+    //    schema means no inference pass: one read job at any scale. ──
+    ("s36_permissive_ingest",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val out = scratchPath("s36_dirty_jsonl")
+        Tables(s, dir, "documents")
+          .select(concat(
+            lit("{\"doc_id\": "), $"doc_id",
+            lit(", \"lang\": \""), $"lang", lit("\""),
+            when($"doc_id" % 7 === 0, lit(""))  // truncated mid-object
+              .otherwise(concat(lit(", \"n_chars\": "), $"n_chars", lit("}"))))
+            .as("value"))
+          .write.mode("overwrite").text(out)
+        s.read
+          .schema("doc_id LONG, lang STRING, n_chars LONG, _bad STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_bad")
+          .json(out)
+          .groupBy($"lang")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum($"n_chars").cast("long").as("sum_chars"),
+            count($"_bad").as("n_corrupt"))
+          .orderBy($"lang")
+      },
+      """SELECT CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN n_chars END) AS BIGINT)
+        |         AS sum_chars,
+        |       CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_corrupt
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ── s15: snapshot diff — the CDC/data-versioning primitive every
     //    lakehouse pipeline needs: reconcile two table versions into the
     //    (key, added|removed|changed) change set. Two deterministic
@@ -1318,6 +1364,46 @@ object Relational {
       """SELECT DISTINCT user_id, event_type
         |FROM events ORDER BY user_id, event_type""".stripMargin),
 
+    // ── P-beyond: DataFrame `transpose` (Spark 4) — rows↔columns flip
+    //    as an ENGINE verb. The input is first made tiny and
+    //    dictionary-bounded (a 3-row aggregate over l_returnflag's
+    //    fixed {A,N,R} domain) because transpose is definitionally a
+    //    driver-shape operation: the first column becomes the header,
+    //    so its values must fit a schema. Under test: the header-from-
+    //    data rule (columns come out named A/N/R), the metric-name key
+    //    column, and the value type unification (all-BIGINT in →
+    //    all-BIGINT out). The oracle rebuilds the flipped shape with
+    //    scalar subqueries — name-for-name, the a21 discipline. The
+    //    100 TB posture is the input aggregate's: transpose only ever
+    //    sees the dictionary-sized result. ──
+    ("p16_transpose",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Tables(s, dir, "lineitem")
+          .groupBy($"l_returnflag".as("flag"))
+          .agg(
+            sum($"l_quantity").cast("long").as("sum_qty"),
+            count(lit(1)).as("n"))
+          .orderBy($"flag")
+          .transpose()
+      },
+      """SELECT 'sum_qty' AS key,
+        |  (SELECT CAST(sum(l_quantity) AS BIGINT) FROM lineitem
+        |   WHERE l_returnflag = 'A') AS A,
+        |  (SELECT CAST(sum(l_quantity) AS BIGINT) FROM lineitem
+        |   WHERE l_returnflag = 'N') AS N,
+        |  (SELECT CAST(sum(l_quantity) AS BIGINT) FROM lineitem
+        |   WHERE l_returnflag = 'R') AS R
+        |UNION ALL
+        |SELECT 'n',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_returnflag = 'A'),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_returnflag = 'N'),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_returnflag = 'R')
+        |ORDER BY key""".stripMargin),
+
     // ── F1/A1: hourly presence — date_trunc + grouped distinct count ──
     // (the reference's core query, cal_user_trace.py:22,35)
     ("f01_hourly_presence",
@@ -1635,6 +1721,107 @@ object Relational {
         |         WHERE c.c_nationkey = n.n_nationkey
         |         ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) l
         |ORDER BY n.n_name, l.c_acctbal DESC, l.c_custkey""".stripMargin),
+
+    // ── J16 (beyond reference): correlated SCALAR subqueries — the
+    //    other half of j11's subquery surface. Two shapes in one judged
+    //    query: a WHERE-clause scalar (each customer against its own
+    //    nation's average balance — the classic "above group mean"
+    //    filter) and a SELECT-list scalar (the per-nation supplier
+    //    count). The judged property is again DECORRELATION: Catalyst's
+    //    RewriteCorrelatedScalarSubquery turns the WHERE scalar into an
+    //    inner join against a pre-aggregated per-nation average and the
+    //    SELECT scalar into a LEFT OUTER join with a null→0 count fixup
+    //    — ZERO SubqueryExpressions survive optimization
+    //    (`PlanQualitySpec`), so nothing re-executes per row at any
+    //    scale. A recorded engine boundary, the f23 discipline: Spark
+    //    declines a correlated scalar in the SELECT list of an
+    //    aggregate when its correlation key is a grouping column
+    //    (SCALAR_SUBQUERY_IS_IN_GROUP_BY_OR_AGGREGATE_FUNCTION), so the
+    //    aggregate and the SELECT-list scalar compose through a CTE;
+    //    DuckDB runs the identical text. ──
+    ("j16_scalar_subqueries",
+      (s: SparkSession, dir: String) => {
+        Tables(s, dir, "nation").createOrReplaceTempView("nation")
+        Tables(s, dir, "customer").createOrReplaceTempView("customer")
+        Tables(s, dir, "supplier").createOrReplaceTempView("supplier")
+        s.sql("""
+          WITH above AS (
+            SELECT n.n_nationkey AS nk, n.n_name,
+                   CAST(count(*) AS BIGINT) AS n_above
+            FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+            WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                                 WHERE c2.c_nationkey = c.c_nationkey)
+            GROUP BY 1, 2)
+          SELECT n_name, n_above,
+                 CAST((SELECT count(*) FROM supplier s
+                       WHERE s.s_nationkey = above.nk) AS BIGINT) AS n_supp
+          FROM above ORDER BY n_name""")
+      },
+      """WITH above AS (
+        |  SELECT n.n_nationkey AS nk, n.n_name,
+        |         CAST(count(*) AS BIGINT) AS n_above
+        |  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |  WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                       WHERE c2.c_nationkey = c.c_nationkey)
+        |  GROUP BY 1, 2)
+        |SELECT n_name, n_above,
+        |       CAST((SELECT count(*) FROM supplier s
+        |             WHERE s.s_nationkey = above.nk) AS BIGINT) AS n_supp
+        |FROM above ORDER BY n_name""".stripMargin),
+
+    // ── J17 (beyond reference): null-aware anti join — NOT IN's
+    //    tri-valued logic judged HEAD-ON. `x NOT IN (subquery)` is NOT
+    //    the complement of `x IN (subquery)` once the subquery can
+    //    yield NULL: a single NULL makes every comparison UNKNOWN, so
+    //    the predicate never passes and the result is EMPTY — the SQL
+    //    semantics bug every migration guide warns about, and the
+    //    reason Spark plans a dedicated NULL-AWARE anti join
+    //    (BroadcastHashJoin LeftAnti with isNullAwareAntiJoin=true,
+    //    pinned in `PlanQualitySpec`) instead of a plain anti join.
+    //    Three branches in one result: NOT IN against a probe list
+    //    WITH a NULL (must count 0), NOT IN against the same list
+    //    without it, and NOT EXISTS against the null-bearing list
+    //    (correlated equality ignores the NULL row — counts the same
+    //    as the clean NOT IN). Both engines agree on all three, which
+    //    is exactly the judged claim. ──
+    ("j17_null_aware_anti",
+      (s: SparkSession, dir: String) => {
+        Tables(s, dir, "customer").createOrReplaceTempView("customer")
+        Tables(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""
+          WITH probe AS (
+            SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+            UNION ALL SELECT CAST(NULL AS BIGINT)),
+          probe_clean AS (
+            SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+          SELECT * FROM (
+            SELECT 'not_in_with_null' AS method, CAST(count(*) AS BIGINT) AS n
+            FROM customer WHERE c_custkey NOT IN (SELECT k FROM probe)
+            UNION ALL
+            SELECT 'not_in_clean', CAST(count(*) AS BIGINT)
+            FROM customer WHERE c_custkey NOT IN (SELECT k FROM probe_clean)
+            UNION ALL
+            SELECT 'not_exists', CAST(count(*) AS BIGINT)
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = c.c_custkey)
+          ) ORDER BY method""")
+      },
+      """WITH probe AS (
+        |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL SELECT CAST(NULL AS BIGINT)),
+        |probe_clean AS (
+        |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+        |SELECT * FROM (
+        |  SELECT 'not_in_with_null' AS method, CAST(count(*) AS BIGINT) AS n
+        |  FROM customer WHERE c_custkey NOT IN (SELECT k FROM probe)
+        |  UNION ALL
+        |  SELECT 'not_in_clean', CAST(count(*) AS BIGINT)
+        |  FROM customer WHERE c_custkey NOT IN (SELECT k FROM probe_clean)
+        |  UNION ALL
+        |  SELECT 'not_exists', CAST(count(*) AS BIGINT)
+        |  FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = c.c_custkey)
+        |) ORDER BY method""".stripMargin),
 
     // ── J9 (beyond reference): dynamic partition pruning — the runtime
     //    filter that matters most at 100 TB. The fact side is a
@@ -2299,6 +2486,50 @@ object Relational {
          |SELECT user_id, CAST(max(n_trailing_1h) AS BIGINT) AS peak_1h,
          |       CAST(count(*) AS BIGINT) AS n_events
          |FROM f GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ── W-beyond: INTERVAL range frames — w08's range window spelled
+    //    over the TIMESTAMP ordering column directly (`RANGE BETWEEN
+    //    INTERVAL '2' DAY PRECEDING …`), the form production SQL
+    //    actually writes; w08's epoch-seconds arithmetic is the manual
+    //    de-sugaring. Both frame directions judged (trailing count +
+    //    a FOLLOWING-side money sum — forward frames are the lookahead
+    //    feature-engineering shape), values in exact money cents
+    //    ([[Portable.moneySum]]'s rounding discipline — a bare cast
+    //    truncates on Spark and rounds on DuckDB). Per-user window
+    //    state only; one sort per user partition, then one hash agg. ──
+    ("w13_interval_frame",
+      (s: SparkSession, dir: String) => {
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("value"))
+          .createOrReplaceTempView("events_w13")
+        s.sql("""
+          WITH f AS (
+            SELECT user_id,
+                   CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL '2' DAY PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS n_2d,
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN CURRENT ROW AND INTERVAL '12' HOUR FOLLOWING)
+                     AS BIGINT) AS v_12h_c
+            FROM events_w13)
+          SELECT user_id, CAST(max(n_2d) AS BIGINT) AS peak_2d,
+                 CAST(sum(v_12h_c) AS BIGINT) AS sum_fwd_cents
+          FROM f GROUP BY 1 ORDER BY 1""")
+      },
+      """WITH f AS (
+        |  SELECT user_id,
+        |         CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+        |           RANGE BETWEEN INTERVAL 2 DAY PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS n_2d,
+        |         CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+        |           OVER (PARTITION BY user_id ORDER BY ts
+        |           RANGE BETWEEN CURRENT ROW AND INTERVAL 12 HOUR FOLLOWING)
+        |           AS BIGINT) AS v_12h_c
+        |  FROM events)
+        |SELECT user_id, CAST(max(n_2d) AS BIGINT) AS peak_2d,
+        |       CAST(sum(v_12h_c) AS BIGINT) AS sum_fwd_cents
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // ── w09: ntile k-fold assignment — equal-depth cross-validation
     //    folds per language, ordered by the portable hash (so folds are
@@ -3232,6 +3463,101 @@ object Relational {
         |       CAST(total_mod * 2 + n AS BIGINT) AS chained
         |FROM agg ORDER BY ALL""".stripMargin),
 
+    // ── F-beyond: higher-order functions over arrays — the lambda
+    //    surface (`transform` / `filter` / `aggregate` / `exists` /
+    //    `forall` / `zip_with`) judged as ONE tour over per-group
+    //    sorted arrays. The arrays come from `sort_array(collect_list)`
+    //    so the multiset order is canonical on both engines; `zip_with`
+    //    pairs the sorted sequence with its own reverse (rank i against
+    //    rank n−i+1 — well-defined on a multiset regardless of tie
+    //    order), and the oracle proves the same values from PLAIN ROW
+    //    SQL (window-rank self-join for the reverse pairing) — the
+    //    point being that the array lambdas are semantics, not a new
+    //    data model. Scale: one hash agg builds each group's array;
+    //    the group count is the lang dictionary, so array sizes scale
+    //    with corpus/dictionary, the g17-family posture. ──
+    ("f24_higher_order",
+      (s: SparkSession, dir: String) => {
+        Tables(s, dir, "documents")
+          .select(col("lang"), col("n_chars"), col("doc_id"))
+          .createOrReplaceTempView("docs_f24")
+        s.sql("""
+          WITH arrs AS (
+            SELECT lang, sort_array(collect_list(n_chars)) AS a
+            FROM docs_f24 GROUP BY lang)
+          SELECT lang,
+            CAST(size(a) AS BIGINT) AS n,
+            CAST(size(filter(a, x -> x % 2 = 0)) AS BIGINT) AS evens,
+            CAST(aggregate(transform(a, x -> x % 10), 0L,
+                           (acc, x) -> acc + x) AS BIGINT) AS mod_total,
+            CAST(CASE WHEN exists(a, x -> x > 500)
+                 THEN 1 ELSE 0 END AS BIGINT) AS any_big,
+            CAST(CASE WHEN forall(a, x -> x > 0)
+                 THEN 1 ELSE 0 END AS BIGINT) AS all_pos,
+            CAST(aggregate(zip_with(a, reverse(a), (x, y) -> x * y), 0L,
+                           (acc, x) -> acc + x) AS BIGINT) AS dot_rev
+          FROM arrs ORDER BY lang""")
+      },
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY n_chars, doc_id) AS i,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |rev AS (SELECT a.lang,
+        |               CAST(sum(a.n_chars * b.n_chars) AS BIGINT) AS dot_rev
+        |        FROM r a JOIN r b ON a.lang = b.lang AND b.i = a.n - a.i + 1
+        |        GROUP BY a.lang)
+        |SELECT r.lang,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN n_chars % 2 = 0
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS evens,
+        |       CAST(sum(n_chars % 10) AS BIGINT) AS mod_total,
+        |       CAST(max(CASE WHEN n_chars > 500
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS any_big,
+        |       CAST(min(CASE WHEN n_chars > 0
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS all_pos,
+        |       any_value(rev.dot_rev) AS dot_rev
+        |FROM r JOIN rev ON r.lang = rev.lang
+        |GROUP BY r.lang ORDER BY r.lang""".stripMargin),
+
+    // ── F-beyond: ANSI interval arithmetic — the two interval families
+    //    the standard distinguishes, judged for VALUE parity: a
+    //    year-month interval must CLAMP at short month ends (Jan 31 +
+    //    1 month = Feb 29 in a leap year — both engines agree, and the
+    //    events epoch starts 2024-01-01 so the max-ts + 1 MONTH lands
+    //    exactly in that regime), a day-time interval shifts by an
+    //    exact duration, and interval SUBTRACTION off a date_trunc
+    //    yields the previous month's end. Spans render as exact epoch-
+    //    second BIGINTs ([[Portable.epochSecSql]]'s contract), shifted
+    //    timestamps at whole-second precision ([[Portable.tsSec]]).
+    //    One hash agg per event_type; dictionary-bounded output. ──
+    ("f25_interval_arithmetic",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .groupBy($"event_type")
+          .agg(
+            tsSec(max($"ts") + expr("INTERVAL '1' MONTH")).as("next_month"),
+            tsSec(min($"ts") + expr("INTERVAL '1 02:30:45' DAY TO SECOND"))
+              .as("shifted"),
+            tsSec(date_trunc("MONTH", max($"ts")) - expr("INTERVAL '1' DAY"))
+              .as("prev_month_end"),
+            (unix_timestamp(max($"ts")) - unix_timestamp(min($"ts")))
+              .cast("long").as("span_s"))
+          .orderBy($"event_type")
+      },
+      s"""SELECT event_type,
+         |  ${tsSecSql("max(ts) + INTERVAL 1 MONTH")} AS next_month,
+         |  ${tsSecSql(
+              "min(ts) + INTERVAL '1 day 2 hours 30 minutes 45 seconds'")}
+         |    AS shifted,
+         |  ${tsSecSql("date_trunc('month', max(ts)) - INTERVAL 1 DAY")}
+         |    AS prev_month_end,
+         |  CAST(${epochSecSql("max(ts)")} - ${epochSecSql("min(ts)")}
+         |       AS BIGINT) AS span_s
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ── F-beyond: a catalog-scoped V2 AGGREGATE function — f21's
     //    scalar surface completed with the harder half:
     //    `graft_cat.system.key_span(doc_id)` (the key-interval width a
@@ -3325,6 +3651,39 @@ object Relational {
         |       string_agg(n_name, ',' ORDER BY n_name) AS members,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ── A-beyond: the SQL PIVOT clause — a07/g14 judge the DataFrame
+    //    `.pivot()`; this is the ENGINE-SQL form (`PIVOT (agg, … FOR col
+    //    IN (v AS alias, …))`), with the two surface rules under test:
+    //    MULTIPLE aggregates per cell and the generated column NAMING
+    //    (`<alias>_<aggAlias>`, e.g. `q0_s`), which the oracle's
+    //    explicit CASE aggregation must reproduce name-for-name because
+    //    the judge's compare sorts columns by name. Values are listed
+    //    literally (the clause requires it), so the plan is ONE hash
+    //    agg with map-side partials — no distinct-values pre-pass like
+    //    the dynamic DataFrame form. ──
+    ("a21_pivot_clause",
+      (s: SparkSession, dir: String) => {
+        Tables(s, dir, "documents")
+          .select(col("lang"), col("n_chars"))
+          .createOrReplaceTempView("docs_a21")
+        s.sql("""
+          SELECT * FROM (SELECT lang, n_chars % 4 AS q, n_chars FROM docs_a21)
+          PIVOT (CAST(sum(n_chars) AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) AS c
+                 FOR q IN (0 AS q0, 1 AS q1, 2 AS q2, 3 AS q3))
+          ORDER BY lang""")
+      },
+      """SELECT lang,
+        |  CAST(sum(CASE WHEN n_chars % 4 = 0 THEN n_chars END) AS BIGINT) AS q0_s,
+        |  CAST(count(CASE WHEN n_chars % 4 = 0 THEN 1 END) AS BIGINT) AS q0_c,
+        |  CAST(sum(CASE WHEN n_chars % 4 = 1 THEN n_chars END) AS BIGINT) AS q1_s,
+        |  CAST(count(CASE WHEN n_chars % 4 = 1 THEN 1 END) AS BIGINT) AS q1_c,
+        |  CAST(sum(CASE WHEN n_chars % 4 = 2 THEN n_chars END) AS BIGINT) AS q2_s,
+        |  CAST(count(CASE WHEN n_chars % 4 = 2 THEN 1 END) AS BIGINT) AS q2_c,
+        |  CAST(sum(CASE WHEN n_chars % 4 = 3 THEN n_chars END) AS BIGINT) AS q3_s,
+        |  CAST(count(CASE WHEN n_chars % 4 = 3 THEN 1 END) AS BIGINT) AS q3_c
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
 
     ("a19_drift_report",
       (s: SparkSession, dir: String) => {
@@ -3705,6 +4064,48 @@ object Relational {
         |    EXCEPT
         |    SELECT user_id FROM events WHERE event_type = 'error'))
         |ORDER BY cohort, user_id""".stripMargin),
+
+    // ── U-beyond: MULTISET set algebra — `INTERSECT ALL` / `EXCEPT ALL`
+    //    (SQL bag semantics: a key occurring 5× in one leg and 2× in the
+    //    other survives EXCEPT ALL exactly 3×, INTERSECT ALL exactly 2×
+    //    — min/difference of multiplicities, NOT membership). u02 judges
+    //    the DISTINCT forms; these are different operators with a
+    //    different plan (Spark rewrites them to multiplicity arithmetic
+    //    over per-leg counts + a generator replicate, all hash aggs —
+    //    no sort, map-side partials). The judged output re-aggregates
+    //    the surviving multiset per key so the multiplicities
+    //    themselves are hashed. ──
+    ("u08_set_ops_all",
+      (s: SparkSession, dir: String) => {
+        Tables(s, dir, "events")
+          .select(col("event_type"), col("user_id"))
+          .createOrReplaceTempView("events_u08")
+        s.sql("""
+          WITH p AS (SELECT user_id FROM events_u08
+                     WHERE event_type = 'purchase'),
+               v AS (SELECT user_id FROM events_u08
+                     WHERE event_type = 'view')
+          SELECT * FROM (
+            SELECT 'inter_all' AS op, user_id, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT user_id FROM p INTERSECT ALL SELECT user_id FROM v)
+            GROUP BY 1, 2
+            UNION ALL
+            SELECT 'except_all', user_id, CAST(count(*) AS BIGINT)
+            FROM (SELECT user_id FROM p EXCEPT ALL SELECT user_id FROM v)
+            GROUP BY 1, 2
+          ) ORDER BY op, user_id""")
+      },
+      """WITH p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+        |     v AS (SELECT user_id FROM events WHERE event_type = 'view')
+        |SELECT * FROM (
+        |  SELECT 'inter_all' AS op, user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT user_id FROM p INTERSECT ALL SELECT user_id FROM v)
+        |  GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'except_all', user_id, CAST(count(*) AS BIGINT)
+        |  FROM (SELECT user_id FROM p EXCEPT ALL SELECT user_id FROM v)
+        |  GROUP BY 1, 2
+        |) ORDER BY op, user_id""".stripMargin),
 
     // ── u03: CDC merge / changelog compaction — the incremental-ingest
     //    operator a 100-TB pipeline refreshes with. A base snapshot

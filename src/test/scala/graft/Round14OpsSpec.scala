@@ -532,4 +532,67 @@ class Round14OpsSpec extends SparkSpec {
     assert(spark.sql(s"SHOW TABLES IN $cat.ns1").count() == 1L)
     intercept[Exception] { spark.sql(s"SHOW TABLES IN $cat.bogus").collect() }
   }
+
+  test("PERMISSIVE ingest keeps the raw malformed line; DROPMALFORMED drops it; FAILFAST fails") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("s36_modes")
+    // 2 valid lines + 1 truncated object + 1 non-JSON line
+    Seq(
+      """{"doc_id": 1, "lang": "en", "n_chars": 10}""",
+      """{"doc_id": 2, "lang": "de", "n_chars": 20}""",
+      """{"doc_id": 3, "lang": "fr""",
+      "garbage").toDS().coalesce(1).write.mode("overwrite").text(dir)
+    val schema = "doc_id LONG, lang STRING, n_chars LONG, _bad STRING"
+    val perm = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .json(dir)
+    // every input row survives; malformed ones carry the RAW line in the
+    // corrupt column with NULL data columns — s36's judged accounting
+    assert(perm.count() == 4L)
+    val bad = perm.where($"_bad".isNotNull)
+      .select($"_bad", $"doc_id", $"lang").collect()
+    assert(bad.length == 2, bad.mkString(";"))
+    assert(bad.map(_.getString(0)).toSet ==
+      Set("""{"doc_id": 3, "lang": "fr""", "garbage"))
+    assert(bad.forall(r => r.isNullAt(1) && r.isNullAt(2)))
+    // DROPMALFORMED silently keeps only the parseable rows …
+    val dropped = spark.read.schema("doc_id LONG, lang STRING, n_chars LONG")
+      .option("mode", "DROPMALFORMED").json(dir)
+    assert(dropped.count() == 2L)
+    // … and FAILFAST refuses the batch outright
+    intercept[org.apache.spark.SparkException] {
+      spark.read.schema("doc_id LONG, lang STRING, n_chars LONG")
+        .option("mode", "FAILFAST").json(dir).collect()
+    }
+  }
+
+  test("fuzz: NOT IN equals the anti-complement iff the probe is null-free (j17 semantics)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(1405)
+    for (round <- 0 until 6) {
+      val base = Seq.fill(40)(rnd.nextInt(25).toLong)
+      val probeVals = Seq.fill(rnd.nextInt(12) + 1)(rnd.nextInt(25).toLong)
+      val withNull = round % 2 == 1
+      base.toDF("k").createOrReplaceTempView("f_base")
+      val probe = probeVals.map(Option(_)) ++ (if (withNull) Seq(None) else Nil)
+      probe.toDF("k").createOrReplaceTempView("f_probe")
+      val notIn = spark.sql(
+        "SELECT count(*) FROM f_base WHERE k NOT IN (SELECT k FROM f_probe)")
+        .head().getLong(0)
+      val expected =
+        if (withNull) 0L // one NULL → every comparison UNKNOWN → no row passes
+        else base.count(v => !probeVals.contains(v)).toLong
+      assert(notIn == expected, s"round=$round withNull=$withNull got=$notIn")
+      // NOT EXISTS never sees the tri-valued trap: equality with the
+      // NULL row is UNKNOWN, so that probe row simply never matches
+      val notExists = spark.sql(
+        """SELECT count(*) FROM f_base b
+          |WHERE NOT EXISTS (SELECT 1 FROM f_probe p WHERE p.k = b.k)""".stripMargin)
+        .head().getLong(0)
+      assert(notExists == base.count(v => !probeVals.contains(v)).toLong)
+    }
+  }
 }
