@@ -1506,7 +1506,74 @@ object StreamingQueries {
          |  FROM ev GROUP BY 1)
          |SELECT ag.user_id, ag.n_types, ag.n_events, tk.topk_sum, tk.topk_n
          |FROM ag JOIN tk USING (user_id) JOIN w1u USING (user_id)
-         |ORDER BY user_id""".stripMargin)
+         |ORDER BY user_id""".stripMargin),
+
+    // ── st22: streaming CDC into the LAKEHOUSE — the composition the
+    //    connector story and the streaming story have been building
+    //    toward: `foreachBatch` + `MERGE INTO` a ledger-catalog table,
+    //    the idiom every production streaming-upsert pipeline runs
+    //    (Delta/Iceberg "merge into from a stream"). Events arrive as
+    //    three mtime-ordered files under maxFilesPerTrigger=1; each
+    //    microbatch pre-aggregates per user and MERGEs into the V2
+    //    table — matched keys FOLD the batch delta into their running
+    //    state (count rides the lang column as a decimal string,
+    //    money-cents in n_chars), unmatched keys INSERT. Three
+    //    successive copy-on-write MERGEs (s28's machinery) later, the
+    //    table must equal the one-shot batch aggregate REGARDLESS of
+    //    how rows split across batches — associativity of the fold is
+    //    exactly what the oracle's plain GROUP BY checks. State lives
+    //    in the TABLE, not the stream (outputMode Append, no state
+    //    store): restart cost is a checkpoint offset, and at 100 TB
+    //    the per-batch cost is the delta join, never the history. ──
+    ("st22_stream_merge_lakehouse",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val inv = st16Invocation.incrementAndGet()
+        s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_cat.root",
+          Portable.scratchPath("st22_catroot"))
+        val tbl = s"graft_cat.st22state_$inv"
+        val stage = Portable.scratchPath(s"st22_stage_$inv")
+        Tables.rawEvents(s, dir).repartition(3)
+          .write.mode("overwrite").parquet(stage)
+        val schema = s.read.parquet(stage).schema
+        // seed an EMPTY ledger table so batch 0 merges like any other
+        s.range(0).select($"id".as("doc_id"),
+            lit("0").as("lang"), $"id".as("n_chars"))
+          .writeTo(tbl).createOrReplace()
+        val src = Tables.normalizeTs(
+          s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(stage))
+          .select($"user_id", $"value")
+        val q = src.writeStream
+          .option("checkpointLocation",
+            Portable.scratchPath(s"st22_ckpt_$inv"))
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) =>
+              val delta = batch.groupBy(col("user_id"))
+                .agg(count(lit(1)).as("c"),
+                  sum(round(col("value") * 100).cast("long")).as("cents"))
+              delta.createOrReplaceTempView("st22_delta")
+              batch.sparkSession.sql(
+                s"""MERGE INTO $tbl t USING st22_delta b
+                   |ON t.doc_id = b.user_id
+                   |WHEN MATCHED THEN UPDATE SET
+                   |  lang = CAST(CAST(t.lang AS BIGINT) + b.c AS STRING),
+                   |  n_chars = t.n_chars + b.cents
+                   |WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars)
+                   |  VALUES (b.user_id, CAST(b.c AS STRING), b.cents)
+                   |""".stripMargin): Unit
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.sql(s"""SELECT doc_id AS user_id, CAST(lang AS BIGINT) AS n,
+                 |       n_chars AS cents
+                 |FROM $tbl ORDER BY 1""".stripMargin)
+      },
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
   /** st16/st17 run twice per Bench invocation in one JVM; per-
