@@ -1529,10 +1529,18 @@ object StreamingQueries {
       (s: SparkSession, dir: String) => {
         import s.implicits._
         val inv = st16Invocation.incrementAndGet()
-        s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
-        s.conf.set("spark.sql.catalog.graft_cat.root",
+        // UNIQUE catalog name per invocation: foreachBatch hands the
+        // body a CLONED session whose fresh CatalogManager instantiates
+        // the plugin from the CURRENT conf, while the outer session may
+        // hold an instance cached under an older root (CatalogManager
+        // caches by name at first reference) — a shared name would split
+        // the seed table and the MERGE across two roots in any JVM that
+        // referenced the shared catalog before this query
+        val cat = s"st22cat_$inv"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root",
           Portable.scratchPath("st22_catroot"))
-        val tbl = s"graft_cat.st22state_$inv"
+        val tbl = s"$cat.st22state_$inv"
         val stage = Portable.scratchPath(s"st22_stage_$inv")
         Tables.rawEvents(s, dir).repartition(3)
           .write.mode("overwrite").parquet(stage)
