@@ -568,6 +568,38 @@ class Round14OpsSpec extends SparkSpec {
     }
   }
 
+  test("state reader: state-metadata names the operator; batchId option time-travels the state") {
+    val s = spark
+    import s.implicits._
+    val stage = tmpDir("st23_pin_stage")
+    val ckpt = tmpDir("st23_pin_ckpt")
+    // three single-row arrival files for the same key → running count 1, 2, 3
+    for (i <- 0 until 3) {
+      Seq((1L, i.toLong)).toDF("k", "v").coalesce(1)
+        .write.mode("append").parquet(stage)
+    }
+    val q = spark.readStream.schema("k LONG, v LONG")
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+      .groupBy($"k").agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("update").format("noop")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // the metadata source names the aggregation's store and batch range
+    val md = spark.read.format("state-metadata").load(ckpt).collect().head
+    assert(md.getAs[String]("operatorName") == "stateStoreSave")
+    assert(md.getAs[Long]("minBatchId") == 0L)
+    assert(md.getAs[Long]("maxBatchId") == 2L, md.toString)
+    // batchId picks the state AS OF a committed batch — the agg buffer
+    // must show the running count of that moment, not the final one
+    def countAt(b: Int): Long = spark.read.format("statestore")
+      .option("batchId", b.toString).load(ckpt)
+      .selectExpr("value.count").head().getLong(0)
+    assert(countAt(0) == 1L)
+    assert(countAt(1) == 2L)
+    assert(countAt(2) == 3L)
+  }
+
   test("fuzz: NOT IN equals the anti-complement iff the probe is null-free (j17 semantics)") {
     val s = spark
     import s.implicits._
