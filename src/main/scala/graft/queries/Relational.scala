@@ -1364,6 +1364,35 @@ object Relational {
       """SELECT DISTINCT user_id, event_type
         |FROM events ORDER BY user_id, event_type""".stripMargin),
 
+    // ── P-beyond: LIMIT/OFFSET paging — the keyset-less pagination
+    //    clause (Spark 3.4+), judged under a TOTAL order (doc_id is
+    //    unique) so page contents are deterministic on both engines.
+    //    Two pages in one result prove the offset arithmetic: rows
+    //    [20, 30) and [40, 45). The 100 TB note is the clause's honest
+    //    cost model: OFFSET n still sorts and skips n rows globally —
+    //    fine for report paging (k + n bounded), wrong for deep scans,
+    //    which is why the catalog's bulk movers are keyset-predicates
+    //    (w04b mints ids; s17 range-clusters) rather than page walks. ──
+    ("p17_limit_offset",
+      (s: SparkSession, dir: String) => {
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .createOrReplaceTempView("docs_p17")
+        s.sql("""
+          SELECT 'page2' AS page, doc_id, lang, n_chars FROM (
+            SELECT * FROM docs_p17 ORDER BY doc_id LIMIT 10 OFFSET 20)
+          UNION ALL
+          SELECT 'page4x5', doc_id, lang, n_chars FROM (
+            SELECT * FROM docs_p17 ORDER BY doc_id LIMIT 5 OFFSET 40)
+          ORDER BY page, doc_id""")
+      },
+      """SELECT 'page2' AS page, doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 10 OFFSET 20)
+        |UNION ALL
+        |SELECT 'page4x5', doc_id, lang, CAST(n_chars AS BIGINT)
+        |FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 5 OFFSET 40)
+        |ORDER BY page, doc_id""".stripMargin),
+
     // ── P-beyond: DataFrame `transpose` (Spark 4) — rows↔columns flip
     //    as an ENGINE verb. The input is first made tiny and
     //    dictionary-bounded (a 3-row aggregate over l_returnflag's
@@ -3618,6 +3647,42 @@ object Relational {
          |       CAST(max(v100) AS BIGINT) AS max_v100,
          |       CAST(sum(v100) AS BIGINT) AS sum_v100
          |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // ── A-beyond: custom GROUPING SETS — a10 judges the ROLLUP
+    //    hierarchy and a12 the full CUBE; this is the general form
+    //    neither implies: a NON-HIERARCHICAL set list ((type, cohort),
+    //    (type), (cohort)) — the "two marginals + the joint" report
+    //    every BI layer emits, which rollup can't express (no (cohort)
+    //    alone) and cube over-produces (no grand total wanted). The
+    //    same text runs on both engines, GROUPING(a, b) disambiguates
+    //    the NULL-as-total rows (Spark's `grouping(col)` is single-arg,
+    //    so the Spark side spells the same bitmask `grouping_id()` —
+    //    the a12-proven twin of DuckDB's multi-arg GROUPING), and the
+    //    plan is Spark's single Expand + one hash agg — 3 sets scan
+    //    the fact ONCE, not three times. ──
+    ("a22_grouping_sets",
+      (s: SparkSession, dir: String) => {
+        Tables(s, dir, "events")
+          .select(col("event_type"), col("user_id"))
+          .createOrReplaceTempView("events_a22")
+        s.sql("""
+          SELECT event_type,
+                 CAST(user_id % 4 AS BIGINT) AS cohort,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(grouping_id() AS BIGINT) AS gid
+          FROM events_a22
+          GROUP BY GROUPING SETS ((event_type, user_id % 4),
+                                  (event_type), (user_id % 4))
+          ORDER BY gid, event_type NULLS FIRST, cohort NULLS FIRST""")
+      },
+      """SELECT event_type,
+        |       CAST(user_id % 4 AS BIGINT) AS cohort,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(GROUPING(event_type, user_id % 4) AS BIGINT) AS gid
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type, user_id % 4),
+        |                        (event_type), (user_id % 4))
+        |ORDER BY gid, event_type NULLS FIRST, cohort NULLS FIRST""".stripMargin),
 
     // ── a19: distribution-drift report — the train/serve-skew monitor a
     //    production pipeline runs between two corpus versions (here: the

@@ -914,6 +914,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("a22: three grouping sets expand ONE scan — never a union of three aggregates") {
+    val p = plan("a22_grouping_sets")
+    // GROUPING SETS compiles to a single Expand (3 replicas per input
+    // row) over ONE fact scan feeding one hash agg with map-side
+    // partials — the naive union-of-three-GROUP-BYs would scan 3×
+    assert("Expand".r.findAllIn(p).size >= 1, p)
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Union"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("a21: the PIVOT clause inlines its literal values — one linear plan, no distinct job") {
     val p = plan("a21_pivot_clause")
     // the literal IN list compiles straight into pivotfirst(q, …, 0, 1,
