@@ -600,6 +600,32 @@ class Round14OpsSpec extends SparkSpec {
     assert(countAt(2) == 3L)
   }
 
+  test("Observation metrics ride the job — no second scan, values equal a direct aggregate") {
+    val s = spark
+    import s.implicits._
+    // the production idiom for pipeline QA counters (rows kept, nulls
+    // seen, money moved) without paying a second pass over the input:
+    // observe() attaches an accumulator-backed aggregate to the plan
+    // and the action that runs the job also materializes the metrics
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val obs = new org.apache.spark.sql.Observation("r14_obs")
+    val kept = docs.observe(obs,
+        count(lit(1)).as("n_in"),
+        sum($"n_chars").as("chars_in"),
+        max($"doc_id").as("max_id"))
+      .where($"n_chars" % 2 === 0)
+      .count()
+    val m = obs.get
+    val direct = docs.agg(count(lit(1)), sum($"n_chars"), max($"doc_id"))
+      .head()
+    assert(m("n_in") == direct.getLong(0))
+    assert(m("chars_in") == direct.getLong(1))
+    assert(m("max_id") == direct.getLong(2))
+    // the observed point sits UPSTREAM of the filter: n_in counts every
+    // input row, not the kept subset
+    assert(m("n_in").asInstanceOf[Long] > kept)
+  }
+
   test("fuzz: NOT IN equals the anti-complement iff the probe is null-free (j17 semantics)") {
     val s = spark
     import s.implicits._
