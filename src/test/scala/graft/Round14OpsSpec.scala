@@ -626,6 +626,46 @@ class Round14OpsSpec extends SparkSpec {
     assert(m("n_in").asInstanceOf[Long] > kept)
   }
 
+  test("fuzz: INTERSECT ALL / EXCEPT ALL match multiset min / truncated difference (u08 semantics)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(1408)
+    for (round <- 0 until 5) {
+      val a = Seq.fill(rnd.nextInt(60) + 10)(rnd.nextInt(12).toLong)
+      val b = Seq.fill(rnd.nextInt(60) + 10)(rnd.nextInt(12).toLong)
+      a.toDF("k").createOrReplaceTempView("ms_a")
+      b.toDF("k").createOrReplaceTempView("ms_b")
+      def multiplicities(sql: String): Map[Long, Long] =
+        spark.sql(sql).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val inter = multiplicities(
+        "SELECT k, count(*) FROM (SELECT k FROM ms_a INTERSECT ALL SELECT k FROM ms_b) GROUP BY k")
+      val except = multiplicities(
+        "SELECT k, count(*) FROM (SELECT k FROM ms_a EXCEPT ALL SELECT k FROM ms_b) GROUP BY k")
+      val ca = a.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val cb = b.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val refInter = ca.flatMap { case (k, n) =>
+        val m = math.min(n, cb.getOrElse(k, 0L)); if (m > 0) Some(k -> m) else None }
+      val refExcept = ca.flatMap { case (k, n) =>
+        val m = n - cb.getOrElse(k, 0L); if (m > 0) Some(k -> m) else None }
+      assert(inter == refInter, s"round=$round inter")
+      assert(except == refExcept, s"round=$round except")
+    }
+  }
+
+  test("year-month interval addition clamps at short month ends (f25 semantics)") {
+    val r = spark.sql(
+      """SELECT CAST(TIMESTAMP '2024-01-31 10:00:00' + INTERVAL '1' MONTH AS STRING) AS a,
+        |       CAST(TIMESTAMP '2024-02-29 10:00:00' + INTERVAL '12' MONTH AS STRING) AS b,
+        |       CAST(TIMESTAMP '2024-03-31 00:00:00' - INTERVAL '1' MONTH AS STRING) AS c
+        |""".stripMargin).head()
+    // Jan 31 + 1 month lands on leap-Feb's END, not an invalid Mar 2
+    assert(r.getString(0) == "2024-02-29 10:00:00")
+    // leap day + 12 months clamps to non-leap Feb 28
+    assert(r.getString(1) == "2025-02-28 10:00:00")
+    // subtraction clamps the same way (Mar 31 − 1 month = Feb 29)
+    assert(r.getString(2) == "2024-02-29 00:00:00")
+  }
+
   test("fuzz: NOT IN equals the anti-complement iff the probe is null-free (j17 semantics)") {
     val s = spark
     import s.implicits._
