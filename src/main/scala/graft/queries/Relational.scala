@@ -3550,6 +3550,65 @@ object Relational {
         |FROM r JOIN rev ON r.lang = rev.lang
         |GROUP BY r.lang ORDER BY r.lang""".stripMargin),
 
+    // ── F-beyond: MAP-typed columns — the one core type family the
+    //    catalog hadn't judged. Per lang, the (bucket → count) cells
+    //    assemble into a MAP (`map_from_entries` over a SORTED entry
+    //    array, so map internals are canonical), then every map verb
+    //    under test derives a scalar or re-explodes to rows:
+    //    `element_at` (present and ABSENT key — the latter must be
+    //    NULL, not an error), `map_values` folded to the group total,
+    //    `map_filter` (even buckets), `map_zip_with` (the map zipped
+    //    with itself must double each count), and `explode` back to
+    //    (key, value) rows. The oracle derives identical values from
+    //    PLAIN ROW SQL — the f24 discipline: maps are semantics, not a
+    //    new data model, and the roundtrip through the map type must
+    //    be lossless. Maps are lang-dictionary-bounded (≤4 keys). ──
+    ("f26_map_functions",
+      (s: SparkSession, dir: String) => {
+        Tables(s, dir, "documents")
+          .select(col("lang"), col("n_chars"))
+          .createOrReplaceTempView("docs_f26")
+        s.sql("""
+          WITH cell AS (
+            SELECT lang, n_chars % 4 AS q, count(*) AS c
+            FROM docs_f26 GROUP BY 1, 2),
+          maps AS (
+            SELECT lang,
+                   map_from_entries(sort_array(collect_list(struct(q, c)))) AS m
+            FROM cell GROUP BY lang)
+          SELECT lang,
+                 CAST(size(m) AS BIGINT) AS n_keys,
+                 CAST(element_at(m, 0L) AS BIGINT) AS q0_c,
+                 CAST(element_at(m, 99L) AS BIGINT) AS missing_c,
+                 CAST(aggregate(map_values(m), 0L, (a, x) -> a + x) AS BIGINT)
+                   AS total,
+                 CAST(size(map_filter(m, (k, v) -> k % 2 = 0)) AS BIGINT)
+                   AS n_even_keys,
+                 CAST(aggregate(
+                   map_values(map_zip_with(m, m, (k, x, y) -> x + y)),
+                   0L, (a, x) -> a + x) AS BIGINT) AS doubled_total,
+                 CAST(q AS BIGINT) AS q, CAST(c AS BIGINT) AS c
+          FROM maps LATERAL VIEW explode(m) kv AS q, c
+          ORDER BY lang, q""")
+      },
+      """WITH cell AS (
+        |  SELECT lang, n_chars % 4 AS q, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT lang,
+        |         CAST(count(*) AS BIGINT) AS n_keys,
+        |         CAST(sum(CASE WHEN q = 0 THEN c END) AS BIGINT) AS q0_c,
+        |         CAST(NULL AS BIGINT) AS missing_c,
+        |         CAST(sum(c) AS BIGINT) AS total,
+        |         CAST(sum(CASE WHEN q % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_even_keys,
+        |         CAST(sum(c) * 2 AS BIGINT) AS doubled_total
+        |  FROM cell GROUP BY lang)
+        |SELECT agg.lang, n_keys, q0_c, missing_c, total, n_even_keys,
+        |       doubled_total, CAST(q AS BIGINT) AS q, c
+        |FROM agg JOIN cell ON agg.lang = cell.lang
+        |ORDER BY agg.lang, q""".stripMargin),
+
     // ── F-beyond: ANSI interval arithmetic — the two interval families
     //    the standard distinguishes, judged for VALUE parity: a
     //    year-month interval must CLAMP at short month ends (Jan 31 +
