@@ -81,8 +81,13 @@ object Bench {
     // samples slow = a real regression) without an isolated re-run.
     // Positioned at the HEAD of the line: the driver keeps the tail, so
     // truncation sheds the diagnostics before the headline totals.
+    // a failed run publishes as JSON null, not the -1.0 sentinel: a
+    // consumer averaging/min-ing a samples array must never fold a
+    // sentinel into the statistic (the headline queries map keeps -1.0,
+    // where it is documented as "every run failed")
     val samples = results.map { case (k, times) =>
-      jstr(k) + ":" + times.mkString("[", ",", "]")
+      jstr(k) + ":" + times.map(t => if (t >= 0) t.toString else "null")
+        .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")

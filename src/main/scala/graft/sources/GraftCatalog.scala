@@ -117,14 +117,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
 
   /** `TIMESTAMP AS OF` maps to the newest manifest committed at or
     * before the requested instant (micros since epoch, per the
-    * TableCatalog contract) — manifest mtimes ARE the commit times. */
+    * TableCatalog contract). The commit instant is read from the
+    * manifest's own `#ts=` header — persisted content, so resolution
+    * survives a directory copy / backup-restore / coarse-mtime
+    * filesystem; pre-header manifests fall back to their mtime. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val d = tableDir(ident)
     if (!cleanSegments(ident) || !d.isDirectory)
       throw new NoSuchTableException(ident)
-    val vdir = new File(d, LedgerSource.VersionsDir)
     val candidates = LedgerSource.listVersions(d.getPath).filter { v =>
-      new File(vdir, s"$v.mf").lastModified() * 1000L <= timestampMicros
+      LedgerSource.commitTimeMillis(d.getPath, v) * 1000L <= timestampMicros
     }
     require(candidates.nonEmpty,
       s"no version of $ident existed at timestamp $timestampMicros")
@@ -156,9 +158,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     // Persisted beside the data so writer AND every later reader agree
     // on the same layout contract (the storage-partitioned-join key).
     val width = Option(properties.get("bucket")).map { w =>
-      val v = w.toLongOption.filter(_ > 0).getOrElse(
+      val v = LedgerSource.validBucketWidth(w.toLongOption.getOrElse(
         throw new IllegalArgumentException(
-          s"table property 'bucket' must be a positive integer; got '$w'"))
+          s"table property 'bucket' must be a positive integer; got '$w'")),
+        s"table property 'bucket' of $ident")
       LedgerSource.writeBucketWidth(d.getPath, v)
       v
     }
@@ -235,11 +238,18 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     * files_after, n_rows) computed from stats headers — zero record
     * decodes for the report. */
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
-    val ok = ident.namespace().sameElements(Array("system")) &&
-      ident.name().equalsIgnoreCase("compact")
-    if (!ok) throw new RuntimeException(
-      s"procedure not found: $ident (this catalog offers system.compact)")
-    new CompactProcedure(root)
+    // Spark 4.1 ships no NoSuchProcedureException; procedures are
+    // routines, so the analysis-layer ROUTINE_NOT_FOUND exception keeps
+    // an unknown CALL target pattern-matchable as an analysis error
+    // (the same discipline as the table/function/namespace paths above)
+    if (!ident.namespace().sameElements(Array("system")))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    ident.name().toLowerCase match {
+      case "compact" => new CompactProcedure(root)
+      case _ => throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    }
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =

@@ -101,7 +101,8 @@ class LedgerSource extends TableProvider with DataSourceRegister {
     // property: a bucketed write through `option("bucket", w)` keeps a
     // bucketed directory's layout contract (what lets the compaction
     // procedure preserve storage-partitioned-join eligibility)
-    val width = Option(properties.get("bucket")).map(_.toLong)
+    val width = Option(properties.get("bucket"))
+      .map(w => LedgerSource.validBucketWidth(w.toLong, "option 'bucket'"))
       .orElse(Option(properties.get("path"))
         .flatMap(LedgerSource.readBucketWidth))
     new LedgerTable(properties.get("path"), bucketWidth = width)
@@ -151,6 +152,22 @@ object LedgerSource {
 
   // ── layout properties (bucketed layout → storage-partitioned joins) ──
 
+  /** The width range the layout contract is sound over: the reported
+    * `Expressions.bucket(width.toInt, …)` transform truncates to Int,
+    * so a width above Int.MaxValue would let two tables whose widths
+    * differ by a multiple of 2^32 report IDENTICAL transforms while
+    * bucketing rows differently — a storage-partitioned join would run
+    * exchange-free over incompatible layouts and silently lose matches.
+    * Every ingestion point of a width (catalog property, path-API
+    * option, persisted `_props`) funnels through this check. */
+  private[graft] def validBucketWidth(w: Long, where: String): Long = {
+    require(w > 0 && w <= Int.MaxValue,
+      s"graft-ledger bucket width must be in [1, ${Int.MaxValue}] " +
+        s"(the reported bucket transform carries it as an Int); " +
+        s"got $w from $where")
+    w
+  }
+
   /** `_props` carries the one layout property: `bucket=<width>`, the
     * doc_id range-bucket width every writer partitions files by and
     * every scan reports as its `KeyGroupedPartitioning` transform. */
@@ -159,7 +176,9 @@ object LedgerSource {
     if (!f.isFile) None
     else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
       .split("\n").collectFirst {
-        case l if l.startsWith("bucket=") => l.stripPrefix("bucket=").trim.toLong
+        case l if l.startsWith("bucket=") =>
+          validBucketWidth(l.stripPrefix("bucket=").trim.toLong,
+            s"$dir/_props")
       }
   }
 
@@ -194,19 +213,46 @@ object LedgerSource {
     require(mf.isFile, s"graft-ledger: no version $v at $dir " +
       s"(available: ${listVersions(dir).mkString(", ")})")
     val text = new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
-    text.split("\n").map(_.trim).filter(_.nonEmpty)
+    // '#'-prefixed lines are manifest METADATA (the commit timestamp),
+    // not file names; pre-r15 manifests have none and parse identically
+    text.split("\n").map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+  }
+
+  /** The commit instant of version `v`, millis since epoch — read from
+    * the manifest's own `#ts=` header so `TIMESTAMP AS OF` resolution
+    * survives a directory copy / backup-restore / coarse-mtime
+    * filesystem (file mtimes do not). Manifests written before the
+    * header existed fall back to their mtime, the best remaining
+    * evidence. */
+  private[graft] def commitTimeMillis(dir: String, v: Long): Long = {
+    val mf = new File(new File(dir, VersionsDir), s"$v.mf")
+    require(mf.isFile, s"graft-ledger: no version $v at $dir")
+    val text = new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+    text.split("\n").map(_.trim).collectFirst {
+      case l if l.startsWith("#ts=") => l.stripPrefix("#ts=").toLong
+    }.getOrElse(mf.lastModified())
   }
 
   /** Stamp the CURRENT live file set as the next version. Driver-side,
     * invoked from commit paths only (single committer per table at a
-    * time, the connector's documented non-atomic-catalog scope). */
+    * time, the connector's documented non-atomic-catalog scope). The
+    * commit instant is persisted INSIDE the manifest (`#ts=` header):
+    * mtimes are not content, and a copied/restored table must keep
+    * resolving `TIMESTAMP AS OF` to the same versions. */
   private[sources] def commitVersion(dir: String): Long = {
     val vdir = new File(dir, VersionsDir)
     vdir.mkdirs()
-    val next = listVersions(dir).lastOption.getOrElse(0L) + 1
+    val prev = listVersions(dir).lastOption
+    val next = prev.getOrElse(0L) + 1
     val tmp = new File(vdir, s"$next.mf.tmp")
+    // strictly monotonic past the predecessor: two commits inside one
+    // clock tick must stay distinguishable to TIMESTAMP AS OF
+    val ts = math.max(System.currentTimeMillis(),
+      prev.map(commitTimeMillis(dir, _) + 1).getOrElse(Long.MinValue))
+    val header = s"#ts=$ts"
     java.nio.file.Files.write(tmp.toPath,
-      ledgerFiles(dir).map(_.getName).mkString("\n").getBytes("UTF-8"))
+      (header +: ledgerFiles(dir).map(_.getName).toSeq)
+        .mkString("\n").getBytes("UTF-8"))
     java.nio.file.Files.move(tmp.toPath, new File(vdir, s"$next.mf").toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     next
