@@ -93,7 +93,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     if (!cleanSegments(ident) || !d.isDirectory)
       throw new NoSuchTableException(ident)
     new LedgerTable(d.getPath,
-      bucketWidth = LedgerSource.readBucketWidth(d.getPath))
+      bucketWidth = LedgerSource.readBucketWidth(d.getPath),
+      morEnabled = LedgerSource.readMorFlag(d.getPath))
   }
 
   /** Time travel (`VERSION AS OF v`): every committed mutation stamps a
@@ -165,7 +166,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       LedgerSource.writeBucketWidth(d.getPath, v)
       v
     }
-    new LedgerTable(d.getPath, bucketWidth = width)
+    // `mor=true` opts the table's row-level verbs into MERGE-ON-READ
+    // (tombstone files instead of copy-on-write group rewrites);
+    // persisted beside the data so every later loadTable agrees
+    val mor = Option(properties.get("mor")).exists { m =>
+      val v = m.toBooleanOption.getOrElse(throw new IllegalArgumentException(
+        s"table property 'mor' must be true or false; got '$m'"))
+      if (v) LedgerSource.writeProp(d.getPath, "mor", "true")
+      v
+    }
+    new LedgerTable(d.getPath, bucketWidth = width, morEnabled = mor)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =

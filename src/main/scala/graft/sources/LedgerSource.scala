@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, N
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsOverwrite, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDelta, SupportsOverwrite, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
 import org.apache.spark.sql.sources.{AlwaysTrue, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
@@ -64,12 +64,24 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - **row-level verbs** (round 14): `SupportsDelete` gives DELETE a
   *     metadata/interval fast path (whole-file drops against the stats
   *     header), and `SupportsRowLevelOperations` gives UPDATE / MERGE /
-  *     residual DELETEs the copy-on-write group rewrite. Copy-on-write
-  *     was a deliberate choice over merge-on-read (`SupportsDelta`):
-  *     key-based tombstones without per-file sequence numbers would
-  *     keep suppressing a doc_id after a later rewrite re-lands it —
-  *     the Iceberg sequence-number machinery is the price of admission,
-  *     and a format without it should not pretend otherwise;
+  *     residual DELETEs the copy-on-write group rewrite;
+  *   - **merge-on-read** (round 15, `SupportsDelta`, opt-in per table
+  *     via `mor=true`): deletes/updates land as TOMBSTONE files
+  *     (`.gd`) instead of rewriting whole groups — the write path a
+  *     trickle of row updates against large files needs at 100 TB,
+  *     where copy-on-write pays file-size × update-frequency write
+  *     amplification (why Delta ships deletion vectors and Iceberg
+  *     ships MoR). Naive KEY tombstones without per-file sequence
+  *     numbers would be unsound (they would keep suppressing a doc_id
+  *     after a later rewrite re-lands it); this format gets soundness
+  *     WITHOUT sequence numbers by scoping every tombstone to the
+  *     immutable FILE NAME it was cut against — a re-landed key lives
+  *     in a fresh-named file the tombstone cannot reach, and dangling
+  *     sections never apply. Scans apply the overlay executor-side
+  *     (sorted per-file key sections, binary-searched); interval
+  *     purges fold it into their rewrites; compaction applies and
+  *     drops it; version manifests capture `.gd` files so time travel
+  *     replays the overlay as of each commit;
   *   - **`_file` metadata column** (`SupportsMetadataColumns`,
   *     round 14): per-row file provenance, partition-constant, hidden
   *     from `SELECT *`; also the row-level write path's required
@@ -105,7 +117,11 @@ class LedgerSource extends TableProvider with DataSourceRegister {
       .map(w => LedgerSource.validBucketWidth(w.toLong, "option 'bucket'"))
       .orElse(Option(properties.get("path"))
         .flatMap(LedgerSource.readBucketWidth))
-    new LedgerTable(properties.get("path"), bucketWidth = width)
+    val mor = Option(properties.get("mor")).map(_.toBoolean)
+      .orElse(Option(properties.get("path")).map(LedgerSource.readMorFlag))
+      .getOrElse(false)
+    new LedgerTable(properties.get("path"), bucketWidth = width,
+      morEnabled = mor)
   }
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -182,9 +198,151 @@ object LedgerSource {
       }
   }
 
+  /** Set one `_props` line, preserving the others (the file is a tiny
+    * key=value table: `bucket`, `mor`). */
+  private[sources] def writeProp(dir: String, key: String, value: String): Unit = {
+    val f = new File(dir, "_props")
+    val others =
+      if (!f.isFile) Seq.empty
+      else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        .split("\n").toSeq.map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith(s"$key="))
+    java.nio.file.Files.write(f.toPath,
+      (others :+ s"$key=$value").mkString("", "\n", "\n").getBytes("UTF-8")): Unit
+  }
+
   private[sources] def writeBucketWidth(dir: String, w: Long): Unit =
-    java.nio.file.Files.write(new File(dir, "_props").toPath,
-      s"bucket=$w\n".getBytes("UTF-8")): Unit
+    writeProp(dir, "bucket", w.toString)
+
+  /** `mor=true` in `_props` switches the table's row-level verbs from
+    * copy-on-write group rewrites to MERGE-ON-READ delta files — see
+    * [[LedgerDeltaOperation]]. */
+  private[graft] def readMorFlag(dir: String): Boolean = {
+    val f = new File(dir, "_props")
+    f.isFile && new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .split("\n").exists(_.trim == "mor=true")
+  }
+
+  // ── delete files (merge-on-read) ──
+  //
+  // A `.gd` file is a set of TOMBSTONES, each scoped to one data FILE:
+  // sections of (data file name, sorted deleted doc_ids). Scoping by
+  // file name is what makes merge-on-read sound WITHOUT Iceberg's
+  // sequence numbers: ledger file names denote immutable content and
+  // every rewrite/compaction/append lands under a FRESH name, so a
+  // tombstone can only ever suppress rows of the exact file it was cut
+  // against — a key re-landed later lives in a new file the tombstone
+  // cannot name. Sections whose data file has since been rewritten or
+  // dropped simply never apply (and compaction clears them).
+  //
+  // Layout: magic "GDF1" | totalKeys i64 | nSections i32 |
+  //         sections: nameLen i32, name UTF-8, nKeys i32, keys i64…
+  // (keys sorted ascending within a section — readers binary-search).
+  private[sources] val DeleteMagic = 0x47444631 // "GDF1"
+
+  private[graft] def deleteFiles(dir: String): Array[File] = {
+    val d = new File(dir)
+    if (!d.isDirectory) Array.empty
+    else Option(d.listFiles()).getOrElse(
+        throw new IllegalStateException(
+          s"graft-ledger: directory exists but cannot be listed: $dir"))
+      .filter(f => f.isFile && f.getName.endsWith(".gd"))
+      .sortBy(_.getName)
+  }
+
+  /** Land one task's tombstones as a fresh `.gd` file; returns its name.
+    * Keys are deduped and sorted per section (the reader's binary-search
+    * contract). */
+  private[sources] def writeDeleteFile(
+      dir: String, sections: Map[String, Array[Long]]): String = {
+    val name = s"delete-${UUID.randomUUID().toString.take(8)}.gd"
+    val sorted = sections.toSeq.sortBy(_._1)
+      .map { case (f, ks) => (f, ks.distinct.sorted) }
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(
+      new FileOutputStream(new File(new File(dir), name)), 1 << 16))
+    try {
+      out.writeInt(DeleteMagic)
+      out.writeLong(sorted.map(_._2.length.toLong).sum)
+      out.writeInt(sorted.length)
+      sorted.foreach { case (f, ks) =>
+        val b = f.getBytes("UTF-8")
+        out.writeInt(b.length); out.write(b)
+        out.writeInt(ks.length)
+        ks.foreach(out.writeLong)
+      }
+    } finally out.close()
+    name
+  }
+
+  /** Header-only tombstone count (stats estimation). */
+  private[sources] def tombstoneTotal(f: File): Long = {
+    val in = new DataInputStream(new FileInputStream(f))
+    try {
+      require(in.readInt() == DeleteMagic, s"${f.getName}: not a delete file")
+      in.readLong()
+    } finally in.close()
+  }
+
+  /** The merged tombstone set for ONE data file, read from `paths` —
+    * the executor-side application path: sections for other files are
+    * `skipBytes`, never materialized, so a task's cost is its own keys
+    * plus section headers. Returns a sorted array (binary-search
+    * membership), or null when nothing applies. */
+  private[graft] def tombstonesFor(paths: Seq[String],
+                                   dataFile: String): Array[Long] = {
+    val buf = ArrayBuffer.empty[Long]
+    paths.foreach { p =>
+      val in = new DataInputStream(
+        new java.io.BufferedInputStream(new FileInputStream(p), 1 << 16))
+      try {
+        require(in.readInt() == DeleteMagic, s"$p: not a delete file")
+        in.skipBytes(8)
+        val nSections = in.readInt()
+        var i = 0
+        while (i < nSections) {
+          val nameLen = in.readInt()
+          val nameBytes = new Array[Byte](nameLen); in.readFully(nameBytes)
+          val nKeys = in.readInt()
+          if (new String(nameBytes, "UTF-8") == dataFile) {
+            var k = 0
+            while (k < nKeys) { buf += in.readLong(); k += 1 }
+          } else in.skipBytes(nKeys * 8)
+          i += 1
+        }
+      } finally in.close()
+    }
+    if (buf.isEmpty) null else { val a = buf.toArray; java.util.Arrays.sort(a); a }
+  }
+
+  /** Every live tombstone, grouped by data file — the DRIVER-side read
+    * the purge/rewrite verbs use so a clipped file's rewrite never
+    * resurrects merge-on-read-deleted rows. */
+  private[sources] def deleteOverlay(dir: String): Map[String, Array[Long]] = {
+    val acc = scala.collection.mutable.HashMap.empty[String, ArrayBuffer[Long]]
+    deleteFiles(dir).foreach { f =>
+      val in = new DataInputStream(
+        new java.io.BufferedInputStream(new FileInputStream(f), 1 << 16))
+      try {
+        require(in.readInt() == DeleteMagic, s"${f.getName}: not a delete file")
+        in.skipBytes(8)
+        val nSections = in.readInt()
+        var i = 0
+        while (i < nSections) {
+          val nameLen = in.readInt()
+          val nameBytes = new Array[Byte](nameLen); in.readFully(nameBytes)
+          val nKeys = in.readInt()
+          val b = acc.getOrElseUpdate(new String(nameBytes, "UTF-8"),
+            ArrayBuffer.empty[Long])
+          var k = 0
+          while (k < nKeys) { b += in.readLong(); k += 1 }
+          i += 1
+        }
+      } finally in.close()
+    }
+    acc.map { case (n, b) =>
+      val a = b.toArray; java.util.Arrays.sort(a); (n, a)
+    }.toMap
+  }
 
   // ── version manifests (time travel) ──
   //
@@ -250,8 +408,11 @@ object LedgerSource {
     val ts = math.max(System.currentTimeMillis(),
       prev.map(commitTimeMillis(dir, _) + 1).getOrElse(Long.MinValue))
     val header = s"#ts=$ts"
+    // the live state is data files PLUS delete files: a merge-on-read
+    // version only reconstructs with the tombstones that existed then
     java.nio.file.Files.write(tmp.toPath,
-      (header +: ledgerFiles(dir).map(_.getName).toSeq)
+      (header +: (ledgerFiles(dir).map(_.getName).toSeq ++
+        deleteFiles(dir).map(_.getName).toSeq))
         .mkString("\n").getBytes("UTF-8"))
     java.nio.file.Files.move(tmp.toPath, new File(vdir, s"$next.mf").toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -343,15 +504,21 @@ object LedgerSource {
     * fresh names, missed files are never opened. The shared engine of
     * DELETE and filter-overwrite. */
   private[sources] def purgeInterval(path: String, bounds: KeyBounds,
-                                     exclude: Set[String]): Unit =
+                                     exclude: Set[String]): Unit = {
+    // a clipped file's rewrite lands under a FRESH name, which detaches
+    // any merge-on-read tombstones scoped to the old name — so the
+    // rewrite must apply them itself or deleted rows would resurrect
+    val overlay = deleteOverlay(path)
     statsOf(ledgerFiles(path).filterNot(f => exclude.contains(f.getName)))
       .foreach { case (f, minId, maxId, nRows) =>
         if (nRows > 0 && bounds.overlaps(minId, maxId)) {
           if (bounds.contains(minId) && bounds.contains(maxId)) {
+            // full cover: every row dies regardless of tombstones
             require(f.delete(), s"graft-ledger: cannot delete ${f.getPath}")
-          } else rewriteExcluding(f, bounds)
+          } else rewriteExcluding(f, bounds, overlay.getOrElse(f.getName, null))
         }
       }
+  }
 
   /** DELETE's rewrite path for a file the delete interval only clips:
     * survivors stream byte-for-byte to a sibling temp file (same record
@@ -362,8 +529,12 @@ object LedgerSource {
     * format-wide invariant that a file NAME always denotes immutable
     * content (what makes version manifests trustworthy: a stale
     * manifest can dangle, but can never silently resolve to different
-    * rows). A file left with zero survivors is removed outright. */
-  private[sources] def rewriteExcluding(f: File, bounds: KeyBounds): Unit = {
+    * rows). A file left with zero survivors is removed outright.
+    * `tombs` (sorted, nullable) is the file's merge-on-read tombstone
+    * set: those rows are already dead and must not survive into the
+    * fresh name their old tombstones cannot reach. */
+  private[sources] def rewriteExcluding(f: File, bounds: KeyBounds,
+                                        tombs: Array[Long] = null): Unit = {
     val fresh = f.getName.stripSuffix(".gl") +
       s"-rw${UUID.randomUUID().toString.take(8)}.gl"
     val tmp = new File(f.getParentFile, fresh + ".tmp")
@@ -394,7 +565,9 @@ object LedgerSource {
                 val b = new Array[Byte](len); in.readFully(b); b
               }
             val nChars = in.readLong()
-            if (!bounds.contains(docId)) { // survivor
+            val tombstoned = tombs != null &&
+              java.util.Arrays.binarySearch(tombs, docId) >= 0
+            if (!bounds.contains(docId) && !tombstoned) { // survivor
               minId = math.min(minId, docId)
               maxId = math.max(maxId, docId)
               nRows += 1
@@ -430,7 +603,8 @@ object LedgerSource {
 }
 
 final class LedgerTable(path: String, pinnedVersion: Option[Long] = None,
-                        bucketWidth: Option[Long] = None)
+                        bucketWidth: Option[Long] = None,
+                        morEnabled: Boolean = false)
     extends Table
     with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations with SupportsMetadataColumns {
@@ -502,9 +676,23 @@ final class LedgerTable(path: String, pinnedVersion: Option[Long] = None,
     * never silently delete wrong rows because a delete executes its
     * predicate for real. `SupportsDeleteV2`'s default `truncateTable()`
     * routes TRUNCATE through the same path as an always-true
-    * interval. */
+    * interval.
+    *
+    * On a MERGE-ON-READ table the fast path narrows to intervals the
+    * headers answer with ZERO rewrites (every overlapping file fully
+    * covered — pure unlinks): a boundary-clipping interval would
+    * rewrite a whole file to drop a few rows, exactly the write
+    * amplification `mor=true` opts out of, so those route to the delta
+    * operation's tombstones instead. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    pinnedVersion.isEmpty && LedgerSource.exactBounds(filters).isDefined
+    pinnedVersion.isEmpty && (LedgerSource.exactBounds(filters) match {
+      case None => false
+      case Some(b) =>
+        !morEnabled || LedgerSource.statsSnapshot(path).forall {
+          case (_, mn, mx, n) => n == 0 || !b.overlaps(mn, mx) ||
+            (b.contains(mn) && b.contains(mx))
+        }
+    })
 
   /** Group-based (copy-on-write) UPDATE / MERGE / fallback DELETE — the
     * other half of the row-level surface: Spark's rewrite rules turn
@@ -527,8 +715,16 @@ final class LedgerTable(path: String, pinnedVersion: Option[Long] = None,
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     requireMutable("run a row-level operation against")
     new RowLevelOperationBuilder {
+      // `mor=true` switches the table's verbs to MERGE-ON-READ
+      // ([[LedgerDeltaOperation]]): deletes/updates land as tombstone
+      // files instead of group rewrites — the write-amplification
+      // trade every production format offers (Delta deletion vectors,
+      // Iceberg MoR), here made sound WITHOUT sequence numbers by
+      // scoping every tombstone to an immutable file name
       override def build(): RowLevelOperation =
-        new LedgerRowLevelOperation(path, info.command(), bucketWidth)
+        if (morEnabled)
+          new LedgerDeltaOperation(path, info.command(), bucketWidth)
+        else new LedgerRowLevelOperation(path, info.command(), bucketWidth)
     }
   }
 
@@ -591,7 +787,10 @@ final class LedgerScanBuilder(path: String,
       case nr: NamedReference => nr.fieldNames.sameElements(Array("doc_id"))
       case _ => false
     }
+    // merge-on-read tombstones make the headers over-counts: decline
+    // whenever any delete file is live (compaction re-enables the path)
     pushed.isEmpty && agg.groupByExpressions.isEmpty &&
+      LedgerSource.deleteFiles(path).isEmpty &&
       agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {
         case _: CountStar => true
@@ -775,11 +974,28 @@ final class LedgerScan(path: String, required: StructType,
     * the runtime-filter re-plan's VALUES — only the header bytes;
     * `planInputPartitions` re-evaluates its predicates against this
     * same snapshot after `filter()` delivers the join keys.) */
-  private lazy val fileStats: Array[(File, Long, Long, Long)] = pinned match {
+  private lazy val pinnedFiles: Option[Array[File]] =
+    pinned.map(v => LedgerSource.resolvePinned(path, v))
+
+  private lazy val fileStats: Array[(File, Long, Long, Long)] = pinnedFiles match {
     // a time-travel scan reads the version's manifest, not the listing;
     // resolution fails loudly if later mutations removed any of its files
-    case Some(v) => LedgerSource.statsOf(LedgerSource.resolvePinned(path, v))
+    case Some(fs) =>
+      LedgerSource.statsOf(fs.filter(_.getName.endsWith(".gl")))
     case None => LedgerSource.statsSnapshot(path)
+  }
+
+  /** The merge-on-read tombstone files this scan must apply — the LIVE
+    * `.gd` set, or (pinned) exactly the version's manifest entries, so
+    * time travel replays the overlay state as of that commit. Shipped
+    * to every partition; readers skip sections for other files, so the
+    * common no-deletes case costs nothing and the with-deletes case
+    * costs each task its own keys plus section headers. */
+  private lazy val deletePaths: Seq[String] = pinnedFiles match {
+    case Some(fs) =>
+      fs.filter(_.getName.endsWith(".gd")).map(_.getAbsolutePath).toSeq
+    case None =>
+      LedgerSource.deleteFiles(path).map(_.getAbsolutePath).toSeq
   }
 
   /** The bucket layout is TRUSTED only after validation: every
@@ -840,10 +1056,11 @@ final class LedgerScan(path: String, required: StructType,
           .toArray.sortBy(_._1)
           .map { case (bucket, fs) =>
             LedgerBucketPartition(fs.map(_._1.getAbsolutePath).toSeq,
-              bucket): InputPartition
+              bucket, deletePaths): InputPartition
           }
       case None =>
-        planned.map(t => LedgerPartition(t._1.getAbsolutePath): InputPartition)
+        planned.map(t => LedgerPartition(t._1.getAbsolutePath,
+          deletePaths): InputPartition)
     }
   }
 
@@ -897,7 +1114,11 @@ final class LedgerScan(path: String, required: StructType,
         }
       }
     }
-    val (b, r) = (bytes, rows)
+    // merge-on-read tombstones shrink the row estimate (header-only
+    // reads); bytes stay un-shrunk — a conservative broadcast signal
+    val tombs = deletePaths
+      .map(p => LedgerSource.tombstoneTotal(new File(p))).sum
+    val (b, r) = (bytes, math.max(0L, rows - tombs))
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(b)
@@ -1057,7 +1278,8 @@ final class LedgerMicroBatchStream(path: String, required: StructType,
   override def stop(): Unit = ()
 }
 
-private[sources] final case class LedgerPartition(file: String)
+private[sources] final case class LedgerPartition(file: String,
+                                                  deleteFiles: Seq[String] = Nil)
   extends InputPartition
 
 /** One range BUCKET of a bucketed layout: possibly several files, all
@@ -1066,7 +1288,8 @@ private[sources] final case class LedgerPartition(file: String)
   * row here), the value Spark's storage-partitioned join matches across
   * sides. */
 private[sources] final case class LedgerBucketPartition(files: Seq[String],
-                                                        bucket: Long)
+                                                        bucket: Long,
+                                                        deleteFiles: Seq[String] = Nil)
   extends InputPartition
   with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = {
@@ -1080,9 +1303,10 @@ final class LedgerReaderFactory(required: StructType, pushed: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
-      case LedgerPartition(file) => new LedgerReader(file, required, pushed)
-      case LedgerBucketPartition(files, _) =>
-        new ChainedLedgerReader(files, required, pushed)
+      case LedgerPartition(file, dels) =>
+        new LedgerReader(file, required, pushed, dels)
+      case LedgerBucketPartition(files, _, dels) =>
+        new ChainedLedgerReader(files, required, pushed, dels)
       case other => throw new IllegalStateException(
         s"unexpected ledger partition $other")
     }
@@ -1091,7 +1315,8 @@ final class LedgerReaderFactory(required: StructType, pushed: Array[Filter])
 /** A bucket's files read back to back — one task, sequential IO, each
   * delegate computing its own `_file` value. */
 final class ChainedLedgerReader(files: Seq[String], required: StructType,
-                                pushed: Array[Filter])
+                                pushed: Array[Filter],
+                                deleteFiles: Seq[String] = Nil)
     extends PartitionReader[InternalRow] {
   private val it = files.iterator
   private var current: LedgerReader = _
@@ -1099,7 +1324,7 @@ final class ChainedLedgerReader(files: Seq[String], required: StructType,
     while (true) {
       if (current == null) {
         if (!it.hasNext) return false
-        current = new LedgerReader(it.next(), required, pushed)
+        current = new LedgerReader(it.next(), required, pushed, deleteFiles)
       }
       if (current.next()) return true
       current.close()
@@ -1112,8 +1337,14 @@ final class ChainedLedgerReader(files: Seq[String], required: StructType,
 }
 
 final class LedgerReader(file: String, required: StructType,
-                         pushed: Array[Filter])
+                         pushed: Array[Filter],
+                         deleteFiles: Seq[String] = Nil)
     extends PartitionReader[InternalRow] {
+  // merge-on-read overlay: this file's tombstones, merged+sorted from
+  // the shipped delete files (null — the fast common path — when none)
+  private val tombstones: Array[Long] =
+    if (deleteFiles.isEmpty) null
+    else LedgerSource.tombstonesFor(deleteFiles, new File(file).getName)
   private val in = new DataInputStream(
     new java.io.BufferedInputStream(new FileInputStream(file), 1 << 16))
   // header: magic + stats
@@ -1149,7 +1380,9 @@ final class LedgerReader(file: String, required: StructType,
           } else { in.skipBytes(len); null } // pruned: never decoded
         }
       val nChars = in.readLong()
-      if (bounds.contains(docId)) { // reader-level pushed filter
+      val dead = tombstones != null &&
+        java.util.Arrays.binarySearch(tombstones, docId) >= 0
+      if (!dead && bounds.contains(docId)) { // tombstone + pushed filter
         val row = new GenericInternalRow(required.length)
         if (wantDoc) row.setLong(docOrd, docId)
         if (wantLang) row.update(langOrd,
@@ -1240,6 +1473,118 @@ final class LedgerReplaceDataWrite(path: String, op: LedgerRowLevelOperation,
     }
 }
 
+// ───────────────────── merge-on-read (delta) path ─────────────────────
+
+/** One MERGE-ON-READ row-level execution ([[SupportsDelta]]): instead of
+  * rewriting every scanned group, the write emits per-row ACTIONS —
+  * `delete(file, key)` tombstones and fresh-file inserts — and commit
+  * registers them as a new version. The row identity is the `doc_id`
+  * key (the table's documented unique-key contract, the same contract
+  * MERGE's ON condition already relies on), and the `_file` metadata
+  * attribute scopes every tombstone to the exact immutable file the
+  * deleted row was read from — what makes the overlay sound without
+  * Iceberg's sequence numbers (see the class scaladoc).
+  *
+  * The scan side is the PLAIN read scan (not the group scan): a delta
+  * write only needs the matching rows, so pushed/runtime filters may
+  * drop rows, not just files — strictly cheaper than the CoW group
+  * scan, on top of not rewriting a single surviving row. */
+final class LedgerDeltaOperation(path: String,
+                                 cmd: RowLevelOperation.Command,
+                                 bucketWidth: Option[Long] = None)
+    extends RowLevelOperation with SupportsDelta {
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"graft-ledger MoR $cmd $path"
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LedgerScanBuilder(path, None, None, None, None)
+  override def rowId(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column("doc_id"))
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(LedgerSource.FileColumn))
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        override def toBatch: DeltaBatchWrite =
+          new LedgerDeltaBatchWrite(path, bucketWidth)
+      }
+    }
+}
+
+/** The delta commit: task writers have already landed tombstone `.gd`
+  * files and inserted `.gl` files under fresh UUID names — commit only
+  * stamps the version (nothing is unlinked: that is the whole point);
+  * abort removes exactly the fresh files. */
+final class LedgerDeltaBatchWrite(path: String,
+                                  bucketWidth: Option[Long] = None)
+    extends DeltaBatchWrite {
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DeltaWriterFactory =
+    new LedgerDeltaWriterFactory(path, bucketWidth)
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    LedgerSource.commitVersion(path): Unit
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case LedgerCommit(names) =>
+        names.foreach(n => new File(new File(path), n).delete())
+      case _ => ()
+    }
+}
+
+final class LedgerDeltaWriterFactory(path: String,
+                                     bucketWidth: Option[Long] = None)
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DeltaWriter[InternalRow] =
+    new LedgerDeltaWriter(path, partitionId, bucketWidth)
+}
+
+/** Per-task delta writer: tombstones buffer in memory grouped by the
+  * data file they apply to (bounded by the task's matched rows — the
+  * same working set the CoW path would REWRITE), inserts stream through
+  * a regular ledger writer opened on first use. `update` is
+  * delete-then-insert: the new row version lands in a fresh file, so
+  * its own key is never in reach of the tombstone that killed the old
+  * one. */
+final class LedgerDeltaWriter(dir: String, partitionId: Int,
+                              bucketWidth: Option[Long] = None)
+    extends DeltaWriter[InternalRow] {
+  private val tombstones =
+    scala.collection.mutable.LinkedHashMap.empty[String, ArrayBuffer[Long]]
+  private var inserts: DataWriter[InternalRow] = _
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit =
+    tombstones.getOrElseUpdate(meta.getUTF8String(0).toString,
+      ArrayBuffer.empty[Long]) += id.getLong(0)
+
+  override def update(meta: InternalRow, id: InternalRow,
+                      row: InternalRow): Unit = {
+    delete(meta, id)
+    insert(row)
+  }
+
+  override def insert(row: InternalRow): Unit = {
+    if (inserts == null)
+      inserts = new LedgerWriterFactory(dir, bucketWidth)
+        .createWriter(partitionId, 0L)
+    inserts.write(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val inserted =
+      if (inserts == null) Seq.empty
+      else inserts.commit() match { case LedgerCommit(names) => names }
+    val deleted =
+      if (tombstones.isEmpty) Seq.empty
+      else Seq(LedgerSource.writeDeleteFile(dir,
+        tombstones.map { case (f, ks) => (f, ks.toArray) }.toMap))
+    LedgerCommit(inserted ++ deleted)
+  }
+  override def abort(): Unit = if (inserts != null) inserts.abort()
+  override def close(): Unit = if (inserts != null) inserts.close()
+}
+
 // ───────────────────────────── write path ─────────────────────────────
 
 /** Batch writes in three modes: plain append, truncate-overwrite
@@ -1283,9 +1628,14 @@ final class LedgerBatchWrite(path: String, truncate: Boolean,
     new LedgerWriterFactory(path, bucketWidth)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val kept = messages.flatMap(_.asInstanceOf[LedgerCommit].fileNames).toSet
-    if (truncate) // overwrite = drop every ledger file this job didn't write
+    if (truncate) { // overwrite = drop every ledger file this job didn't write
       LedgerSource.ledgerFiles(path)
         .filterNot(f => kept.contains(f.getName)).foreach(_.delete())
+      // every pre-existing row is gone, so every merge-on-read tombstone
+      // is consumed — this is also how compaction applies-and-drops them
+      // (its read scanned through the overlay; its truncate clears it)
+      LedgerSource.deleteFiles(path).foreach(_.delete())
+    }
     // REPLACE WHERE: the interval's old rows give way to the new files
     replaceBounds.foreach(b =>
       LedgerSource.purgeInterval(path, b, exclude = kept))
