@@ -1220,6 +1220,205 @@ object Relational {
         |FROM merged WHERE NOT dropped
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ── S-beyond: SCHEMA EVOLUTION as a live-table verb — `ALTER
+    //    TABLE … ADD COLUMNS`, judged end to end on the session
+    //    catalog (s14 judges mergeSchema on raw parquet and s23
+    //    judges DEFAULT at CREATE; this is the verb a production
+    //    table actually receives mid-life). Three write waves around
+    //    two evolutions: rows inserted BEFORE a plain ADD COLUMNS
+    //    must read back NULL for it (their parquet files simply lack
+    //    the column), rows before an ADD COLUMNS … DEFAULT must read
+    //    back the default (the EXISTS_DEFAULT metadata path — the
+    //    engine backfills at READ time, no rewrite of old files), and
+    //    a post-evolution insert omitting the column takes the
+    //    CURRENT default. The judged aggregate separates the waves
+    //    via count(n_chars) vs count(*), so a wrong backfill in
+    //    either direction diverges the hash; the oracle replays the
+    //    three waves algebraically. The V2 ledger catalog's
+    //    fixed-schema ALTER gate is the documented counterpoint
+    //    (`GraftCatalogSpec`). ──
+    ("s38_alter_table",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.sql("DROP TABLE IF EXISTS s38_docs")
+        // a PREVIOUS JVM's warehouse dir survives its in-memory catalog
+        val warehouse = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir")).toUri.getPath
+        val stale = new java.io.File(warehouse, "s38_docs")
+        if (stale.exists()) {
+          val walk = java.nio.file.Files.walk(stale.toPath)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.delete(p); () })
+          finally walk.close()
+        }
+        s.sql("CREATE TABLE s38_docs (doc_id BIGINT, lang STRING) USING parquet")
+        Tables(s, dir, "documents").createOrReplaceTempView("s38_src")
+        // wave 1: the original two-column schema
+        s.sql("""INSERT INTO s38_docs
+                |SELECT doc_id, lang FROM s38_src WHERE doc_id % 3 = 0""".stripMargin)
+        // evolution 1: plain ADD COLUMNS — wave-1 rows must read NULL
+        s.sql("ALTER TABLE s38_docs ADD COLUMNS (n_chars BIGINT)")
+        s.sql("""INSERT INTO s38_docs
+                |SELECT doc_id, lang, n_chars FROM s38_src
+                |WHERE doc_id % 3 = 1""".stripMargin)
+        // evolution 2: ADD COLUMNS with DEFAULT — every earlier row
+        // must read 'ungraded' WITHOUT any file rewrite
+        s.sql("ALTER TABLE s38_docs ADD COLUMNS " +
+          "(grade STRING DEFAULT 'ungraded')")
+        // wave 3 omits grade → takes the current default
+        s.sql("""INSERT INTO s38_docs (doc_id, lang, n_chars)
+                |SELECT doc_id, lang, n_chars FROM s38_src
+                |WHERE doc_id % 3 = 2""".stripMargin)
+        s.sql("INSERT INTO s38_docs VALUES (9001, 'xx', 5, 'graded')")
+        s.sql("""SELECT grade, CAST(count(*) AS BIGINT) AS n_docs,
+                |       CAST(count(n_chars) AS BIGINT) AS n_chars_known,
+                |       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+                |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+                |FROM s38_docs GROUP BY 1 ORDER BY 1""".stripMargin)
+      },
+      """WITH t AS (
+        |  SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars,
+        |         'ungraded' AS grade
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars, 'ungraded'
+        |  FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars, 'ungraded'
+        |  FROM documents WHERE doc_id % 3 = 2
+        |  UNION ALL
+        |  SELECT 9001, 'xx', 5, 'graded')
+        |SELECT grade, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(n_chars) AS BIGINT) AS n_chars_known,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ── S-beyond: VERSION RETENTION — `CALL system.expire_versions(t,
+    //    keep)`, the verb that completes the time-travel lifecycle s30
+    //    (CALL) and s32 (VERSION AS OF) started (Iceberg's
+    //    expire_snapshots + remove_orphan_files): manifests older than
+    //    the newest `keep` are dropped and any file NO surviving
+    //    manifest references is reclaimed (crash-leftover orphans —
+    //    planted deterministically here as a copied ledger file that
+    //    landed without a commit). The safety property is the whole
+    //    point and the judged row carries it: the CURRENT read after
+    //    expiry must still reconstruct against the oracle's replay
+    //    (committed files are always in the newest manifest, and the
+    //    reference check is against the UNION of kept manifests, so a
+    //    file shared with a survivor survives), while the procedure's
+    //    own summary — versions expired, files reclaimed — is judged
+    //    as literals. History metadata only: manifests are tiny
+    //    listings, the row count comes from 28-byte headers, zero
+    //    record decodes. `Round15OpsSpec` pins the loud-failure side
+    //    (an expired VERSION AS OF errors; keep ≥ history is a no-op;
+    //    keep=0 refused). ──
+    ("s39_expire_versions",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.conf.set("spark.sql.catalog.graft_ret", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_ret.root", scratchPath("s39_catroot"))
+        val docs = Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+        // v1: range-clustered ingest; v2: append; v3: retention delete
+        docs.where(pmod($"doc_id", lit(2)) === 0)
+          .repartitionByRange(4, $"doc_id")
+          .writeTo("graft_ret.s39docs").createOrReplace()
+        docs.where(pmod($"doc_id", lit(2)) === 1)
+          .writeTo("graft_ret.s39docs").append()
+        s.sql("DELETE FROM graft_ret.s39docs WHERE doc_id < 10")
+        // a crash-leftover orphan: a ledger file that landed with no
+        // commit (no manifest references it) — the reclamation target
+        val tdir = new java.io.File(scratchPath("s39_catroot"), "s39docs")
+        val donor = graft.sources.LedgerSource.ledgerFiles(tdir.getPath).head
+        java.nio.file.Files.copy(donor.toPath,
+          new java.io.File(tdir, "zz-orphan.gl").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val summary = s.sql(
+          "CALL graft_ret.system.expire_versions('s39docs', 1)")
+          .collect().head
+        val versionsLeft =
+          graft.sources.LedgerSource.listVersions(tdir.getPath).length
+        s.table("graft_ret.s39docs")
+          .groupBy($"lang")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum($"n_chars").cast("long").as("total_chars"))
+          .unionByName(Seq(
+            ("_expired", summary.getLong(0), None: Option[Long]),
+            ("_reclaimed", summary.getLong(1), None: Option[Long]),
+            ("_versions_left", versionsLeft.toLong, None: Option[Long]))
+            .toDF("lang", "n_docs", "total_chars"))
+          .orderBy($"lang")
+      },
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE doc_id >= 10 GROUP BY 1
+        |UNION ALL SELECT '_expired', CAST(2 AS BIGINT), CAST(NULL AS BIGINT)
+        |UNION ALL SELECT '_reclaimed', CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
+        |UNION ALL SELECT '_versions_left', CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
+        |ORDER BY lang""".stripMargin),
+
+    // ── S-beyond: `ANALYZE TABLE … COMPUTE STATISTICS` — the one
+    //    OPTIMIZER INPUT the catalog surface had not judged: table and
+    //    column statistics persisted into the session catalog, the
+    //    numbers cost-based optimization plans from. The judged rows
+    //    are the STATS THEMSELVES read back from the catalog after the
+    //    two ANALYZE passes (table-level row count; per-column
+    //    min/max/null-count/max-length) against the oracle computing
+    //    the same quantities from the raw parquet — Spark's HLL-based
+    //    distinct counts are deliberately NOT judged (approximate by
+    //    contract; the exact quantities are). What the stats BUY is
+    //    pinned in `PlanQualitySpec`: with CBO on, a selectively
+    //    filtered dim flips its join to broadcast WITHOUT a hint —
+    //    filter selectivity estimated from these very column stats —
+    //    where default sizing plans a sort-merge join; the DSv2 half
+    //    of the story (connector-reported stats auto-broadcasting a
+    //    small ledger side) has been pinned since round 12. ──
+    ("s40_analyze_stats",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.sql("DROP TABLE IF EXISTS s40_docs")
+        val warehouse = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir")).toUri.getPath
+        val stale = new java.io.File(warehouse, "s40_docs")
+        if (stale.exists()) {
+          val walk = java.nio.file.Files.walk(stale.toPath)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.delete(p); () })
+          finally walk.close()
+        }
+        Tables(s, dir, "documents").createOrReplaceTempView("s40_src")
+        s.sql("""CREATE TABLE s40_docs USING parquet AS
+                |SELECT doc_id, lang, n_chars FROM s40_src""".stripMargin)
+        s.sql("ANALYZE TABLE s40_docs COMPUTE STATISTICS")
+        s.sql("ANALYZE TABLE s40_docs COMPUTE STATISTICS " +
+          "FOR COLUMNS doc_id, lang, n_chars")
+        val meta = s.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier("s40_docs"))
+        val st = meta.stats.getOrElse(sys.error(
+          "ANALYZE left no catalog statistics"))
+        val cs = st.colStats
+        Seq(
+          ("row_count", st.rowCount.get.toLong),
+          ("doc_id_min", cs("doc_id").min.get.toLong),
+          ("doc_id_max", cs("doc_id").max.get.toLong),
+          ("doc_id_nulls", cs("doc_id").nullCount.get.toLong),
+          ("lang_nulls", cs("lang").nullCount.get.toLong),
+          ("lang_max_len", cs("lang").maxLen.get),
+          ("n_chars_max", cs("n_chars").max.get.toLong),
+          ("n_chars_nulls", cs("n_chars").nullCount.get.toLong))
+          .toDF("stat", "value").orderBy($"stat")
+      },
+      """SELECT 'row_count' AS stat, CAST(count(*) AS BIGINT) AS value FROM documents
+        |UNION ALL SELECT 'doc_id_min', CAST(min(doc_id) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'doc_id_max', CAST(max(doc_id) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'doc_id_nulls', CAST(count(*) - count(doc_id) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'lang_nulls', CAST(count(*) - count(lang) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'lang_max_len', CAST(max(length(lang)) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'n_chars_max', CAST(max(n_chars) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'n_chars_nulls', CAST(count(*) - count(n_chars) AS BIGINT) FROM documents
+        |ORDER BY stat""".stripMargin),
+
     // ── S-beyond: SQL pipe syntax (Spark 4's `|>` operator chains,
     //    SQL:2016-adjacent "pipe SQL") — the linear-dataflow spelling
     //    of the classic SELECT: each stage consumes the previous

@@ -257,6 +257,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         .NoSuchFunctionException(ident)
     ident.name().toLowerCase match {
       case "compact" => new CompactProcedure(root)
+      case "expire_versions" => new ExpireVersionsProcedure(root)
       case _ => throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchFunctionException(ident)
     }
@@ -264,7 +265,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
-      Array(Identifier.of(Array("system"), "compact"))
+      Array(Identifier.of(Array("system"), "compact"),
+        Identifier.of(Array("system"), "expire_versions"))
     else Array.empty
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
@@ -326,6 +328,85 @@ private[sources] object CompactProcedure {
   val OutputSchema: StructType = StructType(Seq(
     StructField("files_before", LongType, nullable = false),
     StructField("files_after", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = false)))
+}
+
+/** `CALL <cat>.system.expire_versions('<table>', <keep>)` — version
+  * RETENTION, the verb that completes the time-travel lifecycle
+  * (Iceberg's `expire_snapshots` + `remove_orphan_files`): drop every
+  * version manifest older than the newest `keep`, then reclaim any
+  * data/tombstone file NO SURVIVING manifest references (crash-leftover
+  * orphans from aborted task attempts — committed files are always in
+  * the latest manifest, so the CURRENT read is untouched by
+  * construction, and a file SHARED with a surviving version survives
+  * because the reference check is against the union of kept manifests,
+  * not the dropped ones). Expired `VERSION AS OF` reads fail loudly
+  * afterwards — the s32 "vacuumed table" contract, now produced by an
+  * actual verb rather than only by destructive rewrites. Driver-side
+  * metadata work only: manifests are tiny listings and the row count
+  * in the summary comes from 28-byte stats headers — zero record
+  * decodes at any scale. Single-maintainer contract (the connector's
+  * documented non-atomic scope): don't run concurrently with an
+  * in-flight write whose files have landed but not yet committed. */
+private[sources] final class ExpireVersionsProcedure(root: File)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "expire_versions"
+  override def description(): String =
+    "drop version manifests older than the newest `keep` and reclaim " +
+      "files no surviving manifest references"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false // rewrites storage
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("table name in this catalog (flattened form)").build(),
+    ProcedureParameter.in("keep", IntegerType)
+      .comment("number of newest versions to retain (>= 1)").build())
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val table = input.getUTF8String(0).toString
+    val keep = input.getInt(1)
+    require(keep >= 1, s"keep must be >= 1 (the current version is " +
+      s"always retained), got $keep")
+    val dir = new File(root, table)
+    if (!dir.isDirectory)
+      throw new NoSuchTableException(Identifier.of(Array.empty, table))
+    val versions = LedgerSource.listVersions(dir.getPath)
+    val (expired, kept) =
+      versions.splitAt(math.max(0, versions.length - keep))
+    val referenced: Set[String] =
+      kept.flatMap(v => LedgerSource.readManifest(dir.getPath, v)).toSet
+    // drop manifests FIRST: if reclamation dies midway, a dangling
+    // version can only fail loudly (the s32 contract), never resolve
+    // to a partially-reclaimed file set
+    val vdir = new File(dir, LedgerSource.VersionsDir)
+    expired.foreach { v =>
+      val mf = new File(vdir, s"$v.mf")
+      require(mf.delete(), s"cannot remove manifest ${mf.getPath}")
+    }
+    // a table with NO manifests (never committed through this source)
+    // has nothing to anchor the reference check — reclaim nothing
+    val orphans =
+      if (kept.isEmpty) Array.empty[File]
+      else (LedgerSource.ledgerFiles(dir.getPath) ++
+        LedgerSource.deleteFiles(dir.getPath))
+        .filterNot(f => referenced.contains(f.getName))
+    orphans.foreach(f =>
+      require(f.delete(), s"cannot reclaim orphan ${f.getPath}"))
+    val summary = new GenericInternalRow(3)
+    summary.setLong(0, expired.length.toLong)
+    summary.setLong(1, orphans.length.toLong)
+    summary.setLong(2, LedgerSource.statsSnapshot(dir.getPath).map(_._4).sum)
+    java.util.Collections.singletonList(
+      new SingleRowScan(ExpireVersionsProcedure.OutputSchema,
+        summary): Scan).iterator()
+  }
+}
+
+private[sources] object ExpireVersionsProcedure {
+  val OutputSchema: StructType = StructType(Seq(
+    StructField("versions_expired", LongType, nullable = false),
+    StructField("files_reclaimed", LongType, nullable = false),
     StructField("n_rows", LongType, nullable = false)))
 }
 

@@ -936,4 +936,76 @@ class PlanQualitySpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(p).size == 1, p)
     assert(p.contains("partial_pivotfirst"), p)
   }
+
+  test("s40: column stats flip a filtered-dim self-join to broadcast — CBO, no hint") {
+    // the s40 ANALYZE surface's payoff: with the threshold pinned just
+    // UNDER the table's own size, default sizing cannot broadcast
+    // either side (a Filter's size-only estimate is its child's), but
+    // CBO's FilterEstimation shrinks the lang='zh' side via the column
+    // stats' distinct count — the broadcast arrives from STATISTICS,
+    // not a hint. Confs are sandboxed: plans are forced eagerly inside
+    // each branch, then everything restores.
+    val s = spark
+    import s.implicits._
+    s.sql("DROP TABLE IF EXISTS s40cbo_docs")
+    val warehouse = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir")).toUri.getPath
+    val stale = new java.io.File(warehouse, "s40cbo_docs")
+    if (stale.exists()) {
+      val walk = java.nio.file.Files.walk(stale.toPath)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+      finally walk.close()
+    }
+    graft.engine.Tables(s, dir, "documents")
+      .select($"doc_id", $"lang", $"n_chars")
+      .createOrReplaceTempView("s40cbo_src")
+    s.sql("CREATE TABLE s40cbo_docs USING parquet AS SELECT * FROM s40cbo_src")
+    s.sql("ANALYZE TABLE s40cbo_docs COMPUTE STATISTICS")
+    s.sql("ANALYZE TABLE s40cbo_docs COMPUTE STATISTICS FOR COLUMNS doc_id, lang")
+    val oldCbo = s.conf.get("spark.sql.cbo.enabled")
+    val oldThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      val sql =
+        """SELECT f.doc_id, f.lang, f.n_chars, d.lang AS d_lang
+          |FROM s40cbo_docs f
+          |JOIN s40cbo_docs d ON f.doc_id = d.doc_id
+          |WHERE d.lang = 'zh'""".stripMargin
+      // the join's dim-side size estimate under each estimator: size-only
+      // keeps the Filter at its child's size; CBO shrinks it by the
+      // column stats' 1/ndv equality selectivity — the flip's premise
+      def dimEstimate(): BigInt = s.sql(sql).queryExecution.optimizedPlan
+        .collectFirst {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+            j.right.stats.sizeInBytes
+        }.get
+      s.conf.set("spark.sql.cbo.enabled", "false")
+      val sizeOnlyEstimate = dimEstimate()
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      val cboEstimate = dimEstimate()
+      assert(cboEstimate < sizeOnlyEstimate,
+        s"column stats must SHRINK the filtered-dim estimate " +
+          s"(cbo=$cboEstimate, size-only=$sizeOnlyEstimate)")
+      // pin the threshold between the two estimates: only the CBO
+      // estimator can clear it
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        ((cboEstimate + sizeOnlyEstimate) / 2).toString)
+      def joinPlan(): String =
+        s.sql(sql).queryExecution.explainString(SimpleMode)
+      s.conf.set("spark.sql.cbo.enabled", "false")
+      val sizeOnly = joinPlan()
+      assert(!sizeOnly.contains("BroadcastHashJoin"),
+        s"default sizing must NOT broadcast (filter size = child size):\n$sizeOnly")
+      assert(sizeOnly.contains("SortMergeJoin"), sizeOnly)
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      val cbo = joinPlan()
+      assert(cbo.contains("BroadcastHashJoin"),
+        s"CBO + column stats must flip the filtered dim to broadcast:\n$cbo")
+      assert(!cbo.contains("SortMergeJoin"), cbo)
+    } finally {
+      s.conf.set("spark.sql.cbo.enabled", oldCbo)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
+      s.sql("DROP TABLE IF EXISTS s40cbo_docs")
+    }
+  }
 }

@@ -1,0 +1,192 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.LedgerSource
+
+/** Round-15 pins around the new verbs and hardening:
+  *
+  *   - `CALL system.expire_versions` (judged `s39`): the safety side —
+  *     a file shared with a SURVIVING version survives, an expired
+  *     `VERSION AS OF` fails loudly (the s32 contract, now produced by
+  *     a verb), keep ≥ history is a no-op, keep = 0 is refused;
+  *   - `ALTER TABLE ADD COLUMNS` (judged `s38`): the DEFAULT backfill
+  *     is a READ-time metadata effect — not one data file changes;
+  *   - bucket-width validation: widths above Int.MaxValue are refused
+  *     at every ingestion point (the reported transform truncates to
+  *     Int, so two widths 2^32 apart would alias);
+  *   - `TIMESTAMP AS OF` resolves from the manifest-embedded commit
+  *     instant, surviving mtime damage (backup-restore). */
+class Round15OpsSpec extends SparkSpec {
+
+  private val catSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def withCatalog[T](body: (String, String) => T): T = {
+    val cat = s"r15_spec${catSeq.incrementAndGet()}"
+    val root = graft.queries.Portable.scratchPath(
+      s"r15spec_${System.nanoTime()}")
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    body(cat, root)
+  }
+
+  /** Three append-only versions: v1 = [0,100), v2 adds [100,200),
+    * v3 adds [200,300). Early files stay referenced by every later
+    * manifest — the sharing expire must respect. */
+  private def appendChain(cat: String): String = {
+    val s = spark
+    import s.implicits._
+    def wave(lo: Int, hi: Int) = spark.range(lo, hi)
+      .select($"id".as("doc_id"), lit("w").as("lang"), $"id".as("n_chars"))
+      .coalesce(1)
+    wave(0, 100).writeTo(s"$cat.t").create()
+    wave(100, 200).writeTo(s"$cat.t").append()
+    wave(200, 300).writeTo(s"$cat.t").append()
+    s"$cat.t"
+  }
+
+  test("expire_versions: shared files survive, expired versions fail loudly, current read intact") {
+    withCatalog { (cat, root) =>
+      val t = appendChain(cat)
+      val dir = new File(root, "t").getPath
+      val v1File = LedgerSource.readManifest(dir, 1L).head
+      val before = spark.table(t).collect().map(_.toSeq).toSet
+      val summary = spark.sql(s"CALL $cat.system.expire_versions('t', 1)")
+        .collect().head
+      assert(summary.getLong(0) == 2L, "v1 and v2 must expire")
+      assert(summary.getLong(1) == 0L, "nothing is orphaned here")
+      // the v1 file is SHARED with the surviving v3 — it must survive
+      assert(new File(dir, v1File).isFile,
+        "a file referenced by a surviving version was reclaimed")
+      assert(spark.table(t).collect().map(_.toSeq).toSet == before,
+        "the current read must be identical before and after expiry")
+      // expired versions fail LOUDLY; the survivor still reads
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT * FROM $t VERSION AS OF 1").collect()
+      }
+      assert(e.getMessage.contains("no version 1") ||
+        e.getMessage.contains("version 1"), e.getMessage)
+      assert(spark.sql(s"SELECT * FROM $t VERSION AS OF 3").count() == 300)
+    }
+  }
+
+  test("expire_versions: reclaims uncommitted orphans, never live files") {
+    withCatalog { (cat, root) =>
+      val t = appendChain(cat)
+      val dir = new File(root, "t")
+      // a crash leftover: landed, never committed — no manifest knows it
+      val donor = LedgerSource.ledgerFiles(dir.getPath).head
+      java.nio.file.Files.copy(donor.toPath,
+        new File(dir, "zz-orphan.gl").toPath)
+      val nLive = LedgerSource.ledgerFiles(dir.getPath).length - 1
+      val summary = spark.sql(s"CALL $cat.system.expire_versions('t', 2)")
+        .collect().head
+      assert(summary.getLong(0) == 1L) // v1 expired
+      assert(summary.getLong(1) == 1L, "exactly the orphan is reclaimed")
+      assert(!new File(dir, "zz-orphan.gl").exists())
+      assert(LedgerSource.ledgerFiles(dir.getPath).length == nLive)
+      assert(spark.table(t).count() == 300)
+    }
+  }
+
+  test("expire_versions: keep >= history is a no-op; keep = 0 refused") {
+    withCatalog { (cat, root) =>
+      val t = appendChain(cat)
+      val summary = spark.sql(s"CALL $cat.system.expire_versions('t', 99)")
+        .collect().head
+      assert(summary.getLong(0) == 0L && summary.getLong(1) == 0L)
+      assert(LedgerSource.listVersions(
+        new File(root, "t").getPath) == Seq(1L, 2L, 3L))
+      val e = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.expire_versions('t', 0)").collect()
+      }
+      assert(e.getMessage.contains("keep must be >= 1"), e.getMessage)
+      assert(spark.table(t).count() == 300)
+    }
+  }
+
+  test("ALTER TABLE ADD COLUMNS DEFAULT backfills at READ time — zero data files rewritten") {
+    val s = spark
+    s.sql("DROP TABLE IF EXISTS r15_evolve")
+    val warehouse = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir")).toUri.getPath
+    val loc = new File(warehouse, "r15_evolve")
+    if (loc.exists()) {
+      val walk = java.nio.file.Files.walk(loc.toPath)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+      finally walk.close()
+    }
+    s.sql("CREATE TABLE r15_evolve (id BIGINT) USING parquet")
+    s.sql("INSERT INTO r15_evolve SELECT id FROM range(100)")
+    def dataFiles(): Map[String, (Long, Long)] = {
+      def walk(f: File): Seq[File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(loc).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length, f.lastModified)).toMap
+    }
+    val before = dataFiles()
+    assert(before.nonEmpty)
+    s.sql("ALTER TABLE r15_evolve ADD COLUMNS (grade STRING DEFAULT 'ungraded')")
+    assert(dataFiles() == before,
+      "the DEFAULT backfill must not rewrite a single data file")
+    // …and yet every pre-evolution row reads the default
+    assert(s.table("r15_evolve").where(col("grade") === "ungraded")
+      .count() == 100)
+    s.sql("DROP TABLE r15_evolve")
+  }
+
+  test("bucket widths above Int.MaxValue are refused at every ingestion point") {
+    val wide = (Int.MaxValue.toLong + 1).toString
+    withCatalog { (cat, root) =>
+      val e1 = intercept[Exception] {
+        spark.sql(s"CREATE TABLE $cat.wide (doc_id BIGINT, lang STRING, " +
+          s"n_chars BIGINT) TBLPROPERTIES ('bucket' = '$wide')")
+      }
+      assert(e1.getMessage.contains("bucket width"), e1.getMessage)
+      // path API option
+      val dir = new File(root, "pathwide"); dir.mkdirs()
+      val s = spark
+      import s.implicits._
+      val df = Seq((1L, "a", 1L)).toDF("doc_id", "lang", "n_chars")
+      val e2 = intercept[Exception] {
+        df.write.format("graft-ledger").mode("append")
+          .option("bucket", wide).save(dir.getPath)
+      }
+      assert(e2.getMessage.contains("bucket width"), e2.getMessage)
+      // a hand-tampered _props file fails at READ time, not silently
+      df.write.format("graft-ledger").mode("append").save(dir.getPath)
+      java.nio.file.Files.write(new File(dir, "_props").toPath,
+        s"bucket=$wide\n".getBytes("UTF-8"))
+      val e3 = intercept[Exception] {
+        spark.read.format("graft-ledger").load(dir.getPath).count()
+      }
+      assert(e3.getMessage.contains("bucket width"), e3.getMessage)
+    }
+  }
+
+  test("TIMESTAMP AS OF resolves from the manifest-embedded instant, not mtimes") {
+    withCatalog { (cat, root) =>
+      val t = appendChain(cat)
+      val dir = new File(root, "t").getPath
+      val t2 = LedgerSource.commitTimeMillis(dir, 2L)
+      // simulate a backup-restore: every manifest mtime is damaged
+      val vdir = new File(dir, "_versions")
+      Option(vdir.listFiles()).getOrElse(Array.empty[File])
+        .foreach(f => assert(f.setLastModified(1000L)))
+      // v2's embedded commit instant → resolves v2 exactly (its 200
+      // rows), even though every mtime now says 1970
+      val ts = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC) // the session timezone
+        .format(java.time.Instant.ofEpochMilli(t2))
+      val rows = spark.sql(
+        s"SELECT count(*) AS n FROM $t TIMESTAMP AS OF '$ts'")
+        .collect().head.getLong(0)
+      assert(rows == 200L,
+        s"TIMESTAMP AS OF must resolve v2 from the embedded #ts ($rows)")
+    }
+  }
+}
