@@ -167,6 +167,47 @@ class Round15OpsSpec extends SparkSpec {
     }
   }
 
+  test("multipleWatermarkPolicy: global watermark is the laggard under min, the frontier under max") {
+    // the semantics st24 rides, pinned on MemoryStream: two watermarked
+    // inputs whose frontiers differ by 2 hours — under the default
+    // `min` policy the GLOBAL watermark is the laggard's (nothing
+    // finalizes until every input passed it), under `max` the fast
+    // input's. A policy change or default flip fails here by name.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(x: String) = java.sql.Timestamp.valueOf(x)
+    def finalWatermark(policy: String): String = {
+      val key = "spark.sql.streaming.multipleWatermarkPolicy"
+      val prev = s.conf.get(key)
+      s.conf.set(key, policy)
+      try {
+        val a = MemoryStream[java.sql.Timestamp]
+        val b = MemoryStream[java.sql.Timestamp]
+        val counts = a.toDF().toDF("ts").withWatermark("ts", "10 minutes")
+          .unionByName(b.toDF().toDF("ts").withWatermark("ts", "10 minutes"))
+          .groupBy(window(col("ts"), "60 minutes")).count()
+        val q = counts.writeStream.format("memory")
+          .queryName(s"r15_wm_$policy").outputMode("append").start()
+        try {
+          a.addData(ts("2019-07-01 12:00:00"))
+          b.addData(ts("2019-07-01 10:00:00"))
+          q.processAllAvailable()
+          a.addData(ts("2019-07-01 12:00:01")) // one more batch so the
+          b.addData(ts("2019-07-01 10:00:01")) // watermark surfaces
+          q.processAllAvailable()
+          q.recentProgress.toSeq
+            .flatMap(p => Option(p.eventTime.get("watermark"))).max
+        } finally q.stop()
+      } finally s.conf.set(key, prev)
+    }
+    assert(finalWatermark("min") == "2019-07-01T09:50:01.000Z",
+      "min policy: the laggard input's frontier bounds the global watermark")
+    assert(finalWatermark("max") == "2019-07-01T11:50:01.000Z",
+      "max policy: the fast input's frontier drives the global watermark")
+  }
+
   test("TIMESTAMP AS OF resolves from the manifest-embedded instant, not mtimes") {
     withCatalog { (cat, root) =>
       val t = appendChain(cat)
