@@ -1220,6 +1220,95 @@ object Relational {
         |FROM merged WHERE NOT dropped
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ── S-beyond: WRITE AMPLIFICATION, quantified — the s37 design
+    //    argument as judged NUMBERS: the same five-update trickle
+    //    (UPDATE … WHERE doc_id % 2 = 0, matching every range file
+    //    every time) runs against two identically-laid-out tables, one
+    //    copy-on-write and one mor=true, and the bytes the storage
+    //    actually absorbed are measured from stats headers between
+    //    steps (driver-side metadata only). Copy-on-write must write
+    //    5 × N data rows — every update rewrites every surviving row
+    //    of every touched file — while merge-on-read writes exactly
+    //    5 × N/2 fresh rows plus 5 × N/2 tombstone keys: a 2× row
+    //    amplification HERE (the predicate touches half of each file),
+    //    and file-size × update-frequency in general — the reason this
+    //    pair decides table formats at 100 TB. Both tables must ALSO
+    //    converge to the same final state (the checksum rows), so the
+    //    cheaper path is proven to buy the same answer. At the test
+    //    SFs the wall-clock difference is job-overhead-dominated; the
+    //    row counts are the scale-invariant signal, which is why they
+    //    are what the hash judges. ──
+    ("s41_write_amplification",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.conf.set("spark.sql.catalog.graft_amp", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_amp.root", scratchPath("s41_catroot"))
+        val docs = Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+        docs.repartitionByRange(8, $"doc_id")
+          .writeTo("graft_amp.cow_t").createOrReplace()
+        docs.repartitionByRange(8, $"doc_id")
+          .writeTo("graft_amp.mor_t")
+          .tableProperty("mor", "true").createOrReplace()
+        def tdir(t: String) =
+          new java.io.File(scratchPath("s41_catroot"), t).getPath
+        // what the storage absorbed in a step: header row counts of the
+        // FILES THAT APPEARED (28-byte reads, zero record decodes)
+        def names(t: String): Set[String] =
+          (graft.sources.LedgerSource.ledgerFiles(tdir(t)) ++
+            graft.sources.LedgerSource.deleteFiles(tdir(t)))
+            .map(_.getName).toSet
+        def written(t: String, before: Set[String]): (Long, Long) = {
+          val dirF = new java.io.File(tdir(t))
+          val fresh = names(t) -- before
+          val dataRows = fresh.filter(_.endsWith(".gl")).toSeq
+            .map(n => graft.sources.LedgerSource
+              .readStats(new java.io.File(dirF, n))._3).sum
+          val tombs = fresh.filter(_.endsWith(".gd")).toSeq
+            .map(n => graft.sources.LedgerSource
+              .tombstoneTotal(new java.io.File(dirF, n))).sum
+          (dataRows, tombs)
+        }
+        var cowRows = 0L; var morRows = 0L; var morTombs = 0L
+        (1 to 5).foreach { _ =>
+          val (bc, bm) = (names("cow_t"), names("mor_t"))
+          s.sql("UPDATE graft_amp.cow_t SET n_chars = n_chars + 1 " +
+            "WHERE doc_id % 2 = 0")
+          s.sql("UPDATE graft_amp.mor_t SET n_chars = n_chars + 1 " +
+            "WHERE doc_id % 2 = 0")
+          val (cr, _) = written("cow_t", bc)
+          val (mr, mt) = written("mor_t", bm)
+          cowRows += cr; morRows += mr; morTombs += mt
+        }
+        def checksum(t: String) = s.table(s"graft_amp.$t")
+          .agg(count(lit(1)).cast("long"),
+            sum($"n_chars").cast("long")).collect().head
+        val (cc, cm) = (checksum("cow_t"), checksum("mor_t"))
+        Seq(
+          ("cow_rows_written", cowRows),
+          ("mor_rows_written", morRows),
+          ("mor_tombstones_written", morTombs),
+          ("final_count_cow", cc.getLong(0)),
+          ("final_count_mor", cm.getLong(0)),
+          ("final_chars_cow", cc.getLong(1)),
+          ("final_chars_mor", cm.getLong(1)))
+          .toDF("metric", "value").orderBy($"metric")
+      },
+      """WITH n AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS total,
+        |         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS evens,
+        |         CAST(sum(n_chars) AS BIGINT) AS chars
+        |  FROM documents)
+        |SELECT 'cow_rows_written' AS metric, 5 * total AS value FROM n
+        |UNION ALL SELECT 'final_chars_cow', chars + 5 * evens FROM n
+        |UNION ALL SELECT 'final_chars_mor', chars + 5 * evens FROM n
+        |UNION ALL SELECT 'final_count_cow', total FROM n
+        |UNION ALL SELECT 'final_count_mor', total FROM n
+        |UNION ALL SELECT 'mor_rows_written', 5 * evens FROM n
+        |UNION ALL SELECT 'mor_tombstones_written', 5 * evens FROM n
+        |ORDER BY metric""".stripMargin),
+
     // ── S-beyond: SCHEMA EVOLUTION as a live-table verb — `ALTER
     //    TABLE … ADD COLUMNS`, judged end to end on the session
     //    catalog (s14 judges mergeSchema on raw parquet and s23

@@ -275,7 +275,7 @@ object LedgerSource {
   }
 
   /** Header-only tombstone count (stats estimation). */
-  private[sources] def tombstoneTotal(f: File): Long = {
+  private[graft] def tombstoneTotal(f: File): Long = {
     val in = new DataInputStream(new FileInputStream(f))
     try {
       require(in.readInt() == DeleteMagic, s"${f.getName}: not a delete file")
