@@ -934,7 +934,11 @@ final class LedgerScan(path: String, required: StructType,
     s"graft-ledger $path, ReadSchema: ${required.simpleString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}]" +
       (if (group.isDefined) ", GroupScan: true" else "") +
-      pinned.map(v => s", Version: $v").getOrElse("")
+      pinned.map(v => s", Version: $v").getOrElse("") +
+      // surface the merge-on-read overlay in .explain — an operator
+      // reading through tombstones should say so
+      (if (deletePaths.nonEmpty) s", DeleteFiles: ${deletePaths.length}"
+       else "")
 
   /** Runtime (join-driven) filtering — the dynamic-partition-pruning
     * contract for DSv2 sources: after the build side of a join
@@ -1141,7 +1145,12 @@ final class LedgerScan(path: String, required: StructType,
     * reader as the batch path, and pushed-bounds file skip applies
     * per batch (a skipped file is still marked ingested by the
     * offset — skipping is an optimization, never a semantics
-    * change). */
+    * change). Merge-on-read note: the stream is the APPEND FEED —
+    * new `.gl` files as they commit; tombstones are not retracted
+    * from batches already emitted and not applied to future ones
+    * (the same contract as streaming a Delta table without
+    * skipChangeCommits — a CDC-complete feed is what st22's
+    * foreachBatch MERGE composition is for). */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new LedgerMicroBatchStream(path, required, pushed, maxFilesPerTrigger)
 }

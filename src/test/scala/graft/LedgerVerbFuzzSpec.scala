@@ -182,4 +182,63 @@ class LedgerVerbFuzzSpec extends SparkSpec {
       }
     }
   }
+
+  test("fuzz: MERGE-ON-READ verb interleavings equal the reference state machine") {
+    // arbitrary interleavings of MoR deletes / updates / appends /
+    // interval deletes on a mor=true table, replayed against a driver-
+    // side Map — the overlay composition (tombstones over tombstones,
+    // re-landed keys, fast-path unlinks between delta commits) must
+    // stay exact. Keys are UNIQUE per table: the rowId contract MoR
+    // documents (same as Iceberg identifier fields).
+    val rng = new scala.util.Random(150001L)
+    (1 to 6).foreach { i =>
+      val cat = s"fuzz_mor_$i"
+      val root = Files.createTempDirectory("fuzz_mor").toString
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      // reference state: doc_id -> (lang, n_chars); unique dense keys
+      val state = scala.collection.mutable.LinkedHashMap.empty[Long, (String, Long)]
+      var nextKey = 0L
+      def freshRows(n: Int): Seq[(Long, String, Long)] = (1 to n).map { _ =>
+        val k = nextKey; nextKey += 1
+        (k, s"l${rng.nextInt(4)}", rng.nextInt(1000).toLong)
+      }
+      def df(data: Seq[(Long, String, Long)]) = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          data.map(t => Row(t._1, t._2, Long.box(t._3))), 2), schema)
+      val init = freshRows(30 + rng.nextInt(40))
+      init.foreach(t => state(t._1) = (t._2, t._3))
+      val w = df(init).repartitionByRange(1 + rng.nextInt(4), col("doc_id"))
+        .writeTo(s"$cat.t")
+      w.tableProperty("mor", "true").create()
+      (1 to 5).foreach { _ =>
+        rng.nextInt(4) match {
+          case 0 => // MoR delete by non-key predicate
+            val l = s"l${rng.nextInt(4)}"
+            spark.sql(s"DELETE FROM $cat.t WHERE lang = '$l'")
+            state.filterInPlace { case (_, (lang, _)) => lang != l }
+          case 1 => // MoR update by non-key predicate
+            val r = rng.nextInt(3)
+            spark.sql(s"UPDATE $cat.t SET n_chars = n_chars * 2 + 1 " +
+              s"WHERE n_chars % 3 = $r")
+            state.mapValuesInPlace { case (_, (lang, c)) =>
+              if (c % 3 == r) (lang, c * 2 + 1) else (lang, c)
+            }
+          case 2 => // append fresh unique keys (re-lands after deletes)
+            val wave = freshRows(5 + rng.nextInt(20))
+            wave.foreach(t => state(t._1) = (t._2, t._3))
+            df(wave).writeTo(s"$cat.t").append()
+          case 3 => // interval delete: pure-unlink fast path or tombstones
+            val lo = rng.nextLong(math.max(1L, nextKey))
+            val hi = lo + rng.nextInt(30)
+            spark.sql(s"DELETE FROM $cat.t WHERE doc_id BETWEEN $lo AND $hi")
+            state.filterInPlace { case (k, _) => k < lo || k > hi }
+        }
+        val got = spark.table(s"$cat.t").collect()
+          .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+        assert(got == state.toMap,
+          s"case $i diverged: ${got.size} vs ${state.size} live rows")
+      }
+    }
+  }
 }
