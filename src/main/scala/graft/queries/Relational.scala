@@ -1309,6 +1309,50 @@ object Relational {
         |UNION ALL SELECT 'mor_tombstones_written', 5 * evens FROM n
         |ORDER BY metric""".stripMargin),
 
+    // ── S-beyond: LIMIT / TopN PUSHDOWN into the connector
+    //    (`SupportsPushDownLimit` / `SupportsPushDownTopN`, round 15) —
+    //    the "peek at a petabyte" path: `ORDER BY doc_id LIMIT k` plans
+    //    only the files a header-derived cutoff proves can hold the
+    //    top-k (walk files by range frontier until the prefix covers k
+    //    rows; a file whose range starts beyond that cutoff cannot
+    //    contribute — and a wide overlapping file that CROSSES it is
+    //    kept, the soundness edge `Round15OpsSpec` pins with an
+    //    adversarial layout). Partial pushdown: Spark still applies
+    //    the final sort+limit, so over-delivery is safe, and the push
+    //    backs off wherever header counts stop being exact live-row
+    //    counts (pushed/runtime filters, live tombstones, bucketed
+    //    layouts) — under-delivery is the failure mode that can never
+    //    happen. Judged: both directions' exact rows over an 8-file
+    //    range layout, with the pushdown's presence asserted in-query;
+    //    the partition-count proof (top-k plans ONE file) is pinned in
+    //    the spec. ──
+    ("s42_topn_pushdown",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val tdir = scratchPath("s42_ledger")
+        Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+          .repartitionByRange(8, $"doc_id")
+          .write.format("graft-ledger").mode("overwrite").save(tdir)
+        val t = s.read.format("graft-ledger").load(tdir)
+        val asc = t.orderBy($"doc_id").limit(25)
+        val desc = t.orderBy($"doc_id".desc).limit(10)
+        Seq(asc -> "ASC", desc -> "DESC").foreach { case (df, d) =>
+          require(df.queryExecution.sparkPlan.toString
+            .contains(s"PushedTopN: ORDER BY doc_id $d"),
+            s"the $d top-k must push into the ledger scan")
+        }
+        asc.withColumn("dir", lit("asc"))
+          .unionByName(desc.withColumn("dir", lit("desc")))
+          .orderBy($"dir", $"doc_id")
+      },
+      """(SELECT doc_id, lang, n_chars, 'asc' AS dir FROM documents
+        | ORDER BY doc_id LIMIT 25)
+        |UNION ALL
+        |(SELECT doc_id, lang, n_chars, 'desc' AS dir FROM documents
+        | ORDER BY doc_id DESC LIMIT 10)
+        |ORDER BY dir, doc_id""".stripMargin),
+
     // ── S-beyond: SCHEMA EVOLUTION as a live-table verb — `ALTER
     //    TABLE … ADD COLUMNS`, judged end to end on the session
     //    catalog (s14 judges mergeSchema on raw parquet and s23
@@ -3943,6 +3987,51 @@ object Relational {
     //    PLAIN ROW SQL — the f24 discipline: maps are semantics, not a
     //    new data model, and the roundtrip through the map type must
     //    be lossless. Maps are lang-dictionary-bounded (≤4 keys). ──
+    // ── F-beyond: OBSERVED METRICS (`Dataset.observe` /
+    //    `CollectMetrics`) — the data-quality counters a production
+    //    pipeline attaches to a job: aggregates computed ON THE SAME
+    //    PASS as the query (an accumulator-backed operator in the
+    //    plan, not a second scan — at 100 TB a separate quality job
+    //    would double the read). The observation point sits BEFORE the
+    //    query's own filter, so the metrics see every input row (the
+    //    totals the filtered aggregate can no longer reconstruct) —
+    //    exactly the "what did we drop" accounting ingest pipelines
+    //    bolt on. The judged rows carry BOTH: the observed totals
+    //    (driver-side literals from the populated Observation) and the
+    //    filtered per-lang aggregate, each reconstructed independently
+    //    by the oracle; `PlanQualitySpec` pins the single-scan shape
+    //    (one FileScan, CollectMetrics present). ──
+    ("f27_observed_metrics",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val obs = org.apache.spark.sql.Observation()
+        val observed = Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+          .observe(obs,
+            count(lit(1)).as("n_rows"),
+            sum($"n_chars").cast("long").as("total_chars"),
+            count(when($"n_chars" > 5000, 1)).as("n_long"))
+        val perLang = observed.where($"lang" =!= "en")
+          .groupBy($"lang")
+          .agg(count(lit(1)).cast("long").as("value"))
+          .select(concat(lit("lang_"), $"lang").as("key"), $"value")
+        perLang.collect(): Unit // the action that populates the observation
+        val m = obs.get
+        perLang.unionByName(Seq(
+            ("obs_rows", m("n_rows").asInstanceOf[Long]),
+            ("obs_chars", m("total_chars").asInstanceOf[Long]),
+            ("obs_long", m("n_long").asInstanceOf[Long]))
+          .toDF("key", "value"))
+          .orderBy($"key")
+      },
+      """SELECT concat('lang_', lang) AS key, CAST(count(*) AS BIGINT) AS value
+        |FROM documents WHERE lang <> 'en' GROUP BY 1
+        |UNION ALL SELECT 'obs_rows', CAST(count(*) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'obs_chars', CAST(sum(n_chars) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'obs_long',
+        |  CAST(count(CASE WHEN n_chars > 5000 THEN 1 END) AS BIGINT) FROM documents
+        |ORDER BY key""".stripMargin),
+
     ("f26_map_functions",
       (s: SparkSession, dir: String) => {
         Tables(s, dir, "documents")

@@ -749,10 +749,52 @@ final class LedgerScanBuilder(path: String,
                               bucketWidth: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
   private var required: StructType = LedgerSource.Schema
   private var pushed: Array[Filter] = Array.empty
   private var pushedAgg: Option[Aggregation] = None
+  private var pushedLimit: Option[Int] = None
+  private var topNAscending: Option[Boolean] = None
+
+  /** LIMIT pushdown — FILE-level: the stats headers' exact row counts
+    * let the plan open only enough files to cover `n` rows (a `LIMIT
+    * 10` over a million-file table opens one file). PARTIAL pushdown:
+    * Spark still applies the final limit, so over-delivery is always
+    * safe — what must never happen is UNDER-delivery, which is why the
+    * push is declined whenever pushed filters could make header counts
+    * over-counts (and the scan itself backs off when runtime filters
+    * or a live tombstone overlay arrive, or under a bucketed layout
+    * whose partition-count promise file selection would change). */
+  override def pushLimit(n: Int): Boolean = {
+    val ok = group.isEmpty && bucketWidth.isEmpty && pushed.isEmpty && n > 0
+    if (ok) pushedLimit = Some(n)
+    ok
+  }
+  override def isPartiallyPushed(): Boolean = true
+
+  /** ORDER BY doc_id [DESC] LIMIT n — the headers' min/max make a
+    * SOUND file cutoff: order files by maxId, prefix-sum row counts to
+    * the first point covering n rows, and every file whose minId lies
+    * beyond that cutoff can only hold rows strictly greater than n
+    * already-kept rows (symmetrically for DESC). Partial: Spark
+    * re-sorts and re-limits the kept files' rows. */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector
+      .expressions.SortOrder], n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.SortDirection
+    val ok = group.isEmpty && bucketWidth.isEmpty && pushed.isEmpty &&
+      n > 0 && orders.length == 1 && (orders.head.expression() match {
+        case nr: NamedReference => nr.fieldNames.sameElements(Array("doc_id"))
+        case _ => false
+      })
+    if (ok) {
+      pushedLimit = Some(n)
+      topNAscending =
+        Some(orders.head.direction() == SortDirection.ASCENDING)
+    }
+    ok
+  }
 
   /** Accept doc_id comparisons; everything else stays Spark-side. The
     * accepted ones are STILL returned for Spark re-evaluation (the
@@ -814,7 +856,7 @@ final class LedgerScanBuilder(path: String,
     case Some(agg) if pinned.isEmpty => new LedgerAggScan(path, agg)
     case _ =>
       new LedgerScan(path, required, pushed, maxFilesPerTrigger, group,
-        pinned, bucketWidth)
+        pinned, bucketWidth, pushedLimit, topNAscending)
   }
 }
 
@@ -924,7 +966,9 @@ final class LedgerScan(path: String, required: StructType,
                        maxFilesPerTrigger: Option[Int] = None,
                        group: Option[LedgerRowLevelOperation] = None,
                        pinned: Option[Long] = None,
-                       bucketWidth: Option[Long] = None)
+                       bucketWidth: Option[Long] = None,
+                       pushedLimit: Option[Int] = None,
+                       topNAscending: Option[Boolean] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -938,7 +982,12 @@ final class LedgerScan(path: String, required: StructType,
       // surface the merge-on-read overlay in .explain — an operator
       // reading through tombstones should say so
       (if (deletePaths.nonEmpty) s", DeleteFiles: ${deletePaths.length}"
-       else "")
+       else "") +
+      pushedLimit.map(n => topNAscending match {
+        case Some(asc) =>
+          s", PushedTopN: ORDER BY doc_id ${if (asc) "ASC" else "DESC"} LIMIT $n"
+        case None => s", PushedLimit: LIMIT $n"
+      }).getOrElse("")
 
   /** Runtime (join-driven) filtering — the dynamic-partition-pruning
     * contract for DSv2 sources: after the build side of a join
@@ -1041,9 +1090,54 @@ final class LedgerScan(path: String, required: StructType,
     }
   }
 
+  /** The LIMIT / TopN FILE CUTOFF — sound only when header row counts
+    * are exact live-row counts for every file: no pushed or runtime
+    * row filters, no tombstone overlay (each would make headers
+    * over-counts and risk UNDER-delivering rows Spark's final limit
+    * still expects). Over-delivery is always fine (partial pushdown).
+    *
+    * Plain LIMIT: any prefix covering n rows (LIMIT promises no
+    * order). TopN ASC: order files by maxId, cut at the first prefix
+    * covering n rows — an excluded file's minId exceeds the cutoff
+    * maxId, so its every row is greater than n kept rows and cannot be
+    * in the true top-n (DESC mirrors with minId descending). */
+  private def limitSelect(fs: Array[(File, Long, Long, Long)])
+      : Array[(File, Long, Long, Long)] =
+    pushedLimit match {
+      case Some(n) if pushed.isEmpty && runtime.isEmpty &&
+          deletePaths.isEmpty && group.isEmpty =>
+        topNAscending match {
+          case None =>
+            // LIMIT promises no order: any prefix covering n rows
+            var cum = 0L
+            fs.takeWhile { t => val need = cum < n; cum += t._4; need }
+          case Some(asc) =>
+            // ASC: walk files by maxId until the prefix covers n rows;
+            // every row of those files is <= that cutoff maxId, so a
+            // file whose minId exceeds it holds only rows greater than
+            // n already-kept rows — exclude it. Keeping every file
+            // whose RANGE crosses the cutoff stays sound when ranges
+            // overlap (a wide file can hide small keys). DESC mirrors.
+            val byFrontier =
+              if (asc) fs.sortBy(_._3) else fs.sortBy(t => -t._2)
+            var cum = 0L
+            var cutoff = if (asc) Long.MinValue else Long.MaxValue
+            byFrontier.foreach { t =>
+              if (cum < n) {
+                cum += t._4
+                cutoff = if (asc) t._3 else t._2
+              }
+            }
+            if (cum < n) fs // fewer than n rows exist: keep everything
+            else if (asc) fs.filter(_._2 <= cutoff)
+            else fs.filter(_._3 >= cutoff)
+        }
+      case _ => fs
+    }
+
   override def planInputPartitions(): Array[InputPartition] = {
     LedgerSource.requireDir(path)
-    val planned = survivors()
+    val planned = limitSelect(survivors())
     // group mode: the surviving files ARE the groups this row-level
     // operation will replace — record them for the write's commit.
     // Re-planning (e.g. after a runtime filter lands) overwrites the

@@ -937,6 +937,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_pivotfirst"), p)
   }
 
+  test("f27: observed metrics ride the query's own scan — CollectMetrics, ONE FileScan") {
+    val p = plan("f27_observed_metrics")
+    // the quality counters are an accumulator-backed operator inside
+    // the plan (computed as rows stream past), never a second read —
+    // a separate metrics job would double the scan at 100 TB
+    assert(p.contains("CollectMetrics"), p)
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+  }
+
   test("s40: column stats flip a filtered-dim self-join to broadcast — CBO, no hint") {
     // the s40 ANALYZE surface's payoff: with the threshold pinned just
     // UNDER the table's own size, default sizing cannot broadcast

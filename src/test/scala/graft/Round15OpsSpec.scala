@@ -167,6 +167,86 @@ class Round15OpsSpec extends SparkSpec {
     }
   }
 
+  test("TopN pushdown: the cutoff never opens pruned files and survives overlapping ranges") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r15_topn").toString
+    // 4 disjoint range files over [0,400)
+    spark.range(0, 400).select($"id".as("doc_id"),
+        lit("x").as("lang"), $"id".as("n_chars"))
+      .repartitionByRange(4, $"doc_id")
+      .write.format("graft-ledger").mode("overwrite").save(dir)
+    def scanPartitions(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.length
+      }.get
+    val asc = spark.read.format("graft-ledger").load(dir)
+      .orderBy($"doc_id").limit(10)
+    assert(asc.queryExecution.sparkPlan.toString.contains("PushedTopN"),
+      asc.queryExecution.sparkPlan.toString)
+    assert(scanPartitions(asc) == 1,
+      "ASC top-10 must plan exactly the lowest-range file")
+    assert(asc.collect().map(_.getLong(0)).toSeq == (0L to 9L))
+    val desc = spark.read.format("graft-ledger").load(dir)
+      .orderBy($"doc_id".desc).limit(5)
+    assert(scanPartitions(desc) == 1,
+      "DESC top-5 must plan exactly the highest-range file")
+    assert(desc.collect().map(_.getLong(0)).toSeq ==
+      (399L to 395L by -1))
+    // plain LIMIT: any prefix covering n rows — at most one 100-row file
+    val lim = spark.read.format("graft-ledger").load(dir).limit(7)
+    assert(scanPartitions(lim) == 1, "LIMIT 7 needs one 100-row file")
+    assert(lim.count() == 7)
+    // overlapping ranges: a wide file hides the smallest keys — the
+    // cutoff must keep it even though a narrow file alone covers n
+    val dir2 = java.nio.file.Files.createTempDirectory("r15_topn2").toString
+    // file W: [0, 1000] sparse (2 rows); file Nw: [2,3] dense (60 rows)
+    Seq(0L, 1000L).toDF("doc_id")
+      .select($"doc_id", lit("w").as("lang"), $"doc_id".as("n_chars"))
+      .coalesce(1).write.format("graft-ledger").mode("append").save(dir2)
+    spark.range(0, 60).select(lit(2L) + ($"id" % 2), lit("n"), $"id")
+      .toDF("doc_id", "lang", "n_chars")
+      .coalesce(1).write.format("graft-ledger").mode("append").save(dir2)
+    val got = spark.read.format("graft-ledger").load(dir2)
+      .orderBy($"doc_id").limit(3).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(0L, 2L, 2L),
+      s"the wide file's small key must survive the cutoff: $got")
+  }
+
+  test("limit pushdown backs off under filters and tombstones — headers are over-counts there") {
+    val s = spark
+    import s.implicits._
+    withCatalog { (cat, root) =>
+      val t = appendChain(cat) // 3 files of 100 rows each
+      val dir = new File(root, "t").getPath
+      // a pushed doc_id filter makes header counts over-counts for the
+      // selection: the builder must decline and the full answer stand
+      val filtered = spark.table(t).where($"doc_id" >= 95)
+        .orderBy($"doc_id").limit(10)
+      assert(!filtered.queryExecution.executedPlan.toString
+        .contains("PushedTopN"))
+      assert(filtered.collect().map(_.getLong(0)).toSeq ==
+        (95L to 104L), "filtered top-10 must be exact")
+    }
+    // tombstones: MoR-delete the low keys, then TopN — the scan must
+    // back off the file cutoff, or the dead rows' header counts would
+    // under-deliver live rows
+    val cat2 = s"r15_lim${catSeq.incrementAndGet()}"
+    val root2 = graft.queries.Portable.scratchPath(
+      s"r15lim_${System.nanoTime()}")
+    spark.conf.set(s"spark.sql.catalog.$cat2", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat2.root", root2)
+    spark.range(0, 300).select($"id".as("doc_id"), lit("w").as("lang"),
+        $"id".as("n_chars"))
+      .repartitionByRange(3, $"doc_id")
+      .writeTo(s"$cat2.t").tableProperty("mor", "true").create()
+    spark.sql(s"DELETE FROM $cat2.t WHERE n_chars < 95") // tombstones 0..94
+    val live = spark.table(s"$cat2.t").orderBy($"doc_id").limit(10)
+    assert(live.collect().map(_.getLong(0)).toSeq == (95L to 104L),
+      "the file cutoff must back off while tombstones are live")
+  }
+
   test("multipleWatermarkPolicy: global watermark is the laggard under min, the frontier under max") {
     // the semantics st24 rides, pinned on MemoryStream: two watermarked
     // inputs whose frontiers differ by 2 hours — under the default
