@@ -1353,6 +1353,55 @@ object Relational {
         | ORDER BY doc_id DESC LIMIT 10)
         |ORDER BY dir, doc_id""".stripMargin),
 
+    // ── S-beyond: the TABLE HISTORY metadata table (round 15) —
+    //    `<cat>.<table>.history`, the lakehouse observability spelling
+    //    (Iceberg's `t.history`, Delta's DESCRIBE HISTORY): one row
+    //    per version manifest with the commit instant, data/tombstone
+    //    file counts, the header-summed physical row count, and
+    //    whether the version still reconstructs. History is manifest
+    //    listings plus 28-byte headers — metadata-bounded at any
+    //    scale. The judged rows replay a deterministic three-commit
+    //    life (range ingest → append → merge-on-read delete): file
+    //    counts are pinned by single-file writes, the tombstone commit
+    //    must leave the PHYSICAL row count unchanged (n_rows counts
+    //    header rows — the overlay is metadata, which is the MoR
+    //    claim restated from the history side), and every version of
+    //    an append-only + MoR chain stays reconstructable.
+    //    `Round15OpsSpec` pins the other half: after a destructive
+    //    rewrite, the dangling version reports NULL rows /
+    //    reconstructable = false instead of lying. ──
+    ("s43_table_history",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.conf.set("spark.sql.catalog.graft_hist", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_hist.root", scratchPath("s43_catroot"))
+        val docs = Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+        docs.where(pmod($"doc_id", lit(2)) === 0).coalesce(1)
+          .writeTo("graft_hist.s43docs")
+          .tableProperty("mor", "true").createOrReplace()
+        docs.where(pmod($"doc_id", lit(2)) === 1).coalesce(1)
+          .writeTo("graft_hist.s43docs").append()
+        // matches are ODD ids only → exactly the odd file's task emits
+        // a tombstone file (deterministic delete-file count)
+        s.sql("DELETE FROM graft_hist.s43docs WHERE doc_id % 10 = 3")
+        s.table("graft_hist.s43docs.history")
+          .select($"version", $"n_data_files", $"n_delete_files",
+            $"n_rows", $"reconstructable")
+          .orderBy($"version")
+      },
+      """WITH n AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS total,
+        |         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS evens
+        |  FROM documents)
+        |SELECT CAST(1 AS BIGINT) AS version, CAST(1 AS BIGINT) AS n_data_files,
+        |       CAST(0 AS BIGINT) AS n_delete_files, evens AS n_rows,
+        |       true AS reconstructable FROM n
+        |UNION ALL SELECT 2, 2, 0, total, true FROM n
+        |UNION ALL SELECT 3, 2, 1, total, true FROM n
+        |ORDER BY version""".stripMargin),
+
     // ── S-beyond: SCHEMA EVOLUTION as a live-table verb — `ALTER
     //    TABLE … ADD COLUMNS`, judged end to end on the session
     //    catalog (s14 judges mergeSchema on raw parquet and s23

@@ -90,8 +90,22 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
 
   override def loadTable(ident: Identifier): Table = {
     val d = tableDir(ident)
-    if (!cleanSegments(ident) || !d.isDirectory)
+    if (!cleanSegments(ident) || !d.isDirectory) {
+      // `<table>.history` — the METADATA TABLE spelling every lakehouse
+      // catalog offers (Iceberg's t.history, Delta's DESCRIBE HISTORY):
+      // the trailing segment addresses a system view OF the table named
+      // by the preceding segments. Only offered when no real table
+      // shadows the name (a genuine `history` table wins).
+      if (ident.name().equalsIgnoreCase("history") &&
+          ident.namespace().nonEmpty) {
+        val base = Identifier.of(ident.namespace().init,
+          ident.namespace().last)
+        val bd = tableDir(base)
+        if (cleanSegments(base) && bd.isDirectory)
+          return new LedgerHistoryTable(bd.getPath, ident.toString)
+      }
       throw new NoSuchTableException(ident)
+    }
     new LedgerTable(d.getPath,
       bucketWidth = LedgerSource.readBucketWidth(d.getPath),
       morEnabled = LedgerSource.readMorFlag(d.getPath))
@@ -541,4 +555,57 @@ private[sources] final class SingleRowScan(schema: StructType, row: InternalRow)
     extends LocalScan {
   override def readSchema(): StructType = schema
   override def rows(): Array[InternalRow] = Array(row)
+}
+
+/** `<cat>.<table>.history` — the table's commit log as a queryable
+  * METADATA TABLE (Iceberg's `t.history`, Delta's DESCRIBE HISTORY):
+  * one row per version manifest, carrying the commit instant (the
+  * manifest-embedded `#ts=`), the version's data/tombstone file
+  * counts, its header-summed row count, and whether it still
+  * reconstructs (later destructive verbs may have removed its files —
+  * then `n_rows` is NULL and `reconstructable` false, the same honesty
+  * contract as `VERSION AS OF`'s loud failure). History is manifest
+  * listings + 28-byte headers: metadata-bounded at any scale, read
+  * once at planning into a single local partition. */
+private[sources] final class LedgerHistoryTable(path: String, name0: String)
+    extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  import org.apache.spark.sql.types.{BooleanType, TimestampType}
+
+  override def name(): String = name0
+  override def schema(): StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("committed_at", TimestampType, nullable = false),
+    StructField("n_data_files", LongType, nullable = false),
+    StructField("n_delete_files", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = true),
+    StructField("reconstructable", BooleanType, nullable = false)))
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder =
+    () => new LocalScan {
+      override def readSchema(): StructType = schema()
+      override def rows(): Array[InternalRow] =
+        LedgerSource.listVersions(path).toArray.map { v =>
+          val names = LedgerSource.readManifest(path, v)
+          val (data, dels) = names.partition(_.endsWith(".gl"))
+          val rows: java.lang.Long =
+            try {
+              val files = data.map(n => new File(new File(path), n))
+              require(files.forall(_.isFile))
+              java.lang.Long.valueOf(LedgerSource.statsOf(files).map(_._4).sum)
+            } catch { case _: Exception => null }
+          val row = new GenericInternalRow(6)
+          row.setLong(0, v)
+          row.setLong(1, LedgerSource.commitTimeMillis(path, v) * 1000L)
+          row.setLong(2, data.length.toLong)
+          row.setLong(3, dels.count(_.endsWith(".gd")).toLong)
+          if (rows == null) row.setNullAt(4) else row.setLong(4, rows.longValue())
+          row.setBoolean(5, rows != null)
+          row
+        }
+    }
 }

@@ -247,6 +247,32 @@ class Round15OpsSpec extends SparkSpec {
       "the file cutoff must back off while tombstones are live")
   }
 
+  test("history metadata table: dangling versions report NULL rows, never lie") {
+    withCatalog { (cat, root) =>
+      val t = appendChain(cat) // v1, v2, v3 share early files
+      // a destructive rewrite: compact to one file — v1..v3's files go
+      spark.sql(s"CALL $cat.system.compact('t', 1)")
+      val h = spark.table(s"$cat.t.history")
+        .select(col("version"), col("n_rows"), col("reconstructable"))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          r.getBoolean(2))).sortBy(_._1)
+      assert(h.length == 4)
+      // pre-compact versions dangle (their files were replaced)…
+      h.take(3).foreach { case (v, rows, ok) =>
+        assert(rows.isEmpty && !ok, s"version $v must report itself gone")
+      }
+      // …the compacted current version reconstructs with every row
+      assert(h.last == ((4L, Some(300L), true)))
+      // and a real table named `history` would win over the view:
+      // nothing shadows here, but an unknown base errors loudly
+      intercept[Exception] {
+        spark.table(s"$cat.nosuch.history").collect()
+      }
+      assert(spark.table(t).count() == 300)
+    }
+  }
+
   test("multipleWatermarkPolicy: global watermark is the laggard under min, the frontier under max") {
     // the semantics st24 rides, pinned on MemoryStream: two watermarked
     // inputs whose frontiers differ by 2 hours — under the default
