@@ -189,6 +189,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       if (v) LedgerSource.writeProp(d.getPath, "mor", "true")
       v
     }
+    // `check` = an enforced table-level CHECK constraint (a SQL
+    // predicate over the fixed schema) — persisted beside the data so
+    // every writer session enforces the same invariant
+    Option(properties.get("check")).filter(_.trim.nonEmpty).foreach { c =>
+      require(!c.contains("\n"), "the 'check' predicate must be one line")
+      LedgerSource.writeProp(d.getPath, "check", c.trim)
+    }
     new LedgerTable(d.getPath, bucketWidth = width, morEnabled = mor)
   }
 

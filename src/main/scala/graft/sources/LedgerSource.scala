@@ -223,6 +223,19 @@ object LedgerSource {
       .split("\n").exists(_.trim == "mor=true")
   }
 
+  /** `check=<sql>` in `_props`: a table-level CHECK constraint the
+    * table reports as ENFORCED — Spark's analyzer then validates every
+    * V2 write against it (rows violating the predicate fail the job
+    * loudly instead of landing). */
+  private[graft] def readCheckConstraint(dir: String): Option[String] = {
+    val f = new File(dir, "_props")
+    if (!f.isFile) None
+    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .split("\n").collectFirst {
+        case l if l.startsWith("check=") => l.stripPrefix("check=").trim
+      }.filter(_.nonEmpty)
+  }
+
   // ── delete files (merge-on-read) ──
   //
   // A `.gd` file is a set of TOMBSTONES, each scoped to one data FILE:
@@ -629,6 +642,23 @@ final class LedgerTable(path: String, pinnedVersion: Option[Long] = None,
       override def comment(): String = "ledger file this row was read from"
     })
   require(path != null, "graft-ledger requires a path")
+
+  /** An ENFORCED table-level CHECK constraint (`check=<sql>` in
+    * `_props`, set at CREATE via the `check` table property): Spark's
+    * `ResolveTableConstraints` validates every V2 write against it —
+    * a violating row fails the job before commit, so the table can
+    * never hold a row the predicate rejects. Enforcement at the
+    * ENGINE boundary is the point: every writer (append, overwrite,
+    * MERGE insert, streaming foreachBatch) passes through the same
+    * gate. */
+  override def constraints(): Array[org.apache.spark.sql.connector
+      .catalog.constraints.Constraint] =
+    LedgerSource.readCheckConstraint(path).map { sql =>
+      import org.apache.spark.sql.connector.catalog.constraints.Constraint
+      Constraint.check("ledger_check").predicateSql(sql)
+        .enforced(true).build(): Constraint
+    }.toArray
+
   override def name(): String =
     s"graft-ledger:$path" + pinnedVersion.map(v => s"@v$v").getOrElse("")
   override def schema(): StructType = LedgerSource.Schema

@@ -273,6 +273,28 @@ class Round15OpsSpec extends SparkSpec {
     }
   }
 
+  test("enforced CHECK constraint: violating writes fail before commit, valid ones land") {
+    withCatalog { (cat, root) =>
+      val s = spark
+      import s.implicits._
+      spark.sql(s"CREATE TABLE $cat.t (doc_id BIGINT, lang STRING, " +
+        s"n_chars BIGINT) TBLPROPERTIES ('check' = 'n_chars >= 0')")
+      Seq((1L, "a", 10L), (2L, "b", 0L)).toDF("doc_id", "lang", "n_chars")
+        .writeTo(s"$cat.t").append()
+      val e = intercept[Exception] {
+        Seq((3L, "c", -5L)).toDF("doc_id", "lang", "n_chars")
+          .writeTo(s"$cat.t").append()
+      }
+      assert(e.getMessage.toLowerCase.contains("check") ||
+        e.getMessage.contains("ledger_check"), e.getMessage)
+      // the failed job landed NOTHING (task files aborted away)
+      assert(spark.table(s"$cat.t").count() == 2)
+      val dir = new File(root, "t").getPath
+      assert(LedgerSource.listVersions(dir).length == 1,
+        "a failed write must not commit a version")
+    }
+  }
+
   test("multipleWatermarkPolicy: global watermark is the laggard under min, the frontier under max") {
     // the semantics st24 rides, pinned on MemoryStream: two watermarked
     // inputs whose frontiers differ by 2 hours — under the default
