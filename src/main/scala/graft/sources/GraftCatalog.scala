@@ -60,6 +60,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
 
   override def name(): String = catName
 
+  /** Opt in to constraint DDL — Spark's planner refuses `ALTER TABLE …
+    * ADD/DROP CONSTRAINT` against catalogs that don't declare it. */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   /** "__" is the namespace flattening separator — a SEGMENT containing
     * it would collide two identifiers onto one directory (table `a__b`
     * vs table `b` in namespace `a`). Creation paths REJECT such
@@ -199,9 +206,42 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     new LedgerTable(d.getPath, bucketWidth = width, morEnabled = mor)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft-ledger tables have a fixed schema — ALTER TABLE is not supported")
+  /** Schema stays fixed (the format IS the schema) — but CONSTRAINT
+    * lifecycle is metadata, so `ALTER TABLE … ADD CONSTRAINT c CHECK
+    * (…)` / `DROP CONSTRAINT` manage the table's one enforced CHECK
+    * slot post-creation. Everything else is still refused. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val d = tableDir(ident)
+    if (!cleanSegments(ident) || !d.isDirectory)
+      throw new NoSuchTableException(ident)
+    changes.foreach {
+      case ac: TableChange.AddConstraint => ac.constraint() match {
+        case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          require(LedgerSource.readCheckConstraint(d.getPath).isEmpty,
+            s"graft-ledger tables hold ONE CHECK constraint — DROP " +
+              s"CONSTRAINT ${LedgerSource.readCheckName(d.getPath)} first")
+          require(!c.predicateSql().contains("\n"),
+            "the CHECK predicate must be one line")
+          LedgerSource.writeProp(d.getPath, "check_name", c.name())
+          LedgerSource.writeProp(d.getPath, "check", c.predicateSql().trim)
+        case other => throw new UnsupportedOperationException(
+          s"graft-ledger supports only CHECK constraints; got ${other.toDDL}")
+      }
+      case dc: TableChange.DropConstraint =>
+        val have = LedgerSource.readCheckConstraint(d.getPath)
+          .map(_ => LedgerSource.readCheckName(d.getPath))
+        if (have.exists(_.equalsIgnoreCase(dc.name()))) {
+          LedgerSource.removeProp(d.getPath, "check")
+          LedgerSource.removeProp(d.getPath, "check_name")
+        } else if (!dc.ifExists()) throw new IllegalArgumentException(
+          s"no constraint named ${dc.name()} on $ident " +
+            s"(present: ${have.getOrElse("none")})")
+      case _ => throw new UnsupportedOperationException(
+        "graft-ledger tables have a fixed schema — only constraint " +
+          "changes are supported in ALTER TABLE")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val d = tableDir(ident)

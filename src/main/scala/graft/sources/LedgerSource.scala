@@ -211,6 +211,20 @@ object LedgerSource {
       (others :+ s"$key=$value").mkString("", "\n", "\n").getBytes("UTF-8")): Unit
   }
 
+  /** Remove one `_props` line, preserving the others. */
+  private[sources] def removeProp(dir: String, key: String): Unit = {
+    val f = new File(dir, "_props")
+    if (f.isFile) {
+      val others = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        .split("\n").toSeq.map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith(s"$key="))
+      if (others.isEmpty) java.nio.file.Files.delete(f.toPath)
+      else java.nio.file.Files.write(f.toPath,
+        others.mkString("", "\n", "\n").getBytes("UTF-8")): Unit
+    }
+  }
+
   private[sources] def writeBucketWidth(dir: String, w: Long): Unit =
     writeProp(dir, "bucket", w.toString)
 
@@ -234,6 +248,18 @@ object LedgerSource {
       .split("\n").collectFirst {
         case l if l.startsWith("check=") => l.stripPrefix("check=").trim
       }.filter(_.nonEmpty)
+  }
+
+  /** The persisted CHECK constraint's name (`check_name=`), defaulting
+    * to `ledger_check` for tables created via the `check` property. */
+  private[graft] def readCheckName(dir: String): String = {
+    val f = new File(dir, "_props")
+    (if (!f.isFile) None
+     else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+       .split("\n").collectFirst {
+         case l if l.startsWith("check_name=") =>
+           l.stripPrefix("check_name=").trim
+       }).getOrElse("ledger_check")
   }
 
   // ── delete files (merge-on-read) ──
@@ -655,7 +681,7 @@ final class LedgerTable(path: String, pinnedVersion: Option[Long] = None,
       .catalog.constraints.Constraint] =
     LedgerSource.readCheckConstraint(path).map { sql =>
       import org.apache.spark.sql.connector.catalog.constraints.Constraint
-      Constraint.check("ledger_check").predicateSql(sql)
+      Constraint.check(LedgerSource.readCheckName(path)).predicateSql(sql)
         .enforced(true).build(): Constraint
     }.toArray
 

@@ -295,6 +295,40 @@ class Round15OpsSpec extends SparkSpec {
     }
   }
 
+  test("ADD/DROP CONSTRAINT manage the check slot post-creation; schema changes stay refused") {
+    withCatalog { (cat, root) =>
+      val s = spark
+      import s.implicits._
+      spark.sql(s"CREATE TABLE $cat.t (doc_id BIGINT, lang STRING, n_chars BIGINT)")
+      Seq((1L, "a", 10L)).toDF("doc_id", "lang", "n_chars")
+        .writeTo(s"$cat.t").append()
+      spark.sql(s"ALTER TABLE $cat.t ADD CONSTRAINT pos_chars " +
+        "CHECK (n_chars >= 0)")
+      val e = intercept[Exception] {
+        Seq((2L, "b", -1L)).toDF("doc_id", "lang", "n_chars")
+          .writeTo(s"$cat.t").append()
+      }
+      assert(e.getMessage.toLowerCase.contains("check") ||
+        e.getMessage.contains("pos_chars"), e.getMessage)
+      // only one slot: a second ADD is refused with a pointer
+      val dup = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.t ADD CONSTRAINT more CHECK (doc_id > 0)")
+      }
+      assert(dup.getMessage.contains("DROP CONSTRAINT pos_chars"),
+        dup.getMessage)
+      // DROP re-opens the gate
+      spark.sql(s"ALTER TABLE $cat.t DROP CONSTRAINT pos_chars")
+      Seq((2L, "b", -1L)).toDF("doc_id", "lang", "n_chars")
+        .writeTo(s"$cat.t").append()
+      assert(spark.table(s"$cat.t").count() == 2)
+      // schema changes keep failing loudly
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.t ADD COLUMNS (extra BIGINT)")
+      }
+      ()
+    }
+  }
+
   test("multipleWatermarkPolicy: global watermark is the laggard under min, the frontier under max") {
     // the semantics st24 rides, pinned on MemoryStream: two watermarked
     // inputs whose frontiers differ by 2 hours — under the default
