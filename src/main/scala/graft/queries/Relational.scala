@@ -1450,6 +1450,73 @@ object Relational {
         |  CAST(NULL AS BIGINT)
         |ORDER BY lang""".stripMargin),
 
+    // ── S-beyond: the DataFrame MERGE API (`Dataset.mergeInto`,
+    //    Spark 4) — the programmatic spelling of s28's SQL MERGE, the
+    //    form a pipeline library composes (conditions and assignments
+    //    are `Column`s, not SQL strings): matched rows conditionally
+    //    update via an expression map, source-only rows insertAll,
+    //    target-only rows conditionally delete. Same copy-on-write
+    //    machinery underneath — the point judged here is that the
+    //    builder API plans the SAME three-verb semantics, against a
+    //    DIFFERENT deterministic source shape than s28 so the two
+    //    oracles stay independent. ──
+    ("s45_dataframe_merge",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.conf.set("spark.sql.catalog.graft_dfm", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_dfm.root", scratchPath("s45_catroot"))
+        val docs = Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+        docs.repartitionByRange(8, $"doc_id")
+          .writeTo("graft_dfm.s45docs").createOrReplace()
+        val source = docs.where(pmod($"doc_id", lit(4)) === 1)
+          .select($"doc_id", lit("reviewed").as("lang"),
+            ($"n_chars" + 7777L).as("n_chars"))
+          .unionByName(docs
+            .select(($"doc_id" + 500000L).as("doc_id"),
+              lit("appendix").as("lang"), ($"doc_id" % 131L).as("n_chars"))
+            .where(pmod($"doc_id", lit(7)) === 2))
+          .alias("src")
+        source.mergeInto("graft_dfm.s45docs",
+            $"src.doc_id" === $"s45docs.doc_id")
+          .whenMatched($"src.n_chars" % 2 === 0)
+          .update(Map(
+            "lang" -> $"src.lang",
+            "n_chars" -> ($"src.n_chars" + $"s45docs.n_chars")))
+          .whenNotMatched().insertAll()
+          .whenNotMatchedBySource($"s45docs.lang" === "zh").delete()
+          .merge()
+        s.table("graft_dfm.s45docs")
+          .groupBy($"lang")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum($"n_chars").cast("long").as("total_chars"),
+            min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+          .orderBy($"lang")
+      },
+      """WITH src AS (
+        |  SELECT doc_id, 'reviewed' AS lang, n_chars + 7777 AS n_chars
+        |  FROM documents WHERE doc_id % 4 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 500000, 'appendix', doc_id % 131
+        |  FROM documents WHERE (doc_id + 500000) % 7 = 2),
+        |merged AS (
+        |  SELECT COALESCE(s.doc_id, t.doc_id) AS doc_id,
+        |         CASE WHEN s.doc_id IS NOT NULL AND t.doc_id IS NOT NULL
+        |                   AND s.n_chars % 2 = 0 THEN s.lang
+        |              WHEN s.doc_id IS NOT NULL AND t.doc_id IS NULL THEN s.lang
+        |              ELSE t.lang END AS lang,
+        |         CASE WHEN s.doc_id IS NOT NULL AND t.doc_id IS NOT NULL
+        |                   AND s.n_chars % 2 = 0 THEN s.n_chars + t.n_chars
+        |              WHEN s.doc_id IS NOT NULL AND t.doc_id IS NULL THEN s.n_chars
+        |              ELSE t.n_chars END AS n_chars,
+        |         (s.doc_id IS NULL AND t.lang = 'zh') AS dropped
+        |  FROM documents t FULL OUTER JOIN src s ON t.doc_id = s.doc_id)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM merged WHERE NOT dropped
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ── S-beyond: SCHEMA EVOLUTION as a live-table verb — `ALTER
     //    TABLE … ADD COLUMNS`, judged end to end on the session
     //    catalog (s14 judges mergeSchema on raw parquet and s23
