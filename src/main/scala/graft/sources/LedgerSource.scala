@@ -120,7 +120,43 @@ class LedgerSource extends TableProvider with DataSourceRegister {
     val mor = Option(properties.get("mor")).map(_.toBoolean)
       .orElse(Option(properties.get("path")).map(LedgerSource.readMorFlag))
       .getOrElse(false)
-    new LedgerTable(properties.get("path"), bucketWidth = width,
+    // time travel through the PATH API (the Delta option spelling —
+    // the catalog's VERSION AS OF / TIMESTAMP AS OF twins):
+    // `versionAsOf` = a commit id, `timestampAsOf` = epoch millis or a
+    // `yyyy-MM-dd HH:mm:ss[.SSS]` instant resolved against the
+    // manifest-embedded commit times
+    val tablePath = properties.get("path")
+    // getTable receives the reader options in ORIGINAL case — match
+    // the camelCase spellings case-insensitively like every option
+    def opt(key: String): Option[String] = {
+      val it = properties.entrySet().iterator()
+      var found: Option[String] = None
+      while (it.hasNext && found.isEmpty) {
+        val e = it.next()
+        if (e.getKey.equalsIgnoreCase(key)) found = Option(e.getValue)
+      }
+      found
+    }
+    val pinned: Option[Long] =
+      opt("versionAsOf").map { v =>
+        val ver = v.toLongOption.getOrElse(throw new IllegalArgumentException(
+          s"graft-ledger: versionAsOf must be a numeric commit id; got '$v'"))
+        require(LedgerSource.listVersions(tablePath).contains(ver),
+          s"no version $ver at $tablePath (available: " +
+            s"${LedgerSource.listVersions(tablePath).mkString(", ")})")
+        ver
+      }.orElse(opt("timestampAsOf").map { t =>
+        val millis = t.toLongOption.getOrElse(
+          java.sql.Timestamp.valueOf(t).getTime)
+        val candidates = LedgerSource.listVersions(tablePath)
+          .filter(v => LedgerSource.commitTimeMillis(tablePath, v) <= millis)
+        require(candidates.nonEmpty,
+          s"no version of $tablePath existed at or before '$t'")
+        candidates.max
+      })
+    require(opt("versionAsOf").isEmpty || opt("timestampAsOf").isEmpty,
+      "graft-ledger: versionAsOf and timestampAsOf are mutually exclusive")
+    new LedgerTable(tablePath, pinnedVersion = pinned, bucketWidth = width,
       morEnabled = mor)
   }
   override def supportsExternalMetadata(): Boolean = false

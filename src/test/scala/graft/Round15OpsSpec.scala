@@ -329,6 +329,43 @@ class Round15OpsSpec extends SparkSpec {
     }
   }
 
+  test("path-API time travel: versionAsOf / timestampAsOf options mirror the catalog verbs") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r15_ttopt").toString
+    def wave(lo: Int, hi: Int) = spark.range(lo, hi)
+      .select($"id".as("doc_id"), lit("w").as("lang"), $"id".as("n_chars"))
+      .coalesce(1)
+    wave(0, 100).write.format("graft-ledger").mode("append").save(dir)
+    wave(100, 250).write.format("graft-ledger").mode("append").save(dir)
+    assert(spark.read.format("graft-ledger")
+      .option("versionAsOf", "1").load(dir).count() == 100)
+    assert(spark.read.format("graft-ledger").load(dir).count() == 250)
+    val t1 = LedgerSource.commitTimeMillis(dir, 1L)
+    assert(spark.read.format("graft-ledger")
+      .option("timestampAsOf", t1.toString).load(dir).count() == 100)
+    // before the first commit: loud failure, not an empty read
+    val early = intercept[Exception] {
+      spark.read.format("graft-ledger")
+        .option("timestampAsOf", (t1 - 10).toString).load(dir).count()
+    }
+    assert(early.getMessage.contains("no version"), early.getMessage)
+    // the two spellings are mutually exclusive
+    intercept[Exception] {
+      spark.read.format("graft-ledger").option("versionAsOf", "1")
+        .option("timestampAsOf", t1.toString).load(dir).count()
+    }
+    // a pinned table is read-only — a write through the pin refuses
+    // (it surfaces as the fallback-path error because the snapshot
+    // declares BATCH_READ only) and the table is untouched
+    intercept[Exception] {
+      wave(250, 260).write.format("graft-ledger").mode("append")
+        .option("versionAsOf", "1").save(dir)
+    }
+    assert(spark.read.format("graft-ledger").load(dir).count() == 250)
+    assert(LedgerSource.listVersions(dir) == Seq(1L, 2L))
+  }
+
   test("multipleWatermarkPolicy: global watermark is the laggard under min, the frontier under max") {
     // the semantics st24 rides, pinned on MemoryStream: two watermarked
     // inputs whose frontiers differ by 2 hours — under the default
