@@ -1627,6 +1627,75 @@ object StreamingQueries {
         |       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ── st25: the `ForeachWriter` PER-ROW sink — the lowest-level sink
+    //    API (st09's foreachBatch gets a DataFrame per microbatch; this
+    //    gets open(partition, epoch) / process(row) / close(error) per
+    //    PARTITION LIFECYCLE), the shape used to push rows into systems
+    //    with no Spark connector. Its delivery contract is AT-LEAST-ONCE
+    //    — a retried task re-emits its partition-epoch — so the sink
+    //    must be idempotent to be exactly-once in effect: here each
+    //    lifecycle writes a file keyed by (partition, epoch) CREATED
+    //    ATOMICALLY at open (tmp + rename on close), so a retry
+    //    REPLACES its own output instead of appending duplicates — the
+    //    classic idempotent-sink recipe, and the judged readback over
+    //    the files must equal the batch corpus exactly (no loss across
+    //    three maxFilesPerTrigger microbatches, no double-count). ──
+    ("st25_foreach_writer",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val inv = st16Invocation.incrementAndGet()
+        val stage = Portable.scratchPath(s"st25_stage_$inv")
+        val sink = Portable.scratchPath(s"st25_sink_$inv")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(sink))
+        Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars").repartition(3)
+          .write.mode("overwrite").parquet(stage)
+        val schema = s.read.parquet(stage).schema
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream
+          .foreach(new org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
+            @transient private var out: java.io.PrintWriter = _
+            @transient private var tmp: java.io.File = _
+            @transient private var dst: java.io.File = _
+            override def open(partitionId: Long, epochId: Long): Boolean = {
+              dst = new java.io.File(sink, s"p${partitionId}_e$epochId.csv")
+              tmp = new java.io.File(sink,
+                s"p${partitionId}_e$epochId.csv.tmp")
+              out = new java.io.PrintWriter(tmp, "UTF-8")
+              true
+            }
+            override def process(r: org.apache.spark.sql.Row): Unit =
+              out.println(s"${r.getLong(0)}|${r.getString(1)}|${r.getLong(2)}")
+            override def close(errorOrNull: Throwable): Unit = {
+              out.close()
+              if (errorOrNull == null) {
+                // rename = the idempotence: a retried partition-epoch
+                // REPLACES its own file, never duplicates rows
+                java.nio.file.Files.move(tmp.toPath, dst.toPath,
+                  java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              } else tmp.delete(): Unit
+            }
+          })
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        // read the DIRECTORY with a glob filter (a literal `/*.csv`
+        // path makes the FileStreamSink-metadata probe log a harmless
+        // but noisy FileNotFoundException stack)
+        s.read.option("delimiter", "|")
+          .option("pathGlobFilter", "*.csv")
+          .schema("doc_id LONG, lang STRING, n_chars LONG")
+          .csv(sink)
+          .groupBy($"lang")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum($"n_chars").cast("long").as("total_chars"))
+          .orderBy($"lang")
+      },
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ── st24: MULTIPLE-WATERMARK POLICY — the last documented watermark
     //    semantics knob (st04/st11/st18 all ride the default): when a
     //    query reads SEVERAL watermarked inputs, the GLOBAL watermark is
