@@ -366,6 +366,31 @@ class Round15OpsSpec extends SparkSpec {
     assert(LedgerSource.listVersions(dir) == Seq(1L, 2L))
   }
 
+  test("CHECK constraints gate row-level verbs too — a violating UPDATE fails on both write paths") {
+    withCatalog { (cat, root) =>
+      val s = spark
+      import s.implicits._
+      Seq(("cow_t", ""), ("mor_t", "mor")).foreach { case (t, flavor) =>
+        val props = if (flavor == "mor")
+          "TBLPROPERTIES ('check' = 'n_chars >= 0', 'mor' = 'true')"
+        else "TBLPROPERTIES ('check' = 'n_chars >= 0')"
+        spark.sql(s"CREATE TABLE $cat.$t (doc_id BIGINT, lang STRING, " +
+          s"n_chars BIGINT) $props")
+        Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("doc_id", "lang", "n_chars")
+          .writeTo(s"$cat.$t").append()
+        val e = intercept[Exception] {
+          spark.sql(s"UPDATE $cat.$t SET n_chars = n_chars - 100 " +
+            "WHERE doc_id = 1")
+        }
+        assert(e.getMessage.toLowerCase.contains("check"),
+          s"$t: ${e.getMessage}")
+        // the failed verb changed nothing on either write path
+        assert(spark.table(s"$cat.$t").agg(sum($"n_chars"))
+          .collect().head.getLong(0) == 30L, s"$t mutated on failure")
+      }
+    }
+  }
+
   test("multipleWatermarkPolicy: global watermark is the laggard under min, the frontier under max") {
     // the semantics st24 rides, pinned on MemoryStream: two watermarked
     // inputs whose frontiers differ by 2 hours — under the default
