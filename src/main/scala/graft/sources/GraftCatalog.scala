@@ -236,9 +236,23 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         } else if (!dc.ifExists()) throw new IllegalArgumentException(
           s"no constraint named ${dc.name()} on $ident " +
             s"(present: ${have.getOrElse("none")})")
+      // `mor` is a WRITE-PATH mode, not a layout fact — toggling it on
+      // an existing table is sound in both directions (readers always
+      // apply whatever tombstones exist; CoW rewrites after a toggle-off
+      // leave old tombstone sections dangling harmlessly, scoped to the
+      // file names the rewrite retired). `bucket` stays immutable: it
+      // CLAIMS an on-disk layout that flipping a property cannot create.
+      case sp: TableChange.SetProperty if sp.property() == "mor" =>
+        val v = sp.value().toBooleanOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"table property 'mor' must be true or false; got '${sp.value()}'"))
+        if (v) LedgerSource.writeProp(d.getPath, "mor", "true")
+        else LedgerSource.removeProp(d.getPath, "mor")
+      case rp: TableChange.RemoveProperty if rp.property() == "mor" =>
+        LedgerSource.removeProp(d.getPath, "mor")
       case _ => throw new UnsupportedOperationException(
-        "graft-ledger tables have a fixed schema — only constraint " +
-          "changes are supported in ALTER TABLE")
+        "graft-ledger tables have a fixed schema — ALTER TABLE supports " +
+          "only constraint changes and the 'mor' property")
     }
     loadTable(ident)
   }

@@ -705,6 +705,21 @@ final class LedgerTable(path: String, pinnedVersion: Option[Long] = None,
     })
   require(path != null, "graft-ledger requires a path")
 
+  /** The persisted `_props` surfaced as TABLE PROPERTIES, so `SHOW
+    * TBLPROPERTIES` / DESCRIBE EXTENDED report the layout and verb
+    * contracts a reader should know (bucket width, merge-on-read mode,
+    * the check predicate). */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    bucketWidth.foreach(w => m.put("bucket", w.toString))
+    if (morEnabled) m.put("mor", "true")
+    LedgerSource.readCheckConstraint(path).foreach { sql =>
+      m.put("check", sql)
+      m.put("check_name", LedgerSource.readCheckName(path))
+    }
+    m
+  }
+
   /** An ENFORCED table-level CHECK constraint (`check=<sql>` in
     * `_props`, set at CREATE via the `check` table property): Spark's
     * `ResolveTableConstraints` validates every V2 write against it —

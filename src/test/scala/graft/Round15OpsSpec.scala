@@ -391,6 +391,49 @@ class Round15OpsSpec extends SparkSpec {
     }
   }
 
+  test("mor is toggleable via SET TBLPROPERTIES; bucket is not; SHOW TBLPROPERTIES reports both") {
+    withCatalog { (cat, root) =>
+      val s = spark
+      import s.implicits._
+      spark.sql(s"CREATE TABLE $cat.t (doc_id BIGINT, lang STRING, " +
+        s"n_chars BIGINT) TBLPROPERTIES ('bucket' = '100')")
+      spark.range(0, 200).select($"id".as("doc_id"), lit("w").as("lang"),
+          $"id".as("n_chars"))
+        .writeTo(s"$cat.t").append()
+      val dir = new File(root, "t").getPath
+      // CoW before the toggle: an update rewrites files
+      val before = LedgerSource.ledgerFiles(dir).map(_.getName).toSet
+      spark.sql(s"UPDATE $cat.t SET n_chars = 0 WHERE doc_id = 7")
+      assert(LedgerSource.ledgerFiles(dir).map(_.getName).toSet != before)
+      assert(LedgerSource.deleteFiles(dir).isEmpty)
+      // toggle on: the same verb now tombstones
+      spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES ('mor' = 'true')")
+      val mid = LedgerSource.ledgerFiles(dir).map(_.getName).toSet
+      spark.sql(s"UPDATE $cat.t SET n_chars = 1 WHERE doc_id = 8")
+      assert(mid.subsetOf(LedgerSource.ledgerFiles(dir).map(_.getName).toSet))
+      assert(LedgerSource.deleteFiles(dir).nonEmpty)
+      // visible in SHOW TBLPROPERTIES
+      val props = spark.sql(s"SHOW TBLPROPERTIES $cat.t").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      assert(props.get("mor").contains("true") &&
+        props.get("bucket").contains("100"), props.toString)
+      // toggle off again: verbs rewrite, reads stay exact through the
+      // now-historical tombstones
+      spark.sql(s"ALTER TABLE $cat.t UNSET TBLPROPERTIES ('mor')")
+      spark.sql(s"UPDATE $cat.t SET n_chars = 2 WHERE doc_id = 9")
+      val t = spark.table(s"$cat.t")
+      assert(t.count() == 200)
+      assert(t.where($"doc_id".isin(7, 8, 9)).orderBy($"doc_id")
+        .select($"n_chars").collect().map(_.getLong(0)).toSeq ==
+        Seq(0L, 1L, 2L))
+      // the layout claim stays immutable
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES ('bucket' = '50')")
+      }
+      ()
+    }
+  }
+
   test("multipleWatermarkPolicy: global watermark is the laggard under min, the frontier under max") {
     // the semantics st24 rides, pinned on MemoryStream: two watermarked
     // inputs whose frontiers differ by 2 hours — under the default
