@@ -211,8 +211,8 @@ class LedgerVerbFuzzSpec extends SparkSpec {
       val w = df(init).repartitionByRange(1 + rng.nextInt(4), col("doc_id"))
         .writeTo(s"$cat.t")
       w.tableProperty("mor", "true").create()
-      (1 to 5).foreach { _ =>
-        rng.nextInt(4) match {
+      (1 to 7).foreach { _ =>
+        rng.nextInt(7) match {
           case 0 => // MoR delete by non-key predicate
             val l = s"l${rng.nextInt(4)}"
             spark.sql(s"DELETE FROM $cat.t WHERE lang = '$l'")
@@ -233,6 +233,24 @@ class LedgerVerbFuzzSpec extends SparkSpec {
             val hi = lo + rng.nextInt(30)
             spark.sql(s"DELETE FROM $cat.t WHERE doc_id BETWEEN $lo AND $hi")
             state.filterInPlace { case (k, _) => k < lo || k > hi }
+          case 4 => // REPLACE WHERE: purge rewrite folds tombstones in
+            val lo = rng.nextLong(math.max(1L, nextKey))
+            val hi = lo + rng.nextInt(40)
+            val wave = (lo to math.min(hi, lo + 10)).map(k =>
+              (k, "bf", k % 17))
+            spark.sql(
+              s"""INSERT INTO $cat.t REPLACE WHERE doc_id BETWEEN $lo AND $hi
+                 |SELECT id AS doc_id, 'bf' AS lang,
+                 |       id % 17 AS n_chars
+                 |FROM range($lo, ${math.min(hi, lo + 10) + 1})""".stripMargin)
+            state.filterInPlace { case (k, _) => k < lo || k > hi }
+            wave.foreach(t => state(t._1) = (t._2, t._3))
+            nextKey = math.max(nextKey, math.min(hi, lo + 10) + 1)
+          case 5 => // maintenance: compact consumes the overlay
+            spark.sql(s"CALL $cat.system.compact('t', ${1 + rng.nextInt(3)})")
+          case 6 => // retention: expire old versions, current read intact
+            spark.sql(s"CALL $cat.system.expire_versions('t', " +
+              s"${1 + rng.nextInt(3)})")
         }
         val got = spark.table(s"$cat.t").collect()
           .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
