@@ -4196,6 +4196,53 @@ object Relational {
         |  CAST(count(CASE WHEN n_chars > 5000 THEN 1 END) AS BIGINT) FROM documents
         |ORDER BY key""".stripMargin),
 
+    // ── F-beyond: the `DataFrameStatFunctions` family (round 15) —
+    //    `df.stat.crosstab` (the contingency table, computed as ONE
+    //    hash aggregate over the pair column, never a per-cell pass)
+    //    judged exactly against the oracle's CASE-WHEN pivot, with the
+    //    generated column-name contract (the raw second-column values
+    //    as names) reproduced name-for-name. `df.stat.corr` / `.cov`
+    //    return parallel-fold doubles whose last bits depend on
+    //    partition order, so they are asserted IN-QUERY against the
+    //    exact integer closed forms (n·Σxy − Σx·Σy over exact BIGINT
+    //    sums — the values are small enough that every component is
+    //    exact) at 1e-9 relative — the API surface is exercised and
+    //    verified while the judged hash stays bit-deterministic. ──
+    ("f28_stat_crosstab",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+          .withColumn("bucket", pmod($"n_chars", lit(3)))
+        // exact integer components of cov/corr over (doc_id, n_chars)
+        val c = docs.agg(
+          count(lit(1)).as("n"),
+          sum($"doc_id").as("sx"), sum($"n_chars").as("sy"),
+          sum($"doc_id" * $"n_chars").as("sxy"),
+          sum($"doc_id" * $"doc_id").as("sxx"),
+          sum($"n_chars" * $"n_chars").as("syy")).collect().head
+        val (n, sx, sy, sxy, sxx, syy) = (c.getLong(0), c.getLong(1),
+          c.getLong(2), c.getLong(3), c.getLong(4), c.getLong(5))
+        val covExact = (n * sxy - sx * sy).toDouble / (n.toDouble * (n - 1))
+        val corrExact = (n * sxy - sx * sy).toDouble /
+          math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
+        val covApi = docs.stat.cov("doc_id", "n_chars")
+        val corrApi = docs.stat.corr("doc_id", "n_chars")
+        require(math.abs(covApi - covExact) <= 1e-9 * math.abs(covExact),
+          s"df.stat.cov diverged from the exact closed form: $covApi vs $covExact")
+        require(math.abs(corrApi - corrExact) <= 1e-9 * math.abs(corrExact).max(1e-12),
+          s"df.stat.corr diverged from the exact closed form: $corrApi vs $corrExact")
+        docs.stat.crosstab("lang", "bucket")
+          .select($"lang_bucket", $"0".cast("long").as("0"),
+            $"1".cast("long").as("1"), $"2".cast("long").as("2"))
+          .orderBy($"lang_bucket")
+      },
+      """SELECT lang AS lang_bucket,
+        |       CAST(sum(CASE WHEN n_chars % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS "0",
+        |       CAST(sum(CASE WHEN n_chars % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS "1",
+        |       CAST(sum(CASE WHEN n_chars % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS "2"
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+
     ("f26_map_functions",
       (s: SparkSession, dir: String) => {
         Tables(s, dir, "documents")
