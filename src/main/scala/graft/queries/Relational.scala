@@ -1517,6 +1517,69 @@ object Relational {
         |FROM merged WHERE NOT dropped
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ── S-beyond: the CHANGE FEED (round 15 — Delta CDF's
+    //    `readChangeFeed`, reconstructed from what the ledger already
+    //    persists): `option("changesFrom", a).option("changesTo", b)`
+    //    replays the row-level changes of every commit in (a, b] from
+    //    MANIFEST DIFFS — an added data file's rows are inserts at its
+    //    commit, an added tombstone file's sections are deletes with
+    //    the BEFORE-IMAGE read from the still-live file each section
+    //    is scoped to (merge-on-read's no-rewrite property is exactly
+    //    what keeps before-images readable), and a MoR UPDATE shows as
+    //    its honest delete+insert pair at one version. This is the CDC
+    //    SOURCE side completing st22's CDC-apply sink: downstream
+    //    consumers fold exactly these events. Judged: a four-commit
+    //    MoR life (ingest → append → delete → update), the feed
+    //    aggregated per (version, change type) against the oracle's
+    //    algebraic replay — wrong before-images, phantom events, or a
+    //    missed pair all diverge the hash. Ranges containing
+    //    destructive rewrites are REFUSED loudly (`Round15OpsSpec`) —
+    //    a lossy feed is never emitted. ──
+    ("s46_change_feed",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.conf.set("spark.sql.catalog.graft_cdf", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_cdf.root", scratchPath("s46_catroot"))
+        val docs = Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+        docs.where(pmod($"doc_id", lit(2)) === 0)
+          .repartitionByRange(4, $"doc_id")
+          .writeTo("graft_cdf.s46docs")
+          .tableProperty("mor", "true").createOrReplace()      // v1
+        docs.where(pmod($"doc_id", lit(2)) === 1)
+          .writeTo("graft_cdf.s46docs").append()               // v2
+        s.sql("DELETE FROM graft_cdf.s46docs WHERE lang = 'de'") // v3
+        s.sql("UPDATE graft_cdf.s46docs SET n_chars = n_chars + 100000 " +
+          "WHERE lang = 'fr'")                                  // v4
+        val tdir = new java.io.File(scratchPath("s46_catroot"), "s46docs")
+        s.read.format("graft-ledger")
+          .option("changesFrom", "0").option("changesTo", "4")
+          .load(tdir.getPath)
+          .groupBy($"_commit_version", $"_change_type")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum($"doc_id").cast("long").as("id_sum"),
+            sum($"n_chars").cast("long").as("chars_sum"))
+          .orderBy($"_commit_version", $"_change_type")
+      },
+      """SELECT CAST(1 AS BIGINT) AS _commit_version, 'insert' AS _change_type,
+        |       CAST(count(*) AS BIGINT) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL SELECT 2, 'insert', CAST(count(*) AS BIGINT),
+        |       CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 2 = 1
+        |UNION ALL SELECT 3, 'delete', CAST(count(*) AS BIGINT),
+        |       CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE lang = 'de'
+        |UNION ALL SELECT 4, 'delete', CAST(count(*) AS BIGINT),
+        |       CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE lang = 'fr'
+        |UNION ALL SELECT 4, 'insert', CAST(count(*) AS BIGINT),
+        |       CAST(sum(doc_id) AS BIGINT),
+        |       CAST(sum(n_chars + 100000) AS BIGINT)
+        |FROM documents WHERE lang = 'fr'
+        |ORDER BY 1, 2""".stripMargin),
+
     // ── S-beyond: SCHEMA EVOLUTION as a live-table verb — `ALTER
     //    TABLE … ADD COLUMNS`, judged end to end on the session
     //    catalog (s14 judges mergeSchema on raw parquet and s23

@@ -434,6 +434,44 @@ class Round15OpsSpec extends SparkSpec {
     }
   }
 
+  test("change feed: slices compose, destructive ranges refuse, expired ranges refuse") {
+    withCatalog { (cat, root) =>
+      val s = spark
+      import s.implicits._
+      spark.range(0, 100).select($"id".as("doc_id"), lit("w").as("lang"),
+          $"id".as("n_chars")).coalesce(1)
+        .writeTo(s"$cat.t").tableProperty("mor", "true").create()   // v1
+      spark.range(100, 150).select($"id".as("doc_id"), lit("x").as("lang"),
+          $"id".as("n_chars")).coalesce(1)
+        .writeTo(s"$cat.t").append()                                // v2
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id % 10 = 3")        // v3
+      val dir = new File(root, "t").getPath
+      def feed(a: Long, b: Long) = spark.read.format("graft-ledger")
+        .option("changesFrom", a.toString).option("changesTo", b.toString)
+        .load(dir)
+      // slicing composes: (0,3] = (0,2] ∪ (2,3] as multisets
+      val whole = feed(0, 3).collect().map(_.toSeq).sorted(
+        Ordering.by((x: Seq[Any]) => x.toString()))
+      val sliced = (feed(0, 2).collect() ++ feed(2, 3).collect())
+        .map(_.toSeq).sorted(Ordering.by((x: Seq[Any]) => x.toString()))
+      assert(whole.toSeq == sliced.toSeq, "feed slices must compose")
+      // delete events carry before-images
+      val dels = feed(2, 3).where($"_change_type" === "delete")
+      assert(dels.count() == 15) // %10==3 in [0,150)
+      assert(dels.where($"lang".isin("w", "x")).count() == 15)
+      // a destructive rewrite poisons the range — REFUSE, never lossy
+      spark.sql(s"CALL $cat.system.compact('t', 1)")                // v4
+      val e = intercept[Exception] { feed(3, 4).collect() }
+      assert(e.getMessage.contains("before-images"), e.getMessage)
+      // pre-destruction slices still replay (their files survive the
+      // compact? compaction truncate-removes them — so they refuse too,
+      // loudly, rather than emitting from gone files)
+      val e2 = intercept[Exception] { feed(0, 2).collect() }
+      assert(e2.getMessage.contains("reconstructable") ||
+        e2.getMessage.contains("gone"), e2.getMessage)
+    }
+  }
+
   test("multipleWatermarkPolicy: global watermark is the laggard under min, the frontier under max") {
     // the semantics st24 rides, pinned on MemoryStream: two watermarked
     // inputs whose frontiers differ by 2 hours — under the default
