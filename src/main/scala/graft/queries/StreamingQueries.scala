@@ -1696,6 +1696,81 @@ object StreamingQueries {
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ── st26: STREAMING the change feed — the CDC TAIL that closes the
+    //    loop s46 (the batch feed) and st22 (the CDC-apply sink)
+    //    started: `readStream` over the ledger's change feed, where the
+    //    OFFSET is the commit version itself (the exactly-once cursor a
+    //    versioned table gives for free — no file-set bookkeeping), a
+    //    microbatch is the manifest-diff changes of the versions
+    //    committed since the checkpointed offset, and AvailableNow
+    //    drains to a prepare-time snapshot of the version chain. Judged
+    //    as TWO drains around live commits sharing ONE checkpoint and
+    //    one exactly-once parquet sink: drain 1 ships the ingest +
+    //    append inserts, the table then takes a MoR delete and a MoR
+    //    update, and drain 2 — a FRESH query object resumed from the
+    //    checkpoint — must ship exactly the new versions' events (the
+    //    delete's before-images, the update's delete+insert pair) and
+    //    nothing twice. The readback over the sink equals s46's batch
+    //    feed oracle precisely when tailing is exactly-once across the
+    //    restart in both directions. ──
+    ("st26_stream_change_feed",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val inv = st16Invocation.incrementAndGet()
+        val cat = s"scf$inv"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root",
+          Portable.scratchPath(s"st26_catroot_$inv"))
+        val sink = Portable.scratchPath(s"st26_sink_$inv")
+        val ckpt = Portable.scratchPath(s"st26_ckpt_$inv")
+        val docs = Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+        docs.where(pmod($"doc_id", lit(2)) === 0)
+          .repartitionByRange(4, $"doc_id")
+          .writeTo(s"$cat.t").tableProperty("mor", "true").create() // v1
+        docs.where(pmod($"doc_id", lit(2)) === 1)
+          .writeTo(s"$cat.t").append()                              // v2
+        val tdir = new java.io.File(
+          Portable.scratchPath(s"st26_catroot_$inv"), "t").getPath
+        def drain(): Unit = {
+          val q = s.readStream.format("graft-ledger")
+            .option("changesFrom", "0").load(tdir)
+            .writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        drain() // ships v1 + v2 inserts
+        s.sql(s"DELETE FROM $cat.t WHERE lang = 'de'")              // v3
+        s.sql(s"UPDATE $cat.t SET n_chars = n_chars + 100000 " +
+          s"WHERE lang = 'fr'")                                     // v4
+        drain() // a fresh query from the SAME checkpoint: only v3+v4
+        s.read.parquet(sink)
+          .groupBy($"_commit_version", $"_change_type")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum($"doc_id").cast("long").as("id_sum"),
+            sum($"n_chars").cast("long").as("chars_sum"))
+          .orderBy($"_commit_version", $"_change_type")
+      },
+      """SELECT CAST(1 AS BIGINT) AS _commit_version, 'insert' AS _change_type,
+        |       CAST(count(*) AS BIGINT) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL SELECT 2, 'insert', CAST(count(*) AS BIGINT),
+        |       CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 2 = 1
+        |UNION ALL SELECT 3, 'delete', CAST(count(*) AS BIGINT),
+        |       CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE lang = 'de'
+        |UNION ALL SELECT 4, 'delete', CAST(count(*) AS BIGINT),
+        |       CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE lang = 'fr'
+        |UNION ALL SELECT 4, 'insert', CAST(count(*) AS BIGINT),
+        |       CAST(sum(doc_id) AS BIGINT),
+        |       CAST(sum(n_chars + 100000) AS BIGINT)
+        |FROM documents WHERE lang = 'fr'
+        |ORDER BY 1, 2""".stripMargin),
+
     // ── st24: MULTIPLE-WATERMARK POLICY — the last documented watermark
     //    semantics knob (st04/st11/st18 all ride the default): when a
     //    query reads SEVERAL watermarked inputs, the GLOBAL watermark is

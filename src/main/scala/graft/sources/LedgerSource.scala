@@ -1731,7 +1731,8 @@ final class LedgerChangesTable(path: String, fromV: Long, toV: Long)
   override def name(): String = s"graft-ledger:$path#changes($fromV,$toV]"
   override def schema(): StructType = LedgerChangesTable.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new LedgerChangesScan(path, fromV, toV)
 }
@@ -1749,7 +1750,39 @@ final class LedgerChangesScan(path: String, fromV: Long, toV: Long)
   override def description(): String =
     s"graft-ledger $path, Changes: ($fromV, $toV]"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    LedgerChangesScan.changePartitions(path, fromV, toV)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    LedgerChangesScan.readerFactory
+
+  /** STREAMING the feed — the CDC tail: offsets are COMMIT VERSIONS
+    * (the natural exactly-once cursor a versioned table gives for
+    * free), a microbatch is the manifest-diff changes of the versions
+    * committed since the last offset, and AvailableNow drains to a
+    * prepare-time snapshot of the version chain. Restart = resume from
+    * the checkpointed version — every change event is delivered
+    * exactly once however the commits interleave with triggers. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new LedgerChangesMicroBatchStream(path, fromV)
+}
+
+object LedgerChangesScan {
+  private[sources] val readerFactory: PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val cp = p.asInstanceOf[LedgerChangePartition]
+        if (cp.isDelete) new LedgerDeleteChangeReader(cp.file, cp.version)
+        else new LedgerInsertChangeReader(cp.file, cp.version)
+      }
+    }
+
+  /** The manifest-diff planner shared by the batch interval and every
+    * streaming microbatch: one partition per file ADDED in (fromV,
+    * toV]; refuses ranges whose before-images are gone (see the class
+    * scaladoc). */
+  private[sources] def changePartitions(path: String, fromV: Long,
+                                        toV: Long): Array[InputPartition] = {
     val out = ArrayBuffer.empty[InputPartition]
     var prev: Set[String] =
       if (fromV == 0) Set.empty
@@ -1775,15 +1808,43 @@ final class LedgerChangesScan(path: String, fromV: Long, toV: Long)
     }
     out.toArray
   }
+}
 
+/** See [[LedgerChangesScan.toMicroBatchStream]]. The offset is just the
+  * last PROCESSED commit version — a long, serialized as its decimal
+  * string. */
+final class LedgerChangesMicroBatchStream(path: String, fromV: Long)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+  @volatile private var availableNowCap: Option[Long] = None
+
+  private def latestVersion(): Long =
+    LedgerSource.listVersions(path).lastOption.getOrElse(0L)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(latestVersion())
+  override def initialOffset(): Offset = LedgerVersionOffset(fromV)
+  override def deserializeOffset(json: String): Offset =
+    LedgerVersionOffset(json.trim.toLong)
+  override def latestOffset(): Offset =
+    LedgerVersionOffset(availableNowCap.getOrElse(latestVersion()))
+  // SupportsTriggerAvailableNow extends SupportsAdmissionControl: no
+  // read limit here (a microbatch is whatever versions committed), so
+  // the limited form delegates to the cap-aware latest
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    latestOffset()
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    LedgerChangesScan.changePartitions(path,
+      start.asInstanceOf[LedgerVersionOffset].v,
+      end.asInstanceOf[LedgerVersionOffset].v)
   override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-        val cp = p.asInstanceOf[LedgerChangePartition]
-        if (cp.isDelete) new LedgerDeleteChangeReader(cp.file, cp.version)
-        else new LedgerInsertChangeReader(cp.file, cp.version)
-      }
-    }
+    LedgerChangesScan.readerFactory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[graft] final case class LedgerVersionOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
 }
 
 private[sources] object LedgerChangeTypes {
