@@ -1580,6 +1580,128 @@ object Relational {
         |FROM documents WHERE lang = 'fr'
         |ORDER BY 1, 2""".stripMargin),
 
+    // ── S-beyond: MATERIALIZED-VIEW REFRESH FROM THE TABLE'S OWN
+    //    CHANGE FEED (round 15) — the compose that makes s46 earn its
+    //    keep. u05/u06 maintain views from changelogs the pipeline had
+    //    to CONSTRUCT (a full-outer diff of two snapshots — itself an
+    //    O(|base|) job); here the changelog is free: the connector's
+    //    CDF already carries signed events with before-images (a MoR
+    //    delete's retraction leg is read from the still-live file its
+    //    tombstone is scoped to, an update is its honest
+    //    delete+insert pair), so REFRESH is `state ⊎ signed-fold(CDF)`
+    //    — one map-side-combinable hash agg over O(|Δ|) change rows
+    //    plus the O(|view|) state, with the BASE TABLE provably absent
+    //    from the plan (PlanQualitySpec pins the refresh's scan set:
+    //    one parquet state scan + one `Changes: (1, 4]` batch scan and
+    //    nothing else). At 100 TB this is THE argument for paying the
+    //    CDF's manifest-diff cost: view upkeep stops scaling with the
+    //    table. Life: v1 ingest evens → MV full-build at v1 → v2
+    //    append odds, v3 MoR DELETE 'de', v4 MoR UPDATE 'fr' → refresh
+    //    folds (1, 4]. Judged against DuckDB's FULL RECOMPUTE of the
+    //    final state — equality with the rescan is the operator's
+    //    defining property; a wrong before-image, a missed retraction,
+    //    or a group that should have died (de reaches n_docs = 0 and
+    //    must drop) all diverge the hash. ──
+    ("s47_mv_incremental",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.conf.set("spark.sql.catalog.graft_mv", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_mv.root", scratchPath("s47_catroot"))
+        val docs = Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+        docs.where(pmod($"doc_id", lit(2)) === 0)
+          .writeTo("graft_mv.s47docs")
+          .tableProperty("mor", "true").createOrReplace()      // v1
+        // FULL BUILD once, at v1 — the last time the base is scanned
+        val mvPath = scratchPath("s47_mv_state")
+        s.table("graft_mv.s47docs").groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+          .write.mode("overwrite").parquet(mvPath)
+        // the base lives on without the view watching
+        docs.where(pmod($"doc_id", lit(2)) === 1)
+          .writeTo("graft_mv.s47docs").append()                 // v2
+        s.sql("DELETE FROM graft_mv.s47docs WHERE lang = 'de'") // v3
+        s.sql("UPDATE graft_mv.s47docs SET n_chars = n_chars + 100000 " +
+          "WHERE lang = 'fr'")                                  // v4
+        // ── REFRESH: materialized state + the CDF, nothing else ──
+        val tdir = new java.io.File(scratchPath("s47_catroot"), "s47docs")
+        val state = s.read.parquet(mvPath)
+        val sign = when($"_change_type" === "insert", lit(1L)).otherwise(lit(-1L))
+        val deltas = s.read.format("graft-ledger")
+          .option("changesFrom", "1").load(tdir.getPath)        // (1, 4]
+          .select($"lang", sign.as("sgn"), $"n_chars")
+          .groupBy($"lang")
+          .agg(sum($"sgn").as("n_docs"),
+            sum($"sgn" * $"n_chars").as("total_chars"))
+        state.unionByName(deltas)
+          .groupBy($"lang")
+          .agg(sum($"n_docs").cast("long").as("n_docs"),
+            sum($"total_chars").cast("long").as("total_chars"))
+          .where($"n_docs" > 0)
+          .orderBy($"lang")
+      },
+      // full recompute of the final state — the equality that defines
+      // incremental maintenance
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars + CASE WHEN lang = 'fr' THEN 100000
+        |                               ELSE 0 END) AS BIGINT) AS total_chars
+        |FROM documents WHERE lang <> 'de'
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ── S-beyond: CONCURRENT APPENDS under OPTIMISTIC CONCURRENCY
+    //    (round 15) — the multi-writer posture a shared 100 TB table
+    //    lives under. The connector's version claim is a hard-link CAS
+    //    (`LedgerSource.commitVersion`): hard-link creation is the one
+    //    POSIX primitive that is atomic AND exclusive, where the old
+    //    rename(2) claim silently REPLACED a racing committer's
+    //    manifest — a lost update invisible until time travel or the
+    //    change feed read the hole. Losers re-list and retry at the
+    //    next number; appends commute, so the retry is sound and
+    //    manifests stay monotone (a winner's files are on disk before
+    //    its commit). Judged with a REAL race: four threads append
+    //    four disjoint residue classes concurrently onto a seeded
+    //    table, then one plan reads the final state PLUS the commit
+    //    count from the `.history` metadata table — a lost commit
+    //    loses both rows and a history row, a double-claimed version
+    //    loses one of the two manifests, and either diverges the hash
+    //    against the oracle's full union + literal 5. Destructive
+    //    verbs keep the documented single-committer contract
+    //    (`ConcurrentCommitSpec` pins the race invariants). ──
+    ("s49_concurrent_appends",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.conf.set("spark.sql.catalog.graft_occ", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_occ.root", scratchPath("s49_catroot"))
+        val docs = Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+        docs.where(pmod($"doc_id", lit(5)) === 0)
+          .writeTo("graft_occ.s49docs").createOrReplace()      // v1
+        // four RACING appenders — real threads, real concurrent
+        // commits through the CAS claim loop
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+        try {
+          (1 to 4).map { r =>
+            pool.submit(new java.util.concurrent.Callable[Unit] {
+              override def call(): Unit =
+                docs.where(pmod($"doc_id", lit(5)) === r)
+                  .writeTo("graft_occ.s49docs").append()
+            })
+          }.foreach(_.get())
+        } finally { pool.shutdown(): Unit }
+        val agg = s.table("graft_occ.s49docs").groupBy($"lang")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum($"doc_id").cast("long").as("id_sum"),
+            sum($"n_chars").cast("long").as("chars_sum"))
+        val nv = s.table("graft_occ.s49docs.history")
+          .agg(count(lit(1)).cast("long").as("n_commits"))
+        agg.crossJoin(nv).orderBy($"lang")
+      },
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+        |       CAST(5 AS BIGINT) AS n_commits
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ── S-beyond: SCHEMA EVOLUTION as a live-table verb — `ALTER
     //    TABLE … ADD COLUMNS`, judged end to end on the session
     //    catalog (s14 judges mergeSchema on raw parquet and s23

@@ -486,32 +486,82 @@ object LedgerSource {
     }.getOrElse(mf.lastModified())
   }
 
-  /** Stamp the CURRENT live file set as the next version. Driver-side,
-    * invoked from commit paths only (single committer per table at a
-    * time, the connector's documented non-atomic-catalog scope). The
-    * commit instant is persisted INSIDE the manifest (`#ts=` header):
-    * mtimes are not content, and a copied/restored table must keep
-    * resolving `TIMESTAMP AS OF` to the same versions. */
-  private[sources] def commitVersion(dir: String): Long = {
+  /** Stamp the CURRENT live file set as the next version, claiming the
+    * version number by OPTIMISTIC CONCURRENCY (round 15): the manifest
+    * content is written to a private temp file, then published under
+    * `<next>.mf` with `Files.createLink` — hard-link creation is the
+    * one POSIX primitive that is both atomic and EXCLUSIVE (a plain
+    * rename(2), the previous implementation, silently REPLACES an
+    * existing target: two committers racing to the same version number
+    * would both "succeed" and one manifest — one commit's visibility —
+    * would be lost). A loser re-lists and retries at the next number;
+    * the append-commute invariant makes the retry sound: a winner's
+    * data files are on disk BEFORE its commit runs, so the loser's
+    * fresh listing is a superset of every claimed predecessor's and
+    * append manifests grow monotonically (`ConcurrentCommitSpec` pins
+    * this under a real thread race). Destructive verbs (truncate,
+    * purge, row-level rewrites) keep the documented single-committer
+    * contract — OCC here makes the VERSION CHAIN corruption-free, not
+    * their semantics commutative.
+    *
+    * PRECISE SNAPSHOTS for additive commits: a commit that only ADDS
+    * files (append, MoR delta) passes its file names in `added`, and
+    * its manifest is `predecessor manifest ∪ added` — never the live
+    * directory listing, which under a race would capture a STILL
+    * IN-FLIGHT neighbor's files and misattribute them to this version
+    * (time travel to N would show rows commit N+1 owns, and the change
+    * feed's per-version diff would double-count). Destructive verbs
+    * (truncate, purge, row-level rewrites — single-committer by
+    * contract) keep the listing snapshot: they mutate the live set in
+    * ways only the listing reflects.
+    *
+    * The commit instant is persisted INSIDE the manifest (`#ts=`
+    * header): mtimes are not content, and a copied/restored table must
+    * keep resolving `TIMESTAMP AS OF` to the same versions. */
+  private[sources] def commitVersion(dir: String,
+                                     added: Option[Seq[String]] = None): Long = {
     val vdir = new File(dir, VersionsDir)
     vdir.mkdirs()
-    val prev = listVersions(dir).lastOption
-    val next = prev.getOrElse(0L) + 1
-    val tmp = new File(vdir, s"$next.mf.tmp")
-    // strictly monotonic past the predecessor: two commits inside one
-    // clock tick must stay distinguishable to TIMESTAMP AS OF
-    val ts = math.max(System.currentTimeMillis(),
-      prev.map(commitTimeMillis(dir, _) + 1).getOrElse(Long.MinValue))
-    val header = s"#ts=$ts"
-    // the live state is data files PLUS delete files: a merge-on-read
-    // version only reconstructs with the tombstones that existed then
-    java.nio.file.Files.write(tmp.toPath,
-      (header +: (ledgerFiles(dir).map(_.getName).toSeq ++
-        deleteFiles(dir).map(_.getName).toSeq))
-        .mkString("\n").getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp.toPath, new File(vdir, s"$next.mf").toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    next
+    var attempt = 0
+    var claimed = -1L
+    while (claimed < 0) {
+      val prev = listVersions(dir).lastOption
+      val next = prev.getOrElse(0L) + 1
+      // strictly monotonic past the predecessor: two commits inside one
+      // clock tick must stay distinguishable to TIMESTAMP AS OF
+      val ts = math.max(System.currentTimeMillis(),
+        prev.map(commitTimeMillis(dir, _) + 1).getOrElse(Long.MinValue))
+      val header = s"#ts=$ts"
+      // temp name carries a UUID: concurrent losers must never share it
+      val tmp = new File(vdir, s"$next.mf.${UUID.randomUUID()}.tmp")
+      // the live state is data files PLUS delete files: a merge-on-read
+      // version only reconstructs with the tombstones that existed then.
+      // Recomputed per retry attempt: a loser's predecessor changed.
+      val names: Seq[String] = added match {
+        case Some(mine) if prev.isDefined =>
+          (readManifest(dir, prev.get).toSeq ++ mine).distinct
+        // first commit ever: anchor the chain from the listing (which
+        // already contains `mine` — files land before commit)
+        case _ => ledgerFiles(dir).map(_.getName).toSeq ++
+          deleteFiles(dir).map(_.getName).toSeq
+      }
+      java.nio.file.Files.write(tmp.toPath,
+        (header +: names).mkString("\n").getBytes("UTF-8"))
+      try {
+        java.nio.file.Files.createLink(
+          new File(vdir, s"$next.mf").toPath, tmp.toPath)
+        claimed = next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1
+          require(attempt < 1000,
+            s"graft-ledger: lost the commit race at $dir $attempt times " +
+              s"— giving up rather than spinning")
+      } finally {
+        tmp.delete(): Unit
+      }
+    }
+    claimed
   }
 
   /** A manifest resolved against the live directory: every listed file
@@ -1994,7 +2044,12 @@ final class LedgerDeltaBatchWrite(path: String,
       info: PhysicalWriteInfo): DeltaWriterFactory =
     new LedgerDeltaWriterFactory(path, bucketWidth)
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    LedgerSource.commitVersion(path): Unit
+    // MoR deltas only ADD files (tombstones + fresh inserts) — precise
+    // snapshot from the commit's own names, like the append path
+    LedgerSource.commitVersion(path, Some(messages.toSeq.flatMap {
+      case LedgerCommit(names) => names
+      case _ => Seq.empty
+    })): Unit
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case LedgerCommit(names) =>
@@ -2110,7 +2165,12 @@ final class LedgerBatchWrite(path: String, truncate: Boolean,
     // REPLACE WHERE: the interval's old rows give way to the new files
     replaceBounds.foreach(b =>
       LedgerSource.purgeInterval(path, b, exclude = kept))
-    LedgerSource.commitVersion(path): Unit
+    // a pure append is an additive commit: precise snapshot from its
+    // own names, safe under the OCC race (truncate/replace mutate the
+    // live set and keep the listing snapshot + single-committer scope)
+    val added = if (!truncate && replaceBounds.isEmpty) Some(kept.toSeq)
+                else None
+    LedgerSource.commitVersion(path, added): Unit
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {

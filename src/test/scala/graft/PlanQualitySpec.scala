@@ -787,6 +787,21 @@ class PlanQualitySpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).size == 3, p)
   }
 
+  test("s47: the CDF refresh scans the state + the change feed — never the base files") {
+    // the compose's cost bound: refresh = O(|Δ| + |view|). The plan
+    // must hold exactly one parquet scan (the materialized state) and
+    // one ledger CHANGES batch scan over (1, 4] — whose partitions the
+    // connector plans from manifest DIFFS, i.e. only files ADDED after
+    // the view was built (Round15OpsSpec pins that planner). A second
+    // parquet scan or a join here means the "incremental" refresh
+    // quietly rescans or re-diffs the base.
+    val p = plan("s47_mv_incremental")
+    assert(p.contains("s47_mv_state"), p)
+    assert(p.contains("Changes: (1, 4]"), p)
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
   test("w09: ntile folds need exactly one shuffle — the bounded lang partition") {
     // equal-depth folds pay ONE hashpartitioning exchange (the lang
     // window sort); the per-(lang, fold) aggregation reuses that

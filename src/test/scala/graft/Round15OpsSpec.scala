@@ -472,6 +472,64 @@ class Round15OpsSpec extends SparkSpec {
     }
   }
 
+  test("CDF-driven MV refresh is snapshot-point independent") {
+    // the s47 identity, quantified over the snapshot point: a view
+    // full-built at ANY version v, refreshed with the signed fold of
+    // changes (v, head], equals the full recompute at head. Running
+    // the same mutation history against every possible build point
+    // pins that inserts, MoR delete before-images, and update
+    // delete+insert pairs all carry exactly their algebraic weight —
+    // an off-by-one in the interval or a lossy before-image breaks
+    // SOME build point even if the judged one survives.
+    withCatalog { (cat, root) =>
+      val s = spark
+      import s.implicits._
+      def wave(lo: Int, hi: Int, lang: String) = spark.range(lo, hi)
+        .select($"id".as("doc_id"), lit(lang).as("lang"),
+          $"id".as("n_chars")).coalesce(1)
+      wave(0, 80, "w").writeTo(s"$cat.t")
+        .tableProperty("mor", "true").create()                      // v1
+      val dir = new File(root, "t").getPath
+      // snapshot the view state at every version as it happens
+      def viewNow(): Map[String, (Long, Long)] =
+        spark.table(s"$cat.t").groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+          .collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val states = scala.collection.mutable.Map(1L -> viewNow())
+      wave(80, 140, "x").writeTo(s"$cat.t").append()                // v2
+      states(2L) = viewNow()
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id % 3 = 1")         // v3
+      states(3L) = viewNow()
+      spark.sql(s"UPDATE $cat.t SET n_chars = n_chars + 1000 " +
+        s"WHERE lang = 'x'")                                        // v4
+      states(4L) = viewNow()
+      val head = 4L
+      val full = states(head)
+      (1L to head).foreach { v =>
+        val refreshed: Map[String, (Long, Long)] =
+          if (v == head) states(v)
+          else {
+            val sign = when($"_change_type" === "insert", lit(1L))
+              .otherwise(lit(-1L))
+            val delta = spark.read.format("graft-ledger")
+              .option("changesFrom", v.toString)
+              .option("changesTo", head.toString).load(dir)
+              .select($"lang", sign.as("sgn"), $"n_chars")
+              .groupBy($"lang")
+              .agg(sum($"sgn").as("dn"), sum($"sgn" * $"n_chars").as("dc"))
+              .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+            (states(v).toSeq.map { case (l, (n, c)) => (l, n, c) } ++ delta)
+              .groupBy(_._1)
+              .map { case (l, xs) => l -> ((xs.map(_._2).sum, xs.map(_._3).sum)) }
+              .filter(_._2._1 > 0)
+          }
+        assert(refreshed == full,
+          s"refresh from build point v$v diverged from the recompute")
+      }
+    }
+  }
+
   test("multipleWatermarkPolicy: global watermark is the laggard under min, the frontier under max") {
     // the semantics st24 rides, pinned on MemoryStream: two watermarked
     // inputs whose frontiers differ by 2 hours — under the default
