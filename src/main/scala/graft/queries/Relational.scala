@@ -1702,6 +1702,90 @@ object Relational {
         |       CAST(5 AS BIGINT) AS n_commits
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ── S-beyond: TAGS AND BRANCHES on the ledger (round 15 —
+    //    Iceberg's refs, git's model): a ref is a tiny `_refs/` file
+    //    naming a version in the ONE shared commit chain, so a branch
+    //    fork is METADATA-ONLY — zero bytes copied, the only branching
+    //    a 100 TB table can afford — and isolation is purely which
+    //    manifest a reader resolves. `create_tag` names a commit for
+    //    `VERSION AS OF 'name'`; `create_branch` forks a writable
+    //    lineage whose appends extend the BRANCH head and advance its
+    //    ref (addressed as the `branch_<name>` pseudo-table, the
+    //    `.history` spelling); the first fork pins the implicit `main`
+    //    ref, after which unpinned reads resolve through main and
+    //    destructive verbs refuse (`system.converge` un-branches);
+    //    `fast_forward` advances main to a branch head exactly when
+    //    main's manifest is a SUBSET of the branch's — append-only
+    //    lineage makes file-set containment literally ancestry. Judged
+    //    life: tag genesis at v1 → append → fork dev → append to dev →
+    //    append to main (diverge) → fork hot at main → append to hot →
+    //    fast-forward main to hot. One plan then reads all three
+    //    lineages — a leak in EITHER direction (branch rows on main,
+    //    main rows on a branch), a mis-forked base, or a wrong FF all
+    //    diverge the hash against the oracle's per-lineage replay. ──
+    ("s48_branch_tag",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.conf.set("spark.sql.catalog.graft_br", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_br.root", scratchPath("s48_catroot"))
+        val docs = Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+        docs.where(pmod($"doc_id", lit(2)) === 0)
+          .writeTo("graft_br.s48docs").createOrReplace()       // v1
+        s.sql("CALL graft_br.system.create_tag('s48docs', 'genesis', 1)")
+        docs.where(pmod($"doc_id", lit(2)) === 1)
+          .writeTo("graft_br.s48docs").append()                 // v2
+        s.sql("CALL graft_br.system.create_branch('s48docs', 'dev')")
+        docs.where(pmod($"doc_id", lit(10)) === 0)              // v3: dev
+          .select(($"doc_id" + 1000000L).as("doc_id"),
+            lit("xx").as("lang"), $"n_chars")
+          .writeTo("graft_br.s48docs.branch_dev").append()
+        docs.where(pmod($"doc_id", lit(10)) === 5)              // v4: main
+          .select(($"doc_id" + 2000000L).as("doc_id"),
+            lit("yy").as("lang"), $"n_chars")
+          .writeTo("graft_br.s48docs").append()
+        s.sql("CALL graft_br.system.create_branch('s48docs', 'hot')")
+        docs.where(pmod($"doc_id", lit(10)) === 2)              // v5: hot
+          .select(($"doc_id" + 3000000L).as("doc_id"),
+            lit("zz").as("lang"), $"n_chars")
+          .writeTo("graft_br.s48docs.branch_hot").append()
+        s.sql("CALL graft_br.system.fast_forward('s48docs', 'hot')")
+        def aggOf(df: DataFrame, refName: String): DataFrame =
+          df.agg(count(lit(1)).cast("long").as("n_docs"),
+            sum($"doc_id").cast("long").as("id_sum"),
+            sum($"n_chars").cast("long").as("chars_sum"))
+            .select(lit(refName).as("ref"), $"n_docs", $"id_sum",
+              $"chars_sum")
+        aggOf(s.table("graft_br.s48docs.branch_dev"), "dev")
+          .unionByName(aggOf(s.sql(
+            "SELECT * FROM graft_br.s48docs VERSION AS OF 'genesis'"),
+            "genesis"))
+          .unionByName(aggOf(s.table("graft_br.s48docs"), "main"))
+          .orderBy($"ref")
+      },
+      """WITH xx AS (SELECT doc_id + 1000000 AS doc_id, n_chars
+        |            FROM documents WHERE doc_id % 10 = 0),
+        |     yy AS (SELECT doc_id + 2000000 AS doc_id, n_chars
+        |            FROM documents WHERE doc_id % 10 = 5),
+        |     zz AS (SELECT doc_id + 3000000 AS doc_id, n_chars
+        |            FROM documents WHERE doc_id % 10 = 2)
+        |SELECT 'dev' AS ref, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM (SELECT doc_id, n_chars FROM documents
+        |      UNION ALL SELECT doc_id, n_chars FROM xx)
+        |UNION ALL
+        |SELECT 'genesis', CAST(count(*) AS BIGINT),
+        |       CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT 'main', CAST(count(*) AS BIGINT),
+        |       CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+        |FROM (SELECT doc_id, n_chars FROM documents
+        |      UNION ALL SELECT doc_id, n_chars FROM yy
+        |      UNION ALL SELECT doc_id, n_chars FROM zz)
+        |ORDER BY 1""".stripMargin),
+
     // ── S-beyond: SCHEMA EVOLUTION as a live-table verb — `ALTER
     //    TABLE … ADD COLUMNS`, judged end to end on the session
     //    catalog (s14 judges mergeSchema on raw parquet and s23

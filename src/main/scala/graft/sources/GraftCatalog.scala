@@ -17,6 +17,7 @@ import org.apache.spark.sql.connector.read.{LocalScan, Scan}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType,
   StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 /** The ledger connector lifted into Spark's CATALOG plane: a
   * `TableCatalog` whose tables are graft-ledger directories under one
@@ -111,11 +112,34 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         if (cleanSegments(base) && bd.isDirectory)
           return new LedgerHistoryTable(bd.getPath, ident.toString)
       }
+      // `<table>.branch_<name>` — the BRANCH pseudo-table (Iceberg's
+      // branch_ identifier spelling): a handle that reads the branch
+      // head and whose appends advance the branch ref. Same only-when-
+      // no-real-table-shadows rule as `.history`.
+      if (ident.name().toLowerCase.startsWith("branch_") &&
+          ident.namespace().nonEmpty) {
+        val bname = ident.name().substring("branch_".length)
+        val base = Identifier.of(ident.namespace().init,
+          ident.namespace().last)
+        val bd = tableDir(base)
+        if (cleanSegments(base) && bd.isDirectory &&
+            LedgerSource.readRef(bd.getPath, "branch", bname).isDefined)
+          return new LedgerTable(bd.getPath,
+            bucketWidth = LedgerSource.readBucketWidth(bd.getPath),
+            morEnabled = LedgerSource.readMorFlag(bd.getPath),
+            ref = Some(bname))
+      }
       throw new NoSuchTableException(ident)
     }
+    // a table that has branched reads/writes through its main ref
+    val mainRef =
+      if (LedgerSource.readRef(d.getPath, "branch", "main").isDefined)
+        Some("main")
+      else None
     new LedgerTable(d.getPath,
       bucketWidth = LedgerSource.readBucketWidth(d.getPath),
-      morEnabled = LedgerSource.readMorFlag(d.getPath))
+      morEnabled = LedgerSource.readMorFlag(d.getPath),
+      ref = mainRef)
   }
 
   /** Time travel (`VERSION AS OF v`): every committed mutation stamps a
@@ -129,8 +153,17 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     val d = tableDir(ident)
     if (!cleanSegments(ident) || !d.isDirectory)
       throw new NoSuchTableException(ident)
-    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
-      s"graft-ledger versions are numeric commit ids; got '$version'"))
+    // a commit id, or a NAMED REF: `VERSION AS OF 'stable'` resolves a
+    // tag (or a branch head) from `_refs/` — ref names can never be
+    // purely numeric, so the spellings cannot collide
+    val v = version.toLongOption
+      .orElse(LedgerSource.resolveRefVersion(d.getPath, version))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft-ledger: '$version' is neither a commit id nor a " +
+          s"tag/branch of $ident (refs: " +
+          s"${(LedgerSource.listRefs(d.getPath, "tag").keys ++
+            LedgerSource.listRefs(d.getPath, "branch").keys)
+            .toSeq.sorted.mkString(", ")})"))
     require(LedgerSource.listVersions(d.getPath).contains(v),
       s"no version $v of $ident (available: " +
         s"${LedgerSource.listVersions(d.getPath).mkString(", ")})")
@@ -333,6 +366,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     ident.name().toLowerCase match {
       case "compact" => new CompactProcedure(root)
       case "expire_versions" => new ExpireVersionsProcedure(root)
+      case "create_tag" => new RefProcedure(root, "create_tag")
+      case "drop_tag" => new RefProcedure(root, "drop_tag")
+      case "create_branch" => new RefProcedure(root, "create_branch")
+      case "drop_branch" => new RefProcedure(root, "drop_branch")
+      case "fast_forward" => new RefProcedure(root, "fast_forward")
+      case "converge" => new ConvergeProcedure(root)
       case _ => throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchFunctionException(ident)
     }
@@ -340,8 +379,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
-      Array(Identifier.of(Array("system"), "compact"),
-        Identifier.of(Array("system"), "expire_versions"))
+      (Seq("compact", "expire_versions", "create_tag", "drop_tag",
+        "create_branch", "drop_branch", "fast_forward", "converge"))
+        .map(n => Identifier.of(Array("system"), n)).toArray
     else Array.empty
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
@@ -382,6 +422,13 @@ private[sources] final class CompactProcedure(root: File)
     val dir = new File(root, table)
     if (!dir.isDirectory)
       throw new NoSuchTableException(Identifier.of(Array.empty, table))
+    // refuse EARLY on a branched table (the truncate write would refuse
+    // anyway, but only after the whole rewrite job ran)
+    val branches = LedgerSource.listRefs(dir.getPath, "branch")
+    require(branches.isEmpty,
+      s"cannot compact $table while branch refs exist " +
+        s"(${branches.keys.toSeq.sorted.mkString(", ")}) — " +
+        s"CALL system.converge first")
     val before = LedgerSource.ledgerFiles(dir.getPath).length
     // a regular distributed job over the connector's own read/write
     // paths — the procedure is orchestration, not a bespoke engine
@@ -446,6 +493,14 @@ private[sources] final class ExpireVersionsProcedure(root: File)
     val dir = new File(root, table)
     if (!dir.isDirectory)
       throw new NoSuchTableException(Identifier.of(Array.empty, table))
+    // a branch ref's target version must never expire out from under
+    // it — refuse on branched tables (tags keep the dangle-loudly
+    // contract: a tag is a name, not a lineage)
+    val branches = LedgerSource.listRefs(dir.getPath, "branch")
+    require(branches.isEmpty,
+      s"cannot expire versions of $table while branch refs exist " +
+        s"(${branches.keys.toSeq.sorted.mkString(", ")}) — " +
+        s"CALL system.converge first")
     val versions = LedgerSource.listVersions(dir.getPath)
     val (expired, kept) =
       versions.splitAt(math.max(0, versions.length - keep))
@@ -483,6 +538,189 @@ private[sources] object ExpireVersionsProcedure {
     StructField("versions_expired", LongType, nullable = false),
     StructField("files_reclaimed", LongType, nullable = false),
     StructField("n_rows", LongType, nullable = false)))
+}
+
+/** The REF verbs (round 15 — Iceberg's tag/branch procedures on the
+  * ledger's `_refs/` store): one class, verb-dispatched, because every
+  * verb is a tiny metadata move over the same (table, name[, version])
+  * shape —
+  *
+  *   - `create_tag(t, name, version)`: an immutable NAME for a commit;
+  *     `VERSION AS OF 'name'` resolves it;
+  *   - `create_branch(t, name)`: a writable fork at the CURRENT main
+  *     head — metadata-only, zero bytes copied; also pins the implicit
+  *     `main` ref the first time (from then on unpinned reads resolve
+  *     through main, since the directory now holds multiple lineages);
+  *   - `fast_forward(t, name)`: advance main to the branch head,
+  *     allowed only when main's manifest is a SUBSET of the branch's
+  *     (the git FF condition — append-only lineage makes file-set
+  *     containment exactly ancestry); diverged lineages refuse;
+  *   - `drop_tag` / `drop_branch`: remove the ref (a dropped branch's
+  *     files stay until `converge`/`expire_versions` reclaims them).
+  *
+  * Each returns one row `(ref, version)`. */
+private[sources] final class RefProcedure(root: File, verb: String)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = verb
+  override def description(): String = verb match {
+    case "create_tag" => "name a commit: VERSION AS OF '<name>' resolves it"
+    case "drop_tag" => "remove a tag ref"
+    case "create_branch" =>
+      "fork a writable branch at the current main head (metadata-only)"
+    case "drop_branch" => "remove a branch ref (files stay until converge)"
+    case "fast_forward" =>
+      "advance main to a branch head when main is its ancestor"
+    case _ => verb
+  }
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false // moves refs
+
+  override def parameters(): Array[ProcedureParameter] = {
+    val base = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name in this catalog (flattened form)").build(),
+      ProcedureParameter.in("name", StringType)
+        .comment("ref name ([A-Za-z_][A-Za-z0-9_-]*)").build())
+    if (verb == "create_tag")
+      base :+ ProcedureParameter.in("version", IntegerType)
+        .comment("commit id the tag names").build()
+    else base
+  }
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val table = input.getUTF8String(0).toString
+    val name = LedgerSource.validRefName(input.getUTF8String(1).toString)
+    val dir = new File(root, table)
+    if (!dir.isDirectory)
+      throw new NoSuchTableException(Identifier.of(Array.empty, table))
+    val d = dir.getPath
+    def refuseCollision(): Unit = require(
+      LedgerSource.resolveRefVersion(d, name).isEmpty,
+      s"a tag or branch named '$name' already exists on $table — " +
+        s"names share one resolution namespace")
+    val version: Long = verb match {
+      case "create_tag" =>
+        refuseCollision()
+        val v = input.getInt(2).toLong
+        require(LedgerSource.listVersions(d).contains(v),
+          s"no version $v of $table (available: " +
+            s"${LedgerSource.listVersions(d).mkString(", ")})")
+        LedgerSource.writeRef(d, "tag", name, v)
+        v
+      case "drop_tag" =>
+        val v = LedgerSource.readRef(d, "tag", name).getOrElse(
+          throw new IllegalArgumentException(s"no tag '$name' on $table"))
+        LedgerSource.dropRef(d, "tag", name)
+        v
+      case "create_branch" =>
+        require(name != "main", "'main' is the implicit trunk ref")
+        refuseCollision()
+        val head = LedgerSource.readRef(d, "branch", "main").getOrElse {
+          val vs = LedgerSource.listVersions(d)
+          require(vs.nonEmpty,
+            s"$table has no committed versions to branch from")
+          vs.max
+        }
+        // pin the trunk FIRST: from here on the live listing stops
+        // being the table's state, so main must resolve by ref
+        if (LedgerSource.readRef(d, "branch", "main").isEmpty)
+          LedgerSource.writeRef(d, "branch", "main", head)
+        LedgerSource.writeRef(d, "branch", name, head)
+        head
+      case "drop_branch" =>
+        require(name != "main",
+          "cannot drop 'main' — CALL system.converge to un-branch a table")
+        val v = LedgerSource.readRef(d, "branch", name).getOrElse(
+          throw new IllegalArgumentException(s"no branch '$name' on $table"))
+        LedgerSource.dropRef(d, "branch", name)
+        v
+      case "fast_forward" =>
+        val mainV = LedgerSource.readRef(d, "branch", "main").getOrElse(
+          throw new IllegalStateException(s"$table has no main ref — " +
+            s"nothing to fast-forward"))
+        val devV = LedgerSource.readRef(d, "branch", name).getOrElse(
+          throw new IllegalArgumentException(s"no branch '$name' on $table"))
+        val mainSet = LedgerSource.readManifest(d, mainV).toSet
+        val devSet = LedgerSource.readManifest(d, devV).toSet
+        require(mainSet.subsetOf(devSet),
+          s"main (v$mainV) is not an ancestor of '$name' (v$devV) — " +
+            s"the lineages diverged (${(mainSet -- devSet).size} file(s) " +
+            s"only on main); merge is not supported, replay the branch")
+        LedgerSource.writeRef(d, "branch", "main", devV)
+        devV
+      case other => throw new IllegalStateException(s"unknown verb $other")
+    }
+    val out = new GenericInternalRow(2)
+    out.update(0, UTF8String.fromString(name))
+    out.setLong(1, version)
+    java.util.Collections.singletonList(
+      new SingleRowScan(RefProcedure.OutputSchema, out): Scan).iterator()
+  }
+}
+
+private[sources] object RefProcedure {
+  val OutputSchema: StructType = StructType(Seq(
+    StructField("ref", StringType, nullable = false),
+    StructField("version", LongType, nullable = false)))
+}
+
+/** `CALL <cat>.system.converge('<table>')` — un-branch: reconcile an
+  * ever-branched table back to a single lineage. Requires every forked
+  * branch dropped or fast-forwarded; then the main manifest IS the
+  * state, so every live file outside it (dropped branches' leftovers)
+  * is reclaimed, all refs are removed, and a fresh listing version
+  * anchors the chain. Destructive verbs (truncate, purge, copy-on-write
+  * rewrites, compaction, expiry) are refused while branch refs exist
+  * and re-enable after converge. Branch-era versions and tags whose
+  * files were reclaimed dangle LOUDLY afterwards — the same vacuumed-
+  * table contract as expire_versions. */
+private[sources] final class ConvergeProcedure(root: File)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "converge"
+  override def description(): String =
+    "reconcile a branched table to its main lineage and drop all refs"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false // rewrites storage
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("table name in this catalog (flattened form)").build())
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val table = input.getUTF8String(0).toString
+    val dir = new File(root, table)
+    if (!dir.isDirectory)
+      throw new NoSuchTableException(Identifier.of(Array.empty, table))
+    val d = dir.getPath
+    val forked = LedgerSource.forkedBranches(d)
+    require(forked.isEmpty,
+      s"branches still exist on $table (${forked.mkString(", ")}) — " +
+        s"drop or fast-forward them first")
+    val mainV = LedgerSource.readRef(d, "branch", "main").getOrElse(
+      throw new IllegalStateException(
+        s"$table has no main ref — it never branched; nothing to converge"))
+    // resolve BEFORE deleting anything: fails loudly if main is broken
+    val keep = LedgerSource.resolvePinned(d, mainV).map(_.getName).toSet
+    val orphans = (LedgerSource.ledgerFiles(d) ++ LedgerSource.deleteFiles(d))
+      .filterNot(f => keep.contains(f.getName))
+    orphans.foreach(f =>
+      require(f.delete(), s"cannot reclaim orphan ${f.getPath}"))
+    LedgerSource.dropRef(d, "branch", "main")
+    // tags survive converge (they are names, not lineages) — they
+    // dangle loudly if the reclaim took their files
+    val v = LedgerSource.commitVersion(d)
+    val out = new GenericInternalRow(2)
+    out.setLong(0, orphans.length.toLong)
+    out.setLong(1, v)
+    java.util.Collections.singletonList(
+      new SingleRowScan(ConvergeProcedure.OutputSchema, out): Scan).iterator()
+  }
+}
+
+private[sources] object ConvergeProcedure {
+  val OutputSchema: StructType = StructType(Seq(
+    StructField("files_reclaimed", LongType, nullable = false),
+    StructField("version", LongType, nullable = false)))
 }
 
 /** See [[GraftCatalog.loadFunction]]. The unbound form validates arity

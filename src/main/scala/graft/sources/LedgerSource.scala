@@ -139,8 +139,16 @@ class LedgerSource extends TableProvider with DataSourceRegister {
     }
     val pinned: Option[Long] =
       opt("versionAsOf").map { v =>
-        val ver = v.toLongOption.getOrElse(throw new IllegalArgumentException(
-          s"graft-ledger: versionAsOf must be a numeric commit id; got '$v'"))
+        // a commit id, or a NAMED REF (tag/branch) resolved against
+        // `_refs/` — the Iceberg `VERSION AS OF 'name'` spelling
+        val ver = v.toLongOption
+          .orElse(LedgerSource.resolveRefVersion(tablePath, v))
+          .getOrElse(throw new IllegalArgumentException(
+            s"graft-ledger: versionAsOf must be a commit id or a " +
+              s"tag/branch name; got '$v' (refs: " +
+              s"${(LedgerSource.listRefs(tablePath, "tag").keys ++
+                LedgerSource.listRefs(tablePath, "branch").keys)
+                .toSeq.sorted.mkString(", ")})"))
         require(LedgerSource.listVersions(tablePath).contains(ver),
           s"no version $ver at $tablePath (available: " +
             s"${LedgerSource.listVersions(tablePath).mkString(", ")})")
@@ -175,8 +183,19 @@ class LedgerSource extends TableProvider with DataSourceRegister {
             s"(available: ${versions.mkString(", ")})")
         new LedgerChangesTable(tablePath, from, to)
       case None =>
+        // once the table has branched, the live listing holds every
+        // lineage's files — unpinned handles read/write through the
+        // implicit main ref; an explicit `branch` option addresses a
+        // named branch through the path API
+        val branchOpt = opt("branch")
+        val mainRef =
+          if (pinned.isEmpty && branchOpt.isEmpty &&
+              LedgerSource.readRef(tablePath, "branch", "main").isDefined)
+            Some("main")
+          else None
         new LedgerTable(tablePath, pinnedVersion = pinned,
-          bucketWidth = width, morEnabled = mor)
+          bucketWidth = width, morEnabled = mor,
+          ref = branchOpt.orElse(mainRef))
     }
   }
   override def supportsExternalMetadata(): Boolean = false
@@ -519,7 +538,8 @@ object LedgerSource {
     * header): mtimes are not content, and a copied/restored table must
     * keep resolving `TIMESTAMP AS OF` to the same versions. */
   private[sources] def commitVersion(dir: String,
-                                     added: Option[Seq[String]] = None): Long = {
+                                     added: Option[Seq[String]] = None,
+                                     base: Option[Long] = None): Long = {
     val vdir = new File(dir, VersionsDir)
     vdir.mkdirs()
     var attempt = 0
@@ -537,9 +557,12 @@ object LedgerSource {
       // the live state is data files PLUS delete files: a merge-on-read
       // version only reconstructs with the tombstones that existed then.
       // Recomputed per retry attempt: a loser's predecessor changed.
+      // A ref-scoped (branch) commit builds on its REF's manifest
+      // (`base`), not the chain head: the chain is shared, lineage is
+      // per ref — exactly Iceberg's snapshots-vs-refs split.
       val names: Seq[String] = added match {
-        case Some(mine) if prev.isDefined =>
-          (readManifest(dir, prev.get).toSeq ++ mine).distinct
+        case Some(mine) if base.orElse(prev).isDefined =>
+          (readManifest(dir, base.getOrElse(prev.get)).toSeq ++ mine).distinct
         // first commit ever: anchor the chain from the listing (which
         // already contains `mine` — files land before commit)
         case _ => ledgerFiles(dir).map(_.getName).toSeq ++
@@ -578,6 +601,98 @@ object LedgerSource {
         missing.map(_.getName).mkString(", "))
     files
   }
+
+  // ── named refs: TAGS and BRANCHES (round 15) ──
+  //
+  // A ref is a tiny `_refs/<kind>.<name>` file holding a version number
+  // — a NAME for a point in the one shared version chain (Iceberg's
+  // refs over snapshots, git's refs over commits). A TAG is immutable
+  // observability: `VERSION AS OF 'name'` resolution, nothing more. A
+  // BRANCH is a writable lineage: appends through a branch handle
+  // commit new versions whose manifests extend the BRANCH head (not the
+  // chain head) and then advance the ref — data files all live in the
+  // one directory, so a fork is METADATA-ONLY (zero bytes copied, the
+  // only branch a 100 TB table can afford) and isolation is purely
+  // which manifest a reader resolves. Creating the first branch also
+  // pins an implicit `branch.main`: from then on unpinned reads resolve
+  // through main's ref instead of the live listing (branch files share
+  // the directory), appends to main advance it, and DESTRUCTIVE verbs
+  // are refused while branches exist — they unlink files other refs'
+  // manifests reference. One writer per REF at a time (the OCC claim
+  // keeps the shared chain itself corruption-free under racing refs).
+  private[graft] val RefsDir = "_refs"
+  // never purely numeric (would shadow commit ids in VERSION AS OF)
+  private[sources] val RefNameRe = "[A-Za-z_][A-Za-z0-9_-]*".r
+
+  private[sources] def refFile(dir: String, kind: String, name: String): File =
+    new File(new File(dir, RefsDir), s"$kind.$name")
+
+  private[sources] def validRefName(name: String): String = {
+    require(RefNameRe.pattern.matcher(name).matches(),
+      s"graft-ledger: invalid ref name '$name' (want " +
+        s"[A-Za-z_][A-Za-z0-9_-]*)")
+    name
+  }
+
+  private[graft] def readRef(dir: String, kind: String,
+                             name: String): Option[Long] = {
+    val f = refFile(dir, kind, name)
+    if (!f.isFile) None
+    else {
+      val text = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      Some(text.split("\n").collectFirst {
+        case l if l.startsWith("v=") => l.stripPrefix("v=").trim.toLong
+      }.getOrElse(throw new IllegalStateException(
+        s"graft-ledger: ref ${f.getPath} is corrupt (no v= line)")))
+    }
+  }
+
+  /** Atomic replace — last writer wins, the single-writer-per-ref
+    * contract (the version CHAIN stays race-safe via the CAS claim;
+    * rebasing a racing ref advance is the caller's scope). */
+  private[sources] def writeRef(dir: String, kind: String, name: String,
+                                v: Long): Unit = {
+    validRefName(name)
+    val rdir = new File(dir, RefsDir)
+    rdir.mkdirs()
+    val tmp = new File(rdir, s"$kind.$name.${UUID.randomUUID()}.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      s"v=$v\n#ts=${System.currentTimeMillis()}".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, refFile(dir, kind, name).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private[sources] def dropRef(dir: String, kind: String, name: String): Unit = {
+    val f = refFile(dir, kind, name)
+    require(f.isFile, s"graft-ledger: no $kind '$name' at $dir")
+    require(f.delete(), s"graft-ledger: cannot remove ref ${f.getPath}")
+  }
+
+  /** All refs of a kind, `name -> version`. */
+  private[graft] def listRefs(dir: String, kind: String): Map[String, Long] = {
+    val rdir = new File(dir, RefsDir)
+    Option(rdir.listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.isFile && f.getName.startsWith(s"$kind.") &&
+        !f.getName.endsWith(".tmp"))
+      .map { f =>
+        val name = f.getName.stripPrefix(s"$kind.")
+        name -> readRef(dir, kind, name).get
+      }.toMap
+  }
+
+  /** Branches OTHER than the implicit main — what gates destructive
+    * verbs. */
+  private[graft] def forkedBranches(dir: String): Seq[String] =
+    listRefs(dir, "branch").keys.filterNot(_ == "main").toSeq.sorted
+
+  /** `VERSION AS OF '<name>'` resolution: tags first, then branches —
+    * creation refuses cross-kind collisions so the order never
+    * matters in practice. */
+  private[graft] def resolveRefVersion(dir: String,
+                                       name: String): Option[Long] =
+    readRef(dir, "tag", name).orElse(readRef(dir, "branch", name))
 
   /** Per-file header stats for every ledger file in `path`, as one
     * snapshot: `(file, minDocId, maxDocId, nRows)`. Reads parallelize
@@ -749,15 +864,49 @@ object LedgerSource {
 
 final class LedgerTable(path: String, pinnedVersion: Option[Long] = None,
                         bucketWidth: Option[Long] = None,
-                        morEnabled: Boolean = false)
+                        morEnabled: Boolean = false,
+                        ref: Option[String] = None)
     extends Table
     with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations with SupportsMetadataColumns {
+
+  /** The REF this handle reads and writes through (`Some("main")` once
+    * the table has branched, `Some(<branch>)` for a `branch_<name>`
+    * pseudo-table): reads pin at the ref's version, append commits
+    * extend the ref's manifest and advance the ref. Resolved at handle
+    * load — the catalog loads a fresh handle per query. */
+  private lazy val refVersion: Option[Long] = ref.map { r =>
+    LedgerSource.readRef(path, "branch", r).getOrElse(
+      throw new IllegalStateException(
+        s"graft-ledger: branch '$r' of $path does not exist"))
+  }
+  /** What the scans resolve: explicit time travel wins, then the ref. */
+  private def readPin: Option[Long] = pinnedVersion.orElse(refVersion)
 
   private def requireMutable(verb: String): Unit =
     require(pinnedVersion.isEmpty,
       s"graft-ledger: cannot $verb a time-travel snapshot " +
         s"(version ${pinnedVersion.get} of $path is read-only)")
+
+  /** Destructive verbs (interval purge, truncate, REPLACE WHERE,
+    * copy-on-write rewrite, compaction, version expiry) require a
+    * table with NO branch refs at all — they unlink or rewrite files
+    * other lineages' manifests reference, and once `branch.main`
+    * exists the live listing is no longer the table's state (a dropped
+    * branch's files stay in the directory until reclaimed), so a
+    * listing-snapshot manifest would misfold them back in. `CALL
+    * system.converge` reconciles an ever-branched table back to a
+    * single lineage and re-enables these verbs. MoR tombstone verbs
+    * stay available throughout: they only ADD files, scoped to their
+    * own lineage's manifest. */
+  private def requireUnbranched(verb: String): Unit = {
+    val branches = LedgerSource.listRefs(path, "branch")
+    require(branches.isEmpty,
+      s"graft-ledger: cannot $verb while branch refs exist " +
+        s"(${branches.keys.toSeq.sorted.mkString(", ")}) — destructive " +
+        s"verbs unlink files other lineages reference; drop/fast-forward " +
+        s"the branches and CALL system.converge first")
+  }
 
   /** `_file` — the file-provenance METADATA column (the parquet
     * source's `_metadata.file_name` idea on the custom format): hidden
@@ -787,6 +936,13 @@ final class LedgerTable(path: String, pinnedVersion: Option[Long] = None,
       m.put("check", sql)
       m.put("check_name", LedgerSource.readCheckName(path))
     }
+    // refs surface through SHOW TBLPROPERTIES — the cheapest ref listing
+    LedgerSource.listRefs(path, "tag").foreach { case (n, v) =>
+      m.put(s"ref.tag.$n", v.toString)
+    }
+    LedgerSource.listRefs(path, "branch").foreach { case (n, v) =>
+      m.put(s"ref.branch.$n", v.toString)
+    }
     m
   }
 
@@ -807,11 +963,15 @@ final class LedgerTable(path: String, pinnedVersion: Option[Long] = None,
     }.toArray
 
   override def name(): String =
-    s"graft-ledger:$path" + pinnedVersion.map(v => s"@v$v").getOrElse("")
+    s"graft-ledger:$path" + pinnedVersion.map(v => s"@v$v").getOrElse("") +
+      ref.filterNot(_ == "main").map(r => s"@branch($r)").getOrElse("")
   override def schema(): StructType = LedgerSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     if (pinnedVersion.isDefined) // a snapshot is a batch-read-only relation
       java.util.EnumSet.of(TableCapability.BATCH_READ)
+    else if (ref.exists(_ != "main")) // a branch handle: append-only
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE)
     else
       java.util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.MICRO_BATCH_READ,
@@ -820,10 +980,10 @@ final class LedgerTable(path: String, pinnedVersion: Option[Long] = None,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LedgerScanBuilder(path,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
-      pinned = pinnedVersion, bucketWidth = bucketWidth)
+      pinned = readPin, bucketWidth = bucketWidth)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireMutable("write to")
-    new LedgerWriteBuilder(path, bucketWidth)
+    new LedgerWriteBuilder(path, bucketWidth, ref)
   }
 
   /** Row-level DELETE — the lakehouse verb (`DELETE FROM t WHERE …`) on
@@ -862,14 +1022,18 @@ final class LedgerTable(path: String, pinnedVersion: Option[Long] = None,
     * amplification `mor=true` opts out of, so those route to the delta
     * operation's tombstones instead. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    pinnedVersion.isEmpty && (LedgerSource.exactBounds(filters) match {
-      case None => false
-      case Some(b) =>
-        !morEnabled || LedgerSource.statsSnapshot(path).forall {
-          case (_, mn, mx, n) => n == 0 || !b.overlaps(mn, mx) ||
-            (b.contains(mn) && b.contains(mx))
-        }
-    })
+    pinnedVersion.isEmpty &&
+      // the interval fast path UNLINKS/REWRITES files — destructive, so
+      // a branched table declines it and (on mor) routes to tombstones
+      LedgerSource.listRefs(path, "branch").isEmpty &&
+      (LedgerSource.exactBounds(filters) match {
+        case None => false
+        case Some(b) =>
+          !morEnabled || LedgerSource.statsSnapshot(path).forall {
+            case (_, mn, mx, n) => n == 0 || !b.overlaps(mn, mx) ||
+              (b.contains(mn) && b.contains(mx))
+          }
+      })
 
   /** Group-based (copy-on-write) UPDATE / MERGE / fallback DELETE — the
     * other half of the row-level surface: Spark's rewrite rules turn
@@ -891,6 +1055,13 @@ final class LedgerTable(path: String, pinnedVersion: Option[Long] = None,
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     requireMutable("run a row-level operation against")
+    require(ref.forall(_ == "main"),
+      s"graft-ledger: branch handles are append-only — run row-level " +
+        s"verbs on main (branch '${ref.get}' of $path)")
+    // copy-on-write REWRITES groups — destructive, so a branched table
+    // refuses it; MoR tombstones are additive and stay available (the
+    // .gd file joins MAIN's manifest only, other lineages never see it)
+    if (!morEnabled) requireUnbranched("copy-on-write rewrite")
     new RowLevelOperationBuilder {
       // `mor=true` switches the table's verbs to MERGE-ON-READ
       // ([[LedgerDeltaOperation]]): deletes/updates land as tombstone
@@ -900,13 +1071,14 @@ final class LedgerTable(path: String, pinnedVersion: Option[Long] = None,
       // scoping every tombstone to an immutable file name
       override def build(): RowLevelOperation =
         if (morEnabled)
-          new LedgerDeltaOperation(path, info.command(), bucketWidth)
+          new LedgerDeltaOperation(path, info.command(), bucketWidth, ref)
         else new LedgerRowLevelOperation(path, info.command(), bucketWidth)
     }
   }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     requireMutable("delete from")
+    requireUnbranched("interval-delete from")
     val bounds = LedgerSource.exactBounds(filters).getOrElse(
       throw new UnsupportedOperationException(
         s"graft-ledger can only delete by doc_id intervals; got " +
@@ -1422,8 +1594,17 @@ final class LedgerScan(path: String, required: StructType,
     * (the same contract as streaming a Delta table without
     * skipChangeCommits — a CDC-complete feed is what st22's
     * foreachBatch MERGE composition is for). */
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    // the stream ingests by LIVE file arrival; on a branched table the
+    // directory holds every lineage's files, so a main stream would
+    // ingest branch rows — refuse rather than leak across lineages
+    // (the change feed stream is the branched-era tail)
+    require(LedgerSource.listRefs(path, "branch").isEmpty,
+      s"graft-ledger: cannot stream $path while branch refs exist — " +
+        s"the live-file feed cannot scope to one lineage; stream the " +
+        s"change feed (changesFrom) instead")
     new LedgerMicroBatchStream(path, required, pushed, maxFilesPerTrigger)
+  }
 }
 
 /** Offset = sorted set of ingested ledger file names, serialized as a
@@ -2012,12 +2193,18 @@ final class LedgerDeleteChangeReader(deleteFile: String, version: Long)
   * scan, on top of not rewriting a single surviving row. */
 final class LedgerDeltaOperation(path: String,
                                  cmd: RowLevelOperation.Command,
-                                 bucketWidth: Option[Long] = None)
+                                 bucketWidth: Option[Long] = None,
+                                 ref: Option[String] = None)
     extends RowLevelOperation with SupportsDelta {
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"graft-ledger MoR $cmd $path"
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LedgerScanBuilder(path, None, None, None, None)
+    // a branched table's state is its REF's manifest, not the live
+    // listing (which holds other lineages' files): the verb must scan
+    // exactly the rows it may tombstone, so the scan pins at the ref
+    new LedgerScanBuilder(path, None, None,
+      pinned = ref.flatMap(r => LedgerSource.readRef(path, "branch", r)),
+      bucketWidth = None)
   override def rowId(): Array[NamedReference] =
     Array(org.apache.spark.sql.connector.expressions.Expressions
       .column("doc_id"))
@@ -2028,7 +2215,7 @@ final class LedgerDeltaOperation(path: String,
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = new DeltaWrite {
         override def toBatch: DeltaBatchWrite =
-          new LedgerDeltaBatchWrite(path, bucketWidth)
+          new LedgerDeltaBatchWrite(path, bucketWidth, ref)
       }
     }
 }
@@ -2038,18 +2225,26 @@ final class LedgerDeltaOperation(path: String,
   * stamps the version (nothing is unlinked: that is the whole point);
   * abort removes exactly the fresh files. */
 final class LedgerDeltaBatchWrite(path: String,
-                                  bucketWidth: Option[Long] = None)
+                                  bucketWidth: Option[Long] = None,
+                                  ref: Option[String] = None)
     extends DeltaBatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DeltaWriterFactory =
     new LedgerDeltaWriterFactory(path, bucketWidth)
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // MoR deltas only ADD files (tombstones + fresh inserts) — precise
-    // snapshot from the commit's own names, like the append path
-    LedgerSource.commitVersion(path, Some(messages.toSeq.flatMap {
+    // snapshot from the commit's own names, like the append path; on a
+    // branched table the delta extends the REF's manifest and advances
+    // the ref, keeping the other lineages blind to the tombstones
+    val base = ref.map(r => LedgerSource.readRef(path, "branch", r)
+      .getOrElse(throw new IllegalStateException(
+        s"graft-ledger: branch '$r' of $path vanished mid-write")))
+    val v = LedgerSource.commitVersion(path, Some(messages.toSeq.flatMap {
       case LedgerCommit(names) => names
       case _ => Seq.empty
-    })): Unit
+    }), base)
+    ref.foreach(r => LedgerSource.writeRef(path, "branch", r, v))
+  }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case LedgerCommit(names) =>
@@ -2122,7 +2317,8 @@ final class LedgerDeltaWriter(dir: String, partitionId: Int,
   * conjunctions the interval model represents exactly are accepted —
   * a declined filter errors rather than over-deleting. */
 final class LedgerWriteBuilder(path: String,
-                               bucketWidth: Option[Long] = None)
+                               bucketWidth: Option[Long] = None,
+                               ref: Option[String] = None)
     extends WriteBuilder with SupportsOverwrite {
   private var doTruncate = false
   private var replaceBounds: Option[KeyBounds] = None
@@ -2137,9 +2333,21 @@ final class LedgerWriteBuilder(path: String,
           s"[${filters.mkString(", ")}]")))
     this
   }
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      new LedgerBatchWrite(path, doTruncate, replaceBounds, bucketWidth)
+  override def build(): Write = {
+    // truncate / REPLACE WHERE unlink files — destructive, refused on
+    // any table with branch refs (fail at plan time, before tasks run)
+    if (doTruncate || replaceBounds.nonEmpty) {
+      val branches = LedgerSource.listRefs(path, "branch")
+      require(branches.isEmpty,
+        s"graft-ledger: cannot truncate/overwrite $path while branch " +
+          s"refs exist (${branches.keys.toSeq.sorted.mkString(", ")}) — " +
+          s"CALL system.converge first")
+    }
+    new Write {
+      override def toBatch: BatchWrite =
+        new LedgerBatchWrite(path, doTruncate, replaceBounds, bucketWidth,
+          ref)
+    }
   }
 }
 
@@ -2148,7 +2356,8 @@ private[sources] final case class LedgerCommit(fileNames: Seq[String])
 
 final class LedgerBatchWrite(path: String, truncate: Boolean,
                              replaceBounds: Option[KeyBounds] = None,
-                             bucketWidth: Option[Long] = None)
+                             bucketWidth: Option[Long] = None,
+                             ref: Option[String] = None)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new LedgerWriterFactory(path, bucketWidth)
@@ -2167,10 +2376,16 @@ final class LedgerBatchWrite(path: String, truncate: Boolean,
       LedgerSource.purgeInterval(path, b, exclude = kept))
     // a pure append is an additive commit: precise snapshot from its
     // own names, safe under the OCC race (truncate/replace mutate the
-    // live set and keep the listing snapshot + single-committer scope)
+    // live set and keep the listing snapshot + single-committer scope).
+    // A ref-scoped append extends its REF's manifest (re-read at
+    // commit time) and advances the ref to the claimed version.
     val added = if (!truncate && replaceBounds.isEmpty) Some(kept.toSeq)
                 else None
-    LedgerSource.commitVersion(path, added): Unit
+    val base = ref.map(r => LedgerSource.readRef(path, "branch", r)
+      .getOrElse(throw new IllegalStateException(
+        s"graft-ledger: branch '$r' of $path vanished mid-write")))
+    val v = LedgerSource.commitVersion(path, added, base)
+    ref.foreach(r => LedgerSource.writeRef(path, "branch", r, v))
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {

@@ -1,0 +1,219 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.LedgerSource
+
+/** Round-15 pins around ledger TAGS and BRANCHES (judged end-to-end as
+  * `s48_branch_tag`):
+  *
+  *   - isolation in BOTH directions — branch appends invisible to main
+  *     and vice versa, including MoR tombstones cut on main;
+  *   - every destructive verb refuses while branch refs exist (the
+  *     live listing stops being the state, and unlinks would reach
+  *     into other lineages' manifests);
+  *   - `fast_forward` is exactly the git condition: refuse when the
+  *     lineages diverged;
+  *   - `converge` un-branches: reclaims dropped branches' leftovers,
+  *     removes the refs, re-enables destructive verbs, and leaves the
+  *     main state byte-identical;
+  *   - ref names validate (never numeric — they share `VERSION AS OF`
+  *     with commit ids) and collide loudly across kinds;
+  *   - two DIFFERENT branches take concurrent appends race-safely
+  *     (each ref advanced by its own writer, the chain by the CAS). */
+class LakehouseRefsSpec extends SparkSpec {
+
+  private val catSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def withCatalog[T](body: (String, String) => T): T = {
+    val cat = s"refs_spec${catSeq.incrementAndGet()}"
+    val root = graft.queries.Portable.scratchPath(
+      s"refsspec_${System.nanoTime()}")
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    body(cat, root)
+  }
+
+  private def wave(lo: Int, hi: Int, lang: String = "w") = {
+    val s = spark
+    import s.implicits._
+    spark.range(lo, hi).select($"id".as("doc_id"), lit(lang).as("lang"),
+      $"id".as("n_chars")).coalesce(1)
+  }
+
+  test("branch isolation both ways; MoR tombstones on main stay off the branch") {
+    withCatalog { (cat, _) =>
+      wave(0, 100).writeTo(s"$cat.t")
+        .tableProperty("mor", "true").create()                     // v1
+      spark.sql(s"CALL $cat.system.create_branch('t', 'dev')")
+      wave(100, 150, "b").writeTo(s"$cat.t.branch_dev").append()   // dev
+      wave(200, 260, "m").writeTo(s"$cat.t").append()              // main
+      // MoR DELETE on main: additive tombstone, main-lineage only
+      spark.sql(s"DELETE FROM $cat.t WHERE lang = 'w' AND doc_id % 2 = 0")
+      assert(spark.table(s"$cat.t").count() == 50 + 60,
+        "main = surviving odds + its own append; never branch rows")
+      assert(spark.table(s"$cat.t.branch_dev").count() == 100 + 50,
+        "branch = full fork + its own append; main's tombstone and " +
+          "append must not reach it")
+      // the tag spelling resolves on both SQL and path APIs
+      spark.sql(s"CALL $cat.system.create_tag('t', 'pre', 1)")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 'pre'")
+        .head.getLong(0) == 100)
+    }
+  }
+
+  test("destructive verbs refuse while branched; converge re-enables them") {
+    withCatalog { (cat, root) =>
+      wave(0, 100).writeTo(s"$cat.t").create()
+      spark.sql(s"CALL $cat.system.create_branch('t', 'dev')")
+      wave(500, 560, "d").writeTo(s"$cat.t.branch_dev").append()
+      val mainBefore = spark.table(s"$cat.t").collect().map(_.toSeq).toSet
+      // interval DELETE (non-mor → purge or CoW): both routes refuse
+      val e1 = intercept[Exception] {
+        spark.sql(s"DELETE FROM $cat.t WHERE doc_id < 10")
+      }
+      assert(e1.getMessage.contains("branch"), e1.getMessage)
+      // copy-on-write UPDATE refuses
+      val e2 = intercept[Exception] {
+        spark.sql(s"UPDATE $cat.t SET n_chars = 0 WHERE doc_id = 5")
+      }
+      assert(e2.getMessage.contains("branch"), e2.getMessage)
+      // truncating overwrite refuses at PLAN time
+      val e3 = intercept[Exception] {
+        wave(0, 5).write.format("graft-ledger").mode("overwrite")
+          .save(new File(root, "t").getPath)
+      }
+      assert(e3.getMessage.contains("branch"), e3.getMessage)
+      // compaction and expiry refuse
+      val e4 = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.compact('t', 1)").collect()
+      }
+      assert(e4.getMessage.contains("branch"), e4.getMessage)
+      val e5 = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.expire_versions('t', 1)").collect()
+      }
+      assert(e5.getMessage.contains("branch"), e5.getMessage)
+      // streaming the live feed refuses on a branched table (the
+      // refusal surfaces on the stream thread, so await it)
+      val q = spark.readStream.format("graft-ledger")
+        .load(new File(root, "t").getPath)
+        .writeStream.format("noop").start()
+      val e6 = intercept[Exception] {
+        try q.processAllAvailable() finally q.stop()
+      }
+      assert(e6.getMessage.contains("branch"), e6.getMessage)
+      // converge: blocked until the fork is dropped, then reclaims
+      val e7 = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.converge('t')").collect()
+      }
+      assert(e7.getMessage.contains("dev"), e7.getMessage)
+      spark.sql(s"CALL $cat.system.drop_branch('t', 'dev')")
+      val row = spark.sql(s"CALL $cat.system.converge('t')").head
+      assert(row.getLong(0) >= 1L, "the dropped branch's file reclaims")
+      assert(LedgerSource.listRefs(new File(root, "t").getPath,
+        "branch").isEmpty)
+      assert(spark.table(s"$cat.t").collect().map(_.toSeq).toSet ==
+        mainBefore, "converge must not change what main reads")
+      // destructive verbs work again
+      spark.sql(s"DELETE FROM $cat.t WHERE doc_id < 10")
+      assert(spark.table(s"$cat.t").count() == 90)
+    }
+  }
+
+  test("fast_forward: ancestor advances, diverged refuses") {
+    withCatalog { (cat, _) =>
+      wave(0, 50).writeTo(s"$cat.t").create()
+      spark.sql(s"CALL $cat.system.create_branch('t', 'dev')")
+      wave(50, 80, "d").writeTo(s"$cat.t.branch_dev").append()
+      // main untouched since the fork → FF applies
+      spark.sql(s"CALL $cat.system.fast_forward('t', 'dev')")
+      assert(spark.table(s"$cat.t").count() == 80)
+      // diverge: new fork, then BOTH lineages advance
+      spark.sql(s"CALL $cat.system.create_branch('t', 'hot')")
+      wave(100, 110, "h").writeTo(s"$cat.t.branch_hot").append()
+      wave(200, 210, "m").writeTo(s"$cat.t").append()
+      val e = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.fast_forward('t', 'hot')")
+      }
+      assert(e.getMessage.contains("diverged"), e.getMessage)
+      val e2 = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.fast_forward('t', 'nope')")
+      }
+      assert(e2.getMessage.contains("no branch"), e2.getMessage)
+    }
+  }
+
+  test("ref names: numeric refused, cross-kind collisions refused, main reserved") {
+    withCatalog { (cat, _) =>
+      wave(0, 10).writeTo(s"$cat.t").create()
+      val e1 = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.create_tag('t', '7', 1)")
+      }
+      assert(e1.getMessage.contains("invalid ref name"), e1.getMessage)
+      spark.sql(s"CALL $cat.system.create_tag('t', 'x', 1)")
+      val e2 = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.create_branch('t', 'x')")
+      }
+      assert(e2.getMessage.contains("already exists"), e2.getMessage)
+      val e3 = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.create_branch('t', 'main')")
+      }
+      assert(e3.getMessage.contains("implicit trunk"), e3.getMessage)
+      val e4 = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.drop_branch('t', 'main')")
+      }
+      assert(e4.getMessage.contains("converge"), e4.getMessage)
+      // an unknown name in VERSION AS OF names the available refs
+      val e5 = intercept[Exception] {
+        spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 'ghost'").collect()
+      }
+      assert(e5.getMessage.contains("neither a commit id nor a tag/branch"),
+        e5.getMessage)
+    }
+  }
+
+  test("two branches take concurrent appends race-safely") {
+    withCatalog { (cat, _) =>
+      wave(0, 50).writeTo(s"$cat.t").create()
+      spark.sql(s"CALL $cat.system.create_branch('t', 'a')")
+      spark.sql(s"CALL $cat.system.create_branch('t', 'b')")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        Seq("a" -> 100, "b" -> 200).map { case (br, lo) =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit =
+              wave(lo, lo + 30, br).writeTo(s"$cat.t.branch_$br").append()
+          })
+        }.foreach(_.get())
+      } finally { pool.shutdown(): Unit }
+      assert(spark.table(s"$cat.t.branch_a").count() == 80)
+      assert(spark.table(s"$cat.t.branch_b").count() == 80)
+      assert(spark.table(s"$cat.t").count() == 50,
+        "main must see neither racing branch")
+    }
+  }
+
+  test("time travel reaches branch-era versions until converge reclaims them") {
+    withCatalog { (cat, root) =>
+      wave(0, 40).writeTo(s"$cat.t").create()                      // v1
+      spark.sql(s"CALL $cat.system.create_branch('t', 'dev')")
+      wave(40, 70, "d").writeTo(s"$cat.t.branch_dev").append()     // v2
+      // the branch commit is a real chain version — numeric travel works
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 2")
+        .head.getLong(0) == 70)
+      spark.sql(s"CALL $cat.system.drop_branch('t', 'dev')")
+      // still reconstructable: drop leaves files until converge
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 2")
+        .head.getLong(0) == 70)
+      spark.sql(s"CALL $cat.system.converge('t')").collect()
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 2").collect()
+      }
+      assert(e.getMessage.contains("no longer reconstructable"),
+        e.getMessage)
+      assert(spark.table(s"$cat.t").count() == 40)
+      ()
+    }
+  }
+}
