@@ -1771,6 +1771,91 @@ object StreamingQueries {
         |FROM documents WHERE lang = 'fr'
         |ORDER BY 1, 2""".stripMargin),
 
+    // ── st27: STREAMING MATERIALIZED-VIEW MAINTENANCE — the live twin
+    //    of s47: the change feed STREAM (st26's exactly-once
+    //    version-cursor source) drives a foreachBatch that folds each
+    //    microbatch's signed deltas into a parquet view state. The
+    //    state advances through BATCH-ID-NAMED directories — a replayed
+    //    batch overwrites its own directory with identical bytes, so
+    //    the fold is exactly-once by idempotence (the st09 discipline)
+    //    on top of the source's exactly-once offsets. Judged across
+    //    THREE separate drains from one checkpoint (build → append +
+    //    MoR delete → MoR update): however the engine slices the
+    //    commits into microbatches, the final state must equal the
+    //    full recompute — the associativity that makes a streaming
+    //    view maintainer deployable. At 100 TB each refresh touches
+    //    O(|Δ| + |view|), never the base, and the view is continuously
+    //    fresh instead of s47's on-demand. ──
+    ("st27_stream_mv_maintenance",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val inv = st16Invocation.incrementAndGet()
+        val cat = s"smv$inv"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root",
+          Portable.scratchPath(s"st27_catroot_$inv"))
+        val ckpt = Portable.scratchPath(s"st27_ckpt_$inv")
+        val stateRoot = Portable.scratchPath(s"st27_state_$inv")
+        val docs = Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+        docs.where(pmod($"doc_id", lit(2)) === 0)
+          .repartitionByRange(4, $"doc_id")
+          .writeTo(s"$cat.t").tableProperty("mor", "true").create() // v1
+        // FULL BUILD at v1 — the only time the base is ever scanned
+        var cur = s"$stateRoot/base"
+        s.table(s"$cat.t").groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+          .write.mode("overwrite").parquet(cur)
+        val tdir = new java.io.File(
+          Portable.scratchPath(s"st27_catroot_$inv"), "t").getPath
+        def drain(): Unit = {
+          val q = s.readStream.format("graft-ledger")
+            .option("changesFrom", "1").load(tdir)
+            .writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+               batchId: Long) =>
+                val st = batch.sparkSession
+                val sign = when($"_change_type" === "insert", lit(1L))
+                  .otherwise(lit(-1L))
+                val delta = batch
+                  .select($"lang", sign.as("sgn"), $"n_chars")
+                  .groupBy($"lang")
+                  .agg(sum($"sgn").as("n_docs"),
+                    sum($"sgn" * $"n_chars").as("total_chars"))
+                val next = s"$stateRoot/v$batchId"
+                st.read.parquet(cur).unionByName(delta)
+                  .groupBy($"lang")
+                  .agg(sum($"n_docs").as("n_docs"),
+                    sum($"total_chars").as("total_chars"))
+                  .where($"n_docs" > 0)
+                  .write.mode("overwrite").parquet(next)
+                cur = next
+            }
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        drain()                                                     // no-op
+        docs.where(pmod($"doc_id", lit(2)) === 1)
+          .writeTo(s"$cat.t").append()                              // v2
+        s.sql(s"DELETE FROM $cat.t WHERE lang = 'es'")              // v3
+        drain()                                                     // v2+v3
+        s.sql(s"UPDATE $cat.t SET n_chars = n_chars + 5000 " +
+          s"WHERE lang = 'zh'")                                     // v4
+        drain()                                                     // v4
+        s.read.parquet(cur)
+          .select($"lang", $"n_docs".cast("long").as("n_docs"),
+            $"total_chars".cast("long").as("total_chars"))
+          .orderBy($"lang")
+      },
+      // full recompute of the final state — streamed maintenance must
+      // land exactly here whatever the microbatch slicing was
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars + CASE WHEN lang = 'zh' THEN 5000
+        |                               ELSE 0 END) AS BIGINT) AS total_chars
+        |FROM documents WHERE lang <> 'es'
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ── st24: MULTIPLE-WATERMARK POLICY — the last documented watermark
     //    semantics knob (st04/st11/st18 all ride the default): when a
     //    query reads SEVERAL watermarked inputs, the GLOBAL watermark is

@@ -178,7 +178,10 @@ class LedgerSource extends TableProvider with DataSourceRegister {
           .getOrElse(versions.lastOption.getOrElse(0L))
         require(from >= 0 && (from == 0 || versions.contains(from)),
           s"no version $from at $tablePath")
-        require(versions.contains(to) && to > from,
+        // an EMPTY interval (from == to) is a legitimate feed of zero
+        // changes — what a STREAM started at the current head sees
+        // before the next commit arrives
+        require(to == from || (versions.contains(to) && to > from),
           s"graft-ledger: need versions ($from, $to] at $tablePath " +
             s"(available: ${versions.mkString(", ")})")
         new LedgerChangesTable(tablePath, from, to)
