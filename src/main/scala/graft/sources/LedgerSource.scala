@@ -1058,13 +1058,19 @@ final class LedgerTable(path: String, pinnedVersion: Option[Long] = None,
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     requireMutable("run a row-level operation against")
-    require(ref.forall(_ == "main"),
-      s"graft-ledger: branch handles are append-only — run row-level " +
-        s"verbs on main (branch '${ref.get}' of $path)")
     // copy-on-write REWRITES groups — destructive, so a branched table
-    // refuses it; MoR tombstones are additive and stay available (the
-    // .gd file joins MAIN's manifest only, other lineages never see it)
-    if (!morEnabled) requireUnbranched("copy-on-write rewrite")
+    // refuses it; MoR tombstones are ADDITIVE and stay available on
+    // every lineage: the verb's scan pins at the handle's ref, the .gd
+    // lands in that ref's manifest only, and a tombstone cut on a
+    // pre-fork file SHARED with other lineages still cannot reach them
+    // (the overlay is resolved per manifest, not per directory)
+    if (!morEnabled) {
+      require(ref.forall(_ == "main"),
+        s"graft-ledger: branch handles of a copy-on-write table are " +
+          s"append-only — row-level verbs need mor=true " +
+          s"(branch '${ref.get}' of $path)")
+      requireUnbranched("copy-on-write rewrite")
+    }
     new RowLevelOperationBuilder {
       // `mor=true` switches the table's verbs to MERGE-ON-READ
       // ([[LedgerDeltaOperation]]): deletes/updates land as tombstone

