@@ -1,0 +1,145 @@
+package graft
+
+import java.io.File
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+/** Seeded fuzz over the REF verbs (the `LedgerVerbFuzzSpec` discipline
+  * applied to branching): random interleavings of fork / append-to-ref
+  * / MoR-delete-on-ref / drop / fast-forward run against a reference
+  * state machine that models each lineage as a plain row set, with
+  * every lineage's readback checked after EVERY op. The model also
+  * tracks whether main moved since each fork, so `fast_forward`'s
+  * accept/refuse decision is itself fuzzed (containment = ancestry).
+  * Ends each scenario by converging and proving main survived and
+  * destructive verbs re-enabled. */
+class LakehouseRefsFuzzSpec extends SparkSpec {
+
+  private val catSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def runScenario(seed: Int): Unit = {
+    val rnd = new Random(seed)
+    val cat = s"refsfuzz${catSeq.incrementAndGet()}"
+    val root = graft.queries.Portable.scratchPath(
+      s"refsfuzz_${seed}_${System.nanoTime()}")
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val s = spark
+    import s.implicits._
+
+    var nextId = 0L
+    def wave(n: Int, lang: String) = {
+      val lo = nextId
+      nextId += n
+      val rows = (lo until nextId).map(i => (i, lang, i))
+      (rows.toSet,
+        spark.createDataFrame(rows).toDF("doc_id", "lang", "n_chars")
+          .coalesce(1))
+    }
+
+    // model: lineage name -> row set; "main" is the trunk
+    val model = scala.collection.mutable.Map.empty[String, Set[(Long, String, Long)]]
+    // per-branch: has main committed since this branch forked?
+    val mainMoved = scala.collection.mutable.Map.empty[String, Boolean]
+    // per-branch: has the branch itself committed since its fork? (an
+    // FF to a commit-less branch leaves main's manifest unchanged, so
+    // it must not count as main movement for the other branches)
+    val ownCommits = scala.collection.mutable.Map.empty[String, Boolean]
+    def asTuples(rows: Set[(Long, String, Long)]) = rows
+
+    val (w0, df0) = wave(40 + rnd.nextInt(40), "base")
+    df0.writeTo(s"$cat.t").tableProperty("mor", "true").create()
+    model("main") = w0.map { case (a, b, c) => (a.toLong, b, c.toLong) }
+
+    def handle(ref: String): String =
+      if (ref == "main") s"$cat.t" else s"$cat.t.branch_$ref"
+
+    def checkAll(step: String): Unit = model.foreach { case (ref, want) =>
+      val got = spark.table(handle(ref)).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == asTuples(want),
+        s"[seed=$seed $step] lineage '$ref' diverged from the model: " +
+          s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+
+    val ops = 12 + rnd.nextInt(6)
+    (1 to ops).foreach { step =>
+      val branches = model.keys.filter(_ != "main").toSeq.sorted
+      rnd.nextInt(6) match {
+        case 0 if branches.size < 3 => // fork from main
+          val name = s"b${step}_$seed"
+          spark.sql(s"CALL $cat.system.create_branch('t', '$name')")
+          model(name) = model("main")
+          mainMoved(name) = false
+          ownCommits(name) = false
+          checkAll(s"fork $name")
+        case 1 | 2 => // append to a random lineage
+          val ref = rnd.shuffle("main" +: branches).head
+          val (rows, df) = wave(10 + rnd.nextInt(20), s"w$step")
+          df.writeTo(handle(ref)).append()
+          model(ref) = model(ref) ++
+            rows.map { case (a, b, c) => (a.toLong, b, c.toLong) }
+          if (ref == "main") mainMoved.keys.foreach(mainMoved(_) = true)
+          else ownCommits(ref) = true
+          checkAll(s"append $ref")
+        case 3 => // MoR delete on a random lineage
+          val ref = rnd.shuffle("main" +: branches).head
+          val k = 2 + rnd.nextInt(4)
+          val r = rnd.nextInt(k)
+          spark.sql(
+            s"DELETE FROM ${handle(ref)} WHERE doc_id % $k = $r")
+          model(ref) = model(ref).filterNot(_._1 % k == r)
+          if (ref == "main") mainMoved.keys.foreach(mainMoved(_) = true)
+          else ownCommits(ref) = true
+          checkAll(s"mor-delete $ref %$k=$r")
+        case 4 if branches.nonEmpty => // fast-forward: accept iff ancestry
+          val br = rnd.shuffle(branches).head
+          if (mainMoved(br)) {
+            val e = intercept[Exception] {
+              spark.sql(s"CALL $cat.system.fast_forward('t', '$br')")
+            }
+            assert(e.getMessage.contains("diverged"),
+              s"[seed=$seed] FF of moved-main must refuse: ${e.getMessage}")
+          } else {
+            spark.sql(s"CALL $cat.system.fast_forward('t', '$br')")
+            model("main") = model(br)
+            // main genuinely moved only if the branch carried commits
+            if (ownCommits(br))
+              mainMoved.keys.filter(_ != br).foreach(mainMoved(_) = true)
+          }
+          checkAll(s"ff $br")
+        case 5 if branches.nonEmpty => // drop a branch
+          val br = rnd.shuffle(branches).head
+          spark.sql(s"CALL $cat.system.drop_branch('t', '$br')")
+          model.remove(br)
+          mainMoved.remove(br)
+          ownCommits.remove(br)
+          checkAll(s"drop $br")
+        case _ => () // fork/ff/drop not applicable this step
+      }
+    }
+
+    // close out: drop everything, converge, destructive verbs return
+    model.keys.filter(_ != "main").toSeq.foreach { br =>
+      spark.sql(s"CALL $cat.system.drop_branch('t', '$br')")
+      model.remove(br)
+    }
+    if (graft.sources.LedgerSource.readRef(
+        new File(root, "t").getPath, "branch", "main").isDefined)
+      spark.sql(s"CALL $cat.system.converge('t')").collect()
+    checkAll("post-converge")
+    // compaction is the destructive verb converge re-enables: it must
+    // run, fold every live tombstone, and leave the state identical
+    spark.sql(s"CALL $cat.system.compact('t', 2)").collect()
+    checkAll("post-compact")
+    ()
+  }
+
+  (1 to 3).foreach { seed =>
+    test(s"fuzz: ref verb interleavings equal the lineage state machine (seed $seed)") {
+      runScenario(seed)
+    }
+  }
+}
