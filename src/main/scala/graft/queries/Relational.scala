@@ -1786,6 +1786,38 @@ object Relational {
         |      UNION ALL SELECT doc_id, n_chars FROM zz)
         |ORDER BY 1""".stripMargin),
 
+    // ── S-beyond: the REF LISTING metadata table (round 15 —
+    //    Iceberg's `t.refs`, completing the observability pair
+    //    `.history` started): one row per tag/branch with the version
+    //    it names and whether that version still RECONSTRUCTS — a tag
+    //    can outlive its files under the vacuumed-table contract, and
+    //    the listing says so instead of erroring, which is how an
+    //    operator FINDS dangling refs before a reader trips them
+    //    (`LakehouseRefsSpec` pins the dangling=false row after a
+    //    converge reclaims a tagged branch-era version). Judged over a
+    //    deterministic tag + fork + branch-append life: exact ref
+    //    names, kinds, target versions, and liveness as literals. ──
+    ("s50_refs_table",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.conf.set("spark.sql.catalog.graft_rf", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_rf.root", scratchPath("s50_catroot"))
+        val docs = Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+        docs.where(pmod($"doc_id", lit(2)) === 0)
+          .writeTo("graft_rf.s50docs").createOrReplace()       // v1
+        s.sql("CALL graft_rf.system.create_tag('s50docs', 'genesis', 1)")
+        s.sql("CALL graft_rf.system.create_branch('s50docs', 'dev')")
+        docs.where(pmod($"doc_id", lit(2)) === 1)               // v2: dev
+          .writeTo("graft_rf.s50docs.branch_dev").append()
+        s.table("graft_rf.s50docs.refs").orderBy($"kind", $"name")
+      },
+      """SELECT 'branch' AS kind, 'dev' AS name,
+        |       CAST(2 AS BIGINT) AS version, true AS reconstructable
+        |UNION ALL SELECT 'branch', 'main', CAST(1 AS BIGINT), true
+        |UNION ALL SELECT 'tag', 'genesis', CAST(1 AS BIGINT), true
+        |ORDER BY 1, 2""".stripMargin),
+
     // ── S-beyond: SCHEMA EVOLUTION as a live-table verb — `ALTER
     //    TABLE … ADD COLUMNS`, judged end to end on the session
     //    catalog (s14 judges mergeSchema on raw parquet and s23

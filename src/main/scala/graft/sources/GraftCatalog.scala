@@ -112,6 +112,17 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         if (cleanSegments(base) && bd.isDirectory)
           return new LedgerHistoryTable(bd.getPath, ident.toString)
       }
+      // `<table>.refs` — the REF LISTING metadata table (Iceberg's
+      // t.refs): one row per tag/branch with its target version and
+      // whether that version still reconstructs.
+      if (ident.name().equalsIgnoreCase("refs") &&
+          ident.namespace().nonEmpty) {
+        val base = Identifier.of(ident.namespace().init,
+          ident.namespace().last)
+        val bd = tableDir(base)
+        if (cleanSegments(base) && bd.isDirectory)
+          return new LedgerRefsTable(bd.getPath, ident.toString)
+      }
       // `<table>.branch_<name>` — the BRANCH pseudo-table (Iceberg's
       // branch_ identifier spelling): a handle that reads the branch
       // head and whose appends advance the branch ref. Same only-when-
@@ -906,5 +917,49 @@ private[sources] final class LedgerHistoryTable(path: String, name0: String)
           row.setBoolean(5, rows != null)
           row
         }
+    }
+}
+
+/** `<cat>.<table>.refs` — the table's TAGS and BRANCHES as a queryable
+  * metadata table (Iceberg's `t.refs`): one row per ref with the
+  * version it names and whether that version still reconstructs (a tag
+  * can outlive its files under the vacuumed-table contract — the
+  * listing says so instead of erroring, so operators can FIND the
+  * dangling refs). Like `.history`, tiny driver-side metadata
+  * materialized as a LocalScan. */
+private[sources] final class LedgerRefsTable(path: String, name0: String)
+    extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  import org.apache.spark.sql.types.BooleanType
+
+  override def name(): String = name0
+  override def schema(): StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("version", LongType, nullable = false),
+    StructField("reconstructable", BooleanType, nullable = false)))
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder =
+    () => new LocalScan {
+      override def readSchema(): StructType = schema()
+      override def rows(): Array[InternalRow] =
+        (LedgerSource.listRefs(path, "tag").toSeq.map(("tag", _)) ++
+          LedgerSource.listRefs(path, "branch").toSeq.map(("branch", _)))
+          .sortBy { case (k, (n, _)) => (k, n) }
+          .map { case (kind, (refName, v)) =>
+            val ok =
+              try { LedgerSource.resolvePinned(path, v); true }
+              catch { case _: Exception => false }
+            val row = new GenericInternalRow(4)
+            row.update(0, UTF8String.fromString(kind))
+            row.update(1, UTF8String.fromString(refName))
+            row.setLong(2, v)
+            row.setBoolean(3, ok)
+            row
+          }.toArray
     }
 }

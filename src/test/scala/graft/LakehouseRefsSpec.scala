@@ -43,7 +43,7 @@ class LakehouseRefsSpec extends SparkSpec {
   }
 
   test("branch isolation both ways; MoR tombstones on main stay off the branch") {
-    withCatalog { (cat, _) =>
+    withCatalog { (cat, root) =>
       wave(0, 100).writeTo(s"$cat.t")
         .tableProperty("mor", "true").create()                     // v1
       spark.sql(s"CALL $cat.system.create_branch('t', 'dev')")
@@ -56,6 +56,12 @@ class LakehouseRefsSpec extends SparkSpec {
       assert(spark.table(s"$cat.t.branch_dev").count() == 100 + 50,
         "branch = full fork + its own append; main's tombstone and " +
           "append must not reach it")
+      // the PATH API's spellings agree with the catalog's: unpinned =
+      // main's ref, option("branch", ...) = the branch head
+      val tdir = new File(root, "t").getPath
+      assert(spark.read.format("graft-ledger").load(tdir).count() == 110)
+      assert(spark.read.format("graft-ledger").option("branch", "dev")
+        .load(tdir).count() == 150)
       // the tag spelling resolves on both SQL and path APIs
       spark.sql(s"CALL $cat.system.create_tag('t', 'pre', 1)")
       assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 'pre'")
@@ -198,6 +204,29 @@ class LakehouseRefsSpec extends SparkSpec {
       }
       assert(e5.getMessage.contains("neither a commit id nor a tag/branch"),
         e5.getMessage)
+    }
+  }
+
+  test("the refs metadata table reports dangling refs instead of erroring") {
+    withCatalog { (cat, _) =>
+      wave(0, 40).writeTo(s"$cat.t").create()                      // v1
+      spark.sql(s"CALL $cat.system.create_branch('t', 'dev')")
+      wave(40, 70, "d").writeTo(s"$cat.t.branch_dev").append()     // v2
+      // tag the BRANCH-ERA version, then reclaim its files
+      spark.sql(s"CALL $cat.system.create_tag('t', 'snap', 2)")
+      spark.sql(s"CALL $cat.system.drop_branch('t', 'dev')")
+      spark.sql(s"CALL $cat.system.converge('t')").collect()
+      val refs = spark.table(s"$cat.t.refs").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getBoolean(3))).toSet
+      // branch refs are gone; the tag survives but DANGLES — and the
+      // listing says so, while a read through it still fails loudly
+      assert(refs == Set(("tag", "snap", 2L, false)), refs)
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 'snap'").collect()
+      }
+      assert(e.getMessage.contains("no longer reconstructable"),
+        e.getMessage)
     }
   }
 
