@@ -1818,6 +1818,72 @@ object Relational {
         |UNION ALL SELECT 'tag', 'genesis', CAST(1 AS BIGINT), true
         |ORDER BY 1, 2""".stripMargin),
 
+    // ── S-beyond: ZERO-COPY CLONE (round 15 — Delta's `CREATE TABLE …
+    //    CLONE` as `CALL system.clone`): a new INDEPENDENT table whose
+    //    initial state is the source's current state with no data
+    //    bytes copied — ledger names denote immutable content, so the
+    //    clone HARD-LINKS every live data/tombstone file and each
+    //    table then owns its own directory entry (the filesystem
+    //    refcount plays the shared object store's role; nlink = 2 is
+    //    pinned in `LedgerCloneSpec` as the zero-copy proof). The
+    //    clone starts a fresh version chain and carries `_props`, and
+    //    a MoR overlay travels WITH the clone (the linked `.gd`
+    //    files). Judged by the strongest independence sequence: clone
+    //    a tombstoned table, then UPDATE + COMPACT the source — the
+    //    compaction truncate-rewrites the source directory, unlinking
+    //    the very names the clone links — and append to the clone;
+    //    both tables read back correct and fully divergent. At 100 TB
+    //    clone is how experiments, backfills and A/B pipelines get a
+    //    private table without paying a copy. ──
+    ("s51_zero_copy_clone",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.conf.set("spark.sql.catalog.graft_cl", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_cl.root", scratchPath("s51_catroot"))
+        // a previous invocation's clone target survives createOrReplace
+        // of the source — drop it for determinism
+        s.sql("DROP TABLE IF EXISTS graft_cl.s51copy")
+        val docs = Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+        docs.where(pmod($"doc_id", lit(2)) === 0)
+          .writeTo("graft_cl.s51docs")
+          .tableProperty("mor", "true").createOrReplace()       // v1
+        s.sql("DELETE FROM graft_cl.s51docs WHERE lang = 'de'")  // v2
+        s.sql("CALL graft_cl.system.clone('s51docs', 's51copy')")
+        // source moves on: MoR update, then a DESTRUCTIVE compaction
+        // that unlinks every pre-clone file name from the source dir
+        s.sql("UPDATE graft_cl.s51docs SET n_chars = n_chars + 100000 " +
+          "WHERE lang = 'fr'")                                   // v3
+        s.sql("CALL graft_cl.system.compact('s51docs', 2)")      // v4
+        // the clone moves on independently
+        docs.where(pmod($"doc_id", lit(2)) === 1)
+          .writeTo("graft_cl.s51copy").append()
+        def aggOf(df: DataFrame, refName: String): DataFrame =
+          df.agg(count(lit(1)).cast("long").as("n_docs"),
+            sum($"doc_id").cast("long").as("id_sum"),
+            sum($"n_chars").cast("long").as("chars_sum"))
+            .select(lit(refName).as("ref"), $"n_docs", $"id_sum",
+              $"chars_sum")
+        aggOf(s.table("graft_cl.s51copy"), "copy")
+          .unionByName(aggOf(s.table("graft_cl.s51docs"), "src"))
+          .orderBy($"ref")
+      },
+      """WITH evens AS (SELECT doc_id, lang, n_chars FROM documents
+        |               WHERE doc_id % 2 = 0 AND lang <> 'de'),
+        |     odds AS (SELECT doc_id, lang, n_chars FROM documents
+        |              WHERE doc_id % 2 = 1)
+        |SELECT 'copy' AS ref, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM (SELECT * FROM evens UNION ALL SELECT * FROM odds)
+        |UNION ALL
+        |SELECT 'src', CAST(count(*) AS BIGINT),
+        |       CAST(sum(doc_id) AS BIGINT),
+        |       CAST(sum(n_chars + CASE WHEN lang = 'fr' THEN 100000
+        |                               ELSE 0 END) AS BIGINT)
+        |FROM evens
+        |ORDER BY 1""".stripMargin),
+
     // ── S-beyond: SCHEMA EVOLUTION as a live-table verb — `ALTER
     //    TABLE … ADD COLUMNS`, judged end to end on the session
     //    catalog (s14 judges mergeSchema on raw parquet and s23

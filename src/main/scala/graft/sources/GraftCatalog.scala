@@ -383,6 +383,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case "drop_branch" => new RefProcedure(root, "drop_branch")
       case "fast_forward" => new RefProcedure(root, "fast_forward")
       case "converge" => new ConvergeProcedure(root)
+      case "clone" => new CloneProcedure(root)
       case _ => throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchFunctionException(ident)
     }
@@ -391,7 +392,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
       (Seq("compact", "expire_versions", "create_tag", "drop_tag",
-        "create_branch", "drop_branch", "fast_forward", "converge"))
+        "create_branch", "drop_branch", "fast_forward", "converge",
+        "clone"))
         .map(n => Identifier.of(Array("system"), n)).toArray
     else Array.empty
 
@@ -731,6 +733,85 @@ private[sources] final class ConvergeProcedure(root: File)
 private[sources] object ConvergeProcedure {
   val OutputSchema: StructType = StructType(Seq(
     StructField("files_reclaimed", LongType, nullable = false),
+    StructField("version", LongType, nullable = false)))
+}
+
+/** `CALL <cat>.system.clone('<src>', '<dst>')` — ZERO-COPY table clone
+  * (Delta's `CREATE TABLE … CLONE`): a new independent table whose
+  * initial state is the source's CURRENT state, copying no data bytes.
+  * Ledger file names denote immutable content, so the clone HARD-LINKS
+  * every live data/tombstone file into the new directory — each table
+  * then owns its own link: a destructive verb on either side unlinks
+  * only its own directory entry while the other keeps the bytes (the
+  * filesystem's refcount plays the role a shared object store plays
+  * for Delta clones; `LedgerCloneSpec` pins nlink = 2 as the
+  * zero-copy proof and compacts the SOURCE to prove the clone's reads
+  * survive). The clone starts a FRESH version chain at v1 (source
+  * history/refs are names into the source's chain and are not
+  * copied), carries `_props` (bucket layout, mor mode, check
+  * constraint), and a branched source clones its MAIN lineage —
+  * resolved through the ref, never the mixed live listing. */
+private[sources] final class CloneProcedure(root: File)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "clone"
+  override def description(): String =
+    "zero-copy clone: hard-link the source's current state into a new " +
+      "independent table with a fresh version chain"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false // creates storage
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("source", StringType)
+      .comment("existing table name in this catalog (flattened form)").build(),
+    ProcedureParameter.in("target", StringType)
+      .comment("new table name; must not exist").build())
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val src = input.getUTF8String(0).toString
+    val dst = input.getUTF8String(1).toString
+    val sdir = new File(root, src)
+    if (!sdir.isDirectory)
+      throw new NoSuchTableException(Identifier.of(Array.empty, src))
+    val ddir = new File(root, dst)
+    if (ddir.exists())
+      throw new TableAlreadyExistsException(
+        Identifier.of(Array.empty, dst))
+    require(!dst.contains("__") && !dst.contains("/") && dst.nonEmpty,
+      s"invalid target table name '$dst'")
+    // the source's CURRENT state: the main lineage when branched
+    // (never the mixed live listing), the live listing otherwise
+    val files: Seq[File] =
+      LedgerSource.readRef(sdir.getPath, "branch", "main") match {
+        case Some(v) => LedgerSource.resolvePinned(sdir.getPath, v).toSeq
+        case None => (LedgerSource.ledgerFiles(sdir.getPath) ++
+          LedgerSource.deleteFiles(sdir.getPath)).toSeq
+      }
+    require(ddir.mkdirs(), s"cannot create ${ddir.getPath}")
+    files.foreach { f =>
+      java.nio.file.Files.createLink(
+        new File(ddir, f.getName).toPath, f.toPath)
+    }
+    val props = new File(sdir, "_props")
+    if (props.isFile)
+      java.nio.file.Files.copy(props.toPath,
+        new File(ddir, "_props").toPath)
+    // fresh chain: the clone's v1 is exactly the linked state
+    val v = LedgerSource.commitVersion(ddir.getPath)
+    val summary = new GenericInternalRow(3)
+    summary.setLong(0, files.length.toLong)
+    summary.setLong(1,
+      LedgerSource.statsSnapshot(ddir.getPath).map(_._4).sum)
+    summary.setLong(2, v)
+    java.util.Collections.singletonList(
+      new SingleRowScan(CloneProcedure.OutputSchema, summary): Scan)
+      .iterator()
+  }
+}
+
+private[sources] object CloneProcedure {
+  val OutputSchema: StructType = StructType(Seq(
+    StructField("files_linked", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
     StructField("version", LongType, nullable = false)))
 }
 
