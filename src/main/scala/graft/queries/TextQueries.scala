@@ -127,12 +127,18 @@ object TextQueries {
     * [[BandCap]] (a key shared by n docs makes n²/2 candidates; the
     * count window rides the same (band, key) shuffle the self-join
     * needs, so the cap costs no extra exchange). */
-  private def lshBands(idx: DataFrame): DataFrame = {
+  private def lshBands(idx: DataFrame): DataFrame =
+    capBands(bandKeys(idx))
+
+  /** The UNCAPPED band keys — split from [[lshBands]] so t31's
+    * incremental maintenance can store them as state and re-apply the
+    * cap over the MERGED set (a per-part cap would bind differently
+    * than a rebuild's and diverge the candidate sets). */
+  private def bandKeys(idx: DataFrame): DataFrame = {
     val sig = idx.groupBy(col("doc_id")).agg(
       min((col("h") * permA(0) + permB(0)) % HashMod).as("m0"),
       (1 until NPerms).map(j =>
         min((col("h") * permA(j) + permB(j)) % HashMod).as(s"m$j")): _*)
-    val wKey = Window.partitionBy(col("band"), col("key"))
     sig.select(col("doc_id"), explode(array(
       (0 until NPerms / RowsPerBand).map { b =>
         val key = concat_ws(":",
@@ -140,7 +146,11 @@ object TextQueries {
         struct(lit(b).as("band"), key.as("key"))
       }: _*)).as("e"))
       .select(col("doc_id"), col("e.band"), col("e.key"))
-      .withColumn("nk", count(lit(1)).over(wKey))
+  }
+
+  private def capBands(bands: DataFrame): DataFrame = {
+    val wKey = Window.partitionBy(col("band"), col("key"))
+    bands.withColumn("nk", count(lit(1)).over(wKey))
       .where(col("nk") <= BandCap).drop("nk")
   }
 
@@ -677,6 +687,98 @@ object TextQueries {
     //    micro-units past the ~1-ulp libm/JVM divergence and SUMMED AS
     //    BIGINT — the chain of integer sums is bit-stable where a
     //    float-summed score would fork on add order. ──
+    // ── t31: INCREMENTAL LSH INDEX MAINTENANCE — the LLM-pipeline ∘
+    //    lakehouse compose: t06's near-dup machinery kept as a
+    //    MATERIALIZED INDEX under a changelog, u05's state algebra
+    //    applied to retrieval state. The full build shingles + signs
+    //    the whole corpus ONCE into two parquet artifacts (the
+    //    inverted shingle index and the UNCAPPED band keys); after the
+    //    corpus changes, maintenance folds the state — removed docs'
+    //    rows filtered out of both indexes, ONLY the added docs
+    //    shingled and MinHash-signed (the per-doc position windows and
+    //    8-perm aggregation, the expensive part, run over O(Δ) docs) —
+    //    and the BandCap hot-key guard is re-applied over the MERGED
+    //    band set, because a cap frozen into per-part state would bind
+    //    differently than a rebuild's and silently diverge the
+    //    candidate sets (why the state stores UNCAPPED keys). The
+    //    judged rows are the full near-dup pipeline (banded candidate
+    //    join + exact-Jaccard confirm through the maintained inverted
+    //    index) read from the MAINTAINED state, against the oracle's
+    //    FULL REBUILD over the final corpus — the identity that makes
+    //    index maintenance deployable at 100 TB, where re-shingling a
+    //    corpus for a 0.1% daily delta is the cost model's failure
+    //    mode. Seeded adds (exact copies at +10^12) guarantee
+    //    non-vacuous J=1.0 pairs at every SF. ──
+    ("t31_incremental_lsh_index",
+      (s: SparkSession, dir: String) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+        val corpus1 = docs.where(pmod(col("doc_id"), lit(3)) =!= 2)
+        val idxPath = scratchPath("t31_idx")
+        val bandPath = scratchPath("t31_bands")
+        // ── FULL BUILD: the last time the surviving corpus is shingled
+        val idx1 = shingleIndex(corpus1).persist()
+        idx1.write.mode("overwrite").parquet(idxPath)
+        bandKeys(idx1).write.mode("overwrite").parquet(bandPath)
+        idx1.unpersist()
+        // ── the corpus changes: removes (doc_id % 5 = 0 of the built
+        //    corpus) and adds (the % 3 = 2 third, plus seeded copies of
+        //    final-corpus docs so the judged pairs are never vacuous)
+        val adds = docs.where(pmod(col("doc_id"), lit(3)) === 2)
+          .unionByName(docs.where(col("doc_id") < 10 &&
+              (pmod(col("doc_id"), lit(3)) === 2 ||
+                pmod(col("doc_id"), lit(5)) =!= 0))
+            .select((col("doc_id") + 1000000000000L).as("doc_id"),
+              col("source"), col("text")))
+        // ── MAINTENANCE: state fold + O(Δ) shingling, nothing else
+        val keep = pmod(col("doc_id"), lit(5)) =!= 0
+        val addIdx = shingleIndex(adds).persist()
+        val idx2 = s.read.parquet(idxPath).where(keep)
+          .unionByName(addIdx).persist()
+        val bands2 = capBands(
+          s.read.parquet(bandPath).where(keep)
+            .unionByName(bandKeys(addIdx)))
+        val cand = lshCandidates(bands2.persist())
+        val sizes = idx2.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val inter = cand
+          .join(idx2.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+          .join(idx2.select(col("doc_id").as("doc_b"), col("h")),
+            Seq("doc_b", "h"))
+          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ninter"))
+        inter
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            round(col("ninter").cast("double") /
+              (col("na") + col("nb") - col("ninter")).cast("double"), 6).as("jac"))
+          .where(col("jac") >= 0.3)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      {
+        val docs2Sql =
+          s"""docs2 AS (
+             |  SELECT doc_id, source, text FROM documents
+             |  WHERE (doc_id % 3 <> 2 AND doc_id % 5 <> 0) OR doc_id % 3 = 2
+             |  UNION ALL
+             |  SELECT doc_id + 1000000000000, source, text FROM documents
+             |  WHERE doc_id < 10
+             |    AND (doc_id % 3 = 2 OR doc_id % 5 <> 0))""".stripMargin
+        s"""WITH $docs2Sql,
+           |${hashedShinglesSql("docs2")},
+           |sig AS (
+           |  SELECT doc_id, s,
+           |         $sigSqlCols
+           |  FROM sh),
+           |$cappedBandsSql,
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |         ${jaccardSql("a.s", "b.s")} AS jac
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, jac FROM pairs
+           |WHERE jac >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
     ("t30_bm25_retrieval",
       (s: SparkSession, dir: String) => {
         val qTerms = Seq("scan", "join", "merge")

@@ -130,6 +130,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("t31: index maintenance reads the two state artifacts; pair generation stays equi-join") {
+    // the compose's cost bound: the maintained shingle + band indexes
+    // are read from parquet state, the only text re-shingled is the
+    // adds slice, and candidates still come from the banded equi-join
+    val p = plan("t31_incremental_lsh_index")
+    assert(p.contains("t31_idx"), p)
+    assert(p.contains("t31_bands"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("v02: ANN candidates come from a bucket equi-join, never a cross join") {
     val p = plan("v02_ann_lsh")
     assert(!p.contains("CartesianProduct"), p)
