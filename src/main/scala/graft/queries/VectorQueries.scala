@@ -807,6 +807,75 @@ object VectorQueries {
          |SELECT q_id, rank, vec_id, cos
          |FROM ivf ORDER BY q_id, rank""".stripMargin),
 
+    // ── v33: INCREMENTAL IVF INDEX MAINTENANCE — t31's state algebra
+    //    applied to the ANN side, and exactly how production IVF
+    //    systems run: the quantizer is FROZEN (trained offline, here
+    //    the deterministic 8-centroid seed set) and the index absorbs
+    //    corpus changes by DELTA ASSIGNMENT — removed vectors filtered
+    //    out of the persisted inverted lists, added vectors assigned by
+    //    crossing ONLY the Δ against the 8 broadcast centroids (O(Δ·k)
+    //    work; the surviving corpus is never re-scored). The judged
+    //    rows are v05's probe run over the MAINTAINED lists against the
+    //    oracle's full re-assignment of the final corpus under the SAME
+    //    frozen centroids — per-vector assignment is deterministic, so
+    //    maintained ≡ rebuilt is exactly the claim (centroid retraining
+    //    is the documented offline path, v11's Lloyd step). At 100 TB
+    //    this is the difference between an embedding-index refresh that
+    //    costs the day's delta and one that costs the corpus. ──
+    ("v33_incremental_ivf",
+      (s: SparkSession, dir: String) => {
+        val emb = Tables(s, dir, "embeddings")
+        def assign(corpus: DataFrame): DataFrame = {
+          val cents = emb.where(col("vec_id") < 8)
+            .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+          val wAssign = Window.partitionBy(col("vec_id"))
+            .orderBy(col("ccos").desc, col("cent_id").asc)
+          corpus.crossJoin(broadcast(cents))
+            .withColumn("ccos", cosine(col("embedding"), col("cent")))
+            .withColumn("rn", row_number().over(wAssign))
+            .where(col("rn") === 1)
+            .select(col("vec_id"), col("embedding"),
+              col("cent_id").as("cell"), normCol(col("embedding")).as("nrm"),
+              col("label"))
+        }
+        // centroids (ids < 8) and queries (10..19) stay in every state
+        val inCorpus1 = pmod(col("vec_id"), lit(3)) =!= 2 ||
+          col("vec_id") < 20
+        val statePath = scratchPath("v33_ivf_state")
+        assign(emb.where(inCorpus1))
+          .write.mode("overwrite").parquet(statePath)           // build
+        val adds = emb.where(pmod(col("vec_id"), lit(3)) === 2 &&
+          col("vec_id") >= 20)
+        // ── MAINTENANCE: list filter + Δ assignment, nothing else ──
+        val maintained = s.read.parquet(statePath)
+          .where(!(pmod(col("vec_id"), lit(5)) === 0 &&
+            col("vec_id") >= 20))
+          .unionByName(assign(adds))
+          .persist()
+        probeTopK(maintained).orderBy(col("q_id"), col("rank"))
+      },
+      s"""WITH corpus2 AS (
+         |  SELECT vec_id, embedding, label FROM embeddings
+         |  WHERE ((vec_id % 3 <> 2 OR vec_id < 20)
+         |         AND NOT (vec_id % 5 = 0 AND vec_id >= 20))
+         |     OR (vec_id % 3 = 2 AND vec_id >= 20)),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+         |  WHERE vec_id < 8),
+         |cscored AS (
+         |  SELECT e.vec_id, e.embedding, e.label, c.cent_id,
+         |         ${cosineSql("e.embedding", "c.cent")} AS ccos
+         |  FROM corpus2 e, cents c),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cent_id AS cell,
+         |         ${normSql("embedding")} AS nrm, label FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |              ORDER BY ccos DESC, cent_id ASC) AS rn
+         |    FROM cscored) WHERE rn = 1),
+         |${ivfProbeCtes("assigned", "iq", "cand", "ivf")}
+         |SELECT q_id, rank, vec_id, cos
+         |FROM ivf ORDER BY q_id, rank""".stripMargin),
+
     // ── v10: ANN quality evaluation IN-pipeline — recall@3 of the IVF
     //    probe (v05's exact chain, shared code) against the brute-force
     //    exact top-3 for the same query set. The eval an ANN deployment
