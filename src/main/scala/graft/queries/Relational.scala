@@ -1884,6 +1884,73 @@ object Relational {
         |FROM evens
         |ORDER BY 1""".stripMargin),
 
+    // ── S-beyond: the BRANCH-LINEAGE CHANGE FEED (round 15 — the CDF
+    //    made branch-aware): on a branched table the version chain
+    //    INTERLEAVES lineages, so s46's numeric walk would diff
+    //    manifests of different branches — phantom additions and
+    //    removals neither lineage performed. Every commit now stamps
+    //    its lineage PARENT (`#parent=` — its ref's head at commit
+    //    time), and the feed planner walks that chain instead of
+    //    numeric succession: `changesTo = 'dev'` replays exactly the
+    //    dev branch's changes while main commits interleave, and an
+    //    interval whose endpoints live on different lineages refuses
+    //    loudly ("not an ancestor") instead of emitting a feed no
+    //    lineage produced (`Round15OpsSpec` pins the refusal; on a
+    //    never-branched table the parent chain IS numeric succession,
+    //    so every existing feed behaves identically). Judged: a
+    //    four-commit interleaved life (fork → main append → dev MoR
+    //    delete → main MoR update), BOTH lineage feeds read in one
+    //    plan and aggregated per (lineage, version, change type)
+    //    against the oracle's per-lineage replay — a cross-lineage
+    //    leak in either feed diverges the hash. ──
+    ("s52_branch_change_feed",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.conf.set("spark.sql.catalog.graft_bf", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_bf.root", scratchPath("s52_catroot"))
+        val docs = Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+        docs.where(pmod($"doc_id", lit(2)) === 0)
+          .writeTo("graft_bf.s52docs")
+          .tableProperty("mor", "true").createOrReplace()       // v1
+        s.sql("CALL graft_bf.system.create_branch('s52docs', 'dev')")
+        docs.where(pmod($"doc_id", lit(2)) === 1)               // v2: main
+          .writeTo("graft_bf.s52docs").append()
+        s.sql("DELETE FROM graft_bf.s52docs.branch_dev " +
+          "WHERE lang = 'de'")                                  // v3: dev
+        s.sql("UPDATE graft_bf.s52docs SET n_chars = n_chars + 100000 " +
+          "WHERE lang = 'fr'")                                  // v4: main
+        val tdir = new java.io.File(scratchPath("s52_catroot"), "s52docs")
+        def feed(toRef: String): DataFrame = s.read.format("graft-ledger")
+          .option("changesFrom", "1").option("changesTo", toRef)
+          .load(tdir.getPath)
+          .select(lit(toRef).as("lineage"), $"_commit_version",
+            $"_change_type", $"doc_id", $"n_chars")
+        feed("dev").unionByName(feed("main"))
+          .groupBy($"lineage", $"_commit_version", $"_change_type")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum($"doc_id").cast("long").as("id_sum"),
+            sum($"n_chars").cast("long").as("chars_sum"))
+          .orderBy($"lineage", $"_commit_version", $"_change_type")
+      },
+      """SELECT 'dev' AS lineage, CAST(3 AS BIGINT) AS _commit_version,
+        |       'delete' AS _change_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM documents WHERE doc_id % 2 = 0 AND lang = 'de'
+        |UNION ALL SELECT 'main', 2, 'insert', CAST(count(*) AS BIGINT),
+        |       CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 2 = 1
+        |UNION ALL SELECT 'main', 4, 'delete', CAST(count(*) AS BIGINT),
+        |       CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE lang = 'fr'
+        |UNION ALL SELECT 'main', 4, 'insert', CAST(count(*) AS BIGINT),
+        |       CAST(sum(doc_id) AS BIGINT),
+        |       CAST(sum(n_chars + 100000) AS BIGINT)
+        |FROM documents WHERE lang = 'fr'
+        |ORDER BY 1, 2, 3""".stripMargin),
+
     // ── S-beyond: SCHEMA EVOLUTION as a live-table verb — `ALTER
     //    TABLE … ADD COLUMNS`, judged end to end on the session
     //    catalog (s14 judges mergeSchema on raw parquet and s23

@@ -171,10 +171,20 @@ class LedgerSource extends TableProvider with DataSourceRegister {
         require(pinned.isEmpty,
           "graft-ledger: changesFrom cannot combine with versionAsOf/timestampAsOf")
         val versions = LedgerSource.listVersions(tablePath)
-        val from = fromS.toLongOption.getOrElse(
-          throw new IllegalArgumentException(
-            s"graft-ledger: changesFrom must be a commit id; got '$fromS'"))
-        val to = opt("changesTo").map(_.toLong)
+        // both endpoints take a commit id OR a ref name — `changesTo =
+        // 'dev'` is the branch-lineage feed (the planner walks the
+        // #parent chain, so the interval names ONE lineage's changes)
+        def endpoint(which: String, s0: String): Long =
+          s0.toLongOption
+            .orElse(LedgerSource.resolveRefVersion(tablePath, s0))
+            .getOrElse(throw new IllegalArgumentException(
+              s"graft-ledger: $which must be a commit id or a " +
+                s"tag/branch name; got '$s0'"))
+        val from = endpoint("changesFrom", fromS)
+        // default head: MAIN's ref on a branched table (the chain head
+        // may belong to any lineage), the chain head otherwise
+        val to = opt("changesTo").map(endpoint("changesTo", _))
+          .orElse(LedgerSource.readRef(tablePath, "branch", "main"))
           .getOrElse(versions.lastOption.getOrElse(0L))
         require(from >= 0 && (from == 0 || versions.contains(from)),
           s"no version $from at $tablePath")
@@ -508,6 +518,21 @@ object LedgerSource {
     }.getOrElse(mf.lastModified())
   }
 
+  /** The LINEAGE parent of version `v` — the `#parent=` header a
+    * round-15 commit stamps (its ref's head for a ref-scoped commit);
+    * manifests written before the header existed are numeric-chain
+    * history by construction (no branches existed), so `v − 1` is
+    * their true parent. */
+  private[graft] def parentVersion(dir: String, v: Long): Long = {
+    val mf = new File(new File(dir, VersionsDir), s"$v.mf")
+    require(mf.isFile, s"graft-ledger: no version $v at $dir " +
+      s"(available: ${listVersions(dir).mkString(", ")})")
+    val text = new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+    text.split("\n").map(_.trim).collectFirst {
+      case l if l.startsWith("#parent=") => l.stripPrefix("#parent=").toLong
+    }.getOrElse(v - 1)
+  }
+
   /** Stamp the CURRENT live file set as the next version, claiming the
     * version number by OPTIMISTIC CONCURRENCY (round 15): the manifest
     * content is written to a private temp file, then published under
@@ -554,7 +579,11 @@ object LedgerSource {
       // clock tick must stay distinguishable to TIMESTAMP AS OF
       val ts = math.max(System.currentTimeMillis(),
         prev.map(commitTimeMillis(dir, _) + 1).getOrElse(Long.MinValue))
-      val header = s"#ts=$ts"
+      // the commit's LINEAGE parent (its ref's head for a ref-scoped
+      // commit, the chain head otherwise) — what lets the change feed
+      // walk ONE lineage through a chain that interleaves several
+      val parent = base.orElse(prev).getOrElse(0L)
+      val header = s"#ts=$ts\n#parent=$parent"
       // temp name carries a UUID: concurrent losers must never share it
       val tmp = new File(vdir, s"$next.mf.${UUID.randomUUID()}.tmp")
       // the live state is data files PLUS delete files: a merge-on-read
@@ -2023,11 +2052,32 @@ object LedgerChangesScan {
     * scaladoc). */
   private[sources] def changePartitions(path: String, fromV: Long,
                                         toV: Long): Array[InputPartition] = {
+    // the versions between fromV and toV ON toV's LINEAGE, walked via
+    // the manifests' #parent headers: on a never-branched table the
+    // parent chain IS numeric succession (identical behavior), while
+    // on a branched table the chain interleaves lineages and a numeric
+    // walk would diff manifests of DIFFERENT branches — showing
+    // phantom removals/additions that never happened on either. A
+    // `fromV` that is not an ancestor of `toV` refuses loudly: there
+    // is no lineage whose changes that interval names.
+    val lineage = ArrayBuffer.empty[Long]
+    var cursor = toV
+    while (cursor > fromV) {
+      lineage += cursor
+      val p = LedgerSource.parentVersion(path, cursor)
+      require(p < cursor, s"graft-ledger: corrupt parent chain at " +
+        s"version $cursor of $path (parent $p)")
+      cursor = p
+    }
+    require(cursor == fromV,
+      s"graft-ledger: version $fromV is not an ancestor of $toV at " +
+        s"$path — they live on different lineages (the walk reached " +
+        s"$cursor); a change feed follows ONE lineage")
     val out = ArrayBuffer.empty[InputPartition]
     var prev: Set[String] =
       if (fromV == 0) Set.empty
       else LedgerSource.readManifest(path, fromV).toSet
-    ((fromV + 1) to toV).foreach { v =>
+    lineage.reverseIterator.foreach { v =>
       val cur = LedgerSource.readManifest(path, v).toSet
       val removedData = (prev -- cur).filter(_.endsWith(".gl"))
       require(removedData.isEmpty,

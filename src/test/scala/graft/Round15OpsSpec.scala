@@ -472,6 +472,43 @@ class Round15OpsSpec extends SparkSpec {
     }
   }
 
+  test("branched change feed: lineage walk, cross-lineage refusal, unbranched unchanged") {
+    // the s52 planner semantics, pinned on a controlled interleave:
+    // commits alternate main / dev / main, and each lineage's feed
+    // must contain exactly its own commits — while an interval whose
+    // endpoints live on DIFFERENT lineages refuses by name (there is
+    // no lineage whose changes it names).
+    withCatalog { (cat, root) =>
+      val s = spark
+      import s.implicits._
+      def wave(lo: Int, hi: Int, lang: String) = spark.range(lo, hi)
+        .select($"id".as("doc_id"), lit(lang).as("lang"),
+          $"id".as("n_chars")).coalesce(1)
+      wave(0, 50, "base").writeTo(s"$cat.t")
+        .tableProperty("mor", "true").create()                     // v1
+      spark.sql(s"CALL $cat.system.create_branch('t', 'dev')")
+      wave(100, 130, "m").writeTo(s"$cat.t").append()              // v2 main
+      wave(200, 220, "d").writeTo(s"$cat.t.branch_dev").append()   // v3 dev
+      wave(300, 310, "m2").writeTo(s"$cat.t").append()             // v4 main
+      val dir = new File(root, "t").getPath
+      def feed(from: String, to: String) = spark.read
+        .format("graft-ledger").option("changesFrom", from)
+        .option("changesTo", to).load(dir)
+      val dev = feed("1", "dev").collect()
+      assert(dev.map(_.getLong(4)).toSet == Set(3L) &&
+        dev.length == 20, "dev's feed = exactly its own commit")
+      val main = feed("1", "main").collect()
+      assert(main.map(_.getLong(4)).toSet == Set(2L, 4L) &&
+        main.length == 40, "main's feed = exactly its own commits")
+      // endpoints on different lineages: refuse by name
+      val e = intercept[Exception] { feed("3", "main").collect() }
+      assert(e.getMessage.contains("not an ancestor"), e.getMessage)
+      // and the full-history feed from 0 through a lineage head works
+      assert(feed("0", "dev").count() == 70)
+      ()
+    }
+  }
+
   test("CDF-driven MV refresh is snapshot-point independent") {
     // the s47 identity, quantified over the snapshot point: a view
     // full-built at ANY version v, refreshed with the signed fold of
