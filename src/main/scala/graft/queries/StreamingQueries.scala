@@ -1856,6 +1856,81 @@ object StreamingQueries {
         |FROM documents WHERE lang <> 'es'
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ── st28: STREAMING A BRANCH'S LINEAGE FEED — s52's parent-chain
+    //    CDF as a LIVE tail: `changesTo = 'dev'` makes the stream's
+    //    frontier the dev REF'S HEAD (re-read per trigger) instead of
+    //    the chain head, so microbatches walk exactly dev's lineage
+    //    while MAIN commits interleave — the chain head may belong to
+    //    either lineage at any trigger, which is why a branched table
+    //    cannot stream the chain. Offsets stay ancestors of the
+    //    frontier as the ref advances (appends extend the lineage, and
+    //    fast_forward admits only descendants — ancestry is its
+    //    precondition, so even FF preserves stream continuity;
+    //    `Round15OpsSpec` pins that). Judged: two drains of one
+    //    checkpoint around interleaved main DECOYS (a main append and
+    //    a main MoR update that must never reach the sink) — the sink
+    //    holds exactly dev's append + dev's delete before-images, each
+    //    exactly once. ──
+    ("st28_stream_branch_feed",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val inv = st16Invocation.incrementAndGet()
+        val cat = s"sbf$inv"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root",
+          Portable.scratchPath(s"st28_catroot_$inv"))
+        val sink = Portable.scratchPath(s"st28_sink_$inv")
+        val ckpt = Portable.scratchPath(s"st28_ckpt_$inv")
+        val docs = Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+        docs.where(pmod($"doc_id", lit(2)) === 0)
+          .repartitionByRange(4, $"doc_id")
+          .writeTo(s"$cat.t").tableProperty("mor", "true").create() // v1
+        s.sql(s"CALL $cat.system.create_branch('t', 'dev')")
+        val tdir = new java.io.File(
+          Portable.scratchPath(s"st28_catroot_$inv"), "t").getPath
+        def drain(): Unit = {
+          val q = s.readStream.format("graft-ledger")
+            .option("changesFrom", "1").option("changesTo", "dev")
+            .load(tdir)
+            .writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        // wave A: dev appends the odds; main appends a DECOY wave
+        docs.where(pmod($"doc_id", lit(2)) === 1)
+          .writeTo(s"$cat.t.branch_dev").append()                   // v2: dev
+        docs.where(pmod($"doc_id", lit(10)) === 4)
+          .select(($"doc_id" + 2000000L).as("doc_id"),
+            lit("yy").as("lang"), $"n_chars")
+          .writeTo(s"$cat.t").append()                              // v3: main
+        drain() // ships dev's append ONLY
+        // wave B: dev MoR-deletes 'de'; main MoR-updates 'fr' (decoy)
+        s.sql(s"DELETE FROM $cat.t.branch_dev WHERE lang = 'de'")   // v4: dev
+        s.sql(s"UPDATE $cat.t SET n_chars = n_chars + 100000 " +
+          s"WHERE lang = 'fr'")                                     // v5: main
+        drain() // resumes at the checkpoint: ships dev's delete ONLY
+        s.read.parquet(sink)
+          .groupBy($"_commit_version", $"_change_type")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum($"doc_id").cast("long").as("id_sum"),
+            sum($"n_chars").cast("long").as("chars_sum"))
+          .orderBy($"_commit_version", $"_change_type")
+      },
+      // dev's lineage and nothing else: its append at v2, its delete
+      // at v4 (dev's state there = evens ∪ odds, so ALL de docs); the
+      // main decoys (v3 insert, v5 delete+insert) must be absent
+      """SELECT CAST(2 AS BIGINT) AS _commit_version, 'insert' AS _change_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM documents WHERE doc_id % 2 = 1
+        |UNION ALL SELECT 4, 'delete', CAST(count(*) AS BIGINT),
+        |       CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE lang = 'de'
+        |ORDER BY 1, 2""".stripMargin),
+
     // ── st24: MULTIPLE-WATERMARK POLICY — the last documented watermark
     //    semantics knob (st04/st11/st18 all ride the default): when a
     //    query reads SEVERAL watermarked inputs, the GLOBAL watermark is

@@ -194,7 +194,18 @@ class LedgerSource extends TableProvider with DataSourceRegister {
         require(to == from || (versions.contains(to) && to > from),
           s"graft-ledger: need versions ($from, $to] at $tablePath " +
             s"(available: ${versions.mkString(", ")})")
-        new LedgerChangesTable(tablePath, from, to)
+        // a STREAM follows a LIVE frontier: the named branch when
+        // changesTo is a branch ref, main on a branched table, else
+        // the chain head (batch reads keep the fixed `to` endpoint)
+        val followRef = opt("changesTo") match {
+          case Some(s0) if s0.toLongOption.isEmpty &&
+            LedgerSource.readRef(tablePath, "branch", s0).isDefined =>
+            Some(s0)
+          case None if LedgerSource
+            .readRef(tablePath, "branch", "main").isDefined => Some("main")
+          case _ => None
+        }
+        new LedgerChangesTable(tablePath, from, to, followRef)
       case None =>
         // once the table has branched, the live listing holds every
         // lineage's files — unpinned handles read/write through the
@@ -1995,15 +2006,17 @@ final class LedgerReplaceDataWrite(path: String, op: LedgerRowLevelOperation,
   * table the row-level verbs never remove files, so the feed is total
   * over MoR + append history. Planning is manifest diffs (tiny
   * listings); reading is bounded by the changed files only. */
-final class LedgerChangesTable(path: String, fromV: Long, toV: Long)
+final class LedgerChangesTable(path: String, fromV: Long, toV: Long,
+                               followRef: Option[String] = None)
     extends Table with SupportsRead {
-  override def name(): String = s"graft-ledger:$path#changes($fromV,$toV]"
+  override def name(): String = s"graft-ledger:$path#changes($fromV,$toV]" +
+    followRef.map(r => s"@follow($r)").getOrElse("")
   override def schema(): StructType = LedgerChangesTable.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new LedgerChangesScan(path, fromV, toV)
+    () => new LedgerChangesScan(path, fromV, toV, followRef)
 }
 
 object LedgerChangesTable {
@@ -2012,7 +2025,8 @@ object LedgerChangesTable {
     StructField("_commit_version", LongType, nullable = false)))
 }
 
-final class LedgerChangesScan(path: String, fromV: Long, toV: Long)
+final class LedgerChangesScan(path: String, fromV: Long, toV: Long,
+                              followRef: Option[String] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = LedgerChangesTable.Schema
   override def toBatch: Batch = this
@@ -2033,7 +2047,7 @@ final class LedgerChangesScan(path: String, fromV: Long, toV: Long)
     * the checkpointed version — every change event is delivered
     * exactly once however the commits interleave with triggers. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new LedgerChangesMicroBatchStream(path, fromV)
+    new LedgerChangesMicroBatchStream(path, fromV, followRef)
 }
 
 object LedgerChangesScan {
@@ -2103,12 +2117,24 @@ object LedgerChangesScan {
 /** See [[LedgerChangesScan.toMicroBatchStream]]. The offset is just the
   * last PROCESSED commit version — a long, serialized as its decimal
   * string. */
-final class LedgerChangesMicroBatchStream(path: String, fromV: Long)
+final class LedgerChangesMicroBatchStream(path: String, fromV: Long,
+                                          followRef: Option[String] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   @volatile private var availableNowCap: Option[Long] = None
 
-  private def latestVersion(): Long =
-    LedgerSource.listVersions(path).lastOption.getOrElse(0L)
+  /** The stream's frontier: the FOLLOWED branch ref's head when one
+    * is set (the branch-lineage CDC tail — the chain head may belong
+    * to any lineage on a branched table), else the chain head (the
+    * unbranched st26 behavior, unchanged). Offsets stay ancestors of
+    * the frontier as the ref advances — appends extend the lineage,
+    * and even a fast_forward of main preserves continuity because FF
+    * admits only descendants (ancestry is its precondition). */
+  private def latestVersion(): Long = followRef match {
+    case Some(r) => LedgerSource.readRef(path, "branch", r).getOrElse(
+      throw new IllegalStateException(
+        s"graft-ledger: followed branch '$r' of $path no longer exists"))
+    case None => LedgerSource.listVersions(path).lastOption.getOrElse(0L)
+  }
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(latestVersion())

@@ -509,6 +509,47 @@ class Round15OpsSpec extends SparkSpec {
     }
   }
 
+  test("a main-following change stream survives fast_forward exactly once") {
+    // FF's ancestry precondition is exactly stream continuity: the
+    // checkpointed offset (old main head) is an ancestor of the new
+    // head (the branch's), so the resumed walk delivers the branch's
+    // commits once and nothing twice.
+    withCatalog { (cat, root) =>
+      val s = spark
+      import s.implicits._
+      def wave(lo: Int, hi: Int, lang: String) = spark.range(lo, hi)
+        .select($"id".as("doc_id"), lit(lang).as("lang"),
+          $"id".as("n_chars")).coalesce(1)
+      wave(0, 40, "base").writeTo(s"$cat.t")
+        .tableProperty("mor", "true").create()                     // v1
+      spark.sql(s"CALL $cat.system.create_branch('t', 'dev')")
+      val dir = new File(root, "t").getPath
+      val sink = graft.queries.Portable.scratchPath(
+        s"r15ff_sink_${System.nanoTime()}")
+      val ckpt = graft.queries.Portable.scratchPath(
+        s"r15ff_ckpt_${System.nanoTime()}")
+      def drain(): Unit = {
+        val q = spark.readStream.format("graft-ledger")
+          .option("changesFrom", "0").load(dir) // branched → follows main
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain() // ships v1 (main head = 1)
+      wave(100, 130, "d").writeTo(s"$cat.t.branch_dev").append()   // v2: dev
+      drain() // main still at 1 — nothing new
+      assert(spark.read.parquet(sink).count() == 40)
+      spark.sql(s"CALL $cat.system.fast_forward('t', 'dev')")      // main → 2
+      drain() // resumes: the FF'd-in branch commit, exactly once
+      val rows = spark.read.parquet(sink)
+      assert(rows.count() == 70, "v1 once + the FF'd branch wave once")
+      assert(rows.where($"_commit_version" === 2L).count() == 30)
+      ()
+    }
+  }
+
   test("CDF-driven MV refresh is snapshot-point independent") {
     // the s47 identity, quantified over the snapshot point: a view
     // full-built at ANY version v, refreshed with the signed fold of
