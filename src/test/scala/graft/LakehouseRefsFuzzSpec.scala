@@ -121,6 +121,30 @@ class LakehouseRefsFuzzSpec extends SparkSpec {
       }
     }
 
+    // the s52 invariant, quantified by the fuzz: every lineage's
+    // change feed from 0, folded by sign, equals that lineage's
+    // modeled state — whatever interleaving of forks, appends,
+    // MoR deletes, drops, and fast-forwards produced the chain
+    model.keys.toSeq.sorted.foreach { ref =>
+      val dir0 = new File(root, "t").getPath
+      // a never-forked scenario has no 'main' ref — its head is the
+      // numeric chain head
+      val to =
+        if (graft.sources.LedgerSource.readRef(dir0, "branch", ref)
+          .isDefined) ref
+        else graft.sources.LedgerSource.listVersions(dir0).max.toString
+      val folded = spark.read.format("graft-ledger")
+        .option("changesFrom", "0").option("changesTo", to).load(dir0)
+        .groupBy($"doc_id", $"lang", $"n_chars")
+        .agg(sum(when($"_change_type" === "insert", 1L)
+          .otherwise(-1L)).as("net"))
+        .where($"net" > 0)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(folded == model(ref),
+        s"[seed=$seed] lineage feed of '$ref' does not fold to its state")
+    }
+
     // close out: drop everything, converge, destructive verbs return
     model.keys.filter(_ != "main").toSeq.foreach { br =>
       spark.sql(s"CALL $cat.system.drop_branch('t', '$br')")
