@@ -687,6 +687,84 @@ object TextQueries {
     //    micro-units past the ~1-ulp libm/JVM divergence and SUMMED AS
     //    BIGINT — the chain of integer sums is bit-stable where a
     //    float-summed score would fork on add order. ──
+    // ── t32: INCREMENTAL CONNECTED COMPONENTS — the graph member of
+    //    the incremental-maintenance family (u05/s47 views, t31 LSH,
+    //    v33 IVF): dup-cluster labels maintained under newly arriving
+    //    edges WITHOUT re-propagating the old graph. Phase 1 converges
+    //    min-label propagation over the BASE edge slice and persists
+    //    the labels; phase 2 re-converges over the Δ edges UNION the
+    //    CONTRACTED state (each old node contributes one node→cluster
+    //    edge) — components arrive pre-collapsed, so rounds scale with
+    //    the contracted graph's diameter (usually 1–2), not the
+    //    original's, and the base edge set never reappears. The
+    //    identity holds for ANY base/Δ partition of the final edges
+    //    (state is just a subset's fixpoint), so the judged oracle is
+    //    t10's recursive-CTE closure over the FULL final graph
+    //    VERBATIM — incremental must land exactly where the rebuild
+    //    lands, labels and representatives included. Adds-only by
+    //    design: edge REMOVAL can split components, which min-label
+    //    contraction cannot express — a removal triggers recompute of
+    //    the affected components (the documented recompute path, same
+    //    contract as v33's offline retraining). ──
+    ("t32_incremental_cc",
+      (s: SparkSession, dir: String) => {
+        val bands = lshBands(
+          shingleIndex(seededDocs(s, dir)).drop("source")).persist()
+        val edges = lshCandidates(bands).persist()
+        def symOf(e: org.apache.spark.sql.DataFrame) =
+          e.select(explode(array(
+              struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+              struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+            .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        def converge(sym: org.apache.spark.sql.DataFrame)
+            : org.apache.spark.sql.DataFrame = {
+          var labels = sym.select(col("src").as("doc_id")).distinct()
+            .select(col("doc_id"), col("doc_id").as("cluster"))
+            .localCheckpoint(true)
+          var changed = 1L
+          var rounds = 0
+          while (changed > 0 && rounds < 25) {
+            val nmin = sym
+              .join(labels.select(col("doc_id").as("dst"),
+                col("cluster").as("ncl")), "dst")
+              .groupBy(col("src")).agg(min(col("ncl")).as("nmin"))
+            val next = labels
+              .join(nmin.select(col("src").as("doc_id"), col("nmin")),
+                Seq("doc_id"), "left")
+              .select(col("doc_id"),
+                least(col("cluster"),
+                  coalesce(col("nmin"), col("cluster"))).as("cluster"))
+              .localCheckpoint(true)
+            changed = next
+              .join(labels.select(col("doc_id"), col("cluster").as("old")),
+                "doc_id")
+              .where(col("cluster") =!= col("old")).count()
+            labels = next
+            rounds += 1
+          }
+          require(changed == 0,
+            s"t32 label propagation not converged after $rounds rounds")
+          labels
+        }
+        val even = (c: org.apache.spark.sql.Column) => pmod(c, lit(2)) === 0
+        // ── phase 1: the base slice's fixpoint, persisted as state ──
+        val statePath = scratchPath("t32_cc_state")
+        converge(symOf(edges.where(even(col("doc_a")) &&
+            even(col("doc_b")))).persist())
+          .write.mode("overwrite").parquet(statePath)
+        // ── phase 2: Δ edges + contracted state — never the base edges
+        val state = s.read.parquet(statePath)
+        val deltaSym = symOf(edges.where(!(even(col("doc_a")) &&
+          even(col("doc_b")))))
+        val labelSym = symOf(state.where(col("doc_id") =!= col("cluster"))
+          .select(col("doc_id").as("doc_a"), col("cluster").as("doc_b")))
+        converge(deltaSym.unionByName(labelSym).persist())
+          .select(col("doc_id"), col("cluster"),
+            (col("doc_id") === col("cluster")).as("is_rep"))
+          .orderBy(col("doc_id"))
+      },
+      dupClustersOracleSql),
+
     // ── t31: INCREMENTAL LSH INDEX MAINTENANCE — the LLM-pipeline ∘
     //    lakehouse compose: t06's near-dup machinery kept as a
     //    MATERIALIZED INDEX under a changelog, u05's state algebra
