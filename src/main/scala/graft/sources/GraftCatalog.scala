@@ -595,7 +595,7 @@ private[sources] final class RefProcedure(root: File, verb: String)
       ProcedureParameter.in("name", StringType)
         .comment("ref name ([A-Za-z_][A-Za-z0-9_-]*)").build())
     if (verb == "create_tag")
-      base :+ ProcedureParameter.in("version", IntegerType)
+      base :+ ProcedureParameter.in("version", LongType)
         .comment("commit id the tag names").build()
     else base
   }
@@ -614,7 +614,10 @@ private[sources] final class RefProcedure(root: File, verb: String)
     val version: Long = verb match {
       case "create_tag" =>
         refuseCollision()
-        val v = input.getInt(2).toLong
+        // LongType (not Int): commit ids are Long everywhere else on
+        // this surface — versions, refs, history — and a long-lived
+        // table's ids pass Int.MaxValue
+        val v = input.getLong(2)
         require(LedgerSource.listVersions(d).contains(v),
           s"no version $v of $table (available: " +
             s"${LedgerSource.listVersions(d).mkString(", ")})")
@@ -720,8 +723,15 @@ private[sources] final class ConvergeProcedure(root: File)
       require(f.delete(), s"cannot reclaim orphan ${f.getPath}"))
     LedgerSource.dropRef(d, "branch", "main")
     // tags survive converge (they are names, not lineages) — they
-    // dangle loudly if the reclaim took their files
-    val v = LedgerSource.commitVersion(d)
+    // dangle loudly if the reclaim took their files.
+    // base = main's head: the converge commit's lineage parent must be
+    // the lineage it preserved — without it the #parent header would be
+    // the numeric chain head, possibly a DROPPED branch's last commit,
+    // and a post-converge change feed would walk the dropped lineage
+    // (refusing on its appends, or worse silently replaying its
+    // MoR-delete events as main's). The diff against main is empty, so
+    // CDF continuity across converge is exact.
+    val v = LedgerSource.commitVersion(d, base = Some(mainV))
     val out = new GenericInternalRow(2)
     out.setLong(0, orphans.length.toLong)
     out.setLong(1, v)
@@ -797,10 +807,19 @@ private[sources] final class CloneProcedure(root: File)
         new File(ddir, "_props").toPath)
     // fresh chain: the clone's v1 is exactly the linked state
     val v = LedgerSource.commitVersion(ddir.getPath)
+    // n_rows COUNTS THROUGH the MoR overlay the clone carried: header
+    // rows alone would overstate live rows on a tombstoned source (the
+    // linked `.gd` files suppress rows of the linked `.gl` files).
+    // Driver-side header+section reads only — no record decodes.
+    val overlay = LedgerSource.deleteOverlay(ddir.getPath)
+    val liveRows = LedgerSource.statsSnapshot(ddir.getPath).map {
+      case (f, _, _, rows) =>
+        rows - overlay.get(f.getName).map(_.distinct.length.toLong)
+          .getOrElse(0L)
+    }.sum
     val summary = new GenericInternalRow(3)
     summary.setLong(0, files.length.toLong)
-    summary.setLong(1,
-      LedgerSource.statsSnapshot(ddir.getPath).map(_._4).sum)
+    summary.setLong(1, liveRows)
     summary.setLong(2, v)
     java.util.Collections.singletonList(
       new SingleRowScan(CloneProcedure.OutputSchema, summary): Scan)

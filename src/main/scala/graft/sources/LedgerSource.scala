@@ -2046,8 +2046,21 @@ final class LedgerChangesScan(path: String, fromV: Long, toV: Long,
     * prepare-time snapshot of the version chain. Restart = resume from
     * the checkpointed version — every change event is delivered
     * exactly once however the commits interleave with triggers. */
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    // A stream follows a LIVE frontier; a numeric/tag `changesTo` on a
+    // BRANCHED table names a fixed commit on one lineage while the raw
+    // chain head can belong to another — the stream would crash
+    // mid-run ("not an ancestor") or tail a frontier the endpoint never
+    // named. Refuse at plan time: branch-lineage streams name a BRANCH
+    // ref (followRef), batch reads keep fixed endpoints.
+    require(followRef.isDefined ||
+      LedgerSource.readRef(path, "branch", "main").isEmpty,
+      s"graft-ledger: streaming a change feed of branched table $path " +
+        s"requires changesTo to be a BRANCH name (a live frontier); a " +
+        s"numeric/tag endpoint is a fixed commit — use a batch read " +
+        s"for ($fromV, $toV]")
     new LedgerChangesMicroBatchStream(path, fromV, followRef)
+  }
 }
 
 object LedgerChangesScan {
@@ -2133,7 +2146,12 @@ final class LedgerChangesMicroBatchStream(path: String, fromV: Long,
     case Some(r) => LedgerSource.readRef(path, "branch", r).getOrElse(
       throw new IllegalStateException(
         s"graft-ledger: followed branch '$r' of $path no longer exists"))
-    case None => LedgerSource.listVersions(path).lastOption.getOrElse(0L)
+    // an unbranched stream follows the chain head; if the table BRANCHES
+    // mid-stream, main pins at the chain head and trunk appends advance
+    // it — following main's ref is the continuation of the same lineage
+    // (the chain head may now belong to another branch)
+    case None => LedgerSource.readRef(path, "branch", "main").getOrElse(
+      LedgerSource.listVersions(path).lastOption.getOrElse(0L))
   }
 
   override def prepareForTriggerAvailableNow(): Unit =
@@ -2320,15 +2338,23 @@ final class LedgerDeltaBatchWrite(path: String,
     // MoR deltas only ADD files (tombstones + fresh inserts) — precise
     // snapshot from the commit's own names, like the append path; on a
     // branched table the delta extends the REF's manifest and advances
-    // the ref, keeping the other lineages blind to the tombstones
-    val base = ref.map(r => LedgerSource.readRef(path, "branch", r)
+    // the ref, keeping the other lineages blind to the tombstones.
+    // Same mid-flight-fork guard as LedgerBatchWrite: an unbranched
+    // handle is a TRUNK writer, so if `branch.main` appeared since the
+    // handle was loaded, commit against main's head and advance it —
+    // otherwise the delta lands on the raw chain (maybe a branch's last
+    // commit) and no ref ever sees it.
+    val effRef = ref.orElse(
+      if (LedgerSource.readRef(path, "branch", "main").isDefined)
+        Some("main") else None)
+    val base = effRef.map(r => LedgerSource.readRef(path, "branch", r)
       .getOrElse(throw new IllegalStateException(
         s"graft-ledger: branch '$r' of $path vanished mid-write")))
     val v = LedgerSource.commitVersion(path, Some(messages.toSeq.flatMap {
       case LedgerCommit(names) => names
       case _ => Seq.empty
     }), base)
-    ref.foreach(r => LedgerSource.writeRef(path, "branch", r, v))
+    effRef.foreach(r => LedgerSource.writeRef(path, "branch", r, v))
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
@@ -2466,11 +2492,27 @@ final class LedgerBatchWrite(path: String, truncate: Boolean,
     // commit time) and advances the ref to the claimed version.
     val added = if (!truncate && replaceBounds.isEmpty) Some(kept.toSeq)
                 else None
-    val base = ref.map(r => LedgerSource.readRef(path, "branch", r)
+    // CREATE_BRANCH RACE GUARD: a handle loaded BEFORE a fork carries
+    // ref=None; if `branch.main` exists by the time this append commits,
+    // committing against the raw chain head and not advancing main would
+    // make the rows invisible to every ref (and converge would later
+    // reclaim the files as orphans — silent loss from two individually
+    // legal operations). An unbranched handle writes the TRUNK, so when
+    // the trunk has gained a name mid-flight the commit re-targets it:
+    // base = main's head, ref advance included. Applies only to pure
+    // appends — truncate/replace on a branched table already refused at
+    // plan time, and a mid-flight fork under them is outside their
+    // single-committer contract.
+    val effRef =
+      if (added.isDefined)
+        ref.orElse(if (LedgerSource.readRef(path, "branch", "main")
+          .isDefined) Some("main") else None)
+      else ref
+    val base = effRef.map(r => LedgerSource.readRef(path, "branch", r)
       .getOrElse(throw new IllegalStateException(
         s"graft-ledger: branch '$r' of $path vanished mid-write")))
     val v = LedgerSource.commitVersion(path, added, base)
-    ref.foreach(r => LedgerSource.writeRef(path, "branch", r, v))
+    effRef.foreach(r => LedgerSource.writeRef(path, "branch", r, v))
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {

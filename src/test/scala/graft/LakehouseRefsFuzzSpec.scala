@@ -150,10 +150,33 @@ class LakehouseRefsFuzzSpec extends SparkSpec {
       spark.sql(s"CALL $cat.system.drop_branch('t', '$br')")
       model.remove(br)
     }
-    if (graft.sources.LedgerSource.readRef(
-        new File(root, "t").getPath, "branch", "main").isDefined)
+    val didConverge = graft.sources.LedgerSource.readRef(
+      new File(root, "t").getPath, "branch", "main").isDefined
+    if (didConverge)
       spark.sql(s"CALL $cat.system.converge('t')").collect()
     checkAll("post-converge")
+    // CDF continuity ACROSS converge: the converge commit's lineage
+    // parent must be main's old head (not the numeric chain head, which
+    // may be a dropped branch's last commit) — so the feed from 0 to
+    // the post-converge head still walks main's lineage and folds to
+    // main's state. Guards the ConvergeProcedure base=Some(mainV) fix:
+    // without it this feed refuses on a dropped branch's appends or
+    // silently replays its MoR-delete events.
+    if (didConverge) {
+      val dir0 = new File(root, "t").getPath
+      val head = graft.sources.LedgerSource.listVersions(dir0).max
+      val folded = spark.read.format("graft-ledger")
+        .option("changesFrom", "0").option("changesTo", head.toString)
+        .load(dir0)
+        .groupBy($"doc_id", $"lang", $"n_chars")
+        .agg(sum(when($"_change_type" === "insert", 1L)
+          .otherwise(-1L)).as("net"))
+        .where($"net" > 0)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(folded == model("main"),
+        s"[seed=$seed] post-converge feed does not fold to main's state")
+    }
     // compaction is the destructive verb converge re-enables: it must
     // run, fold every live tombstone, and leave the state identical
     spark.sql(s"CALL $cat.system.compact('t', 2)").collect()

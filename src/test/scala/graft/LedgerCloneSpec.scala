@@ -47,6 +47,10 @@ class LedgerCloneSpec extends SparkSpec {
       spark.sql(s"DELETE FROM $cat.t WHERE doc_id % 5 = 0")   // tombstones
       val row = spark.sql(s"CALL $cat.system.clone('t', 't2')").head
       assert(row.getLong(0) >= 2L, "data + tombstone files linked")
+      // the summary counts THROUGH the linked MoR overlay: 100 raw
+      // header rows minus the 20 tombstoned — not the raw file rows
+      assert(row.getLong(1) == 80L,
+        s"clone n_rows must be live rows through the overlay, got ${row.getLong(1)}")
       val ddir = new File(root, "t2")
       val linked = (LedgerSource.ledgerFiles(ddir.getPath) ++
         LedgerSource.deleteFiles(ddir.getPath))
