@@ -154,6 +154,61 @@ object TextQueries {
       .where(col("nk") <= BandCap).drop("nk")
   }
 
+  /** t31/t33 shared judged tail: banded candidate pairs + exact-Jaccard
+    * confirm read THROUGH a maintained inverted index (never a
+    * re-shingle) — the probe a deployed near-dup index serves. */
+  private def nearDupPairsOf(idx2: DataFrame, bands2: DataFrame): DataFrame = {
+    val cand = lshCandidates(bands2.persist())
+    val sizes = idx2.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(idx2.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+      .join(idx2.select(col("doc_id").as("doc_b"), col("h")),
+        Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ninter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("ninter").cast("double") /
+          (col("na") + col("nb") - col("ninter")).cast("double"), 6).as("jac"))
+      .where(col("jac") >= 0.3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** t31/t33 shared oracle: the FULL REBUILD over the final corpus —
+    * base slice minus the retention delete, plus the ingest wave and
+    * the seeded exact copies. Both maintenance paths (t31's simulated
+    * deltas, t33's real change feed) must land exactly here. */
+  private val incrementalLshOracleSql: String = {
+    val docs2Sql =
+      s"""docs2 AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  WHERE (doc_id % 3 <> 2 AND doc_id % 5 <> 0) OR doc_id % 3 = 2
+         |  UNION ALL
+         |  SELECT doc_id + $SeedOffset, source, text FROM documents
+         |  WHERE doc_id < $NSeeds
+         |    AND (doc_id % 3 = 2 OR doc_id % 5 <> 0))""".stripMargin
+    s"""WITH $docs2Sql,
+       |${hashedShinglesSql("docs2")},
+       |sig AS (
+       |  SELECT doc_id, s,
+       |         $sigSqlCols
+       |  FROM sh),
+       |$cappedBandsSql,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         ${jaccardSql("a.s", "b.s")} AS jac
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, jac FROM pairs
+       |WHERE jac >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Unique catalog/scratch roots per t33 invocation: the change-feed
+    * interval is addressed by absolute commit ids, so a re-run must
+    * start a fresh chain, not extend a previous invocation's. */
+  private val t33Invocation = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Distinct candidate pairs (doc_a < doc_b) sharing any band key —
     * a hash equi-join on the bucket, never an all-pairs cross join. */
   private def lshCandidates(bands: DataFrame): DataFrame =
@@ -816,46 +871,104 @@ object TextQueries {
         val bands2 = capBands(
           s.read.parquet(bandPath).where(keep)
             .unionByName(bandKeys(addIdx)))
-        val cand = lshCandidates(bands2.persist())
-        val sizes = idx2.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val inter = cand
-          .join(idx2.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
-          .join(idx2.select(col("doc_id").as("doc_b"), col("h")),
-            Seq("doc_b", "h"))
-          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ninter"))
-        inter
-          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-          .select(col("doc_a"), col("doc_b"),
-            round(col("ninter").cast("double") /
-              (col("na") + col("nb") - col("ninter")).cast("double"), 6).as("jac"))
-          .where(col("jac") >= 0.3)
-          .orderBy(col("doc_a"), col("doc_b"))
+        nearDupPairsOf(idx2, bands2)
       },
-      {
-        val docs2Sql =
-          s"""docs2 AS (
-             |  SELECT doc_id, source, text FROM documents
-             |  WHERE (doc_id % 3 <> 2 AND doc_id % 5 <> 0) OR doc_id % 3 = 2
-             |  UNION ALL
-             |  SELECT doc_id + 1000000000000, source, text FROM documents
-             |  WHERE doc_id < 10
-             |    AND (doc_id % 3 = 2 OR doc_id % 5 <> 0))""".stripMargin
-        s"""WITH $docs2Sql,
-           |${hashedShinglesSql("docs2")},
-           |sig AS (
-           |  SELECT doc_id, s,
-           |         $sigSqlCols
-           |  FROM sh),
-           |$cappedBandsSql,
-           |pairs AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |         ${jaccardSql("a.s", "b.s")} AS jac
-           |  FROM bands a JOIN bands b
-           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-           |SELECT doc_a, doc_b, jac FROM pairs
-           |WHERE jac >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
-      }),
+      incrementalLshOracleSql),
+
+    // ── t33: LSH INDEX MAINTENANCE FROM THE REAL CHANGE FEED — the
+    //    last link between the lakehouse arc and the LLM-pipeline arc:
+    //    t31 proved state-fold = rebuild with deltas SIMULATED by
+    //    modular predicates; here the corpus of record lives in a
+    //    `mor=true` ledger table, the mutations are the connector's own
+    //    row-level verbs (MoR DELETE tombstones + append), and the
+    //    index maintenance consumes `option("changesFrom", v)` — the
+    //    same CDC source st27 proves for aggregates, now proven for
+    //    RETRIEVAL state. The fold is u05's sign algebra over the feed:
+    //    net < 0 keys (delete events carry before-images, so the
+    //    retraction leg is exactly the deleted keys) anti-join both
+    //    state artifacts; net > 0 keys are the ONLY docs re-shingled —
+    //    their text fetched from the content store by a broadcast join
+    //    whose build side derives from the feed (O(Δ) content lookups;
+    //    on a keyed 100 TB content store these are point reads, and the
+    //    scan here carries no other consumer). BandCap re-applies over
+    //    the MERGED band set (t31's cap discipline — state stores
+    //    uncapped keys). Judged rows: the full near-dup pipeline read
+    //    from the CDF-maintained state against the oracle's FULL
+    //    REBUILD over the final corpus — t31's oracle verbatim, so the
+    //    two maintenance paths (simulated Δ and real CDC) are pinned to
+    //    the same rebuild identity. PlanQualitySpec pins the refresh
+    //    plan's scan set: state parquet + ONE `Changes:` batch scan +
+    //    the Δ-bounded content fetch, the base corpus shingle provably
+    //    absent. ──
+    ("t33_lsh_cdf_maintenance",
+      (s: SparkSession, dir: String) => {
+        val inv = t33Invocation.incrementAndGet()
+        val cat = s"graft_t33_$inv"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root",
+          scratchPath(s"t33_catroot_$inv"))
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+        val meta = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        // ── the corpus of record: v1 = the %3!=2 slice, MoR so the
+        //    retention delete below lands as tombstones (CDF-total) ──
+        meta.where(pmod(col("doc_id"), lit(3)) =!= 2)
+          .writeTo(s"$cat.t33docs").tableProperty("mor", "true").create()
+        // ── FULL BUILD at v1: the last time this corpus is shingled ──
+        val idxPath = scratchPath(s"t33_idx_$inv")
+        val bandPath = scratchPath(s"t33_bands_$inv")
+        val idx1 = shingleIndex(
+          docs.where(pmod(col("doc_id"), lit(3)) =!= 2)).persist()
+        idx1.write.mode("overwrite").parquet(idxPath)
+        bandKeys(idx1).write.mode("overwrite").parquet(bandPath)
+        idx1.unpersist()
+        // ── the table changes through ITS OWN verbs: a MoR retention
+        //    delete (v2), then the ingest wave + seeded exact copies
+        //    (v3; seeds at +SeedOffset keep the judged J=1.0 pairs
+        //    non-vacuous at every SF) ──
+        s.sql(s"DELETE FROM $cat.t33docs WHERE doc_id % 5 = 0")
+        meta.where(pmod(col("doc_id"), lit(3)) === 2)
+          .unionByName(meta.where(col("doc_id") < NSeeds &&
+              (pmod(col("doc_id"), lit(3)) === 2 ||
+                pmod(col("doc_id"), lit(5)) =!= 0))
+            .select((col("doc_id") + SeedOffset).as("doc_id"),
+              col("lang"), col("n_chars")))
+          .writeTo(s"$cat.t33docs").append()
+        // ── MAINTENANCE: fold the LEDGER'S change feed, nothing else ──
+        val tdir = new java.io.File(
+          scratchPath(s"t33_catroot_$inv"), "t33docs").getPath
+        val net = s.read.format("graft-ledger")
+          .option("changesFrom", "1").load(tdir)
+          .groupBy(col("doc_id"))
+          .agg(sum(when(col("_change_type") === "insert", 1L)
+            .otherwise(-1L)).as("net"))
+          .persist() // ONE Changes scan feeds retraction + Δ-ingest
+        val delKeys = broadcast(net.where(col("net") < 0).select(col("doc_id")))
+        val insKeys = net.where(col("net") > 0).select(col("doc_id"))
+        // Δ content fetch: feed keys → content store (seeded copies
+        // resolve to their original's text; a content store is keyed
+        // by the pre-seed id)
+        val deltaDocs = docs.as("c")
+          .join(broadcast(insKeys
+              .withColumn("content_id",
+                when(col("doc_id") >= SeedOffset,
+                  col("doc_id") - SeedOffset).otherwise(col("doc_id")))
+              .as("k")),
+            col("c.doc_id") === col("k.content_id"))
+          .select(col("k.doc_id").as("doc_id"), col("c.source"),
+            col("c.text"))
+        val addIdx = shingleIndex(deltaDocs).persist()
+        val idx2 = s.read.parquet(idxPath)
+          .join(delKeys, Seq("doc_id"), "left_anti")
+          .unionByName(addIdx).persist()
+        val bands2 = capBands(
+          s.read.parquet(bandPath)
+            .join(delKeys, Seq("doc_id"), "left_anti")
+            .unionByName(bandKeys(addIdx)))
+        nearDupPairsOf(idx2, bands2)
+      },
+      incrementalLshOracleSql),
 
     ("t30_bm25_retrieval",
       (s: SparkSession, dir: String) => {

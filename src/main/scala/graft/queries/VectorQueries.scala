@@ -318,6 +318,57 @@ object VectorQueries {
       .persist()
   }
 
+  /** v33/v34 shared FROZEN-QUANTIZER assignment: score `corpus` against
+    * the deterministic 8-centroid seed set (broadcast, O(k) rows) and
+    * keep each vector's best cell. Per-vector assignment is
+    * deterministic, which is exactly what makes maintained ≡ rebuilt
+    * judgeable; retraining is the documented offline path (v11). */
+  private def frozenAssign(emb: DataFrame)(corpus: DataFrame): DataFrame = {
+    val cents = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    corpus.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine(col("embedding"), col("cent")))
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"),
+        col("cent_id").as("cell"), normCol(col("embedding")).as("nrm"),
+        col("label"))
+  }
+
+  /** v33/v34 shared oracle: the full re-assignment of the FINAL corpus
+    * (base slice minus the retention delete, plus the ingest wave)
+    * under the same frozen quantizer, probed by v05's chain. Both
+    * maintenance paths (v33's simulated deltas, v34's real change
+    * feed) must land exactly here. */
+  private def incrementalIvfOracleSql: String =
+    s"""WITH corpus2 AS (
+       |  SELECT vec_id, embedding, label FROM embeddings
+       |  WHERE ((vec_id % 3 <> 2 OR vec_id < 20)
+       |         AND NOT (vec_id % 5 = 0 AND vec_id >= 20))
+       |     OR (vec_id % 3 = 2 AND vec_id >= 20)),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+       |  WHERE vec_id < 8),
+       |cscored AS (
+       |  SELECT e.vec_id, e.embedding, e.label, c.cent_id,
+       |         ${cosineSql("e.embedding", "c.cent")} AS ccos
+       |  FROM corpus2 e, cents c),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cent_id AS cell,
+       |         ${normSql("embedding")} AS nrm, label FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |              ORDER BY ccos DESC, cent_id ASC) AS rn
+       |    FROM cscored) WHERE rn = 1),
+       |${ivfProbeCtes("assigned", "iq", "cand", "ivf")}
+       |SELECT q_id, rank, vec_id, cos
+       |FROM ivf ORDER BY q_id, rank""".stripMargin
+
+  /** Unique catalog/scratch roots per v34 invocation — the change-feed
+    * interval is addressed by absolute commit ids (see t33's twin). */
+  private val v34Invocation = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** The IVF probe over any (vec_id, embedding, cell, nrm) assignment:
     * query set = vec_id 10..19, probe the query's cell only, top-3 by
     * cosine (ties broken by vec_id). Unordered — judged callers add
@@ -825,24 +876,11 @@ object VectorQueries {
     ("v33_incremental_ivf",
       (s: SparkSession, dir: String) => {
         val emb = Tables(s, dir, "embeddings")
-        def assign(corpus: DataFrame): DataFrame = {
-          val cents = emb.where(col("vec_id") < 8)
-            .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
-          val wAssign = Window.partitionBy(col("vec_id"))
-            .orderBy(col("ccos").desc, col("cent_id").asc)
-          corpus.crossJoin(broadcast(cents))
-            .withColumn("ccos", cosine(col("embedding"), col("cent")))
-            .withColumn("rn", row_number().over(wAssign))
-            .where(col("rn") === 1)
-            .select(col("vec_id"), col("embedding"),
-              col("cent_id").as("cell"), normCol(col("embedding")).as("nrm"),
-              col("label"))
-        }
         // centroids (ids < 8) and queries (10..19) stay in every state
         val inCorpus1 = pmod(col("vec_id"), lit(3)) =!= 2 ||
           col("vec_id") < 20
         val statePath = scratchPath("v33_ivf_state")
-        assign(emb.where(inCorpus1))
+        frozenAssign(emb)(emb.where(inCorpus1))
           .write.mode("overwrite").parquet(statePath)           // build
         val adds = emb.where(pmod(col("vec_id"), lit(3)) === 2 &&
           col("vec_id") >= 20)
@@ -850,31 +888,81 @@ object VectorQueries {
         val maintained = s.read.parquet(statePath)
           .where(!(pmod(col("vec_id"), lit(5)) === 0 &&
             col("vec_id") >= 20))
-          .unionByName(assign(adds))
+          .unionByName(frozenAssign(emb)(adds))
           .persist()
         probeTopK(maintained).orderBy(col("q_id"), col("rank"))
       },
-      s"""WITH corpus2 AS (
-         |  SELECT vec_id, embedding, label FROM embeddings
-         |  WHERE ((vec_id % 3 <> 2 OR vec_id < 20)
-         |         AND NOT (vec_id % 5 = 0 AND vec_id >= 20))
-         |     OR (vec_id % 3 = 2 AND vec_id >= 20)),
-         |cents AS (
-         |  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
-         |  WHERE vec_id < 8),
-         |cscored AS (
-         |  SELECT e.vec_id, e.embedding, e.label, c.cent_id,
-         |         ${cosineSql("e.embedding", "c.cent")} AS ccos
-         |  FROM corpus2 e, cents c),
-         |assigned AS (
-         |  SELECT vec_id, embedding, cent_id AS cell,
-         |         ${normSql("embedding")} AS nrm, label FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |              ORDER BY ccos DESC, cent_id ASC) AS rn
-         |    FROM cscored) WHERE rn = 1),
-         |${ivfProbeCtes("assigned", "iq", "cand", "ivf")}
-         |SELECT q_id, rank, vec_id, cos
-         |FROM ivf ORDER BY q_id, rank""".stripMargin),
+      incrementalIvfOracleSql),
+
+    // ── v34: IVF MAINTENANCE FROM THE REAL CHANGE FEED — v33's state
+    //    algebra driven by the connector's own CDC instead of a
+    //    simulated-delta predicate (the t33 compose on the ANN side):
+    //    the vector REGISTRY (key = vec_id) lives in a `mor=true`
+    //    ledger table, the corpus changes through a MoR retention
+    //    DELETE (tombstones, before-images intact) and an ingest
+    //    append, and the inverted lists are maintained by folding
+    //    `option("changesFrom", v)`: net-negative keys (the delete
+    //    events' before-image retraction legs) anti-join the persisted
+    //    lists; net-positive keys are the ONLY vectors assigned —
+    //    fetched from the embedding store by a broadcast join whose
+    //    build side derives from the feed, then crossed against the 8
+    //    broadcast frozen centroids (O(Δ·k) scoring; the surviving
+    //    corpus is never re-scored). Judged: v05's probe over the
+    //    CDF-maintained lists against the oracle's full re-assignment
+    //    of the final corpus under the same frozen quantizer — v33's
+    //    oracle verbatim, pinning simulated-Δ and real-CDC maintenance
+    //    to one rebuild identity. At 100 TB this is the embedding
+    //    index that tracks a living lakehouse table at the cost of the
+    //    day's delta. ──
+    ("v34_ivf_cdf_maintenance",
+      (s: SparkSession, dir: String) => {
+        val inv = v34Invocation.incrementAndGet()
+        val cat = s"graft_v34_$inv"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root",
+          scratchPath(s"v34_catroot_$inv"))
+        val emb = Tables(s, dir, "embeddings")
+        val inCorpus1 = pmod(col("vec_id"), lit(3)) =!= 2 ||
+          col("vec_id") < 20
+        def registryRows(df: DataFrame): DataFrame = df
+          .select(col("vec_id").as("doc_id"),
+            col("label").cast("string").as("lang"),
+            col("vec_id").as("n_chars"))
+        // ── v1: the registry lands MoR; state built under the frozen
+        //    quantizer ──
+        registryRows(emb.where(inCorpus1))
+          .writeTo(s"$cat.v34vecs").tableProperty("mor", "true").create()
+        val statePath = scratchPath(s"v34_ivf_state_$inv")
+        frozenAssign(emb)(emb.where(inCorpus1))
+          .write.mode("overwrite").parquet(statePath)
+        // ── v2: MoR retention delete; v3: the ingest wave ──
+        s.sql(s"DELETE FROM $cat.v34vecs " +
+          "WHERE doc_id % 5 = 0 AND doc_id >= 20")
+        registryRows(emb.where(pmod(col("vec_id"), lit(3)) === 2 &&
+            col("vec_id") >= 20))
+          .writeTo(s"$cat.v34vecs").append()
+        // ── MAINTENANCE: fold the LEDGER'S change feed, nothing else ──
+        val tdir = new java.io.File(
+          scratchPath(s"v34_catroot_$inv"), "v34vecs").getPath
+        val net = s.read.format("graft-ledger")
+          .option("changesFrom", "1").load(tdir)
+          .groupBy(col("doc_id").as("vec_id"))
+          .agg(sum(when(col("_change_type") === "insert", 1L)
+            .otherwise(-1L)).as("net"))
+          .persist() // ONE Changes scan feeds retraction + Δ-assign
+        val delKeys = broadcast(net.where(col("net") < 0).select(col("vec_id")))
+        val insKeys = net.where(col("net") > 0).select(col("vec_id"))
+        val deltaVecs = emb.as("e")
+          .join(broadcast(insKeys.as("k")),
+            col("e.vec_id") === col("k.vec_id"))
+          .select(col("e.vec_id"), col("e.embedding"), col("e.label"))
+        val maintained = s.read.parquet(statePath)
+          .join(delKeys, Seq("vec_id"), "left_anti")
+          .unionByName(frozenAssign(emb)(deltaVecs))
+          .persist()
+        probeTopK(maintained).orderBy(col("q_id"), col("rank"))
+      },
+      incrementalIvfOracleSql),
 
     // ── v10: ANN quality evaluation IN-pipeline — recall@3 of the IVF
     //    probe (v05's exact chain, shared code) against the brute-force

@@ -1043,4 +1043,58 @@ class PlanQualitySpec extends SparkSpec {
       s.sql("DROP TABLE IF EXISTS s40cbo_docs")
     }
   }
+
+  test("t33: CDF index maintenance scans state + the change feed; content fetch is Δ-bounded") {
+    // the s47 scan-set discipline applied to RETRIEVAL state: the
+    // maintenance plan may read (a) the two persisted index artifacts,
+    // (b) the ledger CHANGE FEED — every graft-ledger scan must be a
+    // `#changes(...)` scan, never the registry table itself — and
+    // (c) the content store ONLY beneath a broadcast join whose build
+    // side derives from the feed (O(Δ) content lookups). A corpus
+    // re-shingle would surface as a documents scan outside that join.
+    val p = plan("t33_lsh_cdf_maintenance")
+    assert(p.contains("t33_idx") && p.contains("t33_bands"), p)
+    assert(p.contains("#changes(1,3]"), p)
+    val fileScans = p.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(fileScans.nonEmpty && fileScans.forall(l =>
+      l.contains("t33_idx") || l.contains("t33_bands") ||
+        l.contains("documents.parquet")), p)
+    val ledgerScans = p.linesIterator
+      .filter(_.contains("BatchScan graft-ledger")).toSeq
+    assert(ledgerScans.nonEmpty && ledgerScans.forall(_.contains("#changes(")),
+      s"maintenance must read the FEED, never re-scan the registry table:\n$p")
+    val docScans = fileScans.count(_.contains("documents.parquet"))
+    val deltaFetches =
+      "BroadcastHashJoin \\[doc_id#\\d+L\\], \\[content_id#\\d+L\\], Inner, BuildRight"
+        .r.findAllIn(p).size
+    assert(docScans == deltaFetches,
+      s"every content-store scan must sit under the Δ-bounded broadcast " +
+        s"fetch (docScans=$docScans, deltaFetches=$deltaFetches):\n$p")
+  }
+
+  test("v34: CDF IVF maintenance scans state + the change feed; Δ-assign and centroids bounded") {
+    val p = plan("v34_ivf_cdf_maintenance")
+    assert(p.contains("v34_ivf_state"), p)
+    assert(p.contains("#changes(1,3]"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val fileScans = p.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(fileScans.nonEmpty && fileScans.forall(l =>
+      l.contains("v34_ivf_state") || l.contains("embeddings.parquet")), p)
+    val ledgerScans = p.linesIterator
+      .filter(_.contains("BatchScan graft-ledger")).toSeq
+    assert(ledgerScans.nonEmpty && ledgerScans.forall(_.contains("#changes(")),
+      s"maintenance must read the FEED, never re-scan the registry table:\n$p")
+    // every embedding-store scan is either the Δ fetch (broadcast join,
+    // build side from the feed) or the 8-row frozen-centroid scan with
+    // its filter PUSHED — the surviving corpus is never re-scored
+    val embScans = fileScans.count(_.contains("embeddings.parquet"))
+    val deltaFetches =
+      "BroadcastHashJoin \\[vec_id#\\d+L\\], \\[vec_id#\\d+L\\], Inner, BuildRight"
+        .r.findAllIn(p).size
+    val centScans = fileScans.count(l => l.contains("embeddings.parquet") &&
+      l.contains("LessThan(vec_id,8)"))
+    assert(embScans == deltaFetches + centScans,
+      s"embedding scans must be Δ fetches or pushed centroid reads " +
+        s"(emb=$embScans, delta=$deltaFetches, cent=$centScans):\n$p")
+  }
 }
