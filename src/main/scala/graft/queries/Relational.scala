@@ -1951,6 +1951,79 @@ object Relational {
         |FROM documents WHERE lang = 'fr'
         |ORDER BY 1, 2, 3""".stripMargin),
 
+    // ── S-beyond: TRUE BRANCH MERGE (round 16 — the ref verb
+    //    fast_forward cannot express): once BOTH lineages commit, FF
+    //    refuses (the judged flow asserts that refusal in-line, so the
+    //    divergence is non-vacuous), and `CALL system.merge_branch(t,
+    //    from, into)` reconciles them as a FILE-SET UNION — sound for
+    //    append-only + MoR divergence because lineages only ever ADD
+    //    files: both sides' post-fork appends land, shared pre-fork
+    //    files count once, and MoR tombstone files union alongside, so
+    //    dev's retention DELETE applies to the merged read even where
+    //    it targeted pre-fork files main also holds (while main's own
+    //    post-fork wave stays untouched — dev never saw those files,
+    //    the honest row-level semantics of a file-level merge). The
+    //    fork point is the #parent-chain merge-base; the merge commits
+    //    adds-only on into's lineage, so the change feed replays it as
+    //    the inserts it is. Judged: a three-lineage life (fork → main
+    //    wave → dev wave → dev MoR delete → merge → drop branch →
+    //    converge) whose final readback must equal the oracle's union
+    //    replay — converge reclaiming ZERO of the merged files is part
+    //    of the claim. `LakehouseRefsSpec` pins the refusal arms and
+    //    `LakehouseRefsFuzzSpec` fuzzes merge against ancestor-state
+    //    row algebra. ──
+    ("s53_branch_merge",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.conf.set("spark.sql.catalog.graft_mg", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_mg.root", scratchPath("s53_catroot"))
+        val docs = Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+        docs.where(pmod($"doc_id", lit(2)) === 0)
+          .writeTo("graft_mg.s53docs")
+          .tableProperty("mor", "true").createOrReplace()        // v1
+        s.sql("CALL graft_mg.system.create_branch('s53docs', 'dev')")
+        docs.where(pmod($"doc_id", lit(4)) === 1)                // v2: main
+          .writeTo("graft_mg.s53docs").append()
+        docs.where(pmod($"doc_id", lit(4)) === 3)                // v3: dev
+          .writeTo("graft_mg.s53docs.branch_dev").append()
+        s.sql("DELETE FROM graft_mg.s53docs.branch_dev " +
+          "WHERE lang = 'de'")                                   // v4: dev
+        // genuinely diverged: the append-only FF verb must refuse
+        val ffRefused =
+          try { s.sql("CALL graft_mg.system.fast_forward(" +
+            "'s53docs', 'dev')").collect(); false }
+          catch { case e: Exception => e.getMessage.contains("diverged") }
+        require(ffRefused, "s53 lineages must have genuinely diverged")
+        val row = s.sql("CALL graft_mg.system.merge_branch(" +
+          "'s53docs', 'dev', 'main')").head                      // v5
+        require(row.getLong(2) > 0,
+          "the merge must have carried dev's post-fork files")
+        // the merged manifest owns every file: converge reclaims ZERO
+        s.sql("CALL graft_mg.system.drop_branch('s53docs', 'dev')")
+        val conv = s.sql("CALL graft_mg.system.converge('s53docs')").head
+        require(conv.getLong(0) == 0,
+          s"a merged lineage leaves nothing to reclaim, got ${conv.getLong(0)}")
+        s.table("graft_mg.s53docs")
+          .groupBy($"lang")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum($"n_chars").cast("long").as("total_chars"),
+            min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+          .orderBy($"lang")
+      },
+      """WITH merged AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id % 2 = 0 AND lang <> 'de'
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 4 = 1
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id % 4 = 3 AND lang <> 'de')
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ── S-beyond: SCHEMA EVOLUTION as a live-table verb — `ALTER
     //    TABLE … ADD COLUMNS`, judged end to end on the session
     //    catalog (s14 judges mergeSchema on raw parquet and s23

@@ -382,6 +382,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case "create_branch" => new RefProcedure(root, "create_branch")
       case "drop_branch" => new RefProcedure(root, "drop_branch")
       case "fast_forward" => new RefProcedure(root, "fast_forward")
+      case "merge_branch" => new MergeBranchProcedure(root)
       case "converge" => new ConvergeProcedure(root)
       case "clone" => new CloneProcedure(root)
       case _ => throw new org.apache.spark.sql.catalyst.analysis
@@ -392,8 +393,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
       (Seq("compact", "expire_versions", "create_tag", "drop_tag",
-        "create_branch", "drop_branch", "fast_forward", "converge",
-        "clone"))
+        "create_branch", "drop_branch", "fast_forward", "merge_branch",
+        "converge", "clone"))
         .map(n => Identifier.of(Array("system"), n)).toArray
     else Array.empty
 
@@ -678,6 +679,104 @@ private[sources] object RefProcedure {
   val OutputSchema: StructType = StructType(Seq(
     StructField("ref", StringType, nullable = false),
     StructField("version", LongType, nullable = false)))
+}
+
+/** `CALL <cat>.system.merge_branch('<table>', '<from>', '<into>')` —
+  * TRUE MERGE of diverged lineages, the ref verb `fast_forward` cannot
+  * express (FF refuses when both sides committed). Append-only + MoR
+  * divergence makes the merge a FILE-SET UNION:
+  *
+  *   - the fork point is the `#parent`-chain merge-base (git's
+  *     merge-base, computed the same way);
+  *   - the merged manifest is `manifest(into) ∪ manifest(from)` — both
+  *     sides' post-fork appends land, shared pre-fork files counted
+  *     once; MoR tombstone files union alongside, so a delete cut on
+  *     either side against a shared pre-fork file applies to the
+  *     merged read (duplicate keys collapse in the reader's sorted
+  *     overlay);
+  *   - the commit's lineage parent is `into`'s head and its diff is
+  *     adds-only (the from-side files), so the change feed replays the
+  *     merge as the inserts it is — feed-total across the merge;
+  *   - REFUSED when either side lost fork-point files (a rewrite /
+  *     compaction / expiry destroyed shared state — unreachable through
+  *     the public verbs, which are branch-refused, so this arm is the
+  *     corruption guard) or when the sides share a post-fork file name
+  *     (double-count; impossible under fresh-UUID writes, same guard).
+  *
+  * Key-level conflicts (both sides re-inserting one key) are the
+  * writer's contract, exactly as in Iceberg: the merge is file-level.
+  * Returns one row `(ref, version, files_merged)`. */
+private[sources] final class MergeBranchProcedure(root: File)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "merge_branch"
+  override def description(): String =
+    "merge a diverged branch into another lineage by file-set union"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false // moves refs, commits
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("table name in this catalog (flattened form)").build(),
+    ProcedureParameter.in("from", StringType)
+      .comment("branch whose lineage merges in").build(),
+    ProcedureParameter.in("into", StringType)
+      .comment("branch that receives the merge ('main' included)").build())
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val table = input.getUTF8String(0).toString
+    val from = LedgerSource.validRefName(input.getUTF8String(1).toString)
+    val into = LedgerSource.validRefName(input.getUTF8String(2).toString)
+    val dir = new File(root, table)
+    if (!dir.isDirectory)
+      throw new NoSuchTableException(Identifier.of(Array.empty, table))
+    val d = dir.getPath
+    require(from != into, s"cannot merge '$from' into itself")
+    def head(r: String): Long = LedgerSource.readRef(d, "branch", r)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no branch '$r' on $table"))
+    val fromV = head(from)
+    val intoV = head(into)
+    val fork = LedgerSource.commonAncestor(d, fromV, intoV)
+    val forkSet: Set[String] =
+      if (fork == 0) Set.empty
+      else LedgerSource.readManifest(d, fork).toSet
+    val fromSet = LedgerSource.readManifest(d, fromV).toSet
+    val intoSet = LedgerSource.readManifest(d, intoV).toSet
+    // the corruption guard: append-only + MoR lineages only GROW their
+    // manifests, so a missing fork-point file means shared state was
+    // destroyed and the union would resurrect a half-table
+    val lostFrom = forkSet -- fromSet
+    val lostInto = forkSet -- intoSet
+    require(lostFrom.isEmpty && lostInto.isEmpty,
+      s"cannot merge '$from' into '$into' on $table — fork-point files " +
+        s"were removed (${(lostFrom ++ lostInto).take(3).mkString(", ")}…): " +
+        s"a rewrite/compaction/expiry destroyed shared state")
+    val shared = (fromSet -- forkSet).intersect(intoSet -- forkSet)
+    require(shared.isEmpty,
+      s"cannot merge '$from' into '$into' on $table — post-fork file " +
+        s"names shared by both lineages (${shared.take(3).mkString(", ")}): " +
+        s"the union would double-count their rows")
+    val mine = (fromSet -- intoSet).toSeq.sorted
+    // adds-only commit on INTO's lineage: manifest = into ∪ from,
+    // parent = into's head — the feed replays the merge as inserts
+    val v = LedgerSource.commitVersion(d, added = Some(mine),
+      base = Some(intoV))
+    LedgerSource.writeRef(d, "branch", into, v)
+    val out = new GenericInternalRow(3)
+    out.update(0, UTF8String.fromString(into))
+    out.setLong(1, v)
+    out.setLong(2, mine.length.toLong)
+    java.util.Collections.singletonList(
+      new SingleRowScan(MergeBranchProcedure.OutputSchema, out): Scan)
+      .iterator()
+  }
+}
+
+private[sources] object MergeBranchProcedure {
+  val OutputSchema: StructType = StructType(Seq(
+    StructField("ref", StringType, nullable = false),
+    StructField("version", LongType, nullable = false),
+    StructField("files_merged", LongType, nullable = false)))
 }
 
 /** `CALL <cat>.system.converge('<table>')` — un-branch: reconcile an

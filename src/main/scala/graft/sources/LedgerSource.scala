@@ -544,6 +544,29 @@ object LedgerSource {
     }.getOrElse(v - 1)
   }
 
+  /** The FORK POINT of two lineages: the latest commit on both `#parent`
+    * chains (0 = the empty pre-history when they share nothing). The
+    * git merge-base, computed the same way — collect one side's
+    * ancestors, walk the other until it lands in the set. Cost is two
+    * tiny header reads per commit, bounded by chain length. */
+  private[graft] def commonAncestor(dir: String, a: Long, b: Long): Long = {
+    val ancestors = scala.collection.mutable.Set(0L)
+    var c = a
+    while (c > 0) {
+      ancestors += c
+      val p = parentVersion(dir, c)
+      require(p < c, s"graft-ledger: corrupt parent chain at $c of $dir")
+      c = p
+    }
+    var d = b
+    while (d > 0 && !ancestors.contains(d)) {
+      val p = parentVersion(dir, d)
+      require(p < d, s"graft-ledger: corrupt parent chain at $d of $dir")
+      d = p
+    }
+    d
+  }
+
   /** Stamp the CURRENT live file set as the next version, claiming the
     * version number by OPTIMISTIC CONCURRENCY (round 15): the manifest
     * content is written to a private temp file, then published under

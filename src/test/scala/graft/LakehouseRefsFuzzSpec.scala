@@ -41,13 +41,22 @@ class LakehouseRefsFuzzSpec extends SparkSpec {
 
     // model: lineage name -> row set; "main" is the trunk
     val model = scala.collection.mutable.Map.empty[String, Set[(Long, String, Long)]]
-    // per-branch: has main committed since this branch forked?
-    val mainMoved = scala.collection.mutable.Map.empty[String, Boolean]
-    // per-branch: has the branch itself committed since its fork? (an
-    // FF to a commit-less branch leaves main's manifest unchanged, so
-    // it must not count as main movement for the other branches)
-    val ownCommits = scala.collection.mutable.Map.empty[String, Boolean]
     def asTuples(rows: Set[(Long, String, Long)]) = rows
+    val tdir = new File(root, "t").getPath
+    // fast_forward's accept/refuse expectation, computed from the SAME
+    // definition the engine uses (manifest containment = ancestry for
+    // append-only lineages) so merge commits — which grow main's
+    // manifest by another lineage's files — feed it correctly
+    def manifestOf(ref: String): Set[String] =
+      graft.sources.LedgerSource.readManifest(tdir,
+        graft.sources.LedgerSource.readRef(tdir, "branch", ref).get).toSet
+    // rows at a pinned commit — the merge model's ancestor state
+    def rowsAt(v: Long): Set[(Long, String, Long)] =
+      if (v == 0) Set.empty
+      else spark.read.format("graft-ledger")
+        .option("versionAsOf", v.toString).load(tdir)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
 
     val (w0, df0) = wave(40 + rnd.nextInt(40), "base")
     df0.writeTo(s"$cat.t").tableProperty("mor", "true").create()
@@ -67,13 +76,11 @@ class LakehouseRefsFuzzSpec extends SparkSpec {
     val ops = 12 + rnd.nextInt(6)
     (1 to ops).foreach { step =>
       val branches = model.keys.filter(_ != "main").toSeq.sorted
-      rnd.nextInt(6) match {
+      rnd.nextInt(7) match {
         case 0 if branches.size < 3 => // fork from main
           val name = s"b${step}_$seed"
           spark.sql(s"CALL $cat.system.create_branch('t', '$name')")
           model(name) = model("main")
-          mainMoved(name) = false
-          ownCommits(name) = false
           checkAll(s"fork $name")
         case 1 | 2 => // append to a random lineage
           val ref = rnd.shuffle("main" +: branches).head
@@ -81,8 +88,6 @@ class LakehouseRefsFuzzSpec extends SparkSpec {
           df.writeTo(handle(ref)).append()
           model(ref) = model(ref) ++
             rows.map { case (a, b, c) => (a.toLong, b, c.toLong) }
-          if (ref == "main") mainMoved.keys.foreach(mainMoved(_) = true)
-          else ownCommits(ref) = true
           checkAll(s"append $ref")
         case 3 => // MoR delete on a random lineage
           val ref = rnd.shuffle("main" +: branches).head
@@ -91,12 +96,10 @@ class LakehouseRefsFuzzSpec extends SparkSpec {
           spark.sql(
             s"DELETE FROM ${handle(ref)} WHERE doc_id % $k = $r")
           model(ref) = model(ref).filterNot(_._1 % k == r)
-          if (ref == "main") mainMoved.keys.foreach(mainMoved(_) = true)
-          else ownCommits(ref) = true
           checkAll(s"mor-delete $ref %$k=$r")
         case 4 if branches.nonEmpty => // fast-forward: accept iff ancestry
           val br = rnd.shuffle(branches).head
-          if (mainMoved(br)) {
+          if (!manifestOf("main").subsetOf(manifestOf(br))) {
             val e = intercept[Exception] {
               spark.sql(s"CALL $cat.system.fast_forward('t', '$br')")
             }
@@ -105,19 +108,33 @@ class LakehouseRefsFuzzSpec extends SparkSpec {
           } else {
             spark.sql(s"CALL $cat.system.fast_forward('t', '$br')")
             model("main") = model(br)
-            // main genuinely moved only if the branch carried commits
-            if (ownCommits(br))
-              mainMoved.keys.filter(_ != br).foreach(mainMoved(_) = true)
           }
           checkAll(s"ff $br")
         case 5 if branches.nonEmpty => // drop a branch
           val br = rnd.shuffle(branches).head
           spark.sql(s"CALL $cat.system.drop_branch('t', '$br')")
           model.remove(br)
-          mainMoved.remove(br)
-          ownCommits.remove(br)
           checkAll(s"drop $br")
-        case _ => () // fork/ff/drop not applicable this step
+        case 6 if branches.nonEmpty => // merge a branch into main
+          val br = rnd.shuffle(branches).head
+          // the reference semantics of a file-level union merge, in row
+          // algebra: shared rows live; one-sided rows live iff they are
+          // post-fork additions (a one-sided ANCESTOR row was deleted on
+          // the other side, and that side's tombstone rides the union).
+          // Ancestor state read via time travel at the engine's own
+          // merge-base, so FF interleavings are mirrored exactly.
+          val fromV = graft.sources.LedgerSource
+            .readRef(tdir, "branch", br).get
+          val intoV = graft.sources.LedgerSource
+            .readRef(tdir, "branch", "main").get
+          val anc = rowsAt(graft.sources.LedgerSource
+            .commonAncestor(tdir, fromV, intoV))
+          spark.sql(s"CALL $cat.system.merge_branch('t', '$br', 'main')")
+          val f = model(br); val i = model("main")
+          model("main") = (f intersect i) ++
+            (((f diff i) ++ (i diff f)) diff anc)
+          checkAll(s"merge $br into main")
+        case _ => () // fork/ff/drop/merge not applicable this step
       }
     }
 
@@ -184,7 +201,7 @@ class LakehouseRefsFuzzSpec extends SparkSpec {
     ()
   }
 
-  (1 to 3).foreach { seed =>
+  (1 to 5).foreach { seed =>
     test(s"fuzz: ref verb interleavings equal the lineage state machine (seed $seed)") {
       runScenario(seed)
     }

@@ -273,4 +273,86 @@ class LakehouseRefsSpec extends SparkSpec {
       ()
     }
   }
+
+  test("merge_branch: diverged lineages union; tombstones ride; the feed replays inserts") {
+    withCatalog { (cat, root) =>
+      val s = spark
+      import s.implicits._
+      wave(0, 100, "base").writeTo(s"$cat.t")
+        .tableProperty("mor", "true").create()                   // v1
+      spark.sql(s"CALL $cat.system.create_branch('t', 'dev')")
+      wave(100, 140, "m").writeTo(s"$cat.t").append()            // v2 main
+      wave(200, 230, "d").writeTo(s"$cat.t.branch_dev").append() // v3 dev
+      // dev's MoR delete reaches PRE-FORK rows main also holds
+      spark.sql(s"DELETE FROM $cat.t.branch_dev WHERE doc_id < 10") // v4
+      val tdir = new File(root, "t").getPath
+      val mainPre = LedgerSource.readRef(tdir, "branch", "main").get
+      val row = spark.sql(
+        s"CALL $cat.system.merge_branch('t', 'dev', 'main')").head
+      assert(row.getString(0) == "main" && row.getLong(2) > 0)
+      // merged = (base minus dev's delete) + main's wave + dev's wave:
+      // dev's tombstone applies to the shared pre-fork files, main's
+      // own wave is out of its reach
+      assert(spark.table(s"$cat.t").count() == 90 + 40 + 30)
+      assert(spark.table(s"$cat.t")
+        .where($"doc_id" < 10).count() == 0,
+        "dev's pre-fork tombstones must ride the union")
+      // dev itself is untouched by the merge
+      assert(spark.table(s"$cat.t.branch_dev").count() == 90 + 30)
+      // the change feed replays the merge commit as the adds it is:
+      // dev's wave inserts + dev's tombstone deletes, on main's lineage
+      val feed = spark.read.format("graft-ledger")
+        .option("changesFrom", mainPre.toString)
+        .option("changesTo", "main").load(tdir)
+        .groupBy($"_change_type")
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(feed == Map("insert" -> 30L, "delete" -> 10L),
+        s"feed across the merge must be dev's adds, got $feed")
+      // post-merge: FF of dev refuses (main now carries files dev
+      // lacks) and converge reclaims nothing
+      val e = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.fast_forward('t', 'dev')")
+      }
+      assert(e.getMessage.contains("diverged"), e.getMessage)
+      spark.sql(s"CALL $cat.system.drop_branch('t', 'dev')")
+      val conv = spark.sql(s"CALL $cat.system.converge('t')").head
+      assert(conv.getLong(0) == 0,
+        "a merged lineage owns every file — converge reclaims zero")
+      assert(spark.table(s"$cat.t").count() == 160)
+    }
+  }
+
+  test("merge_branch refusals: self-merge, unknown ref, destroyed fork-point state") {
+    withCatalog { (cat, root) =>
+      wave(0, 50).writeTo(s"$cat.t").tableProperty("mor", "true").create()
+      spark.sql(s"CALL $cat.system.create_branch('t', 'dev')")
+      wave(50, 60, "d").writeTo(s"$cat.t.branch_dev").append()
+      assert(intercept[Exception] {
+        spark.sql(s"CALL $cat.system.merge_branch('t', 'dev', 'dev')")
+      }.getMessage.contains("itself"))
+      assert(intercept[Exception] {
+        spark.sql(s"CALL $cat.system.merge_branch('t', 'ghost', 'main')")
+          .collect()
+      }.getMessage.contains("no branch 'ghost'"))
+      // the corruption guard: destructive verbs are branch-refused, so
+      // a shrunken lineage manifest can only mean shared state was
+      // destroyed out-of-band — manufacture exactly that by hand-editing
+      // dev's head manifest to drop a fork-era file, and the merge must
+      // refuse rather than resurrect a half-table through the union
+      val tdir = new File(root, "t")
+      val devV = LedgerSource.readRef(tdir.getPath, "branch", "dev").get
+      val mf = new File(new File(tdir, "_versions"), s"$devV.mf")
+      val lines = new String(
+        java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8").split("\n")
+      val forkFile = LedgerSource.readManifest(tdir.getPath, 1L).head
+      java.nio.file.Files.write(mf.toPath,
+        lines.filterNot(_ == forkFile).mkString("\n").getBytes("UTF-8"))
+      val e = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.merge_branch('t', 'dev', 'main')")
+      }
+      assert(e.getMessage.contains("fork-point files were removed"),
+        e.getMessage)
+    }
+  }
 }
