@@ -1994,6 +1994,68 @@ object StreamingQueries {
          |       CAST(count(*) AS BIGINT) AS n
          |FROM u, mx
          |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= m - INTERVAL 2 HOUR
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ── st29: the MIN-policy twin of st24 — the POLICY DELTA itself is
+    //    the judged object (the g10/g10b discipline applied to
+    //    watermark semantics): the SAME two staged inputs (B stops 48
+    //    hours early), the same union + hourly count, run under the
+    //    DEFAULT `multipleWatermarkPolicy=min`. The global watermark is
+    //    now the LAGGARD's frontier, so the oracle's close condition
+    //    flips from m−2h to m−48h−2h: the last two days of windows —
+    //    which st24's max policy emits — are still held open by B's
+    //    stale frontier and must be ABSENT here. Side by side the pair
+    //    hash-pins what each policy finalizes, the exact trade a
+    //    deployment picks between freshness (max: a laggard's windows
+    //    may close under it) and safety (min: nothing finalizes until
+    //    every input passed it). The conf is set explicitly (never
+    //    inherited) and restored, as in st24. ──
+    ("st29_multi_watermark_min",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val inv = st16Invocation.incrementAndGet()
+        val raw = Tables.events(s, dir)
+        val mx = raw.agg(max($"ts").as("m"))
+        val stageA = Portable.scratchPath(s"st29_a_$inv")
+        val stageB = Portable.scratchPath(s"st29_b_$inv")
+        raw.select($"ts").coalesce(1)
+          .write.mode("overwrite").parquet(stageA)
+        raw.crossJoin(broadcast(mx))
+          .where($"ts" <= $"m" - expr("INTERVAL 48 HOUR"))
+          .select($"ts").coalesce(1)
+          .write.mode("overwrite").parquet(stageB)
+        val schema = s.read.parquet(stageA).schema
+        val srcA = s.readStream.schema(schema).parquet(stageA)
+          .withWatermark("ts", "2 hours")
+        val srcB = s.readStream.schema(schema).parquet(stageB)
+          .withWatermark("ts", "2 hours")
+        val counts = srcA.unionByName(srcB)
+          .groupBy(window($"ts", "1 hour").as("w"))
+          .agg(count(lit(1)).as("n"))
+        val old = s.conf.get("spark.sql.streaming.multipleWatermarkPolicy")
+        try {
+          s.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "min")
+          val q = counts.writeStream.format("memory")
+            .queryName("st29_mem").outputMode("append")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        } finally
+          s.conf.set("spark.sql.streaming.multipleWatermarkPolicy", old)
+        s.table("st29_mem")
+          .select(tsSec($"w.start").as("hour"), $"n")
+          .orderBy($"hour")
+      },
+      // the laggard's frontier closes windows: end <= (m − 48h) − 2h
+      s"""WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
+         |mx AS (SELECT max(ts) AS m FROM ev),
+         |u AS (
+         |  SELECT ts FROM ev
+         |  UNION ALL
+         |  SELECT ev.ts FROM ev, mx WHERE ev.ts <= m - INTERVAL 48 HOUR)
+         |SELECT ${tsSecSql("date_trunc('hour', ts)")} AS hour,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM u, mx
+         |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= m - INTERVAL 50 HOUR
          |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
