@@ -2223,6 +2223,76 @@ object Relational {
         |UNION ALL SELECT 'n_chars_nulls', CAST(count(*) - count(n_chars) AS BIGINT) FROM documents
         |ORDER BY stat""".stripMargin),
 
+    // ── S-beyond: EQUI-HEIGHT HISTOGRAMS (round 16 — the CBO input s40
+    //    left unexercised): `spark.sql.statistics.histogram.enabled`
+    //    makes ANALYZE persist a 16-bin equi-height histogram, the
+    //    selectivity input that separates a SKEWED filter estimate from
+    //    the 1/ndv uniform guess. The column is deliberately 90%-hot
+    //    (skew_key = 0 for doc_id % 10 < 9, distinct otherwise), so the
+    //    persisted shape is provable from the data: endpoints are
+    //    percentiles at i/16, and the hot value owns every boundary up
+    //    to p = 14/16 = 0.875 < 0.9 with margin n/40 ≫ the sketch's
+    //    n/10000 rank error — EXACTLY 14 bins must close at hi = 0 at
+    //    every SF, while p = 15/16 = 0.9375 > 0.9 clears it. Judged
+    //    rows are the histogram read back from the catalog (bin count,
+    //    min/max endpoint anchoring, total height = row count, the
+    //    14-hot-bin skew signature); per-bin ndv is HLL and stays
+    //    unjudged by the s40 contract. What the histogram BUYS is
+    //    pinned in `PlanQualitySpec`: the uniform estimate plans a
+    //    provably-wrong broadcast under the hot-value filter; the
+    //    histogram estimate corrects it. ──
+    ("s54_histogram_stats",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.sql("DROP TABLE IF EXISTS s54_docs")
+        val warehouse = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir")).toUri.getPath
+        val stale = new java.io.File(warehouse, "s54_docs")
+        if (stale.exists()) {
+          val walk = java.nio.file.Files.walk(stale.toPath)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.delete(p); () })
+          finally walk.close()
+        }
+        Tables(s, dir, "documents").createOrReplaceTempView("s54_src")
+        s.sql("""CREATE TABLE s54_docs USING parquet AS
+                |SELECT doc_id,
+                |       CASE WHEN doc_id % 10 < 9 THEN CAST(0 AS BIGINT)
+                |            ELSE doc_id END AS skew_key
+                |FROM s54_src""".stripMargin)
+        val hKey = "spark.sql.statistics.histogram.enabled"
+        val bKey = "spark.sql.statistics.histogram.numBins"
+        val (oldH, oldB) = (s.conf.get(hKey), s.conf.get(bKey))
+        try {
+          s.conf.set(hKey, "true")
+          s.conf.set(bKey, "16")
+          s.sql("ANALYZE TABLE s54_docs COMPUTE STATISTICS FOR COLUMNS skew_key")
+        } finally { s.conf.set(hKey, oldH); s.conf.set(bKey, oldB) }
+        val meta = s.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier("s54_docs"))
+        val hist = meta.stats.getOrElse(sys.error(
+            "ANALYZE left no catalog statistics"))
+          .colStats("skew_key").histogram.getOrElse(sys.error(
+            "histogram.enabled ANALYZE left no histogram"))
+        val bins = hist.bins
+        Seq(
+          ("first_lo", bins.head.lo.toLong),
+          ("hot_bins", bins.count(_.hi == 0.0).toLong),
+          ("last_hi", bins.last.hi.toLong),
+          ("n_bins", bins.length.toLong),
+          ("rows_covered", math.round(hist.height * bins.length)))
+          .toDF("stat", "value").orderBy($"stat")
+      },
+      """WITH sk AS (
+        |  SELECT CASE WHEN doc_id % 10 < 9 THEN 0 ELSE doc_id END AS skew_key
+        |  FROM documents)
+        |SELECT 'first_lo' AS stat, CAST(min(skew_key) AS BIGINT) AS value FROM sk
+        |UNION ALL SELECT 'hot_bins', CAST(14 AS BIGINT)
+        |UNION ALL SELECT 'last_hi', CAST(max(skew_key) AS BIGINT) FROM sk
+        |UNION ALL SELECT 'n_bins', CAST(16 AS BIGINT)
+        |UNION ALL SELECT 'rows_covered', CAST(count(*) AS BIGINT) FROM sk
+        |ORDER BY stat""".stripMargin),
+
     // ── S-beyond: SQL pipe syntax (Spark 4's `|>` operator chains,
     //    SQL:2016-adjacent "pipe SQL") — the linear-dataflow spelling
     //    of the classic SELECT: each stage consumes the previous

@@ -1044,6 +1044,93 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("s54: the histogram corrects the uniform estimate's provably-wrong broadcast") {
+    // the s40 flip's COUNTERPOINT, on a skewed column: filtering the
+    // dim side on its 90%-hot value, the 1/ndv uniform estimate calls
+    // it tiny (≈ n/ndv rows) and broadcasts a side that truly carries
+    // 0.9·n rows — provably wrong from the skew, not a judgment call.
+    // Equi-height histogram stats put ~14/16 bins on the hot value, so
+    // FilterEstimation sees the real selectivity and keeps the join
+    // sort-merge. Same sandboxing discipline as the s40 pin.
+    val s = spark
+    import s.implicits._
+    s.sql("DROP TABLE IF EXISTS s54cbo_docs")
+    val warehouse = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir")).toUri.getPath
+    val stale = new java.io.File(warehouse, "s54cbo_docs")
+    if (stale.exists()) {
+      val walk = java.nio.file.Files.walk(stale.toPath)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+      finally walk.close()
+    }
+    graft.engine.Tables(s, dir, "documents")
+      .createOrReplaceTempView("s54cbo_src")
+    s.sql("""CREATE TABLE s54cbo_docs USING parquet AS
+            |SELECT doc_id,
+            |       CASE WHEN doc_id % 10 < 9 THEN CAST(0 AS BIGINT)
+            |            ELSE doc_id END AS skew_key
+            |FROM s54cbo_src""".stripMargin)
+    val oldCbo = s.conf.get("spark.sql.cbo.enabled")
+    val oldThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldHist = s.conf.get("spark.sql.statistics.histogram.enabled")
+    val oldBins = s.conf.get("spark.sql.statistics.histogram.numBins")
+    try {
+      s.sql("ANALYZE TABLE s54cbo_docs COMPUTE STATISTICS")
+      def analyzeCols(withHistogram: Boolean): Unit = {
+        s.conf.set("spark.sql.statistics.histogram.enabled",
+          withHistogram.toString)
+        s.conf.set("spark.sql.statistics.histogram.numBins", "16")
+        s.sql("ANALYZE TABLE s54cbo_docs COMPUTE STATISTICS " +
+          "FOR COLUMNS doc_id, skew_key")
+      }
+      val sql =
+        """SELECT f.doc_id, d.skew_key
+          |FROM s54cbo_docs f
+          |JOIN s54cbo_docs d ON f.doc_id = d.doc_id
+          |WHERE d.skew_key = 0""".stripMargin
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      def dimEstimate(): BigInt = s.sql(sql).queryExecution.optimizedPlan
+        .collectFirst {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+            j.right.stats.sizeInBytes
+        }.get
+      analyzeCols(withHistogram = false)
+      val uniformEstimate = dimEstimate()
+      analyzeCols(withHistogram = true)
+      val histEstimate = dimEstimate()
+      // the skew gap the uniform guess cannot see: the true filtered
+      // fraction is 0.9, the uniform guess ~1/ndv ≈ 1/(0.1·n)
+      assert(histEstimate > uniformEstimate * 4,
+        s"histogram must expose the hot-value skew " +
+          s"(hist=$histEstimate, uniform=$uniformEstimate)")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        ((histEstimate + uniformEstimate) / 2).toString)
+      def joinPlan(): String =
+        s.sql(sql).queryExecution.explainString(SimpleMode)
+      // histogram stats are live: the hot-value filter estimates big,
+      // the join correctly stays sort-merge
+      val withHist = joinPlan()
+      assert(!withHist.contains("BroadcastHashJoin"),
+        s"histogram selectivity must keep the 0.9·n side off broadcast:\n$withHist")
+      assert(withHist.contains("SortMergeJoin"), withHist)
+      // uniform stats: 1/ndv calls the same side tiny and broadcasts a
+      // side that truly holds 90% of the table — the wrong plan the
+      // histogram exists to prevent
+      analyzeCols(withHistogram = false)
+      val uniform = joinPlan()
+      assert(uniform.contains("BroadcastHashJoin"),
+        s"the uniform estimate must make the provably-wrong broadcast " +
+          s"(the premise of the pin):\n$uniform")
+    } finally {
+      s.conf.set("spark.sql.cbo.enabled", oldCbo)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
+      s.conf.set("spark.sql.statistics.histogram.enabled", oldHist)
+      s.conf.set("spark.sql.statistics.histogram.numBins", oldBins)
+      s.sql("DROP TABLE IF EXISTS s54cbo_docs")
+    }
+  }
+
   test("t33: CDF index maintenance scans state + the change feed; content fetch is Δ-bounded") {
     // the s47 scan-set discipline applied to RETRIEVAL state: the
     // maintenance plan may read (a) the two persisted index artifacts,
