@@ -2293,6 +2293,81 @@ object Relational {
         |UNION ALL SELECT 'rows_covered', CAST(count(*) AS BIGINT) FROM sk
         |ORDER BY stat""".stripMargin),
 
+    // ── S-beyond: TARGETED TOMBSTONE REWRITE (round 16 — Iceberg's
+    //    rewrite_position_delete_files): the read-amplification half of
+    //    the MoR cost model s41 quantified for writes. `system.compact`
+    //    pays the whole corpus to clear the overlay; `CALL
+    //    system.rewrite_tombstones(t, frac)` folds it ONLY for data
+    //    files whose tombstone/row ratio exceeds frac — the hot file's
+    //    survivors land fresh, its `.gd` sections drop, and cold files
+    //    keep bytes, names, and their live overlay (asserted in-line:
+    //    the cold file set is byte-identical across the call and
+    //    tombstone files remain). The layout is the deterministic
+    //    bucket=128 one-task form, so exactly ONE bucket crosses the
+    //    0.3 threshold at every SF (the <64 retention delete is half of
+    //    bucket 0's id space; the %97 scatter leaves every other bucket
+    //    at ~1%) and the judged summary literals are scale-invariant in
+    //    shape while the dropped count and final state come from the
+    //    oracle's replay. The CDF honesty edge (intervals crossing the
+    //    rewrite refuse — before-images of folded rows are gone) is
+    //    pinned in `LedgerMorSpec`. ──
+    ("s55_rewrite_tombstones",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.conf.set("spark.sql.catalog.graft_rt", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_rt.root", scratchPath("s55_catroot"))
+        val docs = Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+        // one task + bucket layout = one file per 128-wide id range,
+        // deterministic at every SF (a multi-task write would split
+        // buckets across task files and make per-file ratios
+        // partitioning-dependent)
+        docs.coalesce(1)
+          .writeTo("graft_rt.s55docs")
+          .tableProperty("mor", "true").tableProperty("bucket", "128")
+          .createOrReplace()
+        // hot: half of bucket 0's id space; scatter: ~1% everywhere else
+        s.sql("DELETE FROM graft_rt.s55docs WHERE doc_id < 64")
+        s.sql("DELETE FROM graft_rt.s55docs " +
+          "WHERE doc_id % 97 = 0 AND doc_id >= 64")
+        val tdir = new java.io.File(
+          scratchPath("s55_catroot"), "s55docs").getPath
+        def dataFiles() = graft.sources.LedgerSource.ledgerFiles(tdir)
+          .map(f => (f.getName, f.length)).toSet
+        val before = dataFiles()
+        val row = s.sql(
+          "CALL graft_rt.system.rewrite_tombstones('s55docs', 0.3)").head
+        // cold files byte-identical; the scatter overlay survives
+        val after = dataFiles()
+        require((before -- after).size == 1 && (after -- before).size == 1,
+          s"exactly bucket 0 must fold (gone=${(before -- after).size}, " +
+            s"fresh=${(after -- before).size})")
+        require(graft.sources.LedgerSource.deleteFiles(tdir).nonEmpty,
+          "cold files keep their live tombstone overlay")
+        // one-row aggregate fold (the s41 checksum discipline): the
+        // readback through the partially-folded table, beside the
+        // procedure's own summary literals
+        val chk = s.table("graft_rt.s55docs")
+          .agg(count(lit(1)).cast("long"),
+            sum($"n_chars").cast("long")).collect().head
+        Seq(
+          ("files_rewritten", row.getLong(0)),
+          ("final_chars", chk.getLong(1)),
+          ("final_count", chk.getLong(0)),
+          ("tombstones_dropped", row.getLong(1)))
+          .toDF("metric", "value").orderBy($"metric")
+      },
+      """WITH live AS (
+        |  SELECT doc_id, n_chars FROM documents
+        |  WHERE NOT (doc_id < 64 OR (doc_id % 97 = 0 AND doc_id >= 64)))
+        |SELECT 'files_rewritten' AS metric, CAST(1 AS BIGINT) AS value
+        |UNION ALL SELECT 'final_chars', CAST(sum(n_chars) AS BIGINT) FROM live
+        |UNION ALL SELECT 'final_count', CAST(count(*) AS BIGINT) FROM live
+        |UNION ALL SELECT 'tombstones_dropped', CAST(count(*) AS BIGINT)
+        |FROM documents
+        |WHERE doc_id < 64 OR (doc_id % 97 = 0 AND doc_id >= 64 AND doc_id < 128)
+        |ORDER BY metric""".stripMargin),
+
     // ── S-beyond: SQL pipe syntax (Spark 4's `|>` operator chains,
     //    SQL:2016-adjacent "pipe SQL") — the linear-dataflow spelling
     //    of the classic SELECT: each stage consumes the previous

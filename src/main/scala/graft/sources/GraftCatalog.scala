@@ -14,8 +14,8 @@ import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure,
   ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType,
-  StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType,
+  StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -383,6 +383,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case "drop_branch" => new RefProcedure(root, "drop_branch")
       case "fast_forward" => new RefProcedure(root, "fast_forward")
       case "merge_branch" => new MergeBranchProcedure(root)
+      case "rewrite_tombstones" => new RewriteTombstonesProcedure(root)
       case "converge" => new ConvergeProcedure(root)
       case "clone" => new CloneProcedure(root)
       case _ => throw new org.apache.spark.sql.catalyst.analysis
@@ -394,7 +395,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
       (Seq("compact", "expire_versions", "create_tag", "drop_tag",
         "create_branch", "drop_branch", "fast_forward", "merge_branch",
-        "converge", "clone"))
+        "rewrite_tombstones", "converge", "clone"))
         .map(n => Identifier.of(Array("system"), n)).toArray
     else Array.empty
 
@@ -678,6 +679,102 @@ private[sources] final class RefProcedure(root: File, verb: String)
 private[sources] object RefProcedure {
   val OutputSchema: StructType = StructType(Seq(
     StructField("ref", StringType, nullable = false),
+    StructField("version", LongType, nullable = false)))
+}
+
+/** `CALL <cat>.system.rewrite_tombstones('<table>', <frac>)` — TARGETED
+  * tombstone maintenance (Iceberg's `rewrite_position_delete_files`):
+  * the read-amplification half of the MoR cost model s41 quantified for
+  * writes. `system.compact` applies-and-drops the WHOLE overlay by
+  * truncate-rewriting the table; this verb folds the overlay only for
+  * data files whose tombstone/row ratio EXCEEDS `frac` — each hot
+  * file's survivors land under a fresh name (zero survivors → the file
+  * unlinks outright), its sections drop from the `.gd` files (a mixed
+  * delete file rewrites with only its cold sections; an all-hot one
+  * unlinks), and COLD files keep their bytes, their names, and their
+  * live overlay untouched. Everything is header/section arithmetic +
+  * O(hot bytes) streaming rewrites — a 100 TB table pays for its hot
+  * 1%, not the corpus. DESTRUCTIVE by the format's contract: refused
+  * while branch refs exist, and a change-feed interval crossing the
+  * rewrite refuses loudly (before-images of folded rows are gone — the
+  * same vacuumed-table honesty as compaction, pinned in
+  * `LedgerMorSpec`). Returns `(files_rewritten, tombstones_dropped,
+  * version)`. */
+private[sources] final class RewriteTombstonesProcedure(root: File)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "rewrite_tombstones"
+  override def description(): String =
+    "fold the merge-on-read overlay for data files whose tombstone " +
+      "fraction exceeds frac; cold files keep their overlay"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false // rewrites storage
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("table name in this catalog (flattened form)").build(),
+    ProcedureParameter.in("frac", DoubleType)
+      .comment("rewrite a data file when tombstones/rows > frac").build())
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val table = input.getUTF8String(0).toString
+    val frac = input.getDouble(1)
+    require(frac >= 0.0 && frac <= 1.0,
+      s"frac must be in [0, 1], got $frac")
+    val dir = new File(root, table)
+    if (!dir.isDirectory)
+      throw new NoSuchTableException(Identifier.of(Array.empty, table))
+    val d = dir.getPath
+    val branches = LedgerSource.listRefs(d, "branch")
+    require(branches.isEmpty,
+      s"cannot rewrite tombstones of $table while branch refs exist " +
+        s"(${branches.keys.toSeq.sorted.mkString(", ")}) — other " +
+        s"lineages' manifests reference the files this verb unlinks")
+    val overlay = LedgerSource.deleteOverlay(d)
+    // HOT files: tombstoned fraction above the threshold. Ratio math is
+    // header rows + section key counts — no record decodes
+    val hot = LedgerSource.statsSnapshot(d).filter {
+      case (f, _, _, rows) => rows > 0 &&
+        overlay.get(f.getName).exists(t =>
+          t.distinct.length.toDouble / rows > frac)
+    }
+    // fold each hot file: stream survivors (minus ITS tombstones) to a
+    // fresh name — the empty interval makes rewriteExcluding a pure
+    // overlay fold
+    val emptyBounds = KeyBounds(Long.MaxValue, Long.MinValue)
+    hot.foreach { case (f, _, _, _) =>
+      LedgerSource.rewriteExcluding(f, emptyBounds, overlay(f.getName))
+    }
+    val dead = hot.map(_._1.getName).toSet
+    // drop the folded files' sections from the overlay; cold sections
+    // (and all-cold delete files) stay byte-identical
+    var dropped = 0L
+    LedgerSource.deleteFiles(d).foreach { df =>
+      val sections = LedgerSource.readDeleteSections(df)
+      if (sections.exists(s => dead.contains(s._1))) {
+        dropped += sections.filter(s => dead.contains(s._1))
+          .map(_._2.distinct.length.toLong).sum
+        val keep = sections.filterNot(s => dead.contains(s._1))
+        if (keep.nonEmpty)
+          LedgerSource.writeDeleteFile(d, keep.toMap): Unit
+        require(df.delete(),
+          s"graft-ledger: cannot remove delete file ${df.getPath}")
+      }
+    }
+    val v = LedgerSource.commitVersion(d)
+    val out = new GenericInternalRow(3)
+    out.setLong(0, dead.size.toLong)
+    out.setLong(1, dropped)
+    out.setLong(2, v)
+    java.util.Collections.singletonList(
+      new SingleRowScan(RewriteTombstonesProcedure.OutputSchema, out): Scan)
+      .iterator()
+  }
+}
+
+private[sources] object RewriteTombstonesProcedure {
+  val OutputSchema: StructType = StructType(Seq(
+    StructField("files_rewritten", LongType, nullable = false),
+    StructField("tombstones_dropped", LongType, nullable = false),
     StructField("version", LongType, nullable = false)))
 }
 

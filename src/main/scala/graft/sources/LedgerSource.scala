@@ -452,6 +452,33 @@ object LedgerSource {
     if (buf.isEmpty) null else { val a = buf.toArray; java.util.Arrays.sort(a); a }
   }
 
+  /** ONE delete file's sections, in stored order — the targeted
+    * tombstone-rewrite verb reads per-`.gd` so it can drop exactly the
+    * folded files' sections and keep cold files' overlay intact. */
+  private[sources] def readDeleteSections(
+      f: File): Seq[(String, Array[Long])] = {
+    val out = ArrayBuffer.empty[(String, Array[Long])]
+    val in = new DataInputStream(
+      new java.io.BufferedInputStream(new FileInputStream(f), 1 << 16))
+    try {
+      require(in.readInt() == DeleteMagic, s"${f.getName}: not a delete file")
+      in.skipBytes(8)
+      val nSections = in.readInt()
+      var i = 0
+      while (i < nSections) {
+        val nameLen = in.readInt()
+        val nameBytes = new Array[Byte](nameLen); in.readFully(nameBytes)
+        val nKeys = in.readInt()
+        val ks = new Array[Long](nKeys)
+        var k = 0
+        while (k < nKeys) { ks(k) = in.readLong(); k += 1 }
+        out += ((new String(nameBytes, "UTF-8"), ks))
+        i += 1
+      }
+    } finally in.close()
+    out.toSeq
+  }
+
   /** Every live tombstone, grouped by data file — the DRIVER-side read
     * the purge/rewrite verbs use so a clipped file's rewrite never
     * resurrects merge-on-read-deleted rows. */
