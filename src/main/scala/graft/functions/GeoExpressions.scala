@@ -91,6 +91,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // radius filters over the native haversine gain a sargable
     // bounding-box pre-filter (pushdown-able when lat/lon are columns)
     ext.injectOptimizerRule(_ => graft.plans.HaversineBoundingBox)
+    // aggregates over a base table subsumed by a registered MV rewrite
+    // to view-state + change-feed fold — the base scan disappears
+    ext.injectOptimizerRule(_ => graft.plans.MvAutoRewrite)
     // whole-operator extension: per-key top-k plans as a two-phase
     // bounded-heap operator (partial before the exchange, ranked final)
     ext.injectPlannerStrategy(_ => graft.operators.TopKPerKeyStrategy)

@@ -1648,6 +1648,75 @@ object Relational {
         |FROM documents WHERE lang <> 'de'
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ── S-beyond: MV AUTO-REWRITE (round 16 — the optimizer-rule half
+    //    of the materialized-view story, and the engine's first
+    //    cost-based plan rewrite): s47 refreshes a view the PIPELINE
+    //    asks about; here the USER writes a plain aggregate against the
+    //    BASE table and [[graft.plans.MvAutoRewrite]] (injected via
+    //    GraftExtensions) recognizes that a registered s47-style view
+    //    subsumes it — same group column, count/sum set — and rewrites
+    //    the plan to `view-state ⊎ signed-fold(change feed since the
+    //    build)`: the base scan VANISHES (asserted in-line on the
+    //    optimized plan, and pinned with a non-subsumed negative
+    //    control in PlanQualitySpec), cost becomes O(|view| + |Δ|)
+    //    instead of O(|base|). Eligibility is checked per plan — a
+    //    destructive commit in the window falls back to the base scan
+    //    rather than erroring (the rule's fallback is always the
+    //    original plan). Life is s47's verbatim (build at v1 → append,
+    //    MoR delete, MoR update) and the judged rows are the USER
+    //    query's — hash-equal to the full recompute, which is the
+    //    rewrite's defining property. ──
+    ("s56_mv_auto_rewrite",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.conf.set("spark.sql.catalog.graft_ar", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_ar.root", scratchPath("s56_catroot"))
+        val docs = Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+        // a previous invocation's registration must not see the rebuilt
+        // table (its full-build scan is itself the subsumed shape — the
+        // rewrite would replay stale state into the fresh view)
+        val tdir0 = new java.io.File(
+          scratchPath("s56_catroot"), "s56docs").getPath
+        graft.plans.MvRegistry.unregister(tdir0)
+        docs.where(pmod($"doc_id", lit(2)) === 0)
+          .writeTo("graft_ar.s56docs")
+          .tableProperty("mor", "true").createOrReplace()      // v1
+        // FULL BUILD once, at v1 — then DECLARE the view to the engine
+        val mvPath = scratchPath("s56_mv_state")
+        s.table("graft_ar.s56docs").groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+          .write.mode("overwrite").parquet(mvPath)
+        val tdir = new java.io.File(
+          scratchPath("s56_catroot"), "s56docs").getPath
+        graft.plans.MvRegistry.register(graft.plans.MvRegistry.MvDef(
+          tablePath = tdir, statePath = mvPath, builtAt = 1L,
+          groupCol = "lang", countAlias = "n_docs",
+          sumCol = "n_chars", sumAlias = "total_chars"))
+        docs.where(pmod($"doc_id", lit(2)) === 1)
+          .writeTo("graft_ar.s56docs").append()                 // v2
+        s.sql("DELETE FROM graft_ar.s56docs WHERE lang = 'de'") // v3
+        s.sql("UPDATE graft_ar.s56docs SET n_chars = n_chars + 100000 " +
+          "WHERE lang = 'fr'")                                  // v4
+        // ── THE USER QUERY — written against the BASE table ──
+        val q = s.table("graft_ar.s56docs").groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+        // the rewrite's claim, asserted in-line: the optimized plan
+        // reads the view state + the feed, never the base table
+        val p = q.queryExecution.explainString(
+          org.apache.spark.sql.execution.SimpleMode)
+        require(p.contains("#changes(1,") && p.contains("s56_mv_state"),
+          s"the MV rewrite must have fired:\n$p")
+        require(!p.contains(s"graft-ledger:$tdir["),
+          s"the BASE scan must be gone from the rewritten plan:\n$p")
+        q.orderBy($"lang")
+      },
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars + CASE WHEN lang = 'fr' THEN 100000
+        |                               ELSE 0 END) AS BIGINT) AS total_chars
+        |FROM documents WHERE lang <> 'de'
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ── S-beyond: CONCURRENT APPENDS under OPTIMISTIC CONCURRENCY
     //    (round 15) — the multi-writer posture a shared 100 TB table
     //    lives under. The connector's version claim is a hard-link CAS

@@ -571,6 +571,20 @@ object LedgerSource {
     }.getOrElse(v - 1)
   }
 
+  /** Can the change feed reconstruct `(fromV, head]`? The MV rewrite's
+    * eligibility gate: a destructive commit in the interval (rewrite /
+    * purge / compaction / expiry) destroyed before-images, so the
+    * rewritten query would refuse where the base scan succeeds — the
+    * rule must fall back to the base instead. Driver-side manifest
+    * walks only. */
+  private[graft] def changeFeedReconstructs(dir: String,
+                                            fromV: Long): Boolean =
+    scala.util.Try {
+      val head = readRef(dir, "branch", "main")
+        .getOrElse(listVersions(dir).lastOption.getOrElse(0L))
+      LedgerChangesScan.changePartitions(dir, fromV, head)
+    }.isSuccess
+
   /** The FORK POINT of two lineages: the latest commit on both `#parent`
     * chains (0 = the empty pre-history when they share nothing). The
     * git merge-base, computed the same way — collect one side's
@@ -962,6 +976,14 @@ final class LedgerTable(path: String, pinnedVersion: Option[Long] = None,
     extends Table
     with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations with SupportsMetadataColumns {
+
+  /** The on-disk table directory — what the MV auto-rewrite rule keys
+    * its registry on ([[graft.plans.MvAutoRewrite]]). */
+  private[graft] def tablePath: String = path
+  /** True for a plain current-state read (no time-travel pin, no branch
+    * handle) — the only relation shape the MV rewrite may replace. */
+  private[graft] def isPlainCurrentRead: Boolean =
+    pinnedVersion.isEmpty && ref.forall(_ == "main")
 
   /** The REF this handle reads and writes through (`Some("main")` once
     * the table has branched, `Some(<branch>)` for a `branch_<name>`

@@ -1131,6 +1131,38 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("s56: the MV auto-rewrite removes the base scan; non-subsumed shapes keep it") {
+    // the user's aggregate over the BASE table plans as view-state +
+    // change-feed fold: state parquet + ONE #changes scan, the base
+    // table's own BatchScan provably absent
+    val p = plan("s56_mv_auto_rewrite")
+    assert(p.contains("s56_mv_state"), p)
+    assert(p.contains("#changes(1,"), p)
+    val ledgerScans = p.linesIterator
+      .filter(_.contains("BatchScan graft-ledger")).toSeq
+    assert(ledgerScans.nonEmpty && ledgerScans.forall(_.contains("#changes(")),
+      s"the rewritten plan must never scan the base table:\n$p")
+    // negative control: a shape the view does NOT subsume (max) must
+    // keep the base scan — the rule's fallback is the original plan
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{count, lit, max, sum}
+    val control = s.table("graft_ar.s56docs").groupBy($"lang")
+      .agg(max($"n_chars").as("m"))
+      .queryExecution.explainString(SimpleMode)
+    assert(!control.contains("#changes("), control)
+    assert(control.linesIterator.exists(l =>
+      l.contains("BatchScan graft-ledger") && l.contains("s56docs[")),
+      s"a non-subsumed aggregate must scan the base:\n$control")
+    // second control: the same subsumed shape under a FILTER must not
+    // rewrite either (the view holds no per-row state to filter)
+    val filtered = s.table("graft_ar.s56docs").where($"n_chars" > 0)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+      .queryExecution.explainString(SimpleMode)
+    assert(!filtered.contains("#changes("), filtered)
+  }
+
   test("t33: CDF index maintenance scans state + the change feed; content fetch is Δ-bounded") {
     // the s47 scan-set discipline applied to RETRIEVAL state: the
     // maintenance plan may read (a) the two persisted index artifacts,

@@ -135,6 +135,21 @@ class Round16OpsSpec extends SparkSpec {
     }
   }
 
+  test("s56 re-invokes cleanly: the stale registration never replays into the rebuilt view") {
+    // bench runs every query 3× in one JVM: the second invocation's
+    // FULL BUILD scan is itself the subsumed shape, so the builder must
+    // unregister before createOrReplace or the rewrite would feed the
+    // fresh view from the previous invocation's state
+    val dir = "/root/testdata/sf0.001"
+    def run() = SparkEntry.queries("s56_mv_auto_rewrite")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    val first = run()
+    val second = run()
+    assert(first.nonEmpty && first == second,
+      s"repeat invocations must agree: $first vs $second")
+  }
+
   test("create_tag takes a BIGINT version") {
     withCatalog { (cat, root) =>
       wave(0, 10).writeTo(s"$cat.t").create()
