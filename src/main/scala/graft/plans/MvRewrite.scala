@@ -89,13 +89,18 @@ object MvAutoRewrite extends Rule[LogicalPlan] {
                       child: LogicalPlan): Option[LogicalPlan] = for {
     table <- baseTableOf(child)
     mv <- MvRegistry.lookup(table.tablePath)
+    // exact grouping OR the ROLLUP: a GLOBAL aggregate re-aggregates
+    // the per-group view (the classic MV subsumption lattice, here the
+    // one-column instance: {lang} ⊑ {})
     groupAttr <- groups match {
-      case Seq(a: AttributeReference) if a.name == mv.groupCol => Some(a)
+      case Seq(a: AttributeReference) if a.name == mv.groupCol =>
+        Some(Some(a))
+      case Seq() => Some(None)
       case _ => None
     }
     // every output must be the group column, count(1), or sum(sumCol)
     slots <- traverse(aggExprs) {
-      case a: AttributeReference if a.semanticEquals(groupAttr) =>
+      case a: AttributeReference if groupAttr.exists(a.semanticEquals) =>
         Some(("group", a: NamedExpression))
       case al @ Alias(AggregateExpression(Count(Seq(Literal(_, _))),
           Complete, false, None, _), _) =>
@@ -119,12 +124,20 @@ object MvAutoRewrite extends Rule[LogicalPlan] {
       .groupBy(col(mv.groupCol))
       .agg(sum(col("sgn")).as(mv.countAlias),
         sum(col("sgn") * col(mv.sumCol)).as(mv.sumAlias))
-    val folded = s.read.parquet(mv.statePath).unionByName(deltas)
+    val perGroup = s.read.parquet(mv.statePath).unionByName(deltas)
       .groupBy(col(mv.groupCol))
       .agg(sum(col(mv.countAlias)).cast("long").as(mv.countAlias),
         sum(col(mv.sumAlias)).cast("long").as(mv.sumAlias))
       .where(col(mv.countAlias) > 0)
-      .queryExecution.analyzed
+    // the rollup re-aggregates the O(|view|) fold; coalesce keeps the
+    // empty-base global count at 0, matching the base aggregate
+    val folded = (groupAttr match {
+      case Some(_) => perGroup
+      case None => perGroup.agg(
+        coalesce(sum(col(mv.countAlias)), lit(0L)).cast("long")
+          .as(mv.countAlias),
+        sum(col(mv.sumAlias)).cast("long").as(mv.sumAlias))
+    }).queryExecution.analyzed
     val byName = folded.output.map(a => a.name -> a).toMap
     // splice under the ORIGINAL output ids; counts stay non-nullable
     val projections = slots.map {

@@ -1717,6 +1717,58 @@ object Relational {
         |FROM documents WHERE lang <> 'de'
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ── S-beyond: MV ROLLUP REWRITE (round 16 — the subsumption
+    //    LATTICE, not just exact-shape matching): a GLOBAL aggregate
+    //    over the base is also answerable from the lang-grouped view —
+    //    counts and sums re-aggregate ({lang} ⊑ {} in the rollup
+    //    order), so [[graft.plans.MvAutoRewrite]] plans it as the
+    //    O(|view| + |Δ|) fold capped by one more O(|view|)
+    //    re-aggregation, base scan gone (asserted in-line; the
+    //    coalesce-to-0 empty-base edge is the rule's, not the
+    //    query's). Same s47 life, own catalog; judged against the
+    //    oracle's global recompute of the final state. ──
+    ("s57_mv_rollup_rewrite",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.conf.set("spark.sql.catalog.graft_ru", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_ru.root", scratchPath("s57_catroot"))
+        val docs = Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+        val tdir = new java.io.File(
+          scratchPath("s57_catroot"), "s57docs").getPath
+        graft.plans.MvRegistry.unregister(tdir)
+        docs.where(pmod($"doc_id", lit(2)) === 0)
+          .writeTo("graft_ru.s57docs")
+          .tableProperty("mor", "true").createOrReplace()      // v1
+        val mvPath = scratchPath("s57_mv_state")
+        s.table("graft_ru.s57docs").groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+          .write.mode("overwrite").parquet(mvPath)
+        graft.plans.MvRegistry.register(graft.plans.MvRegistry.MvDef(
+          tablePath = tdir, statePath = mvPath, builtAt = 1L,
+          groupCol = "lang", countAlias = "n_docs",
+          sumCol = "n_chars", sumAlias = "total_chars"))
+        docs.where(pmod($"doc_id", lit(2)) === 1)
+          .writeTo("graft_ru.s57docs").append()                 // v2
+        s.sql("DELETE FROM graft_ru.s57docs WHERE lang = 'de'") // v3
+        s.sql("UPDATE graft_ru.s57docs SET n_chars = n_chars + 100000 " +
+          "WHERE lang = 'fr'")                                  // v4
+        // ── THE USER QUERY — GLOBAL, against the base table ──
+        val q = s.table("graft_ru.s57docs")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+        val p = q.queryExecution.explainString(
+          org.apache.spark.sql.execution.SimpleMode)
+        require(p.contains("#changes(1,") && p.contains("s57_mv_state"),
+          s"the rollup rewrite must have fired:\n$p")
+        require(!p.contains(s"graft-ledger:$tdir["),
+          s"the BASE scan must be gone from the rolled-up plan:\n$p")
+        q
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars + CASE WHEN lang = 'fr' THEN 100000
+        |                               ELSE 0 END) AS BIGINT) AS total_chars
+        |FROM documents WHERE lang <> 'de'""".stripMargin),
+
     // ── S-beyond: CONCURRENT APPENDS under OPTIMISTIC CONCURRENCY
     //    (round 15) — the multi-writer posture a shared 100 TB table
     //    lives under. The connector's version claim is a hard-link CAS

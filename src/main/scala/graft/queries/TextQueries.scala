@@ -970,6 +970,125 @@ object TextQueries {
       },
       incrementalLshOracleSql),
 
+    // ── t34: BM25 SCORER-STATE MAINTENANCE FROM THE CHANGE FEED — the
+    //    retrieval-SCORING member of the CDF-maintenance family, and a
+    //    strictly harder claim than t33's: BM25 scores of UNCHANGED
+    //    documents move when the corpus changes (df, N and the total
+    //    token mass all shift under the retraction legs), so the judged
+    //    top-10 proves the maintained state feeds the scorer's DERIVED
+    //    statistics correctly, not just that postings rows come and go.
+    //    State = the two artifacts every retrieval deployment
+    //    precomputes (the (doc, word, tf) postings and the per-doc
+    //    length table); maintenance folds the ledger's feed — net < 0
+    //    keys anti-join both artifacts, net > 0 keys are the ONLY docs
+    //    tokenized (content via the Δ-bounded broadcast fetch) — and
+    //    the probe is t30's verbatim inverted-index read: postings
+    //    SEMI-FILTERED to the 3 query terms before any aggregation,
+    //    df/totals re-derived from the maintained state, the
+    //    integer-exact saturation arithmetic unchanged. Judged against
+    //    the oracle's full rebuild over the final corpus (t30's SQL
+    //    over the docs2 CTE). ──
+    ("t34_bm25_cdf_maintenance",
+      (s: SparkSession, dir: String) => {
+        val inv = t33Invocation.incrementAndGet()
+        val cat = s"graft_t34_$inv"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root",
+          scratchPath(s"t34_catroot_$inv"))
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val meta = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        meta.where(pmod(col("doc_id"), lit(3)) =!= 2)
+          .writeTo(s"$cat.t34docs").tableProperty("mor", "true").create()
+        // ── FULL BUILD at v1: postings + doc-length state ──
+        def tokenize(d: org.apache.spark.sql.DataFrame) = d
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+        val postPath = scratchPath(s"t34_postings_$inv")
+        val dlPath = scratchPath(s"t34_dl_$inv")
+        val post1 = tokenize(
+          docs.where(pmod(col("doc_id"), lit(3)) =!= 2)).persist()
+        post1.write.mode("overwrite").parquet(postPath)
+        post1.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+          .write.mode("overwrite").parquet(dlPath)
+        post1.unpersist()
+        // ── the corpus changes through the table's own verbs ──
+        s.sql(s"DELETE FROM $cat.t34docs WHERE doc_id % 5 = 0")   // v2
+        meta.where(pmod(col("doc_id"), lit(3)) === 2)
+          .writeTo(s"$cat.t34docs").append()                      // v3
+        // ── MAINTENANCE: fold the feed, tokenize ONLY the Δ ──
+        val tdir = new java.io.File(
+          scratchPath(s"t34_catroot_$inv"), "t34docs").getPath
+        val net = s.read.format("graft-ledger")
+          .option("changesFrom", "1").load(tdir)
+          .groupBy(col("doc_id"))
+          .agg(sum(when(col("_change_type") === "insert", 1L)
+            .otherwise(-1L)).as("net"))
+          .persist()
+        val delKeys = broadcast(net.where(col("net") < 0).select(col("doc_id")))
+        val insKeys = net.where(col("net") > 0).select(col("doc_id"))
+        val deltaDocs = docs.as("c")
+          .join(broadcast(insKeys.as("k")),
+            col("c.doc_id") === col("k.doc_id"))
+          .select(col("c.doc_id"), col("c.text"))
+        val addPost = tokenize(deltaDocs).persist()
+        // post2 stays UNPERSISTED so the probe's 3-term semi-filter
+        // pushes through the union INTO the postings state scan (the
+        // inverted-index read — cost is the postings of 3 terms, not
+        // the maintained index); the filtered slice below is what
+        // persists for its two consumers
+        val post2 = s.read.parquet(postPath)
+          .join(delKeys, Seq("doc_id"), "left_anti")
+          .unionByName(addPost)
+        val dl2 = s.read.parquet(dlPath)
+          .join(delKeys, Seq("doc_id"), "left_anti")
+          .unionByName(
+            addPost.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
+          .persist()
+        // ── t30's probe, read from the MAINTAINED state ──
+        val qTerms = Seq("scan", "join", "merge")
+        val totals = dl2.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+        val tf = post2.where(col("word").isin(qTerms: _*)).persist()
+        val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+        tf.join(broadcast(dfreq), "word")
+          .join(dl2, "doc_id")
+          .crossJoin(broadcast(totals))
+          .withColumn("term_us", round(
+            log((lit(2) * col("n") + 2).cast("double")
+              / (lit(2) * col("df") + 1).cast("double"))
+            * (lit(44) * col("tf") * col("t")).cast("double")
+            / (lit(20) * col("tf") * col("t") + lit(6) * col("t")
+               + lit(18) * col("dl") * col("n")).cast("double")
+            * 1000000).cast("long"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_terms"), sum(col("term_us")).as("score_us"))
+          .orderBy(col("score_us").desc, col("doc_id")).limit(10)
+          .select(col("doc_id"), col("n_terms"), col("score_us"))
+      },
+      """WITH docs2 AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE (doc_id % 3 <> 2 AND doc_id % 5 <> 0) OR doc_id % 3 = 2),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM docs2),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl),
+        |tf AS (
+        |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tok
+        |  WHERE word IN ('scan', 'join', 'merge') GROUP BY 1, 2),
+        |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |         CAST(round(ln(CAST(2 * tot.n + 2 AS DOUBLE) / CAST(2 * dfq.df + 1 AS DOUBLE))
+        |           * CAST(44 * tf.tf * tot.t AS DOUBLE)
+        |           / CAST(20 * tf.tf * tot.t + 6 * tot.t + 18 * dl.dl * tot.n AS DOUBLE)
+        |           * 1000000, 0) AS BIGINT) AS term_us
+        |  FROM tf JOIN dfq USING (word) JOIN dl USING (doc_id), tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |       CAST(sum(term_us) AS BIGINT) AS score_us
+        |FROM scored GROUP BY doc_id
+        |ORDER BY score_us DESC, doc_id LIMIT 10""".stripMargin),
+
     ("t30_bm25_retrieval",
       (s: SparkSession, dir: String) => {
         val qTerms = Seq("scan", "join", "merge")

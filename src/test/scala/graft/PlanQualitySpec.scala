@@ -1191,6 +1191,31 @@ class PlanQualitySpec extends SparkSpec {
         s"fetch (docScans=$docScans, deltaFetches=$deltaFetches):\n$p")
   }
 
+  test("t34: BM25 state maintenance scans postings/dl state + the feed; Δ-bounded tokenize") {
+    val p = plan("t34_bm25_cdf_maintenance")
+    assert(p.contains("t34_postings") && p.contains("t34_dl"), p)
+    assert(p.contains("#changes(1,"), p)
+    val fileScans = p.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(fileScans.nonEmpty && fileScans.forall(l =>
+      l.contains("t34_postings") || l.contains("t34_dl") ||
+        l.contains("documents.parquet")), p)
+    val ledgerScans = p.linesIterator
+      .filter(_.contains("BatchScan graft-ledger")).toSeq
+    assert(ledgerScans.nonEmpty && ledgerScans.forall(_.contains("#changes(")),
+      s"maintenance must read the FEED, never re-scan the registry table:\n$p")
+    val docScans = fileScans.count(_.contains("documents.parquet"))
+    val deltaFetches =
+      "BroadcastHashJoin \\[doc_id#\\d+L\\], \\[doc_id#\\d+L\\], Inner, BuildRight"
+        .r.findAllIn(p).size
+    assert(docScans == deltaFetches,
+      s"every content-store scan must sit under the Δ-bounded broadcast " +
+        s"fetch (docScans=$docScans, deltaFetches=$deltaFetches):\n$p")
+    // the probe is the inverted-index read: the query terms are PUSHED
+    // into the postings state scan
+    assert(p.contains("In(word, [join,merge,scan])"),
+      s"the 3-term semi-filter must reach the postings scan:\n$p")
+  }
+
   test("v34: CDF IVF maintenance scans state + the change feed; Δ-assign and centroids bounded") {
     val p = plan("v34_ivf_cdf_maintenance")
     assert(p.contains("v34_ivf_state"), p)
