@@ -2056,7 +2056,112 @@ object StreamingQueries {
          |       CAST(count(*) AS BIGINT) AS n
          |FROM u, mx
          |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= m - INTERVAL 50 HOUR
-         |GROUP BY 1 ORDER BY 1""".stripMargin)
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ── st30: STREAMED LSH INDEX MAINTENANCE — the live twin of t33
+    //    and the retrieval-state member of the st27 family: the change
+    //    feed STREAM drives a foreachBatch that folds each
+    //    microbatch's net keys into the two persisted index artifacts
+    //    (retractions anti-join; ONLY the batch's net-inserts are
+    //    shingled, content fetched by the Δ-bounded broadcast lookup).
+    //    State advances through batch-id-named directories — a
+    //    replayed batch overwrites its own directory with identical
+    //    bytes, so the fold is exactly-once by idempotence (st09) on
+    //    top of the source's exactly-once version offsets. Judged
+    //    across TWO drains of one checkpoint (delete wave, then ingest
+    //    + seeds): the final near-dup probe over the streamed state
+    //    must hash-equal the FULL REBUILD over the final corpus —
+    //    t31/t33's oracle verbatim, closing the identity triangle
+    //    (simulated Δ ≡ batch CDC ≡ streamed CDC). At 100 TB this is
+    //    the near-dup index that tracks a living corpus continuously
+    //    instead of t33's on-demand. ──
+    ("st30_stream_lsh_maintenance",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val inv = st16Invocation.incrementAndGet()
+        val cat = s"slsh$inv"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root",
+          Portable.scratchPath(s"st30_catroot_$inv"))
+        val ckpt = Portable.scratchPath(s"st30_ckpt_$inv")
+        val stateRoot = Portable.scratchPath(s"st30_state_$inv")
+        val docs = Tables(s, dir, "documents")
+          .select($"doc_id", $"source", $"text")
+        val meta = Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+        meta.where(pmod($"doc_id", lit(3)) =!= 2)
+          .writeTo(s"$cat.t30docs")
+          .tableProperty("mor", "true").create()                  // v1
+        // FULL BUILD at v1 — the stream maintains from here on (the
+        // build dirs are named OFF the batch-id grid: batch 0 must
+        // never overwrite the state it reads)
+        var curIdx = s"$stateRoot/idx_build"
+        var curBands = s"$stateRoot/bands_build"
+        val idx1 = TextQueries.shingleIndex(
+          docs.where(pmod($"doc_id", lit(3)) =!= 2)).persist()
+        idx1.write.mode("overwrite").parquet(curIdx)
+        TextQueries.bandKeys(idx1).write.mode("overwrite").parquet(curBands)
+        idx1.unpersist()
+        val tdir = new java.io.File(
+          Portable.scratchPath(s"st30_catroot_$inv"), "t30docs").getPath
+        def drain(): Unit = {
+          val q = s.readStream.format("graft-ledger")
+            .option("changesFrom", "1").load(tdir)
+            .writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+               batchId: Long) =>
+                val st = batch.sparkSession
+                val net = batch.groupBy($"doc_id")
+                  .agg(sum(when($"_change_type" === "insert", 1L)
+                    .otherwise(-1L)).as("net"))
+                  .persist()
+                val delKeys = broadcast(net.where($"net" < 0).select($"doc_id"))
+                val insKeys = net.where($"net" > 0).select($"doc_id")
+                val deltaDocs = docs.as("c")
+                  .join(broadcast(insKeys
+                      .withColumn("content_id",
+                        when($"doc_id" >= TextQueries.SeedOffset,
+                          $"doc_id" - TextQueries.SeedOffset)
+                          .otherwise($"doc_id"))
+                      .as("k")),
+                    col("c.doc_id") === col("k.content_id"))
+                  .select(col("k.doc_id").as("doc_id"), col("c.source"),
+                    col("c.text"))
+                val addIdx = TextQueries.shingleIndex(deltaDocs).persist()
+                val nextIdx = s"$stateRoot/idx_v$batchId"
+                val nextBands = s"$stateRoot/bands_v$batchId"
+                st.read.parquet(curIdx)
+                  .join(delKeys, Seq("doc_id"), "left_anti")
+                  .unionByName(addIdx)
+                  .write.mode("overwrite").parquet(nextIdx)
+                st.read.parquet(curBands)
+                  .join(delKeys, Seq("doc_id"), "left_anti")
+                  .unionByName(TextQueries.bandKeys(addIdx))
+                  .write.mode("overwrite").parquet(nextBands)
+                curIdx = nextIdx
+                curBands = nextBands
+            }
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        s.sql(s"DELETE FROM $cat.t30docs WHERE doc_id % 5 = 0")   // v2
+        drain()                                                   // delete wave
+        meta.where(pmod($"doc_id", lit(3)) === 2)
+          .unionByName(meta.where($"doc_id" < TextQueries.NSeeds &&
+              (pmod($"doc_id", lit(3)) === 2 ||
+                pmod($"doc_id", lit(5)) =!= 0))
+            .select(($"doc_id" + TextQueries.SeedOffset).as("doc_id"),
+              $"lang", $"n_chars"))
+          .writeTo(s"$cat.t30docs").append()                      // v3
+        drain()                                                   // ingest wave
+        // the probe over the STREAMED state — the cap re-applies over
+        // the merged band set, as in t31/t33
+        TextQueries.nearDupPairsOf(
+          s.read.parquet(curIdx).persist(),
+          TextQueries.capBands(s.read.parquet(curBands)))
+      },
+      TextQueries.incrementalLshOracleSql)
   )
 
   /** st16/st17 run twice per Bench invocation in one JVM; per-

@@ -50,7 +50,7 @@ object TextQueries {
     * pair joins compare hashed longs, not strings. The oracle applies
     * the identical hash over the list form — judged values agree
     * exactly. */
-  private def shingleIndex(docs: DataFrame): DataFrame = {
+  private[queries] def shingleIndex(docs: DataFrame): DataFrame = {
     val wDoc = Window.partitionBy(col("doc_id"))
     val wPos = wDoc.orderBy(col("pos"))
     docs
@@ -86,11 +86,11 @@ object TextQueries {
     * seeds the near-dup queries pass vacuously; the seeds guarantee
     * J=1.0 pairs `(i, i + offset)` at every SF while the 567 natural
     * sub-threshold overlap pairs keep exercising the filter. */
-  private val NSeeds = 10L
+  private[queries] val NSeeds = 10L
   // far above any plausible natural doc_id (10^12): at corpus sizes where
   // ids approach the offset, seeded ids would COLLIDE with natural ones
   // and silently corrupt the judged pair/cluster sets
-  private val SeedOffset = 1000000000000L
+  private[queries] val SeedOffset = 1000000000000L
   private def seededDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("text"))
@@ -134,7 +134,7 @@ object TextQueries {
     * incremental maintenance can store them as state and re-apply the
     * cap over the MERGED set (a per-part cap would bind differently
     * than a rebuild's and diverge the candidate sets). */
-  private def bandKeys(idx: DataFrame): DataFrame = {
+  private[queries] def bandKeys(idx: DataFrame): DataFrame = {
     val sig = idx.groupBy(col("doc_id")).agg(
       min((col("h") * permA(0) + permB(0)) % HashMod).as("m0"),
       (1 until NPerms).map(j =>
@@ -148,7 +148,7 @@ object TextQueries {
       .select(col("doc_id"), col("e.band"), col("e.key"))
   }
 
-  private def capBands(bands: DataFrame): DataFrame = {
+  private[queries] def capBands(bands: DataFrame): DataFrame = {
     val wKey = Window.partitionBy(col("band"), col("key"))
     bands.withColumn("nk", count(lit(1)).over(wKey))
       .where(col("nk") <= BandCap).drop("nk")
@@ -157,7 +157,7 @@ object TextQueries {
   /** t31/t33 shared judged tail: banded candidate pairs + exact-Jaccard
     * confirm read THROUGH a maintained inverted index (never a
     * re-shingle) — the probe a deployed near-dup index serves. */
-  private def nearDupPairsOf(idx2: DataFrame, bands2: DataFrame): DataFrame = {
+  private[queries] def nearDupPairsOf(idx2: DataFrame, bands2: DataFrame): DataFrame = {
     val cand = lshCandidates(bands2.persist())
     val sizes = idx2.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cand
@@ -179,7 +179,7 @@ object TextQueries {
     * base slice minus the retention delete, plus the ingest wave and
     * the seeded exact copies. Both maintenance paths (t31's simulated
     * deltas, t33's real change feed) must land exactly here. */
-  private val incrementalLshOracleSql: String = {
+  private[queries] val incrementalLshOracleSql: String = {
     val docs2Sql =
       s"""docs2 AS (
          |  SELECT doc_id, source, text FROM documents
@@ -211,7 +211,7 @@ object TextQueries {
 
   /** Distinct candidate pairs (doc_a < doc_b) sharing any band key —
     * a hash equi-join on the bucket, never an all-pairs cross join. */
-  private def lshCandidates(bands: DataFrame): DataFrame =
+  private[queries] def lshCandidates(bands: DataFrame): DataFrame =
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key")
           && col("a.doc_id") < col("b.doc_id"))
