@@ -248,9 +248,30 @@ class LedgerVerbFuzzSpec extends SparkSpec {
             nextKey = math.max(nextKey, math.min(hi, lo + 10) + 1)
           case 5 => // maintenance: compact consumes the overlay
             spark.sql(s"CALL $cat.system.compact('t', ${1 + rng.nextInt(3)})")
-          case 6 => // retention: expire old versions, current read intact
-            spark.sql(s"CALL $cat.system.expire_versions('t', " +
-              s"${1 + rng.nextInt(3)})")
+          case 6 => rng.nextInt(2) match {
+            case 0 => // retention: expire old versions, current read intact
+              spark.sql(s"CALL $cat.system.expire_versions('t', " +
+                s"${1 + rng.nextInt(3)})")
+            case _ => // TARGETED maintenance: fold only the hot overlay at
+              // a random threshold; state invariant + tombstone
+              // accounting (dropped + remaining = before) must hold at
+              // every frac, including the 0.0 fold-everything and the
+              // 1.0 no-op ends
+              val before = LedgerSource.deleteFiles(root + "/t")
+                .map(LedgerSource.tombstoneTotal).sum
+              val frac = rng.nextInt(5) match {
+                case 0 => 0.0
+                case 4 => 1.0
+                case _ => rng.nextDouble()
+              }
+              val row = spark.sql(
+                s"CALL $cat.system.rewrite_tombstones('t', $frac)").head
+              val after = LedgerSource.deleteFiles(root + "/t")
+                .map(LedgerSource.tombstoneTotal).sum
+              assert(before == after + row.getLong(1),
+                s"case $i: tombstone accounting broke at frac=$frac " +
+                  s"($before != $after + ${row.getLong(1)})")
+          }
         }
         val got = spark.table(s"$cat.t").collect()
           .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
