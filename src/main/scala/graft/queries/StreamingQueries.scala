@@ -2161,7 +2161,82 @@ object StreamingQueries {
           s.read.parquet(curIdx).persist(),
           TextQueries.capBands(s.read.parquet(curBands)))
       },
-      TextQueries.incrementalLshOracleSql)
+      TextQueries.incrementalLshOracleSql),
+
+    // ── st31: STREAMED IVF MAINTENANCE — st30's discipline on the ANN
+    //    side, closing the vector identity triangle (v33 simulated Δ ≡
+    //    v34 batch CDC ≡ this streamed CDC): the vector registry's
+    //    change-feed stream drives a foreachBatch that folds each
+    //    microbatch into the persisted inverted lists — retractions
+    //    anti-join, ONLY net-inserts are assigned (vectors via the
+    //    Δ-bounded broadcast fetch, scored against the 8 broadcast
+    //    frozen centroids), state advancing through batch-id-named
+    //    directories. Judged across two drains of one checkpoint by
+    //    v05's probe over the streamed lists against the oracle's full
+    //    re-assignment of the final corpus — v33/v34's oracle
+    //    verbatim. ──
+    ("st31_stream_ivf_maintenance",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val inv = st16Invocation.incrementAndGet()
+        val cat = s"sivf$inv"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root",
+          Portable.scratchPath(s"st31_catroot_$inv"))
+        val ckpt = Portable.scratchPath(s"st31_ckpt_$inv")
+        val stateRoot = Portable.scratchPath(s"st31_state_$inv")
+        val emb = Tables(s, dir, "embeddings")
+        val inCorpus1 = pmod($"vec_id", lit(3)) =!= 2 || $"vec_id" < 20
+        def registryRows(df: DataFrame): DataFrame = df
+          .select($"vec_id".as("doc_id"),
+            $"label".cast("string").as("lang"), $"vec_id".as("n_chars"))
+        registryRows(emb.where(inCorpus1))
+          .writeTo(s"$cat.t31vecs")
+          .tableProperty("mor", "true").create()                  // v1
+        var cur = s"$stateRoot/lists_build"
+        VectorQueries.frozenAssign(emb)(emb.where(inCorpus1))
+          .write.mode("overwrite").parquet(cur)
+        val tdir = new java.io.File(
+          Portable.scratchPath(s"st31_catroot_$inv"), "t31vecs").getPath
+        def drain(): Unit = {
+          val q = s.readStream.format("graft-ledger")
+            .option("changesFrom", "1").load(tdir)
+            .writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+               batchId: Long) =>
+                val st = batch.sparkSession
+                val net = batch.groupBy($"doc_id".as("vec_id"))
+                  .agg(sum(when($"_change_type" === "insert", 1L)
+                    .otherwise(-1L)).as("net"))
+                  .persist()
+                val delKeys = broadcast(net.where($"net" < 0).select($"vec_id"))
+                val insKeys = net.where($"net" > 0).select($"vec_id")
+                val deltaVecs = emb.as("e")
+                  .join(broadcast(insKeys.as("k")),
+                    col("e.vec_id") === col("k.vec_id"))
+                  .select(col("e.vec_id"), col("e.embedding"), col("e.label"))
+                val next = s"$stateRoot/lists_v$batchId"
+                st.read.parquet(cur)
+                  .join(delKeys, Seq("vec_id"), "left_anti")
+                  .unionByName(VectorQueries.frozenAssign(emb)(deltaVecs))
+                  .write.mode("overwrite").parquet(next)
+                cur = next
+            }
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        s.sql(s"DELETE FROM $cat.t31vecs " +
+          "WHERE doc_id % 5 = 0 AND doc_id >= 20")                // v2
+        drain()                                                   // delete wave
+        registryRows(emb.where(pmod($"vec_id", lit(3)) === 2 &&
+            $"vec_id" >= 20))
+          .writeTo(s"$cat.t31vecs").append()                      // v3
+        drain()                                                   // ingest wave
+        VectorQueries.probeTopK(s.read.parquet(cur).persist())
+          .orderBy($"q_id", $"rank")
+      },
+      VectorQueries.incrementalIvfOracleSql)
   )
 
   /** st16/st17 run twice per Bench invocation in one JVM; per-

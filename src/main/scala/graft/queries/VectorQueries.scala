@@ -323,7 +323,7 @@ object VectorQueries {
     * keep each vector's best cell. Per-vector assignment is
     * deterministic, which is exactly what makes maintained ≡ rebuilt
     * judgeable; retraining is the documented offline path (v11). */
-  private def frozenAssign(emb: DataFrame)(corpus: DataFrame): DataFrame = {
+  private[queries] def frozenAssign(emb: DataFrame)(corpus: DataFrame): DataFrame = {
     val cents = emb.where(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
     val wAssign = Window.partitionBy(col("vec_id"))
@@ -342,7 +342,7 @@ object VectorQueries {
     * under the same frozen quantizer, probed by v05's chain. Both
     * maintenance paths (v33's simulated deltas, v34's real change
     * feed) must land exactly here. */
-  private def incrementalIvfOracleSql: String =
+  private[queries] def incrementalIvfOracleSql: String =
     s"""WITH corpus2 AS (
        |  SELECT vec_id, embedding, label FROM embeddings
        |  WHERE ((vec_id % 3 <> 2 OR vec_id < 20)
@@ -373,7 +373,7 @@ object VectorQueries {
     * query set = vec_id 10..19, probe the query's cell only, top-3 by
     * cosine (ties broken by vec_id). Unordered — judged callers add
     * their own orderBy. */
-  private def probeTopK(assigned: DataFrame): DataFrame = {
+  private[queries] def probeTopK(assigned: DataFrame): DataFrame = {
     val queries = assigned.where(col("vec_id") >= 10 && col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("cell"), col("nrm").as("q_nrm"))
