@@ -2145,6 +2145,62 @@ object Relational {
         |       min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ── S-beyond: RACING WRITERS ACROSS BRANCHES (round 16 — s49's
+    //    OCC story extended to REFS): refs now advance by an
+    //    atomic-move compare-and-swap on the value-named ref file, so
+    //    a branch takes CONCURRENT writers without lost updates — a
+    //    CAS loser's claimed version dangles as a dead side commit and
+    //    its files re-commit onto the ref's lineage (the old contract
+    //    was one-writer-per-ref, last-writer-wins). Judged with a REAL
+    //    race: four threads append four disjoint residue slices, two
+    //    onto MAIN and two onto DEV concurrently; then merge_branch
+    //    folds dev in, converge reclaims — and must reclaim ZERO files
+    //    (the judged anti-loss witness: a shadowed ref advance or an
+    //    orphaned commit would surface as reclaimed files or missing
+    //    rows, either diverging the hash). The final per-lang state is
+    //    interleaving-independent: seed ∪ all four waves. ──
+    ("s58_branch_append_race",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.conf.set("spark.sql.catalog.graft_brr", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_brr.root", scratchPath("s58_catroot"))
+        val docs = Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+        docs.where(pmod($"doc_id", lit(5)) === 0)
+          .writeTo("graft_brr.s58docs")
+          .tableProperty("mor", "true").createOrReplace()      // v1
+        s.sql("CALL graft_brr.system.create_branch('s58docs', 'dev')")
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+        try {
+          (1 to 4).map { r =>
+            pool.submit(new java.util.concurrent.Callable[Unit] {
+              override def call(): Unit = {
+                val target =
+                  if (r <= 2) "graft_brr.s58docs"
+                  else "graft_brr.s58docs.branch_dev"
+                docs.where(pmod($"doc_id", lit(5)) === r)
+                  .writeTo(target).append()
+              }
+            })
+          }.foreach(_.get())
+        } finally { pool.shutdown(): Unit }
+        s.sql("CALL graft_brr.system.merge_branch('s58docs', 'dev', 'main')")
+        s.sql("CALL graft_brr.system.drop_branch('s58docs', 'dev')")
+        val conv = s.sql("CALL graft_brr.system.converge('s58docs')").head
+        val agg = s.table("graft_brr.s58docs").groupBy($"lang")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum($"doc_id").cast("long").as("id_sum"),
+            sum($"n_chars").cast("long").as("chars_sum"))
+        agg.crossJoin(broadcast(
+            Seq(conv.getLong(0)).toDF("files_reclaimed")))
+          .orderBy($"lang")
+      },
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+        |       CAST(0 AS BIGINT) AS files_reclaimed
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+
     // ── S-beyond: SCHEMA EVOLUTION as a live-table verb — `ALTER
     //    TABLE … ADD COLUMNS`, judged end to end on the session
     //    catalog (s14 judges mergeSchema on raw parquet and s23

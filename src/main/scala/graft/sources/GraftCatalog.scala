@@ -663,8 +663,13 @@ private[sources] final class RefProcedure(root: File, verb: String)
         require(mainSet.subsetOf(devSet),
           s"main (v$mainV) is not an ancestor of '$name' (v$devV) — " +
             s"the lineages diverged (${(mainSet -- devSet).size} file(s) " +
-            s"only on main); merge is not supported, replay the branch")
-        LedgerSource.writeRef(d, "branch", "main", devV)
+            s"only on main); use merge_branch, or replay the branch")
+        // CAS from the validated head: a concurrent main writer means
+        // the ancestry check above was against a stale head — refuse
+        // loudly rather than advance over the racer's commit
+        require(LedgerSource.casAdvanceRef(d, "branch", "main", mainV, devV),
+          s"main of $table moved concurrently (validated v$mainV) — " +
+            s"re-validate and retry the fast_forward")
         devV
       case other => throw new IllegalStateException(s"unknown verb $other")
     }
@@ -855,10 +860,14 @@ private[sources] final class MergeBranchProcedure(root: File)
         s"the union would double-count their rows")
     val mine = (fromSet -- intoSet).toSeq.sorted
     // adds-only commit on INTO's lineage: manifest = into ∪ from,
-    // parent = into's head — the feed replays the merge as inserts
+    // parent = into's head — the feed replays the merge as inserts.
+    // CAS from the validated head: a racing into-writer invalidates
+    // the fork-point analysis above, so refuse rather than clobber
     val v = LedgerSource.commitVersion(d, added = Some(mine),
       base = Some(intoV))
-    LedgerSource.writeRef(d, "branch", into, v)
+    require(LedgerSource.casAdvanceRef(d, "branch", into, intoV, v),
+      s"'$into' of $table moved concurrently (validated v$intoV) — " +
+        s"re-validate and retry the merge")
     val out = new GenericInternalRow(3)
     out.update(0, UTF8String.fromString(into))
     out.setLong(1, v)

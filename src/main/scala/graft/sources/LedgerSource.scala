@@ -731,8 +731,18 @@ object LedgerSource {
   // never purely numeric (would shadow commit ids in VERSION AS OF)
   private[sources] val RefNameRe = "[A-Za-z_][A-Za-z0-9_-]*".r
 
-  private[sources] def refFile(dir: String, kind: String, name: String): File =
-    new File(new File(dir, RefsDir), s"$kind.$name")
+  /** A ref's on-disk form encodes its VALUE in the file NAME —
+    * `_refs/<kind>.<name>.v<version>` (the file itself is an empty
+    * marker). The point is [[casAdvanceRef]]: POSIX `rename(2)` of the
+    * value-named file is the one widely-portable primitive that is an
+    * atomic COMPARE-and-swap on the value (the move fails iff the
+    * source name — i.e. the expected current value — is gone), which
+    * upgrades refs from last-writer-wins to LOST-UPDATE-FREE under
+    * concurrent advancement. Ref names exclude dots, so the `.v`
+    * split is unambiguous. */
+  private[sources] def refFile(dir: String, kind: String, name: String,
+                               v: Long): File =
+    new File(new File(dir, RefsDir), s"$kind.$name.v$v")
 
   private[sources] def validRefName(name: String): String = {
     require(RefNameRe.pattern.matcher(name).matches(),
@@ -743,37 +753,58 @@ object LedgerSource {
 
   private[graft] def readRef(dir: String, kind: String,
                              name: String): Option[Long] = {
-    val f = refFile(dir, kind, name)
-    if (!f.isFile) None
-    else {
-      val text = new String(
-        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      Some(text.split("\n").collectFirst {
-        case l if l.startsWith("v=") => l.stripPrefix("v=").trim.toLong
-      }.getOrElse(throw new IllegalStateException(
-        s"graft-ledger: ref ${f.getPath} is corrupt (no v= line)")))
-    }
+    val rdir = new File(dir, RefsDir)
+    val prefix = s"$kind.$name.v"
+    val vs = Option(rdir.listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.isFile && f.getName.startsWith(prefix))
+      .flatMap(_.getName.stripPrefix(prefix).toLongOption)
+    // atomic moves keep exactly one value file per ref; max is the
+    // defensive tiebreak for a torn external copy of the directory
+    if (vs.isEmpty) None else Some(vs.max)
   }
 
-  /** Atomic replace — last writer wins, the single-writer-per-ref
-    * contract (the version CHAIN stays race-safe via the CAS claim;
-    * rebasing a racing ref advance is the caller's scope). */
+  /** Unconditional SET — the ref-CREATION verbs' spelling (create_tag,
+    * create_branch, the main pin): single-actor by those verbs'
+    * contracts. Concurrent ADVANCEMENT goes through [[casAdvanceRef]],
+    * never through this. */
   private[sources] def writeRef(dir: String, kind: String, name: String,
                                 v: Long): Unit = {
     validRefName(name)
     val rdir = new File(dir, RefsDir)
     rdir.mkdirs()
-    val tmp = new File(rdir, s"$kind.$name.${UUID.randomUUID()}.tmp")
-    java.nio.file.Files.write(tmp.toPath,
-      s"v=$v\n#ts=${System.currentTimeMillis()}".getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp.toPath, refFile(dir, kind, name).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val fresh = refFile(dir, kind, name, v)
+    java.nio.file.Files.write(fresh.toPath, Array.empty[Byte])
+    Option(rdir.listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.isFile && f.getName.startsWith(s"$kind.$name.v") &&
+        f.getName != fresh.getName)
+      .foreach(_.delete())
+  }
+
+  /** Atomic compare-and-swap of a ref: advance `kind.name` from `from`
+    * to `to` iff its current value IS `from`. Returns false when a
+    * concurrent writer moved it first — the caller re-reads and
+    * retries (additive commits) or refuses loudly (human verbs like
+    * fast_forward/merge, where a moved ref means the precondition was
+    * validated against a stale head). */
+  private[sources] def casAdvanceRef(dir: String, kind: String, name: String,
+                                     from: Long, to: Long): Boolean = {
+    if (from == to) return true
+    try {
+      java.nio.file.Files.move(
+        refFile(dir, kind, name, from).toPath,
+        refFile(dir, kind, name, to).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      true
+    } catch {
+      case _: java.nio.file.NoSuchFileException => false
+    }
   }
 
   private[sources] def dropRef(dir: String, kind: String, name: String): Unit = {
-    val f = refFile(dir, kind, name)
-    require(f.isFile, s"graft-ledger: no $kind '$name' at $dir")
+    val v = readRef(dir, kind, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-ledger: no $kind '$name' at $dir"))
+    val f = refFile(dir, kind, name, v)
     require(f.delete(), s"graft-ledger: cannot remove ref ${f.getPath}")
   }
 
@@ -781,12 +812,68 @@ object LedgerSource {
   private[graft] def listRefs(dir: String, kind: String): Map[String, Long] = {
     val rdir = new File(dir, RefsDir)
     Option(rdir.listFiles()).getOrElse(Array.empty[File])
-      .filter(f => f.isFile && f.getName.startsWith(s"$kind.") &&
-        !f.getName.endsWith(".tmp"))
-      .map { f =>
-        val name = f.getName.stripPrefix(s"$kind.")
-        name -> readRef(dir, kind, name).get
-      }.toMap
+      .filter(f => f.isFile && f.getName.startsWith(s"$kind."))
+      .flatMap { f =>
+        val rest = f.getName.stripPrefix(s"$kind.")
+        val cut = rest.lastIndexOf(".v")
+        if (cut <= 0) None
+        else rest.drop(cut + 2).toLongOption.map(v => rest.take(cut) -> v)
+      }
+      // one value file per ref under atomic moves; max = defensive
+      .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2).max }
+  }
+
+  /** EVERY additive commit (append, MoR delta) funnels here. A handle
+    * with a ref — or an unbranched handle on a table that has gained
+    * `main` since load (the mid-flight-fork race) — takes the ref-CAS
+    * loop. A genuinely unbranched commit claims on the chain, then
+    * RE-CHECKS for a fork that landed inside its claim window: if the
+    * new main pin is exactly our parent, CAS-advancing it to us makes
+    * the commit visible (our manifest extends the pin's); any other
+    * pin missed us, so the same files re-commit onto main's lineage
+    * and the chain claim dangles as a dead side commit. Net effect:
+    * no interleaving of appends and create_branch can silently lose
+    * rows — the scenario where two individually-legal operations
+    * orphaned a commit is closed from the COMMIT side, not by asking
+    * writers to quiesce. */
+  private[sources] def additiveCommit(dir: String, ref: Option[String],
+                                      added: Seq[String]): Long =
+    ref.orElse(if (readRef(dir, "branch", "main").isDefined) Some("main")
+               else None) match {
+      case Some(r) => refAdditiveCommit(dir, r, added)
+      case None =>
+        val v = commitVersion(dir, Some(added), None)
+        readRef(dir, "branch", "main") match {
+          case None => v // still unbranched: a later fork pins at >= v
+          case Some(m) if m == parentVersion(dir, v) &&
+              casAdvanceRef(dir, "branch", "main", m, v) => v
+          case Some(_) => refAdditiveCommit(dir, "main", added)
+        }
+    }
+
+  /** The LOST-UPDATE-FREE additive commit onto a ref: re-read the ref,
+    * commit `added` on ITS manifest, CAS-advance — retry on a lost
+    * race. A loser's claimed version becomes a DEAD SIDE COMMIT: its
+    * manifest references only files the retry re-commits onto the
+    * ref's lineage (never double-counted — lineage walks follow
+    * `#parent`, and converge's keep-set is the ref manifest that
+    * includes the files), so concurrent appends to ONE branch are now
+    * safe, not just concurrent appends to the chain. */
+  private[sources] def refAdditiveCommit(dir: String, ref: String,
+                                         added: Seq[String]): Long = {
+    var attempts = 0
+    while (true) {
+      val base = readRef(dir, "branch", ref).getOrElse(
+        throw new IllegalStateException(
+          s"graft-ledger: branch '$ref' of $dir vanished mid-commit"))
+      val v = commitVersion(dir, Some(added), Some(base))
+      if (casAdvanceRef(dir, "branch", ref, base, v)) return v
+      attempts += 1
+      require(attempts < 100,
+        s"graft-ledger: lost the '$ref' ref race at $dir $attempts " +
+          s"times — giving up rather than spinning")
+    }
+    -1L // unreachable
   }
 
   /** Branches OTHER than the implicit main — what gates destructive
@@ -2411,22 +2498,13 @@ final class LedgerDeltaBatchWrite(path: String,
     // snapshot from the commit's own names, like the append path; on a
     // branched table the delta extends the REF's manifest and advances
     // the ref, keeping the other lineages blind to the tombstones.
-    // Same mid-flight-fork guard as LedgerBatchWrite: an unbranched
-    // handle is a TRUNK writer, so if `branch.main` appeared since the
-    // handle was loaded, commit against main's head and advance it —
-    // otherwise the delta lands on the raw chain (maybe a branch's last
-    // commit) and no ref ever sees it.
-    val effRef = ref.orElse(
-      if (LedgerSource.readRef(path, "branch", "main").isDefined)
-        Some("main") else None)
-    val base = effRef.map(r => LedgerSource.readRef(path, "branch", r)
-      .getOrElse(throw new IllegalStateException(
-        s"graft-ledger: branch '$r' of $path vanished mid-write")))
-    val v = LedgerSource.commitVersion(path, Some(messages.toSeq.flatMap {
+    // Same lossless protocol as the append path (ref-CAS loop, incl.
+    // the mid-flight-fork re-target; chain claim + fork recheck when
+    // genuinely unbranched).
+    LedgerSource.additiveCommit(path, ref, messages.toSeq.flatMap {
       case LedgerCommit(names) => names
       case _ => Seq.empty
-    }), base)
-    effRef.foreach(r => LedgerSource.writeRef(path, "branch", r, v))
+    }): Unit
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
@@ -2562,29 +2640,22 @@ final class LedgerBatchWrite(path: String, truncate: Boolean,
     // live set and keep the listing snapshot + single-committer scope).
     // A ref-scoped append extends its REF's manifest (re-read at
     // commit time) and advances the ref to the claimed version.
-    val added = if (!truncate && replaceBounds.isEmpty) Some(kept.toSeq)
-                else None
-    // CREATE_BRANCH RACE GUARD: a handle loaded BEFORE a fork carries
-    // ref=None; if `branch.main` exists by the time this append commits,
-    // committing against the raw chain head and not advancing main would
-    // make the rows invisible to every ref (and converge would later
-    // reclaim the files as orphans — silent loss from two individually
-    // legal operations). An unbranched handle writes the TRUNK, so when
-    // the trunk has gained a name mid-flight the commit re-targets it:
-    // base = main's head, ref advance included. Applies only to pure
-    // appends — truncate/replace on a branched table already refused at
-    // plan time, and a mid-flight fork under them is outside their
-    // single-committer contract.
-    val effRef =
-      if (added.isDefined)
-        ref.orElse(if (LedgerSource.readRef(path, "branch", "main")
-          .isDefined) Some("main") else None)
-      else ref
-    val base = effRef.map(r => LedgerSource.readRef(path, "branch", r)
-      .getOrElse(throw new IllegalStateException(
-        s"graft-ledger: branch '$r' of $path vanished mid-write")))
-    val v = LedgerSource.commitVersion(path, added, base)
-    effRef.foreach(r => LedgerSource.writeRef(path, "branch", r, v))
+    if (!truncate && replaceBounds.isEmpty) {
+      // pure append: the lossless additive protocol — ref-CAS loop for
+      // ref handles (and for unbranched handles whose table gained
+      // `main` mid-flight: the create_branch race, closed commit-side),
+      // chain claim + fork recheck otherwise
+      LedgerSource.additiveCommit(path, ref, kept.toSeq): Unit
+    } else {
+      // truncate / REPLACE WHERE: destructive, single-committer by
+      // contract, refused at plan time while branch refs exist — the
+      // listing-snapshot commit is unchanged
+      val base = ref.map(r => LedgerSource.readRef(path, "branch", r)
+        .getOrElse(throw new IllegalStateException(
+          s"graft-ledger: branch '$r' of $path vanished mid-write")))
+      val v = LedgerSource.commitVersion(path, None, base)
+      ref.foreach(r => LedgerSource.writeRef(path, "branch", r, v))
+    }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {

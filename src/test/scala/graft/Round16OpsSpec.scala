@@ -150,6 +150,39 @@ class Round16OpsSpec extends SparkSpec {
       s"repeat invocations must agree: $first vs $second")
   }
 
+  test("concurrent appends to ONE branch are lost-update-free (ref CAS loop)") {
+    // the round-16 upgrade beyond the mid-flight-fork guard: refs
+    // advance by an atomic-move COMPARE-and-swap on the value-named
+    // ref file, so two main-writers can no longer shadow each other's
+    // advance (last-writer-wins was the old single-writer-per-ref
+    // contract). Four real threads race onto main; a CAS loser's
+    // claimed version dangles as a dead side commit and its files
+    // re-commit — nothing is lost, converge reclaims nothing.
+    withCatalog { (cat, root) =>
+      wave(0, 50, "base").writeTo(s"$cat.t").create()
+      spark.sql(s"CALL $cat.system.create_branch('t', 'dev')")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      try {
+        (0 until 4).map { i =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit =
+              wave(100 + i * 50, 150 + i * 50, s"w$i")
+                .writeTo(s"$cat.t").append()
+          })
+        }.foreach(_.get())
+      } finally { pool.shutdown(): Unit }
+      assert(spark.table(s"$cat.t").count() == 50 + 200,
+        "all four racing main appends must be visible on main")
+      assert(spark.table(s"$cat.t.branch_dev").count() == 50,
+        "the branch fork stays isolated from the race")
+      spark.sql(s"CALL $cat.system.drop_branch('t', 'dev')")
+      val conv = spark.sql(s"CALL $cat.system.converge('t')").head
+      assert(conv.getLong(0) == 0,
+        s"a lossless race leaves no orphans, reclaimed ${conv.getLong(0)}")
+      assert(spark.table(s"$cat.t").count() == 250)
+    }
+  }
+
   test("create_tag takes a BIGINT version") {
     withCatalog { (cat, root) =>
       wave(0, 10).writeTo(s"$cat.t").create()
