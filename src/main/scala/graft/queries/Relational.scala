@@ -1717,6 +1717,63 @@ object Relational {
         |FROM documents WHERE lang <> 'de'
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ── S-beyond: MV REWRITE FALLBACK (round 16 — the eligibility
+    //    gate as a judged surface): the auto-rewrite is only sound
+    //    while the change feed can reconstruct (builtAt, head], so a
+    //    DESTRUCTIVE commit in the window (here a compaction, which
+    //    removes data files and with them the feed's before-images)
+    //    must flip the SAME subsumed query back to the base scan —
+    //    silently, per plan, never an error. The judged flow registers
+    //    the view, runs the s47 life, COMPACTS, then runs the exact
+    //    s56 user query: the plan is asserted in-line to scan the BASE
+    //    and no `#changes` feed, and the judged rows still equal the
+    //    full recompute — the fallback is invisible in results, only
+    //    in cost. This is the staleness-safety half of the MV story:
+    //    a rewrite that errored (or answered from a feed it cannot
+    //    replay) after table maintenance would make the optimizer a
+    //    liability. ──
+    ("s59_mv_rewrite_fallback",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.conf.set("spark.sql.catalog.graft_fb", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_fb.root", scratchPath("s59_catroot"))
+        val docs = Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+        val tdir = new java.io.File(
+          scratchPath("s59_catroot"), "s59docs").getPath
+        graft.plans.MvRegistry.unregister(tdir)
+        docs.where(pmod($"doc_id", lit(2)) === 0)
+          .writeTo("graft_fb.s59docs")
+          .tableProperty("mor", "true").createOrReplace()      // v1
+        val mvPath = scratchPath("s59_mv_state")
+        s.table("graft_fb.s59docs").groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+          .write.mode("overwrite").parquet(mvPath)
+        graft.plans.MvRegistry.register(graft.plans.MvRegistry.MvDef(
+          tablePath = tdir, statePath = mvPath, builtAt = 1L,
+          groupCol = "lang", countAlias = "n_docs",
+          sumCol = "n_chars", sumAlias = "total_chars"))
+        docs.where(pmod($"doc_id", lit(2)) === 1)
+          .writeTo("graft_fb.s59docs").append()                 // v2
+        s.sql("DELETE FROM graft_fb.s59docs WHERE lang = 'de'") // v3
+        // the destructive commit that breaks the feed window: compaction
+        // applies the overlay and REMOVES data files
+        s.sql("CALL graft_fb.system.compact('s59docs', 4)")     // v4
+        val q = s.table("graft_fb.s59docs").groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+        val p = q.queryExecution.explainString(
+          org.apache.spark.sql.execution.SimpleMode)
+        require(!p.contains("#changes("),
+          s"a broken feed window must disable the rewrite:\n$p")
+        require(p.contains(s"graft-ledger:$tdir["),
+          s"the fallback must scan the BASE:\n$p")
+        q.orderBy($"lang")
+      },
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE lang <> 'de'
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ── S-beyond: MV ROLLUP REWRITE (round 16 — the subsumption
     //    LATTICE, not just exact-shape matching): a GLOBAL aggregate
     //    over the base is also answerable from the lang-grouped view —

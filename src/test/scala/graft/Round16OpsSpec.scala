@@ -180,6 +180,13 @@ class Round16OpsSpec extends SparkSpec {
       assert(conv.getLong(0) == 0,
         s"a lossless race leaves no orphans, reclaimed ${conv.getLong(0)}")
       assert(spark.table(s"$cat.t").count() == 250)
+      // dead side commits (CAS losers' dangling manifests) are ordinary
+      // versions: retention expiry prunes them and the current read —
+      // whose files every dead manifest shares with the lineage — is
+      // untouched
+      spark.sql(s"CALL $cat.system.expire_versions('t', 1)").collect()
+      assert(spark.table(s"$cat.t").count() == 250,
+        "expiring dead side commits must not reclaim shared files")
     }
   }
 
