@@ -2,11 +2,11 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
-  AttributeReference, KnownNotNull, Literal, NamedExpression}
+  AttributeReference, Expression, KnownNotNull, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
   Complete, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan,
-  Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
+  LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions._
@@ -84,10 +84,50 @@ object MvAutoRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** FILTERED subsumption: a deterministic predicate over ONLY the
+    * view's group column commutes with the per-group fold, so
+    * `WHERE <groupCol pred> GROUP BY groupCol` is answerable from the
+    * view — the predicate re-applies to the folded groups (and pushes
+    * into the state parquet scan from there). Any other filter shape
+    * keeps the base scan: the view holds no per-row state. The peel is
+    * order-insensitive to attribute-only Projects (column pruning may
+    * sit above or below the filter depending on the fixed-point
+    * iteration). Returns (base, surviving group-col predicate). */
+  private def baseUnderGroupFilter(plan: LogicalPlan, groupCol: String)
+      : Option[(LedgerTable, Option[Expression])] = plan match {
+    case Project(ps, child) if ps.forall(_.isInstanceOf[Attribute]) =>
+      baseUnderGroupFilter(child, groupCol)
+    case Filter(cond, child) if cond.deterministic &&
+        cond.references.nonEmpty &&
+        cond.references.forall(_.name == groupCol) &&
+        !cond.exists(_.isInstanceOf[org.apache.spark.sql.catalyst
+          .expressions.SubqueryExpression]) =>
+      baseTableOf(child).map(t => (t, Some(cond)))
+    case other => baseTableOf(other).map(t => (t, None))
+  }
+
+  /** The relation under any stack of attribute-only Projects and
+    * Filters — used only to LOCATE the registry entry (whose groupCol
+    * then drives the real, guarded peel above). */
+  private def relationUnderAny(plan: LogicalPlan): Option[LedgerTable] =
+    plan match {
+      case Project(ps, child) if ps.forall(_.isInstanceOf[Attribute]) =>
+        relationUnderAny(child)
+      case Filter(_, child) => relationUnderAny(child)
+      case other => baseTableOf(other)
+    }
+
   private def rewrite(groups: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
                       aggExprs: Seq[NamedExpression],
                       child: LogicalPlan): Option[LogicalPlan] = for {
-    table <- baseTableOf(child)
+    probe <- {
+      // the group column is registry metadata, so locate the entry
+      // first, then peel the candidate group-col filter under its rule
+      relationUnderAny(child)
+        .flatMap(t => MvRegistry.lookup(t.tablePath))
+        .flatMap(mv0 => baseUnderGroupFilter(child, mv0.groupCol))
+    }
+    (table, groupFilter) = probe
     mv <- MvRegistry.lookup(table.tablePath)
     // exact grouping OR the ROLLUP: a GLOBAL aggregate re-aggregates
     // the per-group view (the classic MV subsumption lattice, here the
@@ -124,11 +164,26 @@ object MvAutoRewrite extends Rule[LogicalPlan] {
       .groupBy(col(mv.groupCol))
       .agg(sum(col("sgn")).as(mv.countAlias),
         sum(col("sgn") * col(mv.sumCol)).as(mv.sumAlias))
-    val perGroup = s.read.parquet(mv.statePath).unionByName(deltas)
+    val perGroup0 = s.read.parquet(mv.statePath).unionByName(deltas)
       .groupBy(col(mv.groupCol))
       .agg(sum(col(mv.countAlias)).cast("long").as(mv.countAlias),
         sum(col(mv.sumAlias)).cast("long").as(mv.sumAlias))
       .where(col(mv.countAlias) > 0)
+    // the group-col filter commutes with the per-group fold: re-apply
+    // it to the folded groups (Spark pushes it down into the state
+    // scan from there — the probe reads the view's matching groups,
+    // not the view). Rendered via .sql: the guard admitted only
+    // deterministic group-col-referencing predicates.
+    val perGroup = groupFilter match {
+      case Some(cond) =>
+        // strip base-table qualifiers: the predicate re-resolves
+        // against the folded frame's bare group column
+        val bare = cond.transform {
+          case a: AttributeReference => a.withQualifier(Seq.empty)
+        }
+        perGroup0.where(expr(bare.sql))
+      case None => perGroup0
+    }
     // the rollup re-aggregates the O(|view|) fold; coalesce keeps the
     // empty-base global count at 0, matching the base aggregate
     val folded = (groupAttr match {

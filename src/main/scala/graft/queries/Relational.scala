@@ -1717,6 +1717,64 @@ object Relational {
         |FROM documents WHERE lang <> 'de'
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ── S-beyond: FILTERED MV REWRITE (round 16 — the third
+    //    subsumption shape): a deterministic predicate over ONLY the
+    //    view's group column commutes with the per-group fold, so
+    //    `WHERE lang < 'm' GROUP BY lang` over the BASE is answerable
+    //    from the view — the rule re-applies the predicate to the
+    //    folded groups, where Spark pushes it into the view-state
+    //    parquet scan (the probe reads the MATCHING groups of the
+    //    view, pinned): the cost of a filtered dashboard query drops
+    //    from O(|base|) to O(|view slice| + |Δ|). Predicates touching
+    //    non-group columns keep the base scan (the view holds no
+    //    per-row state — s56's pinned negative control). Same s47
+    //    life; judged against the filtered full recompute. ──
+    ("s60_mv_filtered_rewrite",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.conf.set("spark.sql.catalog.graft_fl", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_fl.root", scratchPath("s60_catroot"))
+        val docs = Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+        val tdir = new java.io.File(
+          scratchPath("s60_catroot"), "s60docs").getPath
+        graft.plans.MvRegistry.unregister(tdir)
+        docs.where(pmod($"doc_id", lit(2)) === 0)
+          .writeTo("graft_fl.s60docs")
+          .tableProperty("mor", "true").createOrReplace()      // v1
+        val mvPath = scratchPath("s60_mv_state")
+        s.table("graft_fl.s60docs").groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+          .write.mode("overwrite").parquet(mvPath)
+        graft.plans.MvRegistry.register(graft.plans.MvRegistry.MvDef(
+          tablePath = tdir, statePath = mvPath, builtAt = 1L,
+          groupCol = "lang", countAlias = "n_docs",
+          sumCol = "n_chars", sumAlias = "total_chars"))
+        docs.where(pmod($"doc_id", lit(2)) === 1)
+          .writeTo("graft_fl.s60docs").append()                 // v2
+        s.sql("DELETE FROM graft_fl.s60docs WHERE lang = 'de'") // v3
+        s.sql("UPDATE graft_fl.s60docs SET n_chars = n_chars + 100000 " +
+          "WHERE lang = 'fr'")                                  // v4
+        // ── THE USER QUERY — filtered on the group column, against
+        //    the base ──
+        val q = s.table("graft_fl.s60docs")
+          .where($"lang" < "m")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+        val p = q.queryExecution.explainString(
+          org.apache.spark.sql.execution.SimpleMode)
+        require(p.contains("#changes(1,") && p.contains("s60_mv_state"),
+          s"the filtered rewrite must have fired:\n$p")
+        require(!p.contains(s"graft-ledger:$tdir["),
+          s"the BASE scan must be gone from the filtered rewrite:\n$p")
+        q.orderBy($"lang")
+      },
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars + CASE WHEN lang = 'fr' THEN 100000
+        |                               ELSE 0 END) AS BIGINT) AS total_chars
+        |FROM documents WHERE lang <> 'de' AND lang < 'm'
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ── S-beyond: MV REWRITE FALLBACK (round 16 — the eligibility
     //    gate as a judged surface): the auto-rewrite is only sound
     //    while the change feed can reconstruct (builtAt, head], so a

@@ -1163,6 +1163,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(!filtered.contains("#changes("), filtered)
   }
 
+  test("s60: the filtered MV rewrite pushes the group predicate into the view-state scan") {
+    // the probe reads the view's MATCHING groups, not the view: the
+    // re-applied group-col predicate lands in the state parquet scan's
+    // filters, the base scan is gone, and every ledger scan is a feed
+    val p = plan("s60_mv_filtered_rewrite")
+    assert(p.contains("s60_mv_state"), p)
+    assert(p.contains("#changes(1,"), p)
+    val ledgerScans = p.linesIterator
+      .filter(_.contains("BatchScan graft-ledger")).toSeq
+    assert(ledgerScans.nonEmpty && ledgerScans.forall(_.contains("#changes(")),
+      s"the filtered rewrite must never scan the base table:\n$p")
+    val stateScan = p.linesIterator.find(l =>
+      l.contains("FileScan parquet") && l.contains("s60_mv_state"))
+    assert(stateScan.exists(l => l.contains("lang#") && l.contains("< m")),
+      s"the group predicate must reach the view-state scan:\n$p")
+  }
+
   test("t33: CDF index maintenance scans state + the change feed; content fetch is Δ-bounded") {
     // the s47 scan-set discipline applied to RETRIEVAL state: the
     // maintenance plan may read (a) the two persisted index artifacts,
