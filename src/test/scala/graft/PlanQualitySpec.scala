@@ -1154,13 +1154,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(control.linesIterator.exists(l =>
       l.contains("BatchScan graft-ledger") && l.contains("s56docs[")),
       s"a non-subsumed aggregate must scan the base:\n$control")
-    // second control: the same subsumed shape under a FILTER must not
-    // rewrite either (the view holds no per-row state to filter)
+    // second control: a NON-GROUP-column filter must not rewrite (the
+    // view holds no per-row state; group-col filters DO rewrite — s60)
     val filtered = s.table("graft_ar.s56docs").where($"n_chars" > 0)
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
       .queryExecution.explainString(SimpleMode)
     assert(!filtered.contains("#changes("), filtered)
+    // third control: min/max are NOT retraction-maintainable (a delete
+    // can expose a new extremum the view never kept) — the rule must
+    // decline them and keep the base scan
+    val extrema = s.table("graft_ar.s56docs").groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), max($"n_chars").as("mx"))
+      .queryExecution.explainString(SimpleMode)
+    assert(!extrema.contains("#changes("), extrema)
+    // compositionality: HAVING sits ABOVE the aggregate, so the
+    // subsumed aggregate under it still rewrites — filter over the
+    // folded groups, base scan gone
+    val having = s.table("graft_ar.s56docs").groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+      .where($"n_docs" > 3)
+      .queryExecution.explainString(SimpleMode)
+    assert(having.contains("#changes(") && having.contains("s56_mv_state"),
+      having)
+    assert(!having.linesIterator.exists(l =>
+      l.contains("BatchScan graft-ledger") && !l.contains("#changes(")),
+      having)
   }
 
   test("s60: the filtered MV rewrite pushes the group predicate into the view-state scan") {
