@@ -2316,6 +2316,52 @@ object Relational {
         |       CAST(0 AS BIGINT) AS files_reclaimed
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
 
+    // ── S-beyond: the COMMIT GRAPH as a metadata table (round 16 —
+    //    `t.lineage`, completing the s43/.history + s50/.refs
+    //    observability family for the multi-lineage world): one row
+    //    per version with its `#parent` header, the manifest-diff
+    //    quantities the change-feed planner computes (rows/tombstones
+    //    the commit ADDED — header and section arithmetic only), and
+    //    `on_current` — whether the commit lies on the current read's
+    //    lineage, which is how an operator SEES interleaved branch
+    //    commits (and CAS losers' dead side commits) without decoding
+    //    a record. Judged over a deterministic interleaved life: the
+    //    dev branch's delete shows parent = the fork commit and
+    //    on_current = false while main's rows say true — the #parent
+    //    chain itself is in the hash. ──
+    ("s61_lineage_table",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.conf.set("spark.sql.catalog.graft_lg", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_lg.root", scratchPath("s61_catroot"))
+        val docs = Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+        docs.where(pmod($"doc_id", lit(2)) === 0)
+          .writeTo("graft_lg.s61docs")
+          .tableProperty("mor", "true").createOrReplace()      // v1
+        s.sql("CALL graft_lg.system.create_branch('s61docs', 'dev')")
+        docs.where(pmod($"doc_id", lit(2)) === 1)              // v2: main
+          .writeTo("graft_lg.s61docs").append()
+        s.sql("DELETE FROM graft_lg.s61docs.branch_dev " +
+          "WHERE lang = 'de'")                                 // v3: dev
+        s.table("graft_lg.s61docs.lineage").orderBy($"version")
+      },
+      """SELECT CAST(1 AS BIGINT) AS version, CAST(0 AS BIGINT) AS parent,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |        WHERE doc_id % 2 = 0) AS rows_added,
+        |       CAST(0 AS BIGINT) AS tombstones_added, TRUE AS on_current
+        |UNION ALL
+        |SELECT 2, 1,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |        WHERE doc_id % 2 = 1),
+        |       CAST(0 AS BIGINT), TRUE
+        |UNION ALL
+        |SELECT 3, 1, CAST(0 AS BIGINT),
+        |       (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |        WHERE doc_id % 2 = 0 AND lang = 'de'),
+        |       FALSE
+        |ORDER BY version""".stripMargin),
+
     // ── S-beyond: SCHEMA EVOLUTION as a live-table verb — `ALTER
     //    TABLE … ADD COLUMNS`, judged end to end on the session
     //    catalog (s14 judges mergeSchema on raw parquet and s23

@@ -123,6 +123,21 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         if (cleanSegments(base) && bd.isDirectory)
           return new LedgerRefsTable(bd.getPath, ident.toString)
       }
+      // `<table>.lineage` — the COMMIT GRAPH as a metadata table: one
+      // row per version with its `#parent`, the manifest-diff
+      // quantities the change-feed planner derives (rows/tombstones
+      // the commit added), and whether the commit is on the CURRENT
+      // read's lineage — the observability surface for a chain that
+      // can interleave branches and carry dead side commits (CAS
+      // losers). Same only-when-no-real-table-shadows rule.
+      if (ident.name().equalsIgnoreCase("lineage") &&
+          ident.namespace().nonEmpty) {
+        val base = Identifier.of(ident.namespace().init,
+          ident.namespace().last)
+        val bd = tableDir(base)
+        if (cleanSegments(base) && bd.isDirectory)
+          return new LedgerLineageTable(bd.getPath, ident.toString)
+      }
       // `<table>.branch_<name>` — the BRANCH pseudo-table (Iceberg's
       // branch_ identifier spelling): a handle that reads the branch
       // head and whose appends advance the branch ref. Same only-when-
@@ -1222,6 +1237,78 @@ private[sources] final class LedgerHistoryTable(path: String, name0: String)
           row.setBoolean(5, rows != null)
           row
         }
+    }
+}
+
+/** `<cat>.<table>.lineage` — the COMMIT GRAPH, queryable: one row per
+  * version carrying its `#parent` header, the manifest-diff quantities
+  * the change-feed planner computes (data rows / tombstone keys the
+  * commit ADDED vs its parent — header and section arithmetic, no
+  * record decodes), and `on_current`: whether the commit lies on the
+  * parent chain of the current read's head (main's ref on a branched
+  * table, the chain head otherwise). Interleaved branch commits and a
+  * CAS loser's dead side commits show `on_current = false` — exactly
+  * the rows an operator needs to SEE to understand a multi-lineage
+  * chain. Tiny driver-side metadata, LocalScan like `.history`. */
+private[sources] final class LedgerLineageTable(path: String, name0: String)
+    extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  import org.apache.spark.sql.types.BooleanType
+
+  override def name(): String = name0
+  override def schema(): StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("parent", LongType, nullable = false),
+    StructField("rows_added", LongType, nullable = true),
+    StructField("tombstones_added", LongType, nullable = true),
+    StructField("on_current", BooleanType, nullable = false)))
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder =
+    () => new LocalScan {
+      override def readSchema(): StructType = schema()
+      override def rows(): Array[InternalRow] = {
+        val head = LedgerSource.readRef(path, "branch", "main")
+          .orElse(LedgerSource.listVersions(path).lastOption)
+        val current = scala.collection.mutable.Set.empty[Long]
+        var c = head.getOrElse(0L)
+        while (c > 0) {
+          current += c
+          val p = LedgerSource.parentVersion(path, c)
+          if (p >= c) c = 0 else c = p
+        }
+        LedgerSource.listVersions(path).toArray.map { v =>
+          val parent = LedgerSource.parentVersion(path, v)
+          val names = LedgerSource.readManifest(path, v).toSet
+          val prev: Set[String] =
+            if (parent == 0) Set.empty
+            else
+              try LedgerSource.readManifest(path, parent).toSet
+              catch { case _: Exception => null }
+          val row = new GenericInternalRow(5)
+          row.setLong(0, v)
+          row.setLong(1, parent)
+          if (prev == null) { row.setNullAt(2); row.setNullAt(3) }
+          else {
+            val added = (names -- prev).map(n => new File(new File(path), n))
+            try {
+              require(added.forall(_.isFile))
+              val (data, dels) = added.partition(_.getName.endsWith(".gl"))
+              row.setLong(2, LedgerSource.statsOf(data.toArray).map(_._4).sum)
+              row.setLong(3, dels.toSeq
+                .filter(_.getName.endsWith(".gd"))
+                .map(LedgerSource.tombstoneTotal).sum)
+            } catch { // the diff's files were reclaimed — report honestly
+              case _: Exception => row.setNullAt(2); row.setNullAt(3)
+            }
+          }
+          row.setBoolean(4, current.contains(v))
+          row
+        }
+      }
     }
 }
 
