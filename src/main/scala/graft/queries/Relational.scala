@@ -2316,6 +2316,54 @@ object Relational {
         |       CAST(0 AS BIGINT) AS files_reclaimed
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
 
+    // ── S-beyond: the CHANGE FEED BY TIMESTAMP (round 16 — Delta's
+    //    startingTimestamp): a feed endpoint can now be a TIMESTAMP
+    //    string, resolved through the same `#ts=` manifest instants
+    //    `TIMESTAMP AS OF` uses, to the last version at or before it —
+    //    `changesFrom = T` means "every change after the state as of
+    //    T", the spelling a downstream consumer that remembers
+    //    wall-clock (not version) cursors needs. The judged flow reads
+    //    v2's instant from `.history` (the instants are
+    //    content-embedded, so this is the same clock the resolver
+    //    reads) and feeds it back as changesFrom: the interval must be
+    //    exactly (2, 3] — commit instants are strictly monotonic by
+    //    the commit protocol, so the judged rows are the v3 delete
+    //    events alone at every SF. ──
+    ("s62_cdf_by_timestamp",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.conf.set("spark.sql.catalog.graft_ts", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_ts.root", scratchPath("s62_catroot"))
+        val docs = Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+        docs.where(pmod($"doc_id", lit(2)) === 0)
+          .writeTo("graft_ts.s62docs")
+          .tableProperty("mor", "true").createOrReplace()      // v1
+        docs.where(pmod($"doc_id", lit(2)) === 1)
+          .writeTo("graft_ts.s62docs").append()                 // v2
+        s.sql("DELETE FROM graft_ts.s62docs WHERE lang = 'de'") // v3
+        // the wall-clock cursor a consumer would have remembered: v2's
+        // commit instant, read back from the history metadata table
+        val at = s.table("graft_ts.s62docs.history")
+          .where($"version" === 2).select($"committed_at")
+          .collect().head.getTimestamp(0).toString
+        val tdir = new java.io.File(
+          scratchPath("s62_catroot"), "s62docs").getPath
+        s.read.format("graft-ledger")
+          .option("changesFrom", at).load(tdir)                 // (2, 3]
+          .groupBy($"_commit_version", $"_change_type")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum($"doc_id").cast("long").as("id_sum"),
+            sum($"n_chars").cast("long").as("chars_sum"))
+          .orderBy($"_commit_version", $"_change_type")
+      },
+      """SELECT CAST(3 AS BIGINT) AS _commit_version,
+        |       'delete' AS _change_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM documents WHERE lang = 'de'""".stripMargin),
+
     // ── S-beyond: the COMMIT GRAPH as a metadata table (round 16 —
     //    `t.lineage`, completing the s43/.history + s50/.refs
     //    observability family for the multi-lineage world): one row

@@ -171,15 +171,33 @@ class LedgerSource extends TableProvider with DataSourceRegister {
         require(pinned.isEmpty,
           "graft-ledger: changesFrom cannot combine with versionAsOf/timestampAsOf")
         val versions = LedgerSource.listVersions(tablePath)
-        // both endpoints take a commit id OR a ref name — `changesTo =
-        // 'dev'` is the branch-lineage feed (the planner walks the
-        // #parent chain, so the interval names ONE lineage's changes)
+        // both endpoints take a commit id, a ref name, OR a TIMESTAMP
+        // string (Delta's startingTimestamp): `changesTo = 'dev'` is
+        // the branch-lineage feed (the planner walks the #parent
+        // chain), and a timestamp resolves — via the same `#ts=`
+        // manifest instants timestampAsOf uses — to the last version
+        // at or before it, i.e. "changes AFTER the state as of T" for
+        // changesFrom. Timestamps are strings only (a bare long is a
+        // commit id), and a pre-genesis FROM is the feed from 0.
         def endpoint(which: String, s0: String): Long =
           s0.toLongOption
             .orElse(LedgerSource.resolveRefVersion(tablePath, s0))
+            .orElse(scala.util.Try(
+                java.sql.Timestamp.valueOf(s0).getTime).toOption
+              .map { millis =>
+                val c = versions.filter(v =>
+                  LedgerSource.commitTimeMillis(tablePath, v) <= millis)
+                if (c.nonEmpty) c.max
+                else {
+                  require(which == "changesFrom",
+                    s"graft-ledger: no version of $tablePath existed " +
+                      s"at or before '$s0'")
+                  0L
+                }
+              })
             .getOrElse(throw new IllegalArgumentException(
-              s"graft-ledger: $which must be a commit id or a " +
-                s"tag/branch name; got '$s0'"))
+              s"graft-ledger: $which must be a commit id, a " +
+                s"tag/branch name, or a timestamp; got '$s0'"))
         val from = endpoint("changesFrom", fromS)
         // default head: MAIN's ref on a branched table (the chain head
         // may belong to any lineage), the chain head otherwise
