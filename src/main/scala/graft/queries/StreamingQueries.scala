@@ -2236,7 +2236,93 @@ object StreamingQueries {
         VectorQueries.probeTopK(s.read.parquet(cur).persist())
           .orderBy($"q_id", $"rank")
       },
-      VectorQueries.incrementalIvfOracleSql)
+      VectorQueries.incrementalIvfOracleSql),
+
+    // ── st32: STREAMED BM25 STATE MAINTENANCE — the live twin of t34,
+    //    completing the three-way symmetry for ALL maintained-index
+    //    families (LSH: t31/t33/st30; IVF: v33/v34/st31; BM25 scoring
+    //    state: t30/t34/this): the corpus table's CDC stream
+    //    foreachBatch-folds each microbatch into the postings and
+    //    doc-length artifacts — retractions anti-join, only
+    //    net-inserts are tokenized (content via the Δ-bounded
+    //    broadcast fetch) — through batch-id-named directories.
+    //    Judged across two drains of one checkpoint by t30's
+    //    integer-exact top-10 over the streamed state against the full
+    //    rebuild (t34's oracle verbatim); the scorer's DERIVED
+    //    statistics (df, N, token mass) must shift correctly under the
+    //    streamed retractions, moving unchanged docs' scores. ──
+    ("st32_stream_bm25_maintenance",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val inv = st16Invocation.incrementAndGet()
+        val cat = s"sbm$inv"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root",
+          Portable.scratchPath(s"st32_catroot_$inv"))
+        val ckpt = Portable.scratchPath(s"st32_ckpt_$inv")
+        val stateRoot = Portable.scratchPath(s"st32_state_$inv")
+        val docs = Tables(s, dir, "documents")
+          .select($"doc_id", $"text")
+        val meta = Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+        meta.where(pmod($"doc_id", lit(3)) =!= 2)
+          .writeTo(s"$cat.t32docs")
+          .tableProperty("mor", "true").create()                  // v1
+        var curPost = s"$stateRoot/post_build"
+        var curDl = s"$stateRoot/dl_build"
+        val post1 = TextQueries.bm25Tokenize(
+          docs.where(pmod($"doc_id", lit(3)) =!= 2)).persist()
+        post1.write.mode("overwrite").parquet(curPost)
+        post1.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+          .write.mode("overwrite").parquet(curDl)
+        post1.unpersist()
+        val tdir = new java.io.File(
+          Portable.scratchPath(s"st32_catroot_$inv"), "t32docs").getPath
+        def drain(): Unit = {
+          val q = s.readStream.format("graft-ledger")
+            .option("changesFrom", "1").load(tdir)
+            .writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+               batchId: Long) =>
+                val st = batch.sparkSession
+                val net = batch.groupBy($"doc_id")
+                  .agg(sum(when($"_change_type" === "insert", 1L)
+                    .otherwise(-1L)).as("net"))
+                  .persist()
+                val delKeys = broadcast(net.where($"net" < 0).select($"doc_id"))
+                val insKeys = net.where($"net" > 0).select($"doc_id")
+                val deltaDocs = docs.as("c")
+                  .join(broadcast(insKeys.as("k")),
+                    col("c.doc_id") === col("k.doc_id"))
+                  .select(col("c.doc_id"), col("c.text"))
+                val addPost = TextQueries.bm25Tokenize(deltaDocs).persist()
+                val nextPost = s"$stateRoot/post_v$batchId"
+                val nextDl = s"$stateRoot/dl_v$batchId"
+                st.read.parquet(curPost)
+                  .join(delKeys, Seq("doc_id"), "left_anti")
+                  .unionByName(addPost)
+                  .write.mode("overwrite").parquet(nextPost)
+                st.read.parquet(curDl)
+                  .join(delKeys, Seq("doc_id"), "left_anti")
+                  .unionByName(
+                    addPost.groupBy($"doc_id").agg(sum($"tf").as("dl")))
+                  .write.mode("overwrite").parquet(nextDl)
+                curPost = nextPost
+                curDl = nextDl
+            }
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        s.sql(s"DELETE FROM $cat.t32docs WHERE doc_id % 5 = 0")   // v2
+        drain()                                                   // delete wave
+        meta.where(pmod($"doc_id", lit(3)) === 2)
+          .writeTo(s"$cat.t32docs").append()                      // v3
+        drain()                                                   // ingest wave
+        TextQueries.bm25ProbeOf(
+          s.read.parquet(curPost), s.read.parquet(curDl).persist())
+      },
+      TextQueries.maintainedBm25OracleSql)
   )
 
   /** st16/st17 run twice per Bench invocation in one JVM; per-

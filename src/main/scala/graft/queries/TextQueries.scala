@@ -209,6 +209,65 @@ object TextQueries {
     * start a fresh chain, not extend a previous invocation's. */
   private val t33Invocation = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** t34/st32 shared probe: t30's inverted-index read over MAINTAINED
+    * postings + doc-length state — the 3-term semi-filter pushes into
+    * the postings scan, df/totals re-derive from the state, the
+    * integer-exact saturation arithmetic is t30's verbatim. */
+  private[queries] def bm25ProbeOf(post2: DataFrame,
+                                   dl2: DataFrame): DataFrame = {
+    val qTerms = Seq("scan", "join", "merge")
+    val totals = dl2.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+    val tf = post2.where(col("word").isin(qTerms: _*)).persist()
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "word")
+      .join(dl2, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("term_us", round(
+        log((lit(2) * col("n") + 2).cast("double")
+          / (lit(2) * col("df") + 1).cast("double"))
+        * (lit(44) * col("tf") * col("t")).cast("double")
+        / (lit(20) * col("tf") * col("t") + lit(6) * col("t")
+           + lit(18) * col("dl") * col("n")).cast("double")
+        * 1000000).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("term_us")).as("score_us"))
+      .orderBy(col("score_us").desc, col("doc_id")).limit(10)
+      .select(col("doc_id"), col("n_terms"), col("score_us"))
+  }
+
+  /** The (doc_id, word, tf) postings of a (doc_id, text) frame —
+    * tokenization for the maintained BM25 state (t34/st32). */
+  private[queries] def bm25Tokenize(d: DataFrame): DataFrame = d
+    .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+
+  /** t34/st32 shared oracle: t30's retrieval over the FULL REBUILD of
+    * the final corpus (base slice minus the retention delete plus the
+    * ingest wave). */
+  private[queries] val maintainedBm25OracleSql: String =
+    """WITH docs2 AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE (doc_id % 3 <> 2 AND doc_id % 5 <> 0) OR doc_id % 3 = 2),
+      |tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM docs2),
+      |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl),
+      |tf AS (
+      |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tok
+      |  WHERE word IN ('scan', 'join', 'merge') GROUP BY 1, 2),
+      |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |         CAST(round(ln(CAST(2 * tot.n + 2 AS DOUBLE) / CAST(2 * dfq.df + 1 AS DOUBLE))
+      |           * CAST(44 * tf.tf * tot.t AS DOUBLE)
+      |           / CAST(20 * tf.tf * tot.t + 6 * tot.t + 18 * dl.dl * tot.n AS DOUBLE)
+      |           * 1000000, 0) AS BIGINT) AS term_us
+      |  FROM tf JOIN dfq USING (word) JOIN dl USING (doc_id), tot)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+      |       CAST(sum(term_us) AS BIGINT) AS score_us
+      |FROM scored GROUP BY doc_id
+      |ORDER BY score_us DESC, doc_id LIMIT 10""".stripMargin
+
   /** Distinct candidate pairs (doc_a < doc_b) sharing any band key —
     * a hash equi-join on the bucket, never an all-pairs cross join. */
   private[queries] def lshCandidates(bands: DataFrame): DataFrame =
@@ -1002,12 +1061,9 @@ object TextQueries {
         meta.where(pmod(col("doc_id"), lit(3)) =!= 2)
           .writeTo(s"$cat.t34docs").tableProperty("mor", "true").create()
         // ── FULL BUILD at v1: postings + doc-length state ──
-        def tokenize(d: org.apache.spark.sql.DataFrame) = d
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-          .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
         val postPath = scratchPath(s"t34_postings_$inv")
         val dlPath = scratchPath(s"t34_dl_$inv")
-        val post1 = tokenize(
+        val post1 = bm25Tokenize(
           docs.where(pmod(col("doc_id"), lit(3)) =!= 2)).persist()
         post1.write.mode("overwrite").parquet(postPath)
         post1.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
@@ -1032,7 +1088,7 @@ object TextQueries {
           .join(broadcast(insKeys.as("k")),
             col("c.doc_id") === col("k.doc_id"))
           .select(col("c.doc_id"), col("c.text"))
-        val addPost = tokenize(deltaDocs).persist()
+        val addPost = bm25Tokenize(deltaDocs).persist()
         // post2 stays UNPERSISTED so the probe's 3-term semi-filter
         // pushes through the union INTO the postings state scan (the
         // inverted-index read — cost is the postings of 3 terms, not
@@ -1047,47 +1103,9 @@ object TextQueries {
             addPost.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
           .persist()
         // ── t30's probe, read from the MAINTAINED state ──
-        val qTerms = Seq("scan", "join", "merge")
-        val totals = dl2.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
-        val tf = post2.where(col("word").isin(qTerms: _*)).persist()
-        val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-        tf.join(broadcast(dfreq), "word")
-          .join(dl2, "doc_id")
-          .crossJoin(broadcast(totals))
-          .withColumn("term_us", round(
-            log((lit(2) * col("n") + 2).cast("double")
-              / (lit(2) * col("df") + 1).cast("double"))
-            * (lit(44) * col("tf") * col("t")).cast("double")
-            / (lit(20) * col("tf") * col("t") + lit(6) * col("t")
-               + lit(18) * col("dl") * col("n")).cast("double")
-            * 1000000).cast("long"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_terms"), sum(col("term_us")).as("score_us"))
-          .orderBy(col("score_us").desc, col("doc_id")).limit(10)
-          .select(col("doc_id"), col("n_terms"), col("score_us"))
+        bm25ProbeOf(post2, dl2)
       },
-      """WITH docs2 AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE (doc_id % 3 <> 2 AND doc_id % 5 <> 0) OR doc_id % 3 = 2),
-        |tok AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM docs2),
-        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl),
-        |tf AS (
-        |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tok
-        |  WHERE word IN ('scan', 'join', 'merge') GROUP BY 1, 2),
-        |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-        |scored AS (
-        |  SELECT tf.doc_id,
-        |         CAST(round(ln(CAST(2 * tot.n + 2 AS DOUBLE) / CAST(2 * dfq.df + 1 AS DOUBLE))
-        |           * CAST(44 * tf.tf * tot.t AS DOUBLE)
-        |           / CAST(20 * tf.tf * tot.t + 6 * tot.t + 18 * dl.dl * tot.n AS DOUBLE)
-        |           * 1000000, 0) AS BIGINT) AS term_us
-        |  FROM tf JOIN dfq USING (word) JOIN dl USING (doc_id), tot)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-        |       CAST(sum(term_us) AS BIGINT) AS score_us
-        |FROM scored GROUP BY doc_id
-        |ORDER BY score_us DESC, doc_id LIMIT 10""".stripMargin),
+      maintainedBm25OracleSql),
 
     ("t30_bm25_retrieval",
       (s: SparkSession, dir: String) => {
