@@ -1107,6 +1107,83 @@ object TextQueries {
       },
       maintainedBm25OracleSql),
 
+    // ── t36: EXACT-DEDUP STATE FROM THE CHANGE FEED — the simplest
+    //    member of the CDC-maintenance family, kept judged because it
+    //    is the one every pipeline actually deploys first: the per-doc
+    //    digest fingerprint table maintained under the ledger's feed
+    //    (retraction legs anti-join; ONLY Δ docs are hashed, content
+    //    via the Δ-bounded broadcast fetch), probed by t05's duplicate
+    //    groups. Seeded exact copies at +SeedOffset keep the judged
+    //    n_copies = 2 groups non-vacuous at every SF; the oracle is
+    //    the full re-fingerprint of the final corpus. With this row
+    //    every dedup family the engine ships (exact, MinHash-LSH,
+    //    SimHash/n-gram via their shared banded state, semantic) has
+    //    an O(Δ)-maintained form or a documented recompute path. ──
+    ("t36_exact_dedup_cdf",
+      (s: SparkSession, dir: String) => {
+        val inv = t33Invocation.incrementAndGet()
+        val cat = s"graft_t36_$inv"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root",
+          scratchPath(s"t36_catroot_$inv"))
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val meta = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        meta.where(pmod(col("doc_id"), lit(3)) =!= 2)
+          .writeTo(s"$cat.t36docs").tableProperty("mor", "true").create()
+        // ── FULL BUILD at v1: the per-doc fingerprint table ──
+        def fingerprints(d: org.apache.spark.sql.DataFrame) = d
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
+        val fpPath = scratchPath(s"t36_fp_$inv")
+        fingerprints(docs.where(pmod(col("doc_id"), lit(3)) =!= 2))
+          .write.mode("overwrite").parquet(fpPath)
+        s.sql(s"DELETE FROM $cat.t36docs WHERE doc_id % 5 = 0")   // v2
+        meta.where(pmod(col("doc_id"), lit(3)) === 2)
+          .unionByName(meta.where(col("doc_id") < NSeeds &&
+              (pmod(col("doc_id"), lit(3)) === 2 ||
+                pmod(col("doc_id"), lit(5)) =!= 0))
+            .select((col("doc_id") + SeedOffset).as("doc_id"),
+              col("lang"), col("n_chars")))
+          .writeTo(s"$cat.t36docs").append()                      // v3
+        // ── MAINTENANCE: fold the feed, hash ONLY the Δ ──
+        val tdir = new java.io.File(
+          scratchPath(s"t36_catroot_$inv"), "t36docs").getPath
+        val net = s.read.format("graft-ledger")
+          .option("changesFrom", "1").load(tdir)
+          .groupBy(col("doc_id"))
+          .agg(sum(when(col("_change_type") === "insert", 1L)
+            .otherwise(-1L)).as("net"))
+          .persist()
+        val delKeys = broadcast(net.where(col("net") < 0).select(col("doc_id")))
+        val insKeys = net.where(col("net") > 0).select(col("doc_id"))
+        val deltaDocs = docs.as("c")
+          .join(broadcast(insKeys
+              .withColumn("content_id",
+                when(col("doc_id") >= SeedOffset,
+                  col("doc_id") - SeedOffset).otherwise(col("doc_id")))
+              .as("k")),
+            col("c.doc_id") === col("k.content_id"))
+          .select(col("k.doc_id").as("doc_id"), col("c.text"))
+        val fp2 = s.read.parquet(fpPath)
+          .join(delKeys, Seq("doc_id"), "left_anti")
+          .unionByName(fingerprints(deltaDocs))
+        // ── t05's duplicate groups, read from the MAINTAINED state ──
+        fp2.groupBy(col("digest"))
+          .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_copies"))
+          .orderBy(col("rep_id"))
+      },
+      s"""WITH docs2 AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE (doc_id % 3 <> 2 AND doc_id % 5 <> 0) OR doc_id % 3 = 2
+         |  UNION ALL
+         |  SELECT doc_id + $SeedOffset, text FROM documents
+         |  WHERE doc_id < $NSeeds
+         |    AND (doc_id % 3 = 2 OR doc_id % 5 <> 0))
+         |SELECT md5(text) AS digest, min(doc_id) AS rep_id,
+         |       CAST(count(*) AS BIGINT) AS n_copies
+         |FROM docs2 GROUP BY 1 ORDER BY rep_id""".stripMargin),
+
     ("t30_bm25_retrieval",
       (s: SparkSession, dir: String) => {
         val qTerms = Seq("scan", "join", "merge")
